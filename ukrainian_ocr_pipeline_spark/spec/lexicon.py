@@ -1,0 +1,162 @@
+"""Stage 5 — fuzzy lexicon matching over extracted text.
+
+Mirrors the reference's SurnameMatcher
+(ukrainian_ocr/core/surname_matcher.py:96-271) semantics:
+
+  * normalize_text: lower -> NFD -> strip combining marks -> keep only
+    [\\w\\s\\u0400-\\u04FF] -> strip                       (:96-113)
+  * tokenization: re.findall(r"\\b[\\w\\u0400-\\u04FF]+\\b")  (:238)
+  * similarity: difflib SequenceMatcher ratio with length penalty
+    ratio * (1 - len_diff/max_len * 0.3), blended 0.7*char + 0.3*phonetic
+    over 11 Cyrillic phonetic groups                        (:160-219)
+  * per-word argmax over the lexicon, threshold 0.8, min word length 3
+    (:240-255); context = words[idx-2 : idx+3]              (:256-259)
+
+One deliberate determinism fix vs the reference: the reference iterates
+``self.surnames`` (a Python set — hash order) and breaks ties with
+strict ``>``, so tie winners depend on set order.  We iterate the
+lexicon in sorted() order, making tie-breaks reproducible across
+processes and partitions — required for the byte-identical invariant.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+from difflib import SequenceMatcher
+from functools import lru_cache
+
+_WORD_RE = re.compile(r"\b[\wЀ-ӿ]+\b")
+_KEEP_RE = re.compile(r"[^\w\sЀ-ӿ]")
+
+# parity with core/surname_matcher.py:166-170
+_PHONETIC_GROUPS = [
+    ["б", "п"], ["в", "ф"], ["г", "к", "х"], ["д", "т"],
+    ["ж", "ш", "щ"], ["з", "с", "ц"], ["е", "є", "э"],
+    ["і", "ї", "ы", "и"], ["о", "а"], ["у", "ю"], ["я", "а"],
+]
+_PHONETIC_FOLD = {}
+for _group in _PHONETIC_GROUPS:
+    for _ch in _group[1:]:
+        # later groups win on conflict, matching the reference's sequential
+        # str.replace order (я->а applied after и-group etc.)
+        _PHONETIC_FOLD[_ch] = _group[0]
+_PHONETIC_TABLE = str.maketrans(_PHONETIC_FOLD)
+
+DEFAULT_THRESHOLD = 0.8
+DEFAULT_MIN_LENGTH = 3
+
+
+@dataclass(frozen=True)
+class Match:
+    found_text: str
+    matched_term: str
+    confidence: float
+    word_idx: int
+    context: str
+    block_id: int = -1
+
+
+def normalize_text(text: str) -> str:
+    if not text:
+        return ""
+    text = text.lower()
+    text = "".join(
+        c for c in unicodedata.normalize("NFD", text)
+        if unicodedata.category(c) != "Mn"
+    )
+    return _KEEP_RE.sub("", text).strip()
+
+
+def _phonetic(text: str) -> str:
+    # sequential replace like the reference, not simultaneous translate:
+    # core/surname_matcher.py:173-179 applies group replacements in order,
+    # so e.g. 'я'->'а' happens after 'о'->... — emulate exactly.
+    result = text.lower()
+    for group in _PHONETIC_GROUPS:
+        rep = group[0]
+        for ch in group[1:]:
+            result = result.replace(ch, rep)
+    return result
+
+
+def similarity(text1: str, text2: str, use_phonetic: bool = True) -> float:
+    """Parity with calculate_similarity (core/surname_matcher.py:186-219)."""
+    if not text1 or not text2:
+        return 0.0
+    norm1 = normalize_text(text1)
+    norm2 = normalize_text(text2)
+    if norm1 == norm2:
+        return 1.0
+    len_diff = abs(len(norm1) - len(norm2))
+    max_len = max(len(norm1), len(norm2))
+    if max_len == 0:
+        return 0.0
+    len_penalty = len_diff / max_len
+    char_sim = SequenceMatcher(None, norm1, norm2).ratio() * (1 - len_penalty * 0.3)
+    if use_phonetic:
+        phon_sim = SequenceMatcher(None, _phonetic(text1), _phonetic(text2)).ratio()
+        return 0.7 * char_sim + 0.3 * phon_sim
+    return char_sim
+
+
+class LexiconMatcher:
+    """Deterministic fuzzy matcher; one instance is broadcast per executor."""
+
+    def __init__(self, terms: list[str], threshold: float = DEFAULT_THRESHOLD,
+                 use_phonetic: bool = True, min_length: int = DEFAULT_MIN_LENGTH):
+        self.threshold = threshold
+        self.use_phonetic = use_phonetic
+        self.min_length = min_length
+        terms_set = set()
+        for t in terms:
+            if len(t) >= min_length:
+                terms_set.add(t)
+                norm = normalize_text(t)
+                if norm != t and len(norm) >= min_length:
+                    terms_set.add(norm)
+        self.terms = sorted(terms_set)  # sorted: the determinism fix
+
+    @lru_cache(maxsize=65536)
+    def _best(self, word: str) -> tuple[str, float] | None:
+        best_term, best_sim = None, 0.0
+        for term in self.terms:
+            sim = similarity(word, term, self.use_phonetic)
+            if sim >= self.threshold and sim > best_sim:
+                best_sim, best_term = sim, term
+        if best_term is None:
+            return None
+        return best_term, best_sim
+
+    def find_in_text(self, text: str) -> list[Match]:
+        """Parity with find_in_text (core/surname_matcher.py:221-271)."""
+        if not text:
+            return []
+        words = _WORD_RE.findall(text)
+        matches: list[Match] = []
+        for idx, word in enumerate(words):
+            if len(word) < self.min_length:
+                continue
+            hit = self._best(word)
+            if hit is None:
+                continue
+            term, sim = hit
+            ctx = " ".join(words[max(0, idx - 2):min(len(words), idx + 3)])
+            matches.append(Match(word, term, sim, idx, ctx))
+        return matches
+
+
+def default_lexicon() -> list[str]:
+    """The reference's 40 common Ukrainian surnames
+    (core/surname_matcher.py:405-419) — public test lexicon."""
+    return [
+        "Шевченко", "Коваленко", "Бондаренко", "Ткаченко", "Кравченко",
+        "Олійник", "Шевчук", "Поліщук", "Мельник", "Гавриленко",
+        "Петренко", "Іваненко", "Михайленко", "Василенко", "Григоренко",
+        "Ковальчук", "Савченко", "Левченко", "Павленко", "Марченко",
+        "Жук", "Козлов", "Мороз", "Кравець", "Швець",
+        "Гончар", "Коваль", "Столяр", "Рибалко", "Терещенко",
+        "Данилко", "Федорко", "Василько", "Петрук", "Іванко",
+        "Романко", "Степанко", "Максимко", "Дмитрук", "Андрійко",
+    ]

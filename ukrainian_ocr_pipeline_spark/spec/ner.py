@@ -1,0 +1,89 @@
+"""Stage 4 — entity-tag: extracted text -> char-offset entity spans.
+
+Mirrors the reference's deterministic rule-based NER backend
+(ukrainian_ocr/core/ner.py:295-348) exactly: same person/location
+patterns, same confidences (PERSON 0.8, LOCATION 0.7), same emission
+order (all person patterns in order, then all location patterns), and
+the same 7-word false-positive stoplist filter applied afterwards
+(core/ner.py:360-368, 403-408).  The model-backed backends
+(spaCy/transformers/OpenAI, core/ner.py:43-292) are out of scope for
+parity — nondeterministic and unavailable offline; this backend is the
+reference's own fallback (core/ner.py:389-396) and our default.
+
+Offsets are char positions into the extracted text (analog of the
+reference's start_pos/end_pos into the concatenated line text,
+core/ner.py:429-447).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# Ukrainian/Russian person name patterns — parity with core/ner.py:301-310
+_PERSON_PATTERNS = [
+    # Full names: First Middle Last
+    re.compile(r"\b[А-ЯІЇЄЁ][а-яіїєё]{2,15}\s+[А-ЯІЇЄЁ][а-яіїєё]{2,15}\s+[А-ЯІЇЄЁ][а-яіїєё]{2,15}\b"),
+    # First Last
+    re.compile(r"\b[А-ЯІЇЄЁ][а-яіїєё]{2,15}\s+[А-ЯІЇЄЁ][а-яіїєё]{2,15}\b"),
+    # Common Ukrainian surname suffixes
+    re.compile(r"\b[А-ЯІЇЄЁ][а-яіїєё]*(?:енко|ський|цький|ич|юк|як|ук|ко)\b"),
+]
+
+# Location patterns — parity with core/ner.py:312-316
+_LOCATION_PATTERNS = [
+    re.compile(r"\b(?:місто|село|селище|хутір|станція)\s+[А-ЯІЇЄЁ][а-яіїєё]{2,20}\b"),
+    re.compile(r"\b[А-ЯІЇЄЁ][а-яіїєё]{3,20}(?:ськ|цьк|івка|івці|ичі|енко|ове|іно)\b"),
+]
+
+# parity with core/ner.py:360-368
+FALSE_POSITIVE_WORDS = frozenset({
+    "ім'я", "прізвище", "по-батькові", "особа", "людина", "чоловік", "жінка",
+})
+
+PERSON_CONFIDENCE = 0.8
+LOCATION_CONFIDENCE = 0.7
+
+
+@dataclass(frozen=True)
+class Span:
+    text: str
+    label: str
+    confidence: float
+    start: int
+    end: int
+    block_id: int = -1  # filled by the pipeline from kept-block offsets
+
+
+def tag_entities(text: str) -> list[Span]:
+    """Extract entity spans. Deterministic; never raises on str input."""
+    if not text:
+        return []
+    spans: list[Span] = []
+    for pat in _PERSON_PATTERNS:
+        for m in pat.finditer(text):
+            spans.append(Span(m.group(), "PERSON", PERSON_CONFIDENCE, m.start(), m.end()))
+    for pat in _LOCATION_PATTERNS:
+        for m in pat.finditer(text):
+            spans.append(Span(m.group(), "LOCATION", LOCATION_CONFIDENCE, m.start(), m.end()))
+    # stoplist filter — parity with core/ner.py:403-408
+    return [s for s in spans if s.text.lower() not in FALSE_POSITIVE_WORDS]
+
+
+def attach_block_ids(spans: list[Span], kept_offsets: list[tuple[int, int, int]]) -> list[Span]:
+    """Assign each span the block_id of the kept block containing its start.
+
+    Replaces the reference's fragile text-equality regroup
+    (core/pipeline.py:257-271) / substring containment join
+    (core/ner.py:515-520): offsets are carried through the pipeline, so
+    this is a deterministic interval lookup, not a fuzzy join.
+    """
+    out: list[Span] = []
+    for s in spans:
+        bid = -1
+        for block_id, start, end in kept_offsets:
+            if start <= s.start < end + 1:  # +1 admits the '\n' boundary
+                bid = block_id
+                break
+        out.append(Span(s.text, s.label, s.confidence, s.start, s.end, bid))
+    return out

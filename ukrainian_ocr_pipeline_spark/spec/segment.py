@@ -1,0 +1,281 @@
+"""Stage 2 — segment: document string -> ordered content blocks.
+
+Web-text analog of Kraken line segmentation
+(ukrainian_ocr/core/segmentation.py:63-175): where the reference produces
+line dicts {id, baseline, polygon, bbox} from an image, we produce Block
+records {block_id, start, end, tag_path, text, densities} from HTML.
+Char offsets (start/end into the concatenated block text stream) replace
+bbox/polygon geometry.
+
+Fallback ladder mirrors core/segmentation.py:344-407 (kraken -> CPU retry
+-> conservative retry -> emergency horizontal strips -> placeholder):
+
+  level 0  html.parser structural segmentation        (confidence from classifier)
+  level 1  tolerant re-parse after tag-soup scrubbing (confidence capped later)
+  level 2  fixed-size text chunking, sentinel 0.3     (core/segmentation.py:388)
+  level 3  single placeholder block, sentinel 0.1     (core/segmentation.py:406)
+
+Determinism: block order is document order; whitespace is normalized with
+a single regex; no dict-iteration-order or locale dependence anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html import unescape
+from html.parser import HTMLParser
+
+FALLBACK_NONE = 0
+FALLBACK_TOLERANT = 1
+FALLBACK_CHUNK = 2
+FALLBACK_PLACEHOLDER = 3
+
+# sentinel confidences carried by emergency-fallback blocks, mirroring the
+# reference's 0.3 / 0.1 at core/segmentation.py:388,406
+CHUNK_CONFIDENCE = 0.3
+PLACEHOLDER_CONFIDENCE = 0.1
+
+# tags whose subtree never contributes text
+_SKIP_SUBTREE = {"script", "style", "noscript", "template", "svg", "head", "iframe"}
+
+# tags that open/close a text block
+_BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "article", "section", "nav", "header", "footer", "aside", "main",
+    "blockquote", "pre", "figure", "figcaption", "ul", "ol", "table",
+    "tr", "form", "dd", "dt", "caption", "summary", "details", "body",
+}
+
+# semantic ancestors recorded in tag_path that the classifier treats as
+# boilerplate containers
+_BOILER_ANCESTORS = ("nav", "header", "footer", "aside", "form")
+
+_WS_RE = re.compile(r"\s+")
+_WORD_RE = re.compile(r"\S+")
+
+# tag-soup scrubbers for the tolerant re-parse (level 1)
+_BROKEN_TAG_RE = re.compile(r"<[^>]*$")            # unterminated trailing tag
+_NULS_RE = re.compile("\x00")
+_CHUNK_SIZE = 2000  # chars per emergency chunk (level 2)
+
+
+@dataclass
+class Block:
+    block_id: int
+    start: int               # char offset into the block text stream
+    end: int
+    tag_path: str            # e.g. "body/div/p"
+    text: str                # whitespace-normalized block text
+    n_words: int
+    n_chars: int
+    link_chars: int          # chars inside <a> within the block
+    text_density: float      # words per 80-char wrapped line (boilerpipe-style)
+    link_density: float      # link_chars / n_chars
+    fallback_level: int = FALLBACK_NONE
+    # filled by classify stage:
+    is_content: bool = False
+    confidence: float = 0.0
+
+
+def _finish(raw_parts: list[str], link_chars: int, tag_path: str,
+            fallback_level: int) -> tuple[str, int, int, int, float, float] | None:
+    text = _WS_RE.sub(" ", unescape("".join(raw_parts))).strip()
+    if not text:
+        return None
+    n_chars = len(text)
+    n_words = len(_WORD_RE.findall(text))
+    link_chars = min(link_chars, n_chars)
+    wrapped_lines = max(1, -(-n_chars // 80))  # ceil
+    text_density = n_words / wrapped_lines
+    link_density = link_chars / n_chars
+    return (text, n_words, n_chars, link_chars, text_density, link_density)
+
+
+class _BlockParser(HTMLParser):
+    """Single-pass segmenter: emits a Block at every block-tag boundary."""
+
+    def __init__(self, fallback_level: int = FALLBACK_NONE):
+        super().__init__(convert_charrefs=False)
+        self.blocks: list[Block] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._stack: list[str] = []
+        self._offset = 0
+        self._fallback = fallback_level
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self):
+        fin = _finish(self._parts, self._link_chars, self._path(), self._fallback)
+        self._parts = []
+        self._link_chars = 0
+        if fin is None:
+            return
+        text, n_words, n_chars, link_chars, td, ld = fin
+        start = self._offset
+        end = start + n_chars
+        self._offset = end + 1  # +1 for the '\n' separator in the rendered stream
+        self.blocks.append(Block(
+            block_id=len(self.blocks), start=start, end=end,
+            tag_path=self._path(), text=text, n_words=n_words,
+            n_chars=n_chars, link_chars=link_chars,
+            text_density=td, link_density=ld,
+            fallback_level=self._fallback,
+        ))
+
+    def _path(self) -> str:
+        sem = [t for t in self._stack if t in _BLOCK_TAGS or t in _SKIP_SUBTREE or t == "a"]
+        return "/".join(sem[-4:]) if sem else ""
+
+    # -- parser callbacks ------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREE:
+            self._skip_depth += 1
+        if self._skip_depth:
+            self._stack.append(tag)
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag == "br":
+            self._parts.append(" ")
+        self._stack.append(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br" and not self._skip_depth:
+            self._parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREE and self._skip_depth:
+            self._skip_depth -= 1
+            self._pop(tag)
+            return
+        if self._skip_depth:
+            self._pop(tag)
+            return
+        if tag in _BLOCK_TAGS:
+            # flush BEFORE popping so tag_path includes the closing block tag
+            self._flush()
+        self._pop(tag)
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+
+    def _pop(self, tag):
+        # pop the nearest matching open tag (tolerant of tag soup)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                del self._stack[i]
+                break
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self._parts.append(data)
+        if self._anchor_depth:
+            # approximate link chars on the normalized form of this run
+            self._link_chars += len(_WS_RE.sub(" ", unescape(data)).strip())
+
+    def handle_entityref(self, name):
+        if not self._skip_depth:
+            self.handle_data(f"&{name};")
+
+    def handle_charref(self, name):
+        if not self._skip_depth:
+            self.handle_data(f"&#{name};")
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def _chunk_blocks(text: str, level: int, confidence: float) -> list[Block]:
+    """Emergency fixed-size chunking (level 2/3), mirroring the reference's
+    horizontal-strip fallback at core/segmentation.py:344-407."""
+    clean = _WS_RE.sub(" ", text).strip()
+    blocks: list[Block] = []
+    offset = 0
+    if not clean:
+        return blocks
+    for i in range(0, len(clean), _CHUNK_SIZE):
+        chunk = clean[i:i + _CHUNK_SIZE].strip()
+        if not chunk:
+            continue
+        n_chars = len(chunk)
+        n_words = len(_WORD_RE.findall(chunk))
+        wrapped = max(1, -(-n_chars // 80))
+        blocks.append(Block(
+            block_id=len(blocks), start=offset, end=offset + n_chars,
+            tag_path="(chunk)", text=chunk, n_words=n_words, n_chars=n_chars,
+            link_chars=0, text_density=n_words / wrapped, link_density=0.0,
+            fallback_level=level, is_content=True, confidence=confidence,
+        ))
+        offset += n_chars + 1
+    return blocks
+
+
+def segment_blocks(doc: str, kind: str = "html") -> tuple[list[Block], int]:
+    """Segment a decoded document into blocks.
+
+    Returns (blocks, fallback_level). Never raises.
+    """
+    if doc is None or not doc.strip():
+        return [], FALLBACK_NONE
+
+    if kind == "pdf":
+        from .pdfmini import extract_pdf_text
+        txt = extract_pdf_text(doc)
+        if txt.strip():
+            blocks = _chunk_blocks(txt, FALLBACK_NONE, 0.9)
+            for b in blocks:
+                b.tag_path = "(pdf)"
+            return blocks, FALLBACK_NONE
+        return _chunk_blocks(doc, FALLBACK_PLACEHOLDER, PLACEHOLDER_CONFIDENCE)[:1], FALLBACK_PLACEHOLDER
+
+    if kind in ("text", "binary"):
+        level = FALLBACK_CHUNK if kind == "text" else FALLBACK_PLACEHOLDER
+        conf = CHUNK_CONFIDENCE if kind == "text" else PLACEHOLDER_CONFIDENCE
+        blocks = _chunk_blocks(doc, level, conf)
+        if level == FALLBACK_PLACEHOLDER:
+            blocks = blocks[:1]
+        return blocks, level
+
+    # level 0: structural parse
+    try:
+        p = _BlockParser(FALLBACK_NONE)
+        p.feed(doc)
+        p.close()
+        if p.blocks:
+            return p.blocks, FALLBACK_NONE
+        # parse succeeded and the page genuinely has no text (e.g. empty
+        # <body>): that's a valid empty result, not a fallback case
+        if not _WS_RE.sub(" ", unescape(re.sub(r"<[^>]*>", " ", doc))).strip():
+            return [], FALLBACK_NONE
+    except Exception:
+        pass
+
+    # level 1: tolerant re-parse after scrubbing
+    try:
+        scrubbed = _NULS_RE.sub("", _BROKEN_TAG_RE.sub("", doc))
+        p = _BlockParser(FALLBACK_TOLERANT)
+        p.feed(scrubbed)
+        p.close()
+        if p.blocks:
+            return p.blocks, FALLBACK_TOLERANT
+    except Exception:
+        pass
+
+    # level 2: strip tags crudely, chunk
+    try:
+        stripped = re.sub(r"<[^>]*>", " ", doc)
+        blocks = _chunk_blocks(unescape(stripped), FALLBACK_CHUNK, CHUNK_CONFIDENCE)
+        if blocks:
+            return blocks, FALLBACK_CHUNK
+    except Exception:
+        pass
+
+    # level 3: single placeholder
+    blocks = _chunk_blocks(doc[:_CHUNK_SIZE], FALLBACK_PLACEHOLDER, PLACEHOLDER_CONFIDENCE)[:1]
+    return blocks, FALLBACK_PLACEHOLDER
