@@ -1,0 +1,131 @@
+"""Golden end-to-end: the Spark job must match the committed
+oracle-produced golden corpus byte-for-byte on extracted_text per url,
+and exactly on spans/matches/regions/metrics (the north rule's
+correctness gate). Also checks partitioning invariance — the same
+answer regardless of how rows are distributed across tasks."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from tests.conftest import GOLDEN_DIR
+
+
+def _load_golden(name):
+    return pd.read_parquet(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def enriched(spark, t2_rows):
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+    pdf = pd.DataFrame(t2_rows)
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    return extract_pages(pages, salt_buckets=16).cache()
+
+
+def test_extracted_text_byte_identical(enriched):
+    got = (enriched.select("url", "extracted_text").orderBy("url").toPandas())
+    want = _load_golden("extracted").sort_values("url").reset_index(drop=True)
+    assert list(got.url) == list(want.url)
+    neq = got.extracted_text.values != want.extracted_text.values
+    assert neq.sum() == 0, f"{neq.sum()} urls differ, e.g. {got.url[neq.argmax()]}"
+    # byte-for-byte, not just str equality
+    for g, w in zip(got.extracted_text[:50], want.extracted_text[:50]):
+        assert g.encode("utf-8") == w.encode("utf-8")
+
+
+def test_spans_exact(spark, enriched):
+    from pyspark.sql import functions as F
+    got = (enriched.select("url", F.explode("spans").alias("s"))
+           .select("url", "s.*")
+           .orderBy("url", "start", "end", "label", "text").toPandas())
+    want = (_load_golden("spans")
+            .sort_values(["url", "start", "end", "label", "text"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["url", "text", "label", "start", "end", "block_id"]],
+        want[["url", "text", "label", "start", "end", "block_id"]],
+        check_dtype=False)
+    assert (got.confidence.values == want.confidence.values).all()
+
+
+def test_matches_exact(spark, enriched):
+    from pyspark.sql import functions as F
+    got = (enriched.select("url", F.explode("matches").alias("m"))
+           .select("url", "m.*")
+           .orderBy("url", "word_idx", "found_text").toPandas())
+    want = (_load_golden("matches")
+            .sort_values(["url", "word_idx", "found_text"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["url", "found_text", "matched_term", "word_idx", "context"]],
+        want[["url", "found_text", "matched_term", "word_idx", "context"]],
+        check_dtype=False)
+    # fuzzy confidences are floats from difflib — must be bit-equal since
+    # both sides run the identical pure function
+    assert (got.confidence.values == want.confidence.values).all()
+
+
+def test_regions_exact(spark, enriched):
+    from pyspark.sql import functions as F
+    got = (enriched.select("url", F.explode("regions").alias("r"))
+           .select("url", "r.*").orderBy("url", "start").toPandas())
+    want = _load_golden("regions").sort_values(["url", "start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["url", "start", "end", "n_entities"]],
+        want[["url", "start", "end", "n_entities"]], check_dtype=False)
+
+
+def test_metrics_match(spark, enriched):
+    from ukrainian_ocr_pipeline_spark.operators.extract import metrics_table
+    got = (metrics_table(enriched)
+           .select("url", "success", "kind", "charset", "fallback_level",
+                   "blocks_detected", "blocks_kept", "entities", "matches")
+           .orderBy("url").toPandas())
+    want = (_load_golden("metrics")
+            .rename(columns={})
+            .sort_values("url").reset_index(drop=True))
+    for col in ["success", "kind", "charset", "fallback_level",
+                "blocks_detected", "blocks_kept", "entities", "matches"]:
+        assert (got[col].values == want[col].values).all(), col
+    assert got.success.all()
+
+
+def test_partitioning_invariance(spark, t2_rows, oracle_golden):
+    """Same rows, pathological partitioning (2 and 64 partitions, reversed
+    input order) -> identical extracted text. Guards the determinism
+    invariant the north rule is really about."""
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+    pdf = pd.DataFrame(list(reversed(t2_rows[:120])))
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    want = (oracle_golden["extracted"][
+        oracle_golden["extracted"].url.isin(pdf.url)]
+        .sort_values("url").reset_index(drop=True))
+    for nparts in (2, 64):
+        pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA).repartition(nparts)
+        got = (extract_pages(pages, with_matches=False, with_regions=False)
+               .select("url", "extracted_text").orderBy("url").toPandas())
+        assert (got.extracted_text.values == want.extracted_text.values).all(), nparts
+
+
+def test_lineage_covers_all_rows(spark, enriched):
+    from ukrainian_ocr_pipeline_spark.operators.extract import lineage_table
+    lin = lineage_table(enriched, snapshot_id=7).toPandas()
+    assert lin.n_rows.sum() == 500
+    assert lin.n_ok.sum() == 500 and lin.n_err.sum() == 0
+    assert (lin.snapshot_id == 7).all()
+    assert (lin.min_url <= lin.max_url).all()
+
+
+def test_pipeline_stats(spark, enriched, oracle_golden):
+    from ukrainian_ocr_pipeline_spark.operators.extract import metrics_table, pipeline_stats
+    stats = pipeline_stats(metrics_table(enriched)).toPandas().iloc[0]
+    m = oracle_golden["metrics"]
+    assert stats.pages_processed == len(m)
+    assert stats.total_entities == m.entities.sum()
+    assert stats.total_blocks == m.blocks_detected.sum()

@@ -1,0 +1,258 @@
+"""Unit tests per spec stage — modeled on the reference's per-component
+unit layer (SURVEY.md §5; e.g. tests/unit/test_segmentation.py asserts
+line-dict shape invariants, test_ner.py asserts entity fields/thresholds)."""
+
+import pytest
+
+from ukrainian_ocr_pipeline_spark.spec import (
+    FALLBACK_CHUNK, FALLBACK_NONE, FALLBACK_TOLERANT,
+    LexiconMatcher, classify_blocks, decode_page, default_lexicon,
+    dense_regions, render_text, segment_blocks, tag_entities,
+)
+from ukrainian_ocr_pipeline_spark.spec.decode import KIND_BINARY, KIND_HTML, KIND_PDF, KIND_TEXT
+from ukrainian_ocr_pipeline_spark.spec.lexicon import normalize_text, similarity
+from ukrainian_ocr_pipeline_spark.spec.ner import Span, attach_block_ids
+from ukrainian_ocr_pipeline_spark.spec.pdfmini import extract_pdf_text
+from ukrainian_ocr_pipeline_spark.spec.segment import FALLBACK_PLACEHOLDER
+
+
+class TestDecode:
+    def test_utf8(self):
+        r = decode_page("<html><p>héllo</p></html>".encode())
+        assert r.text == "<html><p>héllo</p></html>"
+        assert r.kind == KIND_HTML and r.charset == "utf-8" and not r.degraded
+
+    def test_meta_charset_cp1251(self):
+        raw = '<html><meta charset="windows-1251"><p>Привіт</p></html>'.encode("cp1251")
+        r = decode_page(raw)
+        assert "Привіт" in r.text and r.charset in ("windows-1251", "cp1251")
+
+    def test_bom(self):
+        r = decode_page(b"\xef\xbb\xbf<html><p>x</p></html>")
+        assert r.text.startswith("<html") and r.charset == "utf-8-sig"
+
+    def test_pdf_magic(self):
+        assert decode_page(b"%PDF-1.4 whatever").kind == KIND_PDF
+
+    def test_binary_garbage(self):
+        r = decode_page(bytes(range(32)) * 40)
+        assert r.kind == KIND_BINARY
+
+    def test_plain_text(self):
+        assert decode_page(b"just some plain words here").kind == KIND_TEXT
+
+    def test_never_raises(self):
+        for payload in (None, b"", b"\xff\xfe", b"\x80\x81\x82" * 100):
+            decode_page(payload)  # must not raise
+
+
+class TestSegment:
+    def test_basic_blocks(self):
+        html = "<html><body><p>one two three</p><p>four five</p></body></html>"
+        blocks, lvl = segment_blocks(html)
+        assert lvl == FALLBACK_NONE
+        # body flush + two p blocks; texts in document order
+        texts = [b.text for b in blocks]
+        assert "one two three" in texts and "four five" in texts
+        for b in blocks:  # shape invariants (analog of test_segmentation.py:38-60)
+            assert b.start < b.end
+            assert b.n_chars == len(b.text) > 0
+            assert 0.0 <= b.link_density <= 1.0
+            assert b.block_id == blocks.index(b)
+
+    def test_script_style_excluded(self):
+        html = "<body><script>var x=1;</script><style>.a{}</style><p>keep me now</p></body>"
+        blocks, _ = segment_blocks(html)
+        joined = " ".join(b.text for b in blocks)
+        assert "var x" not in joined and ".a{}" not in joined and "keep me now" in joined
+
+    def test_entities_unescaped(self):
+        blocks, _ = segment_blocks("<p>Tom &amp; Jerry &#1071;</p>")
+        assert blocks[0].text == "Tom & Jerry Я"
+
+    def test_link_density(self):
+        html = '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>plain text words</p>'
+        blocks, _ = segment_blocks(html)
+        nav = next(b for b in blocks if "nav" in b.tag_path)
+        assert nav.link_density > 0.8
+        p = next(b for b in blocks if b.text == "plain text words")
+        assert p.link_density == 0.0
+
+    def test_empty_page(self):
+        blocks, lvl = segment_blocks("<html><body></body></html>")
+        assert blocks == [] and lvl == FALLBACK_NONE
+
+    def test_malformed_never_raises(self):
+        blocks, lvl = segment_blocks("<div><p>text one two < stray <b>bold")
+        assert any("text one two" in b.text for b in blocks)
+
+    def test_plain_text_chunks(self):
+        blocks, lvl = segment_blocks("word " * 1000, kind="text")
+        assert lvl == FALLBACK_CHUNK
+        assert all(b.is_content and b.confidence == 0.3 for b in blocks)
+
+    def test_binary_placeholder(self):
+        blocks, lvl = segment_blocks("garbage bytes decoded", kind="binary")
+        assert lvl == FALLBACK_PLACEHOLDER
+        assert len(blocks) <= 1
+        assert all(b.confidence == 0.1 for b in blocks)
+
+
+class TestClassify:
+    def _mk(self, html):
+        blocks, _ = segment_blocks(html)
+        return classify_blocks(blocks)
+
+    def test_long_paragraph_kept(self):
+        blocks = self._mk("<body><p>" + "word " * 50 + "</p></body>")
+        p = next(b for b in blocks if b.n_words >= 50)
+        assert p.is_content and p.confidence == 0.95
+
+    def test_nav_dropped(self):
+        blocks = self._mk('<body><nav><ul><li><a href="/">Home page link</a></li></ul></nav>'
+                          "<p>" + "word " * 50 + "</p></body>")
+        nav_blocks = [b for b in blocks if "nav" in b.tag_path]
+        assert nav_blocks and all(not b.is_content for b in nav_blocks)
+
+    def test_heading_rescue(self):
+        blocks = self._mk("<body><h2>Short Heading Here</h2><p>" + "word " * 50 + "</p></body>")
+        h = next(b for b in blocks if "h2" in b.tag_path)
+        assert h.is_content and h.confidence == 0.7
+
+    def test_link_farm_dropped(self):
+        html = "<body><div>" + "".join(f'<a href="/{i}">link number {i}</a> ' for i in range(30)) + "</div></body>"
+        blocks = self._mk(html)
+        assert all(not b.is_content for b in blocks)
+
+
+class TestRender:
+    def test_joins_kept_in_order(self):
+        html = "<body><p>" + "a " * 50 + "</p><nav><a href='/'>x</a></nav><p>" + "b " * 50 + "</p></body>"
+        blocks, _ = segment_blocks(html)
+        classify_blocks(blocks)
+        text, offsets = render_text(blocks)
+        parts = text.split("\n")
+        assert parts[0].startswith("a") and parts[-1].startswith("b")
+        # offsets index into the rendered text exactly
+        for bid, s, e in offsets:
+            blk = next(b for b in blocks if b.block_id == bid)
+            assert text[s:e] == blk.text
+
+    def test_empty(self):
+        assert render_text([]) == ("", [])
+
+
+class TestNER:
+    def test_person_full_name(self):
+        spans = tag_entities("Зустрів Тараса ні, Тарас Григорович Шевченко тут")
+        persons = [s for s in spans if s.label == "PERSON"]
+        assert any(s.text == "Тарас Григорович Шевченко" for s in persons)
+        assert all(s.confidence == 0.8 for s in persons)
+
+    def test_location(self):
+        spans = tag_entities("народився у село Моринці поблизу")
+        locs = [s for s in spans if s.label == "LOCATION"]
+        assert any("село Моринці" == s.text for s in locs)
+        assert all(s.confidence == 0.7 for s in locs)
+
+    def test_offsets_exact(self):
+        text = "xx Іван Петренко yy"
+        spans = tag_entities(text)
+        for s in spans:
+            assert text[s.start:s.end] == s.text
+
+    def test_stoplist(self):
+        spans = tag_entities("Особа прибула")
+        assert all(s.text.lower() != "особа" for s in spans)
+
+    def test_block_id_attach(self):
+        spans = [Span("a", "PERSON", 0.8, 0, 5), Span("b", "PERSON", 0.8, 12, 15)]
+        kept = [(3, 0, 10), (7, 11, 20)]
+        out = attach_block_ids(spans, kept)
+        assert out[0].block_id == 3 and out[1].block_id == 7
+
+
+class TestLexicon:
+    def test_exact_match(self):
+        m = LexiconMatcher(default_lexicon())
+        hits = m.find_in_text("пан Шевченко прибув")
+        assert hits and hits[0].matched_term in ("Шевченко", "шевченко")
+        assert hits[0].confidence == 1.0
+
+    def test_ocr_confusion_match(self):
+        m = LexiconMatcher(default_lexicon())
+        hits = m.find_in_text("пан Шевчеико прибув")  # и/н confusion
+        assert any(h.found_text == "Шевчеико" and "шевченко" in h.matched_term.lower()
+                   for h in hits)
+
+    def test_threshold(self):
+        m = LexiconMatcher(["Шевченко"], threshold=0.99)
+        assert not any(h.found_text == "Шевчеико" for h in m.find_in_text("Шевчеико"))
+
+    def test_min_length(self):
+        m = LexiconMatcher(default_lexicon())
+        assert m.find_in_text("як це") == []
+
+    def test_normalize_parity(self):
+        # parity vector vs reference normalize_text semantics
+        assert normalize_text("Шевченко!") == "шевченко"
+        assert normalize_text("  Héllo,  ") == "hello"
+
+    def test_similarity_bounds(self):
+        assert similarity("шевченко", "шевченко") == 1.0
+        assert 0.0 <= similarity("шевченко", "xyz") < 0.5
+
+    def test_context_window(self):
+        m = LexiconMatcher(default_lexicon())
+        hits = m.find_in_text("a b Шевченко c d e")
+        assert hits[0].context == "a b Шевченко c d"
+
+
+class TestRegions:
+    def _spans(self, centers):
+        return [Span(f"p{i}", "PERSON", 0.8, c - 5, c + 5) for i, c in enumerate(centers)]
+
+    def test_cluster_found(self):
+        regs = dense_regions(self._spans([100, 200, 350]), 1000)
+        assert len(regs) == 1
+        assert regs[0].n_entities == 3
+        assert regs[0].start == 95 - 50 and regs[0].end == 355 + 50
+
+    def test_min_samples_guard(self):
+        assert dense_regions(self._spans([100, 200]), 1000) == []
+
+    def test_gap_splits(self):
+        regs = dense_regions(self._spans([0, 100, 200, 2000, 2100, 2200]), 5000)
+        assert len(regs) == 2
+
+    def test_largest_first(self):
+        regs = dense_regions(self._spans([0, 100, 200, 300, 2000, 2100, 2200]), 5000)
+        assert regs[0].n_entities == 4
+
+
+class TestPDF:
+    def test_tj(self):
+        doc = "%PDF-1.4 BT (Hello) Tj (World) Tj ET"
+        assert extract_pdf_text(doc) == "Hello World"
+
+    def test_tj_array(self):
+        doc = "%PDF-1.4 BT [(a) (b) (c)] TJ ET"
+        assert extract_pdf_text(doc) == "a b c"
+
+    def test_escapes(self):
+        doc = r"%PDF-1.4 BT (par\(en\)s \\ ok) Tj ET"
+        assert extract_pdf_text(doc) == r"par(en)s \ ok"
+
+
+class TestExtractPage:
+    def test_error_capture(self):
+        from ukrainian_ocr_pipeline_spark.spec import extract_page
+        r = extract_page("u", object())  # type: ignore[arg-type]  # wrong type -> captured
+        assert not r.success and r.error and r.extracted_text == ""
+
+    def test_full_flow(self):
+        from ukrainian_ocr_pipeline_spark.spec import extract_page
+        from ukrainian_ocr_pipeline_spark.fixtures import page_row
+        row = page_row(10)
+        r = extract_page(row["url"], row["html"])
+        assert r.success and r.blocks_detected > 0

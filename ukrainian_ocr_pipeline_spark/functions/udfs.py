@@ -1,0 +1,166 @@
+"""Vectorized pandas/Arrow UDFs wrapping the pure spec functions.
+
+Per BASELINE.json input_hint: pandas/Arrow UDFs only — no row-at-a-time
+Python UDFs anywhere.  Each UDF:
+
+  * calls the same spec functions the oracle calls (parity by construction),
+  * captures per-row errors inside the batch (never fails the task —
+    analog of ukrainian_ocr/core/pipeline.py:348-355),
+  * uses the per-executor lazy-singleton idiom for expensive state
+    (the lexicon matcher), the Spark analog of the reference's lazy
+    _init_components (core/pipeline.py:139-181).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..spec import (
+    LexiconMatcher, classify_blocks, decode_page, dense_regions,
+    segment_blocks, tag_entities,
+)
+from ..spec.ner import Span, attach_block_ids
+from .schemas import (
+    MATCH_SCHEMA, REGION_SCHEMA, SEGMENT_RESULT_SCHEMA, SPAN_SCHEMA,
+)
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# per-executor singleton cache (lazy init inside the Python worker, once per
+# process — not per batch)
+_MATCHER_CACHE: dict[tuple, LexiconMatcher] = {}
+
+
+def _get_matcher(terms: tuple[str, ...], threshold: float) -> LexiconMatcher:
+    key = (terms, threshold)
+    m = _MATCHER_CACHE.get(key)
+    if m is None:
+        m = LexiconMatcher(list(terms), threshold)
+        _MATCHER_CACHE[key] = m
+    return m
+
+
+def _block_dict(b) -> dict:
+    return {
+        "block_id": b.block_id, "start": b.start, "end": b.end,
+        "tag_path": b.tag_path, "text": b.text, "n_words": b.n_words,
+        "n_chars": b.n_chars, "link_chars": b.link_chars,
+        "text_density": b.text_density, "link_density": b.link_density,
+        "fallback_level": b.fallback_level, "is_content": b.is_content,
+        "confidence": b.confidence,
+    }
+
+
+@F.pandas_udf(SEGMENT_RESULT_SCHEMA)
+def segment_pages_udf(html: pd.Series) -> pd.DataFrame:
+    """decode + segment + classify, one Arrow batch at a time.
+
+    Stage 1-3 of the pipeline (analog of load+segment+recognize,
+    core/pipeline.py:223-236). Render is deliberately NOT here — it runs
+    JVM-side on the returned blocks array (see operators.extract).
+    """
+    import time
+    out = {"blocks": [], "kind": [], "charset": [],
+           "fallback_level": [], "success": [], "error": [], "t_ms": []}
+    for raw in html:
+        t0 = time.perf_counter()
+        try:
+            data = bytes(raw) if raw is not None else None
+            dec = decode_page(data)
+            blocks, level = segment_blocks(dec.text, dec.kind)
+            classify_blocks(blocks)
+            out["blocks"].append([_block_dict(b) for b in blocks])
+            out["kind"].append(dec.kind)
+            out["charset"].append(dec.charset)
+            out["fallback_level"].append(level)
+            out["success"].append(True)
+            out["error"].append(None)
+        except Exception as e:  # per-row capture; the task never fails
+            out["blocks"].append([])
+            out["kind"].append("error")
+            out["charset"].append("")
+            out["fallback_level"].append(-1)
+            out["success"].append(False)
+            out["error"].append(f"{type(e).__name__}: {e}")
+        out["t_ms"].append((time.perf_counter() - t0) * 1000.0)
+    return pd.DataFrame(out)
+
+
+@F.pandas_udf(T.ArrayType(SPAN_SCHEMA))
+def ner_udf(text: pd.Series, kept: pd.Series) -> pd.Series:
+    """Stage 4 entity tagging over the rendered text.
+
+    `kept` is array<struct<block_id,n_chars>> computed JVM-side from the
+    kept blocks; offsets are rebuilt by cumulative sum so span.block_id
+    assignment is exact without re-rendering.
+    """
+    results = []
+    for doc, offsets in zip(text, kept):
+        try:
+            spans = tag_entities(doc or "")
+            kept_offsets = []
+            pos = 0
+            for item in (offsets if offsets is not None else []):
+                d = item if isinstance(item, dict) else item.asDict()
+                kept_offsets.append((int(d["block_id"]), pos, pos + int(d["n_chars"])))
+                pos += int(d["n_chars"]) + 1
+            spans = attach_block_ids(spans, kept_offsets)
+            results.append([{
+                "text": s.text, "label": s.label, "confidence": s.confidence,
+                "start": s.start, "end": s.end, "block_id": s.block_id,
+            } for s in spans])
+        except Exception:
+            results.append([])
+    return pd.Series(results)
+
+
+def make_match_udf(terms: list[str], threshold: float = 0.8):
+    """Fuzzy lexicon match UDF factory.
+
+    The lexicon travels in the UDF closure (small — the Spark analog of a
+    broadcast variable for the DataFrame API) and is expanded into a
+    LexiconMatcher once per executor process via the singleton cache.
+    Semantically a broadcast nested-loop similarity join
+    (core/surname_matcher.py:240-269 recast).
+    """
+    terms_t = tuple(terms)
+
+    @F.pandas_udf(T.ArrayType(MATCH_SCHEMA))
+    def match_udf(text: pd.Series) -> pd.Series:
+        matcher = _get_matcher(terms_t, threshold)
+        results = []
+        for doc in text:
+            try:
+                results.append([{
+                    "found_text": m.found_text, "matched_term": m.matched_term,
+                    "confidence": m.confidence, "word_idx": m.word_idx,
+                    "context": m.context,
+                } for m in matcher.find_in_text(doc or "")])
+            except Exception:
+                results.append([])
+        return pd.Series(results)
+
+    return match_udf
+
+
+@F.pandas_udf(T.ArrayType(REGION_SCHEMA))
+def regions_udf(spans: pd.Series, text_len: pd.Series) -> pd.Series:
+    """Stage 5.5: entity-dense region detection (1-D DBSCAN analog of
+    core/enhancement.py:235-360), per row over its span array."""
+    results = []
+    for span_arr, tl in zip(spans, text_len):
+        try:
+            span_objs = []
+            for item in (span_arr if span_arr is not None else []):
+                d = item if isinstance(item, dict) else item.asDict()
+                span_objs.append(Span(d["text"], d["label"], d["confidence"],
+                                      int(d["start"]), int(d["end"]), int(d["block_id"])))
+            regs = dense_regions(span_objs, int(tl))
+            results.append([{
+                "start": r.start, "end": r.end,
+                "n_entities": r.n_entities, "label": r.label,
+            } for r in regs])
+        except Exception:
+            results.append([])
+    return pd.Series(results)

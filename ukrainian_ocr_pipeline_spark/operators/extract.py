@@ -1,0 +1,139 @@
+"""The main-content extraction DataFrame chain — the engine's flagship.
+
+Spark-first recast of the reference's 6-stage per-document flow
+(ukrainian_ocr/core/pipeline.py:183-355).  Physical shape:
+
+  * ONE shuffle-free map stage end-to-end: decode/segment/classify run in
+    a single pandas UDF; render + metrics run JVM-side via higher-order
+    functions (filter/transform/concat_ws/size) inside whole-stage
+    codegen; NER / matching / regions are further per-row UDF columns.
+    No groupBy, no join, no shuffle — the plan scales linearly with
+    executors, which is what makes N->4N scaling efficiency >= 0.8
+    achievable (the north rule's criterion).
+  * The only optional shuffle is the explicit salted `repartition` for
+    megapage-host skew (salt_buckets), placed BEFORE the heavy UDF so AQE
+    and the scheduler see uniformly-sized tasks.
+  * Catalyst cannot push filters through opaque Python UDFs, so all
+    row-pruning (html is null etc.) is ordered before the UDF manually.
+
+The render step deserves a note: the reference rebuilds full-document
+text in Python (core/ner.py:429-447, core/pipeline.py:410-542).  Here it
+is `concat_ws('\n', transform(filter(blocks, b -> b.is_content),
+b -> b.text))` — pure Catalyst expressions over the block array, no
+Python round-trip, and byte-identical to the oracle's
+'\n'.join(kept texts in block_id order) because array order is document
+order and survives any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.udfs import make_match_udf, ner_udf, regions_udf, segment_pages_udf
+from ..spec import default_lexicon
+
+_KEPT = "filter(seg.blocks, b -> b.is_content)"
+
+
+def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
+                  salt_buckets: int | None = None,
+                  with_matches: bool = True,
+                  with_regions: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, ...) -> enriched extraction DataFrame.
+
+    Output columns: url, warc_ts, extracted_text, spans, matches,
+    regions, seg (struct with blocks + decode/fallback metadata).
+    """
+    df = pages
+    if salt_buckets:
+        # megapage-host skew: url-hash repartition spreads any single hot
+        # host across all buckets (url is unique => near-uniform)
+        df = df.repartition(salt_buckets, F.xxhash64("url"))
+
+    df = (
+        df
+        .withColumn("seg", segment_pages_udf(F.col("html")))
+        .withColumn("kept_offsets",
+                    F.expr(f"transform({_KEPT}, b -> struct(b.block_id as block_id, b.n_chars as n_chars))"))
+        .withColumn("extracted_text",
+                    F.expr(f"concat_ws('\\n', transform({_KEPT}, b -> b.text))"))
+        .withColumn("spans", ner_udf(F.col("extracted_text"), F.col("kept_offsets")))
+    )
+    if with_matches:
+        match_udf = make_match_udf(lexicon if lexicon is not None else default_lexicon())
+        df = df.withColumn("matches", match_udf(F.col("extracted_text")))
+    else:
+        df = df.withColumn("matches", F.expr(
+            "cast(array() as array<struct<found_text:string,matched_term:string,"
+            "confidence:double,word_idx:int,context:string>>)"))
+    if with_regions:
+        df = df.withColumn("regions", regions_udf(F.col("spans"), F.length("extracted_text")))
+    return df
+
+
+def extracted_table(enriched: DataFrame) -> DataFrame:
+    """The `extracted` output table (FIXTURES.md §3)."""
+    return enriched.select("url", "warc_ts", "extracted_text", "spans")
+
+
+def blocks_table(enriched: DataFrame) -> DataFrame:
+    """Exploded per-block table — the reference's line-dict list as rows."""
+    return (enriched
+            .select("url", F.posexplode_outer("seg.blocks").alias("pos", "b"))
+            .select("url", "b.*")
+            .drop("pos"))
+
+
+def metrics_table(enriched: DataFrame) -> DataFrame:
+    """Per-url stage metrics (analog of the result record,
+    core/pipeline.py:322-346). All JVM-side expressions — no extra UDF."""
+    return enriched.select(
+        "url",
+        F.col("seg.success").alias("success"),
+        F.col("seg.error").alias("error"),
+        F.col("seg.kind").alias("kind"),
+        F.col("seg.charset").alias("charset"),
+        F.col("seg.fallback_level").alias("fallback_level"),
+        F.size("seg.blocks").alias("blocks_detected"),
+        F.size("kept_offsets").alias("blocks_kept"),
+        F.size("spans").alias("entities"),
+        F.size("matches").alias("matches"),
+        F.create_map(F.lit("segment"), F.col("seg.t_ms")).alias("stage_times"),
+        (F.col("seg.t_ms") / 1000.0).alias("processing_time"),
+    )
+
+
+def lineage_table(enriched: DataFrame, snapshot_id: int = 0) -> DataFrame:
+    """Per-partition lineage (north rule): one row per output partition.
+
+    spark_partition_id() is evaluated on the final partitioning, so the
+    lineage rows describe exactly the tasks that produced the output.
+    """
+    return (enriched
+            .select(F.spark_partition_id().alias("partition_id"),
+                    "url", F.col("seg.success").alias("success"),
+                    F.col("seg.t_ms").alias("t_ms"))
+            .groupBy("partition_id")
+            .agg(F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+                 F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("success"), 1).otherwise(0)).cast("long").alias("n_ok"),
+                 F.sum(F.when(~F.col("success"), 1).otherwise(0)).cast("long").alias("n_err"),
+                 F.min("url").alias("min_url"),
+                 F.max("url").alias("max_url"),
+                 F.sum("t_ms").cast("long").alias("wall_ms")))
+
+
+def pipeline_stats(metrics: DataFrame) -> DataFrame:
+    """Aggregate run stats (analog of pipeline stats,
+    core/pipeline.py:551-557 + batch summary core/batch_processor.py:234-274)."""
+    return metrics.agg(
+        F.count("*").alias("pages_processed"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("pages_ok"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("pages_failed"),
+        F.sum("blocks_detected").alias("total_blocks"),
+        F.sum("blocks_kept").alias("total_blocks_kept"),
+        F.sum("entities").alias("total_entities"),
+        F.sum("matches").alias("total_matches"),
+        F.sum("processing_time").alias("total_processing_time"),
+        F.avg("processing_time").alias("avg_time_per_page"),
+    )

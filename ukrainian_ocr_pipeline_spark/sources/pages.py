@@ -1,0 +1,62 @@
+"""Sources for the `pages` input table.
+
+Production: an Iceberg table bucket-partitioned by url hash
+(`bucket(N, url)`) + `days(warc_ts)`, read with
+spark.read.table("pages") — partition pruning and snapshot min-max file
+skipping come free.  This sandbox has no Iceberg runtime jar, so the
+tested path is plain Parquet with the same schema; the catalog module
+provides snapshot/commit semantics on top (sources.catalog).
+
+Analog of the reference's input surface: directory listing + extension
+filter + sort (ukrainian_ocr/utils/io.py:74-107) and input validation
+(core/batch_processor.py:164-193) become a scan plus declarative filters
+that Catalyst pushes into the Parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.schemas import PAGES_SCHEMA
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Read a pages parquet dataset with the canonical schema."""
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def validate_pages(df: DataFrame) -> DataFrame:
+    """Input validation as pushed-down predicates (analog of
+    validate_inputs, core/batch_processor.py:164-193): non-null key,
+    sane url shape, payload present."""
+    return df.filter(
+        F.col("url").isNotNull()
+        & F.col("url").rlike("^https?://")
+        & F.col("html").isNotNull()
+    )
+
+
+def pages_from_fixtures(spark: SparkSession, n_rows: int, seed: int = 42,
+                        partitions: int | None = None) -> DataFrame:
+    """Generate the deterministic fixture table directly into Spark.
+
+    Row content is a pure function of (i, seed), so generation is done
+    DISTRIBUTED: parallelize the index range, build rows inside
+    mapInPandas — no driver-side materialization of page bytes (matters
+    at bench scale).
+    """
+    import pandas as pd
+
+    from ..fixtures import page_row
+
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = [page_row(int(i)) for i in pdf["i"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
+            yield out
+
+    idx = spark.range(0, n_rows, 1, n_parts).withColumnRenamed("id", "i")
+    return idx.mapInPandas(gen, PAGES_SCHEMA)
