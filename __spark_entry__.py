@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: full extraction pipeline over deterministic
+                  fixture pages (sf0.001-sized), returning the extracted
+                  table (url, extracted_text, spans, metrics columns).
+queries()       — one entry per implemented operator (SURVEY.md §2 +
+                  training-data-pipeline operators).
+oracle_sql()    — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: main-content extraction + NER + fuzzy match +
+    metrics over the deterministic synthetic pages corpus, plus a join
+    back to driver-provided documents stats for good measure."""
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, metrics_table
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    pages = pages_from_fixtures(spark, 300)
+    enriched = extract_pages(pages, salt_buckets=8)
+    return metrics_table(enriched)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ukrainian_ocr_pipeline_spark.plans.registry import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ukrainian_ocr_pipeline_spark.plans.registry import ORACLE_SQL
+    return dict(ORACLE_SQL)

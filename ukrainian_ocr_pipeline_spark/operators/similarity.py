@@ -1,0 +1,94 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane signature) variant as the 100 TB scale path:
+brute force is O(Q x N) — fine for a broadcast query set against a
+scan; the LSH variant turns it into an equi-join on signature buckets.
+
+Dot products run as zip_with + aggregate in DOUBLE with sequential
+element order — bit-identical to the DuckDB oracle's generate_series
+formulation, which is what lets the correctness gate compare ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+
+
+def _dot(a: str, b: str):
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    full embedding scan — one broadcast join, no shuffle of the big side,
+    then a per-query top-k window.
+
+    Cosine is rounded to 6 dp BEFORE ranking (tie-break by neighbor id)
+    so rank order is reproducible across engines and float environments.
+    """
+    queries = (emb.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
+    pairs = (emb.alias("n")
+             .join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+             .withColumn("dot", _dot("qvec", vec_col))
+             .withColumn("qn", _dot("qvec", "qvec"))
+             .withColumn("nn", _dot(vec_col, vec_col))
+             .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
+    return (pairs
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "cosine_r"))
+
+
+def hyperplane_signatures(emb: DataFrame, n_planes: int = 8,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of <v, h_p> for n_planes
+    deterministic pseudo-hyperplanes.  Plane p's component i is derived
+    from md5(p:i) — reproducible with no RNG state, so signatures agree
+    across runs and engines.
+
+    The signature is the scale path: near neighbors collide in buckets,
+    and candidate generation becomes a uniform equi-join.
+    """
+    # component(p, i) in [-0.5, 0.5): (md5_32(p:i) / 2^32) - 0.5
+    comp = ("transform(sequence(0, {d}), i -> "
+            "cast(conv(substring(md5(cast(concat('{p}', ':', i) as binary)), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5d)")
+    sig = None
+    for p in range(n_planes):
+        plane = comp.format(d=dim - 1, p=p)
+        bit = F.when(F.expr(_DOT.format(a=vec_col, b=plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig * 2 + bit
+    return emb.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_bucket"))
+
+
+def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine re-rank inside the bucket."""
+    sigs = hyperplane_signatures(emb, n_planes, id_col, vec_col, dim)
+    embs = emb.join(sigs, emb[id_col] == sigs.vec_id).drop(sigs.vec_id)
+    queries = (embs.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       F.col("lsh_bucket").alias("qbucket")))
+    pairs = (embs.alias("n")
+             .join(F.broadcast(queries),
+                   (F.col("lsh_bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")))
+             .withColumn("dot", _dot("qvec", vec_col))
+             .withColumn("qn", _dot("qvec", "qvec"))
+             .withColumn("nn", _dot(vec_col, vec_col))
+             .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "cosine_r"))

@@ -1,0 +1,727 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a (spark_fn, oracle_sql) pair.
+
+Conventions that keep the driver's order-insensitive value-hash stable
+across Spark and DuckDB:
+  * integer results wherever possible; money as floor(x*100+0.5) cents
+  * doubles only when derived from identical exact integers, or rounded
+    to 6 dp with error margins orders of magnitude below the grain
+  * DuckDB aggregate outputs CAST to BIGINT (its sum() widens to HUGEINT,
+    which pandas would otherwise render as float)
+  * timestamps serialized via date_format/strftime to a common string
+  * every computed column aliased identically on both sides
+  * no engine-native hash() — md5-derived 32-bit hashes shared by both
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.floor(col * 100 + 0.5).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations / §2.2 filters
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavour: grouped partial-agg pricing summary (A1/A2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") < "1998-09-03")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+                 F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_cents"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Equi-join chain with a broadcast dimension (J1): customer x orders
+    x nation -> revenue per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+                 F.count("*").alias("n_orders"),
+                 F.countDistinct("c_custkey").alias("n_customers")))
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_parts(spark, sf_dir):
+    """Top-k with deterministic tie-break (A5/O3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.floor("l_quantity").cast("bigint")).alias("total_qty"))
+            .orderBy(F.desc("n_lines"), F.desc("total_qty"), F.asc("l_partkey"))
+            .limit(10))
+
+
+SQL_TOP_PARTS = """
+SELECT l_partkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY l_partkey
+ORDER BY n_lines DESC, total_qty DESC, l_partkey ASC LIMIT 10
+"""
+
+
+def q_orders_price_histogram(spark, sf_dir):
+    """Stats + bucketed histogram (A4, surname_matcher.py:356-392 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _cents(F.col("o_totalprice"))
+    return o.agg(
+        F.count("*").alias("n"),
+        F.min(c).alias("min_cents"),
+        F.max(c).alias("max_cents"),
+        F.sum(F.when(c < 10000000, 1).otherwise(0)).alias("b0"),
+        F.sum(F.when((c >= 10000000) & (c < 20000000), 1).otherwise(0)).alias("b1"),
+        F.sum(F.when((c >= 20000000) & (c < 30000000), 1).otherwise(0)).alias("b2"),
+        F.sum(F.when((c >= 30000000) & (c < 40000000), 1).otherwise(0)).alias("b3"),
+        F.sum(F.when(c >= 40000000, 1).otherwise(0)).alias("b4"),
+    )
+
+
+SQL_HISTOGRAM = """
+WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders)
+SELECT COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+       CAST(SUM(CASE WHEN cents < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(SUM(CASE WHEN cents >= 10000000 AND cents < 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(SUM(CASE WHEN cents >= 20000000 AND cents < 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(SUM(CASE WHEN cents >= 30000000 AND cents < 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+       CAST(SUM(CASE WHEN cents >= 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+FROM c
+"""
+
+
+def q_docs_per_lang_concat(spark, sf_dir):
+    """Deterministic ordered string concatenation agg (A10): the
+    collect_list-order trap, pinned with sort_array on both sides."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.concat_ws(",", F.transform(F.sort_array(F.collect_list(F.col("doc_id"))),
+                                              lambda x: x.cast("string"))).alias("doc_ids")))
+
+
+SQL_LANG_CONCAT = """
+SELECT lang, COUNT(*) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (J7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_nationkey", "c_mktsegment"))
+
+
+SQL_NO_ORDERS = """
+SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_big_spender_customers(spark, sf_dir):
+    """Left-semi existence gate (F8)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+SQL_BIG_SPENDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_doc_containment_join(spark, sf_dir):
+    """Substring-containment theta join (J2: instr(lower(hay),
+    lower(needle)) > 0 — BroadcastNestedLoopJoin)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("probe_id"),
+                 F.lower(F.substring("text", 1, 20)).alias("needle"))
+    b = d.select(F.col("doc_id").alias("hay_id"), F.lower(F.col("text")).alias("hay"))
+    return (a.join(b, F.expr("instr(hay, needle) > 0"))
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_hits"), F.min("hay_id").alias("first_hay_id")))
+
+
+SQL_CONTAINMENT = """
+SELECT a.doc_id AS probe_id, COUNT(*) AS n_hits, MIN(b.doc_id) AS first_hay_id
+FROM documents a JOIN documents b
+  ON instr(lower(b.text), lower(substr(a.text, 1, 20))) > 0
+GROUP BY a.doc_id
+"""
+
+
+def q_event_pairs_60s(spark, sf_dir):
+    """Range (interval) join (J6): same-user event pairs within 60s."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(F.col("user_id").alias("u"), F.col("event_id").alias("eid_a"),
+                 F.col("ts").alias("ts_a"))
+    b = e.select(F.col("user_id").alias("u"), F.col("event_id").alias("eid_b"),
+                 F.col("ts").alias("ts_b"))
+    return (a.join(b, ["u"])
+            .where((F.col("eid_a") < F.col("eid_b"))
+                   & (F.col("ts_b") >= F.col("ts_a"))
+                   & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS")))
+            .groupBy(F.col("u").alias("user_id"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+SQL_EVENT_PAIRS = """
+SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.user_id
+"""
+
+
+def q_event_category_rollup(spark, sf_dir):
+    """Small lookup-map join as CASE expression (J5)."""
+    e = _t(spark, sf_dir, "events")
+    cat = (F.when(F.col("event_type").isin("click", "view"), "engagement")
+           .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+           .otherwise("ops"))
+    return (e.groupBy(cat.alias("category"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("sum_value_cents")))
+
+
+SQL_CATEGORY = """
+SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+            WHEN event_type IN ('purchase','signup') THEN 'conversion'
+            ELSE 'ops' END AS category,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_trading_nations_union(spark, sf_dir):
+    """Union + distinct set op (U1)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("n_name")
+    return cn.union(sn).distinct()
+
+
+SQL_NATIONS_UNION = """
+SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION
+SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Per-group argmax via rank window (W4)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("latest_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("latest_date"),
+                    _cents(F.col("o_totalprice")).alias("latest_cents")))
+
+
+SQL_LATEST_ORDER = """
+SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_date,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS latest_cents
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_event_context_window(spark, sf_dir):
+    """rowsBetween(-2, 2) neighborhood concatenation (W2/J3 — the ±2-line
+    context window of core/ner.py:505-513)."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 2))
+    return (e.select("event_id", "user_id",
+                     F.concat_ws(" ", F.collect_list("event_type").over(w)).alias("context")))
+
+
+SQL_CONTEXT_WINDOW = """
+SELECT event_id, user_id,
+       string_agg(event_type, ' ') OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS context
+FROM events
+"""
+
+
+def q_user_sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag + conditional running count) — the
+    batch analog of stateful streaming sessionization."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")), 1)
+        .otherwise(0))
+    return (flagged.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("new_session").alias("n_sessions")))
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_hourly_event_rollup(spark, sf_dir):
+    """Tumbling-window (event-time) rollup — date_trunc on both sides."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("value"))).alias("sum_value_cents")))
+
+
+SQL_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (operators.textstats)
+
+def q_doc_token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKENS = """
+SELECT doc_id, length(text) AS n_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       CAST(CEIL(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+def q_doc_quality_scores(spark, sf_dir):
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = """
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_chars, n_words, n_punct, n_upper, n_stopwords,
+       ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(n_stopwords / GREATEST(n_words, 1), 6) AS stopword_ratio,
+       ROUND(n_chars / GREATEST(n_words, 1), 6) AS mean_word_len
+FROM f
+"""
+
+
+def q_doc_language_id(spark, sf_dir):
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = """
+WITH f AS (
+  SELECT doc_id, lang,
+         length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+         length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk
+  FROM documents)
+SELECT doc_id, lang, n_cyrillic, n_latin, n_cjk,
+       CASE WHEN n_cyrillic > n_latin AND n_cyrillic > n_cjk THEN 'cyrillic'
+            WHEN n_cjk > n_latin AND n_cjk >= n_cyrillic THEN 'cjk'
+            WHEN n_latin > 0 THEN 'latin'
+            ELSE 'unknown' END AS script_pred
+FROM f
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family (operators.dedup)
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+shingles AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w) - 2),
+                                    i -> array_to_string(w[i:i+2], ' '))
+                END) AS shingle
+  FROM words),
+hashed AS (
+  SELECT doc_id, s.seed,
+         CAST(concat('0x', substr(md5(concat(CAST(s.seed AS VARCHAR), ':', shingle)), 1, 8)) AS BIGINT) AS h
+  FROM shingles, generate_series(0, 7) AS s(seed))
+SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM documents,
+       unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE length(w) > 0),
+bits AS (
+  SELECT doc_id, b.bit,
+         (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) >> b.bit) & 1 AS v
+  FROM words, generate_series(0, 31) AS b(bit)),
+maj AS (
+  SELECT doc_id, bit, SUM(v) AS ones, COUNT(*) AS total
+  FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN 2*ones >= total THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM maj GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Word-set Jaccard within (lang, source) candidate buckets."""
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               bucket_cols=["lang", "source"], threshold=0.5)
+
+
+SQL_JACCARD = """
+WITH words AS (
+  SELECT DISTINCT doc_id, lang, source, w AS word
+  FROM documents,
+       unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE length(w) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM words a JOIN words b
+    ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) AS jaccard_r
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_words + sb.n_words - n_inter) >= 0.5
+"""
+
+
+def q_dedup_lsh_candidates(spark, sf_dir):
+    return dedup.lsh_candidates(dedup.minhash_signatures(_t(spark, sf_dir, "documents")))
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH sigs AS ({SQL_MINHASH}),
+banded AS (
+  SELECT doc_id, CAST(FLOOR(seed / 4.0) AS INTEGER) AS band,
+         md5(string_agg(concat(CAST(seed AS VARCHAR), ':', CAST(minhash AS VARCHAR)), ','
+             ORDER BY concat(CAST(seed AS VARCHAR), ':', CAST(minhash AS VARCHAR)))) AS bucket
+  FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4.0) AS INTEGER))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (operators.similarity)
+
+_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def q_embedding_topk_bruteforce(spark, sf_dir):
+    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
+
+
+SQL_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+dots AS (
+  SELECT q.query_id, n.vec_id,
+         SUM(q.qv[i] * n.nv[i]) AS dot,
+         SUM(q.qv[i] * q.qv[i]) AS qn,
+         SUM(n.nv[i] * n.nv[i]) AS nn
+  FROM q, n, generate_series(1, 64) AS t(i)
+  WHERE q.query_id <> n.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, vec_id, ROUND(dot / SQRT(qn * nn), 6) AS cosine_r
+  FROM dots),
+ranked AS (
+  SELECT query_id, vec_id,  cosine_r,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine_r FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_label_stats(spark, sf_dir):
+    emb = similarity.with_norm(_t(spark, sf_dir, "embeddings"))
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.round(F.avg("norm"), 4).alias("avg_norm")))
+
+
+SQL_LABEL_STATS = """
+WITH n AS (
+  SELECT label, vec_id, SQRT(SUM(ev[i] * ev[i])) AS norm
+  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       generate_series(1, 64) AS t(i)
+  GROUP BY label, vec_id)
+SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(norm), 4) AS avg_norm
+FROM n GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (operators.multimodal) — blob synthesized from text
+
+def q_multimodal_media_meta(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    return multimodal.media_metadata(d).select(
+        "doc_id", "n_bytes", "header_hex", "fake_width", "fake_height")
+
+
+SQL_MEDIA_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       substr(md5(text), 1, 8) AS header_hex,
+       CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS fake_width,
+       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# extraction-spec operators over driver tables — genuinely non-SQL
+# (Python regex offsets / difflib); verified instead by the pytest golden
+# corpus. The driver records rows-only checks for these.
+
+_CYR_SENTENCES = [
+    "Тарас Григорович Шевченко писав тут",
+    "село Моринці зустрічало гостей",
+    "Іван Коваленко прибув до міста",
+    "пані Бондаренко виступила з доповіддю",
+    "станція Козятин приймала потяги",
+    "родина Кравченко мешкала поруч",
+    "місто Полтава святкувало",
+    "Петро Мельник працював у полі",
+    "Олена Ткаченко читала листи",
+    "хутір Вишневий стояв на горі",
+]
+
+
+def _docs_with_cyrillic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sent = F.element_at(F.array(*[F.lit(s) for s in _CYR_SENTENCES]),
+                        (F.col("doc_id") % 10 + 1).cast("int"))
+    return d.select("doc_id", F.concat_ws(" ", "text", sent).alias("text2"))
+
+
+def q_ner_entity_spans(spark, sf_dir):
+    from ..functions.udfs import ner_udf
+    d = _docs_with_cyrillic(spark, sf_dir)
+    empty = F.expr("cast(array() as array<struct<block_id:int,n_chars:int>>)")
+    return (d.withColumn("spans", ner_udf(F.col("text2"), empty))
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", F.col("s.text").alias("entity_text"),
+                    F.col("s.label").alias("label"),
+                    F.col("s.start").alias("start"), F.col("s.end").alias("end")))
+
+
+def q_fuzzy_lexicon_matches(spark, sf_dir):
+    from ..functions.udfs import make_match_udf
+    from ..spec import default_lexicon
+    d = _docs_with_cyrillic(spark, sf_dir)
+    mu = make_match_udf(default_lexicon())
+    return (d.withColumn("m", mu(F.col("text2")))
+            .select("doc_id", F.explode("m").alias("m"))
+            .select("doc_id", F.col("m.found_text").alias("found_text"),
+                    F.col("m.matched_term").alias("matched_term"),
+                    F.col("m.word_idx").alias("word_idx")))
+
+
+def q_extraction_pipeline_metrics(spark, sf_dir):
+    """The flagship extraction chain over deterministic fixture pages
+    (byte-identical parity proven in tests/test_golden_spark.py)."""
+    from ..operators.extract import extract_pages, metrics_table
+    from ..sources.pages import pages_from_fixtures
+    pages = pages_from_fixtures(spark, 240)
+    return (metrics_table(extract_pages(pages))
+            .select("url", "success", "kind", "fallback_level",
+                    "blocks_detected", "blocks_kept", "entities", "matches"))
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH buckets (scale path)."""
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
+
+
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_parts": q_top_parts,
+    "orders_price_histogram": q_orders_price_histogram,
+    "docs_per_lang_concat": q_docs_per_lang_concat,
+    "customers_without_orders": q_customers_without_orders,
+    "big_spender_customers": q_big_spender_customers,
+    "doc_containment_join": q_doc_containment_join,
+    "event_pairs_60s": q_event_pairs_60s,
+    "event_category_rollup": q_event_category_rollup,
+    "trading_nations_union": q_trading_nations_union,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "event_context_window": q_event_context_window,
+    "user_sessionization": q_user_sessionization,
+    "hourly_event_rollup": q_hourly_event_rollup,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_quality_scores": q_doc_quality_scores,
+    "doc_language_id": q_doc_language_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
+    "embedding_label_stats": q_embedding_label_stats,
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "ner_entity_spans": q_ner_entity_spans,
+    "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
+    "extraction_pipeline_metrics": q_extraction_pipeline_metrics,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_nation": SQL_REVENUE_NATION,
+    "top_parts": SQL_TOP_PARTS,
+    "orders_price_histogram": SQL_HISTOGRAM,
+    "docs_per_lang_concat": SQL_LANG_CONCAT,
+    "customers_without_orders": SQL_NO_ORDERS,
+    "big_spender_customers": SQL_BIG_SPENDERS,
+    "doc_containment_join": SQL_CONTAINMENT,
+    "event_pairs_60s": SQL_EVENT_PAIRS,
+    "event_category_rollup": SQL_CATEGORY,
+    "trading_nations_union": SQL_NATIONS_UNION,
+    "latest_order_per_customer": SQL_LATEST_ORDER,
+    "event_context_window": SQL_CONTEXT_WINDOW,
+    "user_sessionization": SQL_SESSIONIZE,
+    "hourly_event_rollup": SQL_HOURLY,
+    "doc_token_counts": SQL_TOKENS,
+    "doc_quality_scores": SQL_QUALITY,
+    "doc_language_id": SQL_LANG_ID,
+    "doc_fingerprints": SQL_FINGERPRINTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_signatures": SQL_MINHASH,
+    "dedup_simhash": SQL_SIMHASH,
+    "dedup_jaccard_pairs": SQL_JACCARD,
+    "dedup_lsh_candidates": SQL_LSH_CANDIDATES,
+    "embedding_topk_bruteforce": SQL_TOPK,
+    "embedding_label_stats": SQL_LABEL_STATS,
+    "multimodal_media_meta": SQL_MEDIA_META,
+    # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics /
+    # embedding_topk_lsh: non-SQL-expressible (Python regex offsets, difflib,
+    # full UDF pipeline) — rows-only; covered by the pytest golden corpus.
+}
