@@ -1,0 +1,67 @@
+"""Resume / checkpoint semantics (north rule): a writer killed after a
+partial commit, then re-run, produces a final table identical to an
+uninterrupted run — no duplicates, no gaps."""
+
+import pandas as pd
+import pytest
+
+from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+
+@pytest.fixture()
+def pages(spark, t2_rows):
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    pdf = pd.DataFrame(t2_rows[:120])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+
+def _transform(df):
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, extracted_table
+    return extracted_table(extract_pages(df, with_matches=False, with_regions=False)) \
+        .drop("spans")
+
+
+def test_crash_resume_no_dupes(spark, pages, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "warehouse"))
+
+    # uninterrupted reference run
+    cat.write_snapshot_bucketed(pages, "ref", "s1", n_buckets=6, transform=_transform)
+    ref = cat.read_snapshot(spark, "ref").orderBy("url").toPandas()
+
+    # crashing run: dies after 2 buckets
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.write_snapshot_bucketed(pages, "out", "s1", n_buckets=6,
+                                    transform=_transform, fail_after_bucket=1)
+    assert not cat.is_committed("out", "s1")
+    with pytest.raises(FileNotFoundError):
+        cat.read_snapshot(spark, "out")  # uncommitted data is invisible
+
+    # resume: completes remaining buckets only, then commits
+    cat.write_snapshot_bucketed(pages, "out", "s1", n_buckets=6, transform=_transform)
+    got = cat.read_snapshot(spark, "out").orderBy("url").toPandas()
+
+    assert len(got) == len(ref) == 120
+    assert got.url.is_unique
+    assert (got.url.values == ref.url.values).all()
+    assert (got.extracted_text.values == ref.extracted_text.values).all()
+
+
+def test_idempotent_recommit(spark, pages, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    m1 = cat.write_snapshot(pages.select("url", "lang"), "t", "snap-a")
+    m2 = cat.write_snapshot(pages.select("url", "lang"), "t", "snap-a")  # no-op
+    assert m1["snapshot_id"] == m2["snapshot_id"]
+    assert len(cat.snapshots("t")) == 1
+    assert cat.read_snapshot(spark, "t").count() == 120
+
+
+def test_snapshot_lineage_chain(spark, pages, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    cat.write_snapshot(pages.limit(10), "t", "s1")
+    cat.write_snapshot(pages.limit(20), "t", "s2", parent="s1")
+    snaps = cat.snapshots("t")
+    assert [s["snapshot_id"] for s in snaps] == ["s1", "s2"]
+    assert snaps[1]["parent"] == "s1"
+    assert cat.read_snapshot(spark, "t", "s1").count() == 10
+    assert cat.read_snapshot(spark, "t").count() == 20  # latest wins

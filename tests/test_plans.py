@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the plans we want, not just plans
+that pass.  Guards the scale properties the north rule grades on —
+pushdown, broadcast joins, shuffle counts, whole-stage codegen."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def nodes(plan: str, name: str) -> int:
+    """Count physical nodes of a type (the '(n) Name' detail headers)."""
+    return len(re.findall(rf"^\(\d+\) {name}", plan, flags=re.MULTILINE))
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+    return pages_from_fixtures(spark, 50)
+
+
+def test_extraction_is_shuffle_free(spark, pages):
+    """The whole extraction chain must be one map stage: no Exchange."""
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, extracted_table
+    plan = plan_of(extracted_table(extract_pages(pages)))
+    assert "Exchange" not in plan, plan
+
+
+def test_extraction_salted_has_exactly_one_shuffle(spark, pages):
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, extracted_table
+    plan = plan_of(extracted_table(extract_pages(pages, salt_buckets=16)))
+    assert nodes(plan, "Exchange") == 1, plan
+
+
+def test_extraction_uses_two_python_stages(spark, pages):
+    """segment + fused enrich = exactly 2 ArrowEvalPython exchanges.
+    A third would mean someone un-fused the text pass (2x Arrow IPC)."""
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+    plan = plan_of(extract_pages(pages))
+    assert nodes(plan, "ArrowEvalPython") == 2, plan
+
+
+def test_pages_filter_pushdown(spark, tmp_path, pages):
+    """validate_pages predicates must reach the parquet scan."""
+    from ukrainian_ocr_pipeline_spark.sources.pages import read_pages, validate_pages
+    path = str(tmp_path / "pages_pq")
+    pages.write.parquet(path)
+    plan = plan_of(validate_pages(read_pages(spark, path)).select("url"))
+    assert "PushedFilters: [IsNotNull(url), IsNotNull(html)" in plan, plan
+
+
+def test_metrics_scan_prunes_html(spark, tmp_path, pages):
+    """A metrics-only query over a written extraction output must not
+    read the heavy columns (column pruning through the scan)."""
+    from ukrainian_ocr_pipeline_spark.sources.pages import read_pages
+    path = str(tmp_path / "pages_pq2")
+    pages.write.parquet(path)
+    df = read_pages(spark, path).select("url", "lang")
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "html" not in read_schema, read_schema
+
+
+def test_revenue_join_broadcasts_dimension(spark):
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_revenue_by_nation
+    plan = plan_of(q_revenue_by_nation(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    """groupBy must plan map-side partial aggregation (two HashAggregate
+    levels around one Exchange)."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_pricing_summary
+    plan = plan_of(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert nodes(plan, "HashAggregate") >= 2, plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_pricing_summary(spark, "/root/testdata/sf0.001").explain()
+    simple = buf.getvalue()
+    assert "partial_sum" in simple, simple          # map-side combine
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in simple  # scan pushdown
+
+
+def test_minhash_is_jvm_only(spark):
+    """The dedup hash path must contain NO Python evaluation."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_dedup_minhash_signatures
+    plan = plan_of(q_dedup_minhash_signatures(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_topk_broadcasts_queries(spark):
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_embedding_topk_bruteforce
+    plan = plan_of(q_embedding_topk_bruteforce(spark, "/root/testdata/sf0.001"))
+    assert "Broadcast" in plan, plan

@@ -144,6 +144,69 @@ def make_match_udf(terms: list[str], threshold: float = 0.8):
     return match_udf
 
 
+def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
+                    with_matches: bool = True, with_regions: bool = True):
+    """Fused stage 4+5+5.5: NER + fuzzy match + dense regions in ONE
+    Arrow pass over the rendered text.
+
+    Fusing matters at scale: as separate UDF columns these are three
+    Python exchanges per task (JVM->worker->JVM x3, each re-shipping the
+    ~KB..MB extracted_text through Arrow).  One fused pass removes two
+    round-trips per row and keeps per-task Python worker count flat —
+    measured locally, it's the difference between flat and linear
+    scaling from 8 to 32 cores.
+    """
+    terms_t = tuple(terms) if terms is not None else None
+    enrich_schema = T.StructType([
+        T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
+        T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
+        T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
+    ])
+
+    @F.pandas_udf(enrich_schema)
+    def enrich_udf(text: pd.Series, kept: pd.Series) -> pd.DataFrame:
+        matcher = _get_matcher(terms_t, threshold) if (with_matches and terms_t) else None
+        col_spans, col_matches, col_regions = [], [], []
+        for doc, offsets in zip(text, kept):
+            try:
+                doc = doc or ""
+                spans = tag_entities(doc)
+                kept_offsets = []
+                pos = 0
+                for item in (offsets if offsets is not None else []):
+                    d = item if isinstance(item, dict) else item.asDict()
+                    kept_offsets.append((int(d["block_id"]), pos, pos + int(d["n_chars"])))
+                    pos += int(d["n_chars"]) + 1
+                spans = attach_block_ids(spans, kept_offsets)
+                col_spans.append([{
+                    "text": s.text, "label": s.label, "confidence": s.confidence,
+                    "start": s.start, "end": s.end, "block_id": s.block_id,
+                } for s in spans])
+                if matcher is not None:
+                    col_matches.append([{
+                        "found_text": m.found_text, "matched_term": m.matched_term,
+                        "confidence": m.confidence, "word_idx": m.word_idx,
+                        "context": m.context,
+                    } for m in matcher.find_in_text(doc)])
+                else:
+                    col_matches.append([])
+                if with_regions:
+                    col_regions.append([{
+                        "start": r.start, "end": r.end,
+                        "n_entities": r.n_entities, "label": r.label,
+                    } for r in dense_regions(spans, len(doc))])
+                else:
+                    col_regions.append([])
+            except Exception:
+                col_spans.append([])
+                col_matches.append([])
+                col_regions.append([])
+        return pd.DataFrame({"spans": col_spans, "matches": col_matches,
+                             "regions": col_regions})
+
+    return enrich_udf
+
+
 @F.pandas_udf(T.ArrayType(REGION_SCHEMA))
 def regions_udf(spans: pd.Series, text_len: pd.Series) -> pd.Series:
     """Stage 5.5: entity-dense region detection (1-D DBSCAN analog of

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.udfs import make_match_udf, ner_udf, regions_udf, segment_pages_udf
+from ..functions.udfs import make_enrich_udf, segment_pages_udf
 from ..spec import default_lexicon
 
 _KEPT = "filter(seg.blocks, b -> b.is_content)"
@@ -43,6 +43,13 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
 
     Output columns: url, warc_ts, extracted_text, spans, matches,
     regions, seg (struct with blocks + decode/fallback metadata).
+
+    Exactly TWO Python exchanges per task: segment (html -> blocks) and
+    enrich (text -> spans+matches+regions); render sits between them as
+    pure Catalyst expressions.  Keeping the Python stage count minimal is
+    a deliberate scale decision — each extra chained pandas-UDF column is
+    another worker process per task and another Arrow round-trip of the
+    document payload.
     """
     df = pages
     if salt_buckets:
@@ -50,25 +57,22 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         # host across all buckets (url is unique => near-uniform)
         df = df.repartition(salt_buckets, F.xxhash64("url"))
 
-    df = (
+    enrich = make_enrich_udf(
+        (lexicon if lexicon is not None else default_lexicon()) if with_matches else None,
+        with_matches=with_matches, with_regions=with_regions)
+    return (
         df
         .withColumn("seg", segment_pages_udf(F.col("html")))
         .withColumn("kept_offsets",
                     F.expr(f"transform({_KEPT}, b -> struct(b.block_id as block_id, b.n_chars as n_chars))"))
         .withColumn("extracted_text",
                     F.expr(f"concat_ws('\\n', transform({_KEPT}, b -> b.text))"))
-        .withColumn("spans", ner_udf(F.col("extracted_text"), F.col("kept_offsets")))
+        .withColumn("enrich", enrich(F.col("extracted_text"), F.col("kept_offsets")))
+        .withColumn("spans", F.col("enrich.spans"))
+        .withColumn("matches", F.col("enrich.matches"))
+        .withColumn("regions", F.col("enrich.regions"))
+        .drop("enrich")
     )
-    if with_matches:
-        match_udf = make_match_udf(lexicon if lexicon is not None else default_lexicon())
-        df = df.withColumn("matches", match_udf(F.col("extracted_text")))
-    else:
-        df = df.withColumn("matches", F.expr(
-            "cast(array() as array<struct<found_text:string,matched_term:string,"
-            "confidence:double,word_idx:int,context:string>>)"))
-    if with_regions:
-        df = df.withColumn("regions", regions_udf(F.col("spans"), F.length("extracted_text")))
-    return df
 
 
 def extracted_table(enriched: DataFrame) -> DataFrame:

@@ -1,0 +1,157 @@
+"""Snapshot-manifest table layer — atomic commit + resume semantics.
+
+Production design is Iceberg: `df.writeTo("extracted").append()` /
+`MERGE INTO extracted ON url`, WAP (write-audit-publish) branch commits,
+`stream-from-snapshot` incremental reads, `expire_snapshots`
+maintenance.  This sandbox has no Iceberg runtime jar, so this module
+provides the same contract on plain Parquet:
+
+  * a table is a directory of immutable bucket files plus a `snapshots/`
+    dir of JSON manifests; the LATEST committed manifest defines table
+    state (readers never list the data dir),
+  * a write is: stage bucket files -> fsync -> atomically rename a JSON
+    manifest into snapshots/ (rename is the commit point),
+  * resume: a writer records per-bucket completion markers; a restarted
+    job skips buckets whose marker matches (input_snapshot, bucket_id) —
+    the north rule's "resumes from the last committed checkpoint",
+  * idempotence: re-running a committed (input_snapshot, job) is a no-op.
+
+Reference analog: the per-item error capture + summary reporting of
+core/batch_processor.py:58-66,223-283 gave crash *visibility* but not
+restartability; this layer adds the restartability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _snap_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "snapshots")
+
+    def _data_dir(self, table: str, snapshot_id: str) -> str:
+        return os.path.join(self._table_dir(table), f"data-{snapshot_id}")
+
+    def _markers_dir(self, table: str, snapshot_id: str) -> str:
+        return os.path.join(self._table_dir(table), f"markers-{snapshot_id}")
+
+    # -- manifest ----------------------------------------------------------
+    def snapshots(self, table: str) -> list[dict]:
+        d = self._snap_dir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f), encoding="utf-8") as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["sequence"])
+
+    def latest_snapshot(self, table: str) -> dict | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def _commit(self, table: str, manifest: dict) -> dict:
+        snap_dir = self._snap_dir(table)
+        os.makedirs(snap_dir, exist_ok=True)
+        manifest["sequence"] = len(self.snapshots(table))
+        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(snap_dir, f"{manifest['snapshot_id']}.json")
+        os.rename(tmp, final)  # atomic commit point
+        return manifest
+
+    def is_committed(self, table: str, snapshot_id: str) -> bool:
+        return os.path.exists(os.path.join(self._snap_dir(table), f"{snapshot_id}.json"))
+
+    # -- write paths ---------------------------------------------------------
+    def write_snapshot(self, df: DataFrame, table: str, snapshot_id: str,
+                       parent: str | None = None) -> dict:
+        """Single-job write-audit-publish: stage the whole dataset, then
+        commit atomically. Re-running a committed snapshot is a no-op."""
+        if self.is_committed(table, snapshot_id):
+            return self.latest_snapshot(table)  # idempotent
+        data_dir = self._data_dir(table, snapshot_id)
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)  # orphaned uncommitted stage -> redo
+        df.write.mode("overwrite").parquet(data_dir)
+        return self._commit(table, {
+            "snapshot_id": snapshot_id, "parent": parent,
+            "data_dir": data_dir, "committed_at_unix": time.time(),
+            "mode": "full",
+        })
+
+    def write_snapshot_bucketed(self, pages: DataFrame, table: str,
+                                snapshot_id: str, n_buckets: int,
+                                transform, key_col: str = "url",
+                                fail_after_bucket: int | None = None) -> dict:
+        """Bucket-granular resumable write (the resume-semantics path).
+
+        Buckets rows by hash(key_col) % n_buckets and runs `transform`
+        per bucket as an independent job; each completed bucket drops a
+        marker file.  A restarted writer skips marked buckets, so work
+        lost to a crash is at most one bucket.  `fail_after_bucket` is a
+        test hook simulating a crash mid-write.
+
+        Scale note: per-bucket jobs exist for commit granularity, not
+        parallelism — WITHIN a bucket the job uses the full cluster.  At
+        10^12 docs, n_buckets ~ O(10^3) keeps restart loss ~0.1% of work.
+        """
+        if self.is_committed(table, snapshot_id):
+            return self.latest_snapshot(table)
+        data_dir = self._data_dir(table, snapshot_id)
+        markers = self._markers_dir(table, snapshot_id)
+        os.makedirs(markers, exist_ok=True)
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        done = 0
+        for b in range(n_buckets):
+            marker = os.path.join(markers, f"bucket-{b}.done")
+            if os.path.exists(marker):
+                continue  # resume: already committed by a previous attempt
+            part_dir = os.path.join(data_dir, f"bucket={b}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)  # partial output from a crash
+            out = transform(pages.where(bucket == b))
+            out.write.mode("overwrite").parquet(part_dir)
+            with open(marker, "w", encoding="utf-8") as fh:
+                fh.write(json.dumps({"bucket": b, "snapshot_id": snapshot_id}))
+            done += 1
+            if fail_after_bucket is not None and done > fail_after_bucket:
+                raise RuntimeError(f"simulated crash after bucket {b}")
+        manifest = self._commit(table, {
+            "snapshot_id": snapshot_id, "parent": None, "data_dir": data_dir,
+            "n_buckets": n_buckets, "committed_at_unix": time.time(),
+            "mode": "bucketed",
+        })
+        shutil.rmtree(markers, ignore_errors=True)
+        return manifest
+
+    # -- read path ----------------------------------------------------------
+    def read_snapshot(self, spark: SparkSession, table: str,
+                      snapshot_id: str | None = None) -> DataFrame:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshots for table {table}")
+        if snapshot_id is None:
+            m = snaps[-1]
+        else:
+            m = next(s for s in snaps if s["snapshot_id"] == snapshot_id)
+        return spark.read.option("recursiveFileLookup", "true").parquet(m["data_dir"])
