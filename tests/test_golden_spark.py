@@ -113,6 +113,33 @@ def test_partitioning_invariance(spark, t2_rows, oracle_golden):
         assert (got.extracted_text.values == want.extracted_text.values).all(), nparts
 
 
+def test_packed_mode_byte_identical(spark, t2_rows):
+    """mode='packed' (single fused UDF) must equal the staged chain and
+    the golden corpus byte-for-byte — same spec, different physical plan."""
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, metrics_table
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame(t2_rows[:150])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    packed = extract_pages(pages, mode="packed")
+    got = packed.select("url", "extracted_text").orderBy("url").toPandas()
+    want = _load_golden("extracted")
+    want = want[want.url.isin(got.url)].sort_values("url").reset_index(drop=True)
+    assert (got.extracted_text.values == want.extracted_text.values).all()
+    # spans too
+    got_spans = (packed.select("url", F.explode("spans").alias("s")).select("url", "s.*")
+                 .orderBy("url", "start", "end", "label", "text").toPandas())
+    want_spans = _load_golden("spans")
+    want_spans = (want_spans[want_spans.url.isin(got.url)]
+                  .sort_values(["url", "start", "end", "label", "text"]).reset_index(drop=True))
+    assert len(got_spans) == len(want_spans)
+    assert (got_spans.text.values == want_spans.text.values).all()
+    # metrics table works off packed mode
+    m = metrics_table(packed).toPandas()
+    assert m.success.all() and len(m) == 150
+
+
 def test_lineage_covers_all_rows(spark, enriched):
     from ukrainian_ocr_pipeline_spark.operators.extract import lineage_table
     lin = lineage_table(enriched, snapshot_id=7).toPandas()

@@ -49,6 +49,13 @@ def test_extraction_uses_two_python_stages(spark, pages):
     assert nodes(plan, "ArrowEvalPython") == 2, plan
 
 
+def test_packed_mode_single_python_stage(spark, pages):
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+    plan = plan_of(extract_pages(pages, mode="packed"))
+    assert nodes(plan, "ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_pages_filter_pushdown(spark, tmp_path, pages):
     """validate_pages predicates must reach the parquet scan."""
     from ukrainian_ocr_pipeline_spark.sources.pages import read_pages, validate_pages

@@ -207,6 +207,71 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
     return enrich_udf
 
 
+def make_packed_extract_udf(terms: list[str] | None,
+                            with_matches: bool = True,
+                            with_regions: bool = True):
+    """Whole-pipeline fusion: ONE Arrow pass html -> everything.
+
+    Calls spec.extract_page per row — the exact function the oracle runs —
+    so parity is trivially preserved.  Compared to the staged chain this
+    skips shipping the blocks array through Arrow entirely and uses a
+    single Python worker per task: the throughput mode for jobs that
+    don't need the per-block table.  extract_page never raises, so the
+    error contract (core/pipeline.py:348-355) is inherited.
+    """
+    from ..spec import extract_page
+
+    terms_t = tuple(terms) if terms is not None else None
+    packed_schema = T.StructType([
+        T.StructField("extracted_text", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
+        T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
+        T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("charset", T.StringType(), False),
+        T.StructField("fallback_level", T.IntegerType(), False),
+        T.StructField("success", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("blocks_detected", T.IntegerType(), False),
+        T.StructField("blocks_kept", T.IntegerType(), False),
+        T.StructField("t_ms", T.DoubleType(), False),
+    ])
+
+    @F.pandas_udf(packed_schema)
+    def packed_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        import time
+        matcher = _get_matcher(terms_t, 0.8) if (with_matches and terms_t) else None
+        cols: dict[str, list] = {f.name: [] for f in packed_schema.fields}
+        for u, raw in zip(url, html):
+            t0 = time.perf_counter()
+            r = extract_page(u, bytes(raw) if raw is not None else None, matcher)
+            cols["extracted_text"].append(r.extracted_text)
+            cols["spans"].append([{
+                "text": s.text, "label": s.label, "confidence": s.confidence,
+                "start": s.start, "end": s.end, "block_id": s.block_id,
+            } for s in r.spans])
+            cols["matches"].append([{
+                "found_text": m.found_text, "matched_term": m.matched_term,
+                "confidence": m.confidence, "word_idx": m.word_idx,
+                "context": m.context,
+            } for m in r.matches])
+            cols["regions"].append([{
+                "start": g.start, "end": g.end,
+                "n_entities": g.n_entities, "label": g.label,
+            } for g in (r.regions if with_regions else [])])
+            cols["kind"].append(r.kind)
+            cols["charset"].append(r.charset)
+            cols["fallback_level"].append(r.fallback_level)
+            cols["success"].append(r.success)
+            cols["error"].append(r.error)
+            cols["blocks_detected"].append(r.blocks_detected)
+            cols["blocks_kept"].append(r.blocks_kept)
+            cols["t_ms"].append((time.perf_counter() - t0) * 1000.0)
+        return pd.DataFrame(cols)
+
+    return packed_udf
+
+
 @F.pandas_udf(T.ArrayType(REGION_SCHEMA))
 def regions_udf(spans: pd.Series, text_len: pd.Series) -> pd.Series:
     """Stage 5.5: entity-dense region detection (1-D DBSCAN analog of

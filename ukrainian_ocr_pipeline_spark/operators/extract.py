@@ -29,27 +29,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.udfs import make_enrich_udf, segment_pages_udf
+from ..functions.udfs import make_enrich_udf, make_packed_extract_udf, segment_pages_udf
 from ..spec import default_lexicon
 
 _KEPT = "filter(seg.blocks, b -> b.is_content)"
+
+#: metrics columns every extract mode must expose
+_METRIC_COLS = ["success", "error", "kind", "charset", "fallback_level",
+                "blocks_detected", "blocks_kept", "t_ms"]
 
 
 def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
                   salt_buckets: int | None = None,
                   with_matches: bool = True,
-                  with_regions: bool = True) -> DataFrame:
+                  with_regions: bool = True,
+                  mode: str = "staged") -> DataFrame:
     """pages(url, warc_ts, html, ...) -> enriched extraction DataFrame.
 
-    Output columns: url, warc_ts, extracted_text, spans, matches,
-    regions, seg (struct with blocks + decode/fallback metadata).
+    Guaranteed columns (both modes): url, warc_ts, extracted_text,
+    spans, matches, regions, success, error, kind, charset,
+    fallback_level, blocks_detected, blocks_kept, t_ms.
 
-    Exactly TWO Python exchanges per task: segment (html -> blocks) and
-    enrich (text -> spans+matches+regions); render sits between them as
-    pure Catalyst expressions.  Keeping the Python stage count minimal is
-    a deliberate scale decision — each extra chained pandas-UDF column is
-    another worker process per task and another Arrow round-trip of the
-    document payload.
+    mode="staged" (default): TWO Python exchanges per task — segment
+    (html -> blocks) and the fused enrich (text -> spans+matches+regions)
+    — with the render step between them as pure Catalyst expressions over
+    the block array.  Exposes the `seg` struct, so blocks_table works.
+
+    mode="packed": ONE Python exchange calling spec.extract_page per row
+    (the oracle's own function) — the throughput mode; the blocks array
+    never crosses Arrow.  Byte-identical output (asserted in golden
+    tests), no per-block table.
+
+    Keeping Python stage count minimal is a deliberate scale decision —
+    each extra chained pandas-UDF column is another worker process per
+    task and another Arrow round-trip of the document payload.
     """
     df = pages
     if salt_buckets:
@@ -57,10 +70,19 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         # host across all buckets (url is unique => near-uniform)
         df = df.repartition(salt_buckets, F.xxhash64("url"))
 
-    enrich = make_enrich_udf(
-        (lexicon if lexicon is not None else default_lexicon()) if with_matches else None,
-        with_matches=with_matches, with_regions=with_regions)
-    return (
+    lex = (lexicon if lexicon is not None else default_lexicon()) if with_matches else None
+
+    if mode == "packed":
+        packed = make_packed_extract_udf(lex, with_matches=with_matches,
+                                         with_regions=with_regions)
+        df = df.withColumn("p", packed(F.col("url"), F.col("html")))
+        for c in ["extracted_text", "spans", "matches", "regions", *_METRIC_COLS]:
+            df = df.withColumn(c, F.col(f"p.{c}"))
+        return df.drop("p")
+
+    enrich = make_enrich_udf(lex, with_matches=with_matches,
+                             with_regions=with_regions)
+    df = (
         df
         .withColumn("seg", segment_pages_udf(F.col("html")))
         .withColumn("kept_offsets",
@@ -73,6 +95,15 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         .withColumn("regions", F.col("enrich.regions"))
         .drop("enrich")
     )
+    return (df
+            .withColumn("success", F.col("seg.success"))
+            .withColumn("error", F.col("seg.error"))
+            .withColumn("kind", F.col("seg.kind"))
+            .withColumn("charset", F.col("seg.charset"))
+            .withColumn("fallback_level", F.col("seg.fallback_level"))
+            .withColumn("blocks_detected", F.size("seg.blocks"))
+            .withColumn("blocks_kept", F.size("kept_offsets"))
+            .withColumn("t_ms", F.col("seg.t_ms")))
 
 
 def extracted_table(enriched: DataFrame) -> DataFrame:
@@ -92,18 +123,12 @@ def metrics_table(enriched: DataFrame) -> DataFrame:
     """Per-url stage metrics (analog of the result record,
     core/pipeline.py:322-346). All JVM-side expressions — no extra UDF."""
     return enriched.select(
-        "url",
-        F.col("seg.success").alias("success"),
-        F.col("seg.error").alias("error"),
-        F.col("seg.kind").alias("kind"),
-        F.col("seg.charset").alias("charset"),
-        F.col("seg.fallback_level").alias("fallback_level"),
-        F.size("seg.blocks").alias("blocks_detected"),
-        F.size("kept_offsets").alias("blocks_kept"),
+        "url", "success", "error", "kind", "charset", "fallback_level",
+        "blocks_detected", "blocks_kept",
         F.size("spans").alias("entities"),
         F.size("matches").alias("matches"),
-        F.create_map(F.lit("segment"), F.col("seg.t_ms")).alias("stage_times"),
-        (F.col("seg.t_ms") / 1000.0).alias("processing_time"),
+        F.create_map(F.lit("extract"), F.col("t_ms")).alias("stage_times"),
+        (F.col("t_ms") / 1000.0).alias("processing_time"),
     )
 
 
@@ -115,8 +140,7 @@ def lineage_table(enriched: DataFrame, snapshot_id: int = 0) -> DataFrame:
     """
     return (enriched
             .select(F.spark_partition_id().alias("partition_id"),
-                    "url", F.col("seg.success").alias("success"),
-                    F.col("seg.t_ms").alias("t_ms"))
+                    "url", "success", "t_ms")
             .groupBy("partition_id")
             .agg(F.lit(snapshot_id).cast("long").alias("snapshot_id"),
                  F.count("*").alias("n_rows"),

@@ -102,7 +102,17 @@ def similarity(text1: str, text2: str, use_phonetic: bool = True) -> float:
 
 
 class LexiconMatcher:
-    """Deterministic fuzzy matcher; one instance is broadcast per executor."""
+    """Deterministic fuzzy matcher; one instance is broadcast per executor.
+
+    Hot-path engineering (results remain EXACTLY those of `similarity`):
+      * per-word normalize/phonetic computed once, not once per term,
+      * per-term SequenceMatcher objects pre-built with seq2 set (difflib
+        caches its b2j index on seq2 — the reference rebuilds it for every
+        (word, term) pair),
+      * sound upper-bound prune: ratio() <= real_quick_ratio() =
+        2*min(len)/(len1+len2), so a term whose bound is below the
+        threshold cannot match and is skipped without running difflib.
+    """
 
     def __init__(self, terms: list[str], threshold: float = DEFAULT_THRESHOLD,
                  use_phonetic: bool = True, min_length: int = DEFAULT_MIN_LENGTH):
@@ -117,13 +127,53 @@ class LexiconMatcher:
                 if norm != t and len(norm) >= min_length:
                     terms_set.add(norm)
         self.terms = sorted(terms_set)  # sorted: the determinism fix
+        # precomputed per-term state: (term, norm, len(norm), sm_char with
+        # seq2=norm, phon, len(phon), sm_phon with seq2=phon)
+        self._prepped = []
+        for term in self.terms:
+            norm = normalize_text(term)
+            smc = SequenceMatcher(None)
+            smc.set_seq2(norm)
+            phon = _phonetic(term)
+            smp = SequenceMatcher(None)
+            smp.set_seq2(phon)
+            self._prepped.append((term, norm, len(norm), smc, phon, len(phon), smp))
 
     @lru_cache(maxsize=65536)
     def _best(self, word: str) -> tuple[str, float] | None:
+        norm_w = normalize_text(word)
+        phon_w = _phonetic(word) if self.use_phonetic else ""
+        lw, lpw = len(norm_w), len(phon_w)
+        thr = self.threshold
         best_term, best_sim = None, 0.0
-        for term in self.terms:
-            sim = similarity(word, term, self.use_phonetic)
-            if sim >= self.threshold and sim > best_sim:
+        for term, norm_t, lt, smc, phon_t, lpt, smp in self._prepped:
+            if not norm_w or not word or not term:
+                continue
+            if norm_w == norm_t:
+                if 1.0 >= thr and 1.0 > best_sim:
+                    best_sim, best_term = 1.0, term
+                continue
+            if lt == 0:
+                continue
+            # upper bound: char ratio <= 2*min/(sum); phon ratio likewise
+            max_len = lt if lt > lw else lw
+            len_factor = 1 - (abs(lw - lt) / max_len) * 0.3
+            char_bound = (2 * min(lw, lt) / (lw + lt)) * len_factor if (lw + lt) else 0.0
+            if self.use_phonetic:
+                phon_bound = 2 * min(lpw, lpt) / (lpw + lpt) if (lpw + lpt) else 0.0
+                bound = 0.7 * char_bound + 0.3 * phon_bound
+            else:
+                bound = char_bound
+            if bound < thr - 1e-12 or bound <= best_sim - 1e-12:
+                continue
+            smc.set_seq1(norm_w)
+            char_sim = smc.ratio() * len_factor
+            if self.use_phonetic:
+                smp.set_seq1(phon_w)
+                sim = 0.7 * char_sim + 0.3 * smp.ratio()
+            else:
+                sim = char_sim
+            if sim >= thr and sim > best_sim:
                 best_sim, best_term = sim, term
         if best_term is None:
             return None
