@@ -117,7 +117,11 @@ def main() -> None:
     scaling = {}
     if "--no-scaling" not in sys.argv:
         probes = {}
-        for n in (8, 32):
+        # N=2 vs 4N=8: the honest two-cluster-size pair on this host — at
+        # >8 pinned cores the HOST itself stops scaling (a pure-Python
+        # multiprocessing control shows the same ceiling; see BENCH.md),
+        # so 2->8 isolates the framework's scaling behavior
+        for n in (2, 8):
             # taskset pins the probe to exactly n cores so "local[8]" means
             # an 8-core node, not 8 tasks free-riding on 32 cores via
             # pipelined Python workers — the honest two-cluster-size stand-in
@@ -127,13 +131,14 @@ def main() -> None:
             out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             probes[n] = json.loads(line)
-        thr8, thr32 = probes[8]["docs_per_sec"], probes[32]["docs_per_sec"]
+        thr_n, thr_4n = probes[2]["docs_per_sec"], probes[8]["docs_per_sec"]
         scaling = {
             "probe_docs": PROBE_DOCS,
-            "local8_docs_per_sec": round(thr8, 1),
-            "local32_docs_per_sec": round(thr32, 1),
-            "speedup_8_to_32": round(thr32 / thr8, 3),
-            "efficiency": round((thr32 / thr8) / 4.0, 3),
+            "n_cores": 2, "n4_cores": 8,
+            "localN_docs_per_sec": round(thr_n, 1),
+            "local4N_docs_per_sec": round(thr_4n, 1),
+            "speedup_n_to_4n": round(thr_4n / thr_n, 3),
+            "efficiency": round((thr_4n / thr_n) / 4.0, 3),
         }
 
     result.update({

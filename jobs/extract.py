@@ -40,7 +40,9 @@ def main(argv=None) -> int:
     from ukrainian_ocr_pipeline_spark.sources.pages import read_pages, validate_pages
     from ukrainian_ocr_pipeline_spark.sources.session import get_spark
 
-    spark = get_spark(app=f"extract-{args.snapshot_id}", master=args.master)
+    from pyspark.sql import SparkSession
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(app=f"extract-{args.snapshot_id}", master=args.master)
     lexicon = None
     if args.lexicon:
         with open(args.lexicon, encoding="utf-8") as fh:
@@ -50,20 +52,23 @@ def main(argv=None) -> int:
     cat = SnapshotCatalog(args.warehouse)
 
     def transform(df):
-        return extracted_table(extract_pages(
-            df, lexicon=lexicon, salt_buckets=args.salt_buckets,
-            with_matches=not args.no_matches))
+        # ONE UDF pass producing every downstream table's columns; the
+        # heavy html payload is dropped before the write
+        return extract_pages(df, lexicon=lexicon,
+                             salt_buckets=args.salt_buckets,
+                             with_matches=not args.no_matches,
+                             mode="packed").drop("html", "text")
 
     if args.buckets > 0:
-        cat.write_snapshot_bucketed(pages, "extracted", args.snapshot_id,
+        cat.write_snapshot_bucketed(pages, "enriched", args.snapshot_id,
                                     n_buckets=args.buckets, transform=transform)
     else:
-        cat.write_snapshot(transform(pages), "extracted", args.snapshot_id)
+        cat.write_snapshot(transform(pages), "enriched", args.snapshot_id)
 
-    # metrics + lineage tables (single-commit; small)
-    enriched = extract_pages(pages, lexicon=lexicon,
-                             salt_buckets=args.salt_buckets,
-                             with_matches=not args.no_matches)
+    # extracted / metrics / lineage are cheap projections of the COMMITTED
+    # enriched snapshot — no UDF re-execution
+    enriched = cat.read_snapshot(spark, "enriched", args.snapshot_id)
+    cat.write_snapshot(extracted_table(enriched), "extracted", args.snapshot_id)
     metrics = metrics_table(enriched).cache()
     cat.write_snapshot(metrics, "metrics", args.snapshot_id)
     cat.write_snapshot(lineage_table(enriched, snapshot_id=hash(args.snapshot_id) & 0x7FFFFFFF),
@@ -72,7 +77,8 @@ def main(argv=None) -> int:
     stats = pipeline_stats(metrics).toPandas().iloc[0].to_dict()
     print(json.dumps({k: (v if not hasattr(v, "item") else v.item())
                       for k, v in stats.items()}))
-    spark.stop()
+    if existing is None:
+        spark.stop()
     return 0
 
 

@@ -1,0 +1,43 @@
+"""End-to-end smoke of the spark-submit job entry (jobs/extract.py),
+against the committed golden corpus."""
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+
+def test_job_main_end_to_end(spark, t2_rows, tmp_path):
+    import extract as job
+
+    # stage input pages parquet
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = pd.DataFrame(t2_rows[:80])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    pages_path = str(tmp_path / "pages.parquet")
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), pages_path)
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--pages", pages_path, "--warehouse", wh,
+                   "--snapshot-id", "r1", "--buckets", "3"])
+    assert rc == 0
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    for table in ("enriched", "extracted", "metrics", "lineage"):
+        assert cat.is_committed(table, "r1"), table
+
+    extracted = cat.read_snapshot(spark, "extracted", "r1").orderBy("url").toPandas()
+    assert len(extracted) == 80 and extracted.url.is_unique
+    golden = pd.read_parquet(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden", "extracted.parquet"))
+    golden = golden[golden.url.isin(extracted.url)].sort_values("url").reset_index(drop=True)
+    assert (extracted.extracted_text.values == golden.extracted_text.values).all()
+
+    lineage = cat.read_snapshot(spark, "lineage", "r1").toPandas()
+    assert lineage.n_rows.sum() == 80 and lineage.n_err.sum() == 0
