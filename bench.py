@@ -74,7 +74,7 @@ def run_extraction(spark, n_docs: int) -> float:
     return time.perf_counter() - t0
 
 
-def probe(n_cpus: int, n_docs: int, repeats: int = 4) -> None:
+def probe(n_cpus: int, n_docs: int, repeats: int = 5) -> None:
     """Subprocess entry: run the extraction job at local[n_cpus], print
     one JSON line with best-of-N throughput (min wall over repeats —
     robust against transient host noise and JIT warm-up)."""
@@ -107,11 +107,13 @@ def main() -> None:
         _materialize(fn(spark, SF_DIR))
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
-    # -- extraction throughput ----------------------------------------------
-    wall = run_extraction(spark, EXTRACT_DOCS)
+    # -- extraction throughput (warm-up run, then best of 2) -----------------
+    run_extraction(spark, EXTRACT_DOCS)
+    wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(2))
     extraction = {"docs": EXTRACT_DOCS, "wall_s": round(wall, 2),
                   "docs_per_sec": round(EXTRACT_DOCS / wall, 1)}
     spark.stop()
+    time.sleep(3)  # let executors/python workers exit before probing
 
     # -- scaling probes (N vs 4N) -------------------------------------------
     scaling = {}
@@ -131,6 +133,7 @@ def main() -> None:
             out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             probes[n] = json.loads(line)
+            time.sleep(3)
         thr_n, thr_4n = probes[2]["docs_per_sec"], probes[8]["docs_per_sec"]
         scaling = {
             "probe_docs": PROBE_DOCS,
