@@ -331,6 +331,40 @@ FROM flagged GROUP BY user_id
 """
 
 
+def q_session_window_rollup(spark, sf_dir):
+    """Native session_window (the Structured-Streaming session operator,
+    used in batch): per (user, 30-min-gap session) rollup. Equivalent by
+    construction to the lag/cumsum formulation in the oracle."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("sum_value_cents"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                    "n_events", "sum_value_cents"))
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def q_hourly_event_rollup(spark, sf_dir):
     """Tumbling-window (event-time) rollup — date_trunc on both sides."""
     e = _t(spark, sf_dir, "events")
@@ -572,6 +606,25 @@ FROM n GROUP BY label
 """
 
 
+def q_doc_zscore_by_lang(spark, sf_dir):
+    """Grouped-map (applyInPandas) per-group normalization — the grouped
+    custom-state pattern of SURVEY §2.10."""
+    from ..operators.grouped import zscore_by_group
+    return zscore_by_group(_t(spark, sf_dir, "documents"))
+
+
+SQL_ZSCORE = """
+SELECT doc_id, lang, n_chars,
+       CASE WHEN COUNT(*) OVER (PARTITION BY lang) < 2
+              OR STDDEV_SAMP(n_chars) OVER (PARTITION BY lang) = 0
+            THEN 0.0
+            ELSE ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                       / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6)
+       END AS z_chars
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (operators.multimodal) — blob synthesized from text
 
@@ -674,6 +727,7 @@ QUERIES = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "event_context_window": q_event_context_window,
     "user_sessionization": q_user_sessionization,
+    "session_window_rollup": q_session_window_rollup,
     "hourly_event_rollup": q_hourly_event_rollup,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality_scores": q_doc_quality_scores,
@@ -687,6 +741,7 @@ QUERIES = {
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_media_meta": q_multimodal_media_meta,
+    "doc_zscore_by_lang": q_doc_zscore_by_lang,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
     "extraction_pipeline_metrics": q_extraction_pipeline_metrics,
@@ -708,6 +763,7 @@ ORACLE_SQL = {
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "event_context_window": SQL_CONTEXT_WINDOW,
     "user_sessionization": SQL_SESSIONIZE,
+    "session_window_rollup": SQL_SESSION_WINDOW,
     "hourly_event_rollup": SQL_HOURLY,
     "doc_token_counts": SQL_TOKENS,
     "doc_quality_scores": SQL_QUALITY,
@@ -721,6 +777,7 @@ ORACLE_SQL = {
     "embedding_topk_bruteforce": SQL_TOPK,
     "embedding_label_stats": SQL_LABEL_STATS,
     "multimodal_media_meta": SQL_MEDIA_META,
+    "doc_zscore_by_lang": SQL_ZSCORE,
     # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics /
     # embedding_topk_lsh: non-SQL-expressible (Python regex offsets, difflib,
     # full UDF pipeline) — rows-only; covered by the pytest golden corpus.
