@@ -71,6 +71,31 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 8,
     return emb.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_bucket"))
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                          n_planes: int = 4, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs from
+    LSH buckets, exact cosine verify, keep pairs >= threshold.
+
+    The scale shape: an equi-join on hyperplane-signature buckets (never
+    all-pairs), then per-pair exact re-scoring. With n_planes=4 a true
+    near-dup (cosine ~1) collides with probability ~(1-θ/π)^4 ≈ high;
+    raise n_planes for selectivity at larger N."""
+    sigs = hyperplane_signatures(emb, n_planes, id_col, vec_col, dim)
+    embs = emb.join(sigs, emb[id_col] == sigs.vec_id).drop(sigs.vec_id)
+    a = embs.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"),
+                    F.col("lsh_bucket").alias("ba"))
+    b = embs.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"),
+                    F.col("lsh_bucket").alias("bb"))
+    return (a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+            .withColumn("dot", _dot("va", "vb"))
+            .withColumn("na", _dot("va", "va"))
+            .withColumn("nb", _dot("vb", "vb"))
+            .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .where(F.col("cosine_r") >= threshold)
+            .select("doc_a", "doc_b", "cosine_r"))
+
+
 def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64) -> DataFrame:

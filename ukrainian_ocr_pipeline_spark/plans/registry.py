@@ -588,6 +588,50 @@ SELECT query_id, rank, vec_id AS neighbor_id, cosine_r FROM ranked WHERE rank <=
 """
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify.
+    Threshold 0.4 is tuned to the synthetic corpus (max pairwise cosine
+    ~0.48 — unclustered vectors); production near-dup uses ~0.95."""
+    return similarity.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                            threshold=0.4)
+
+
+SQL_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT p.p, i.i,
+         CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), ':',
+              CAST(i.i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5 AS c
+  FROM generate_series(0, 3) p(p), generate_series(1, 64) i(i)),
+dots AS (
+  SELECT e.vec_id, comp.p, SUM(e.v[comp.i] * comp.c) AS d
+  FROM e, comp GROUP BY e.vec_id, comp.p),
+sigs AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << (3 - p)) ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, ea.v AS va, eb.v AS vb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id),
+scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(SUM(va[i] * vb[i]) / SQRT(SUM(va[i]*va[i]) * SUM(vb[i]*vb[i])), 6) AS cosine_r
+  FROM cand, generate_series(1, 64) t(i)
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, cosine_r FROM scored WHERE cosine_r >= 0.4
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Row-expanding mapInPandas (UDTF shape): deterministic frame
+    sampling over a binary column — non-SQL (Python hashlib over blob
+    slices); rows-only check, plumbing covered by unit tests."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    return multimodal.frame_sample(d)
+
+
 def q_embedding_label_stats(spark, sf_dir):
     emb = similarity.with_norm(_t(spark, sf_dir, "embeddings"))
     return (emb.groupBy("label")
@@ -740,7 +784,9 @@ QUERIES = {
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_media_meta": q_multimodal_media_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
@@ -776,6 +822,7 @@ ORACLE_SQL = {
     "dedup_lsh_candidates": SQL_LSH_CANDIDATES,
     "embedding_topk_bruteforce": SQL_TOPK,
     "embedding_label_stats": SQL_LABEL_STATS,
+    "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
     "multimodal_media_meta": SQL_MEDIA_META,
     "doc_zscore_by_lang": SQL_ZSCORE,
     # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics /
