@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): the spec's hard invariants hold on
+adversarial inputs, not just fixtures. The reference's suite is
+example-based only (SURVEY §5) — this layer is deliberately stronger,
+because the per-row functions run inside executors where an uncaught
+exception fails a whole task."""
+
+from hypothesis import given, settings, strategies as st
+
+from ukrainian_ocr_pipeline_spark.spec import (
+    LexiconMatcher, classify_blocks, decode_page, default_lexicon,
+    extract_page, render_text, segment_blocks, tag_entities,
+)
+
+BYTES = st.binary(max_size=4096)
+TEXT = st.text(max_size=2048)
+HTMLISH = st.text(
+    alphabet=st.sampled_from(list("<>/ab cp&;#\"'=\nДив!-")),
+    max_size=1024,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_decode_never_raises_and_types(data):
+    r = decode_page(data)
+    assert isinstance(r.text, str)
+    assert r.kind in ("html", "pdf", "text", "binary")
+
+
+@settings(max_examples=200, deadline=None)
+@given(HTMLISH)
+def test_segment_never_raises_and_invariants(doc):
+    blocks, level = segment_blocks(doc)
+    assert 0 <= level <= 3
+    for i, b in enumerate(blocks):
+        assert b.block_id == i
+        assert b.start < b.end
+        assert b.n_chars == len(b.text) > 0
+        assert 0.0 <= b.link_density <= 1.0
+        assert b.text == b.text.strip()
+        assert "\n" not in b.text  # whitespace normalized
+
+
+@settings(max_examples=100, deadline=None)
+@given(HTMLISH)
+def test_render_offsets_index_exactly(doc):
+    blocks, _ = segment_blocks(doc)
+    classify_blocks(blocks)
+    text, offsets = render_text(blocks)
+    for bid, s, e in offsets:
+        blk = next(b for b in blocks if b.block_id == bid)
+        assert text[s:e] == blk.text
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_ner_offsets_index_exactly(text):
+    for span in tag_entities(text):
+        assert text[span.start:span.end] == span.text
+        assert span.label in ("PERSON", "LOCATION")
+        assert span.confidence in (0.8, 0.7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_matcher_never_raises_and_bounds(text):
+    m = LexiconMatcher(default_lexicon())
+    for hit in m.find_in_text(text):
+        assert hit.confidence >= 0.8
+        assert len(hit.found_text) >= 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(BYTES)
+def test_extract_page_total_function(data):
+    r = extract_page("https://x.example/a", data)
+    assert r.success or r.error  # never silently empty on failure
+    assert isinstance(r.extracted_text, str)
+    assert r.blocks_kept <= r.blocks_detected
+
+
+@settings(max_examples=60, deadline=None)
+@given(BYTES)
+def test_extract_deterministic(data):
+    a = extract_page("u", data)
+    b = extract_page("u", data)
+    assert a.extracted_text == b.extracted_text
+    assert a.fallback_level == b.fallback_level
