@@ -37,11 +37,13 @@ PROBE_DOCS = int(os.environ.get("BENCH_PROBE_DOCS", "24000"))
 HEADLINE = [
     "pricing_summary", "revenue_by_nation", "top_parts",
     "latest_order_per_customer", "user_sessionization",
-    "hourly_event_rollup", "event_context_window",
+    "session_window_rollup", "hourly_event_rollup",
+    "event_context_window", "doc_zscore_by_lang",
     "doc_quality_scores", "doc_language_id", "doc_fingerprints",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
-    "dedup_lsh_candidates", "embedding_topk_bruteforce",
-    "embedding_topk_lsh", "multimodal_media_meta",
+    "dedup_lsh_candidates", "dedup_embedding_cosine",
+    "embedding_topk_bruteforce", "embedding_topk_lsh",
+    "multimodal_media_meta",
 ]
 
 

@@ -262,8 +262,15 @@ SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
 # --------------------------------------------------------------------------
 # §2.5 windows
 
+def _pin_utc(spark):
+    # timestamp rendering must match the (naive) DuckDB oracle even if the
+    # caller's session timezone isn't UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_latest_order_per_customer(spark, sf_dir):
     """Per-group argmax via rank window (W4)."""
+    _pin_utc(spark)
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
     return (o.withColumn("rn", F.row_number().over(w))
@@ -335,6 +342,7 @@ def q_session_window_rollup(spark, sf_dir):
     """Native session_window (the Structured-Streaming session operator,
     used in batch): per (user, 30-min-gap session) rollup. Equivalent by
     construction to the lag/cumsum formulation in the oracle."""
+    _pin_utc(spark)
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
             .agg(F.count("*").alias("n_events"),
@@ -367,6 +375,7 @@ FROM sessions GROUP BY user_id, session_id
 
 def q_hourly_event_rollup(spark, sf_dir):
     """Tumbling-window (event-time) rollup — date_trunc on both sides."""
+    _pin_utc(spark)
     e = _t(spark, sf_dir, "events")
     return (e.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
                       "event_type")
