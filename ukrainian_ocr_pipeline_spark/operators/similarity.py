@@ -34,13 +34,15 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     Cosine is rounded to 6 dp BEFORE ranking (tie-break by neighbor id)
     so rank order is reproducible across engines and float environments.
     """
-    queries = (emb.where(F.col(id_col).isin(query_ids))
-               .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
-    pairs = (emb.alias("n")
+    # norms are computed ONCE per vector before the join (not per pair —
+    # the naive formulation does 3 dot products per candidate pair)
+    normed = emb.withColumn("nn", _dot(vec_col, vec_col))
+    queries = (normed.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       F.col("nn").alias("qn")))
+    pairs = (normed.alias("n")
              .join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
              .withColumn("dot", _dot("qvec", vec_col))
-             .withColumn("qn", _dot("qvec", "qvec"))
-             .withColumn("nn", _dot(vec_col, vec_col))
              .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
     return (pairs
@@ -82,15 +84,14 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     near-dup (cosine ~1) collides with probability ~(1-θ/π)^4 ≈ high;
     raise n_planes for selectivity at larger N."""
     sigs = hyperplane_signatures(emb, n_planes, id_col, vec_col, dim)
-    embs = emb.join(sigs, emb[id_col] == sigs.vec_id).drop(sigs.vec_id)
+    embs = (emb.join(sigs, emb[id_col] == sigs.vec_id).drop(sigs.vec_id)
+            .withColumn("nrm", _dot(vec_col, vec_col)))
     a = embs.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"),
-                    F.col("lsh_bucket").alias("ba"))
+                    F.col("lsh_bucket").alias("ba"), F.col("nrm").alias("na"))
     b = embs.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"),
-                    F.col("lsh_bucket").alias("bb"))
+                    F.col("lsh_bucket").alias("bb"), F.col("nrm").alias("nb"))
     return (a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
             .withColumn("dot", _dot("va", "vb"))
-            .withColumn("na", _dot("va", "va"))
-            .withColumn("nb", _dot("vb", "vb"))
             .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6))
             .where(F.col("cosine_r") >= threshold)
             .select("doc_a", "doc_b", "cosine_r"))
@@ -102,16 +103,15 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine re-rank inside the bucket."""
     sigs = hyperplane_signatures(emb, n_planes, id_col, vec_col, dim)
-    embs = emb.join(sigs, emb[id_col] == sigs.vec_id).drop(sigs.vec_id)
+    embs = (emb.join(sigs, emb[id_col] == sigs.vec_id).drop(sigs.vec_id)
+            .withColumn("nn", _dot(vec_col, vec_col)))
     queries = (embs.where(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                       F.col("lsh_bucket").alias("qbucket")))
+                       F.col("lsh_bucket").alias("qbucket"), F.col("nn").alias("qn")))
     pairs = (embs.alias("n")
              .join(F.broadcast(queries),
                    (F.col("lsh_bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")))
              .withColumn("dot", _dot("qvec", vec_col))
-             .withColumn("qn", _dot("qvec", "qvec"))
-             .withColumn("nn", _dot(vec_col, vec_col))
              .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -44,6 +44,11 @@ FALSE_POSITIVE_WORDS = frozenset({
 PERSON_CONFIDENCE = 0.8
 LOCATION_CONFIDENCE = 0.7
 
+# every pattern requires at least one Cyrillic capital — one cheap scan
+# short-circuits all five pattern passes on latin-only documents (the
+# common case in a web-scale corpus); semantics unchanged
+_CYR_GATE = re.compile(r"[А-ЯІЇЄЁ]")
+
 
 @dataclass(frozen=True)
 class Span:
@@ -57,7 +62,7 @@ class Span:
 
 def tag_entities(text: str) -> list[Span]:
     """Extract entity spans. Deterministic; never raises on str input."""
-    if not text:
+    if not text or _CYR_GATE.search(text) is None:
         return []
     spans: list[Span] = []
     for pat in _PERSON_PATTERNS:
