@@ -56,6 +56,11 @@ _WORD_RE = re.compile(r"\S+")
 # tag-soup scrubbers for the tolerant re-parse (level 1)
 _BROKEN_TAG_RE = re.compile(r"<[^>]*$")            # unterminated trailing tag
 _NULS_RE = re.compile("\x00")
+# skip-subtree spans, for the "page has no real text" check (a script-only
+# page must yield a clean empty result, not chunked JavaScript)
+_SKIP_SPAN_RE = re.compile(
+    r"<(script|style|noscript|template|svg|head|iframe)\b.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL)
 _CHUNK_SIZE = 2000  # chars per emergency chunk (level 2)
 
 
@@ -276,8 +281,10 @@ def segment_blocks(doc: str, kind: str = "html") -> tuple[list[Block], int]:
         if p.blocks:
             return p.blocks, FALLBACK_NONE
         # parse succeeded and the page genuinely has no text (e.g. empty
-        # <body>): that's a valid empty result, not a fallback case
-        if not _WS_RE.sub(" ", unescape(re.sub(r"<[^>]*>", " ", doc))).strip():
+        # <body>, or script/style-only): a valid empty result, not a
+        # fallback case
+        visible = re.sub(r"<[^>]*>", " ", _SKIP_SPAN_RE.sub(" ", doc))
+        if not _WS_RE.sub(" ", unescape(visible)).strip():
             return [], FALLBACK_NONE
     except Exception:
         pass
