@@ -82,13 +82,15 @@ class Block:
     confidence: float = 0.0
 
 
-def _finish(raw_parts: list[str], link_chars: int, tag_path: str,
-            fallback_level: int) -> tuple[str, int, int, int, float, float] | None:
+def _finish(raw_parts: list[str],
+            link_chars: int) -> tuple[str, int, int, int, float, float] | None:
     text = _WS_RE.sub(" ", unescape("".join(raw_parts))).strip()
     if not text:
         return None
     n_chars = len(text)
-    n_words = len(_WORD_RE.findall(text))
+    # text is whitespace-normalized (single spaces, stripped), so words are
+    # exactly space-count + 1 — identical to len(_WORD_RE.findall(text))
+    n_words = text.count(" ") + 1
     link_chars = min(link_chars, n_chars)
     wrapped_lines = max(1, -(-n_chars // 80))  # ceil
     text_density = n_words / wrapped_lines
@@ -137,7 +139,10 @@ class _BlockParser:
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self):
-        fin = _finish(self._parts, self._link_chars, self._path(), self._fallback)
+        if not self._parts:
+            self._link_chars = 0
+            return
+        fin = _finish(self._parts, self._link_chars)
         self._parts = []
         self._link_chars = 0
         if fin is None:
@@ -167,6 +172,18 @@ class _BlockParser:
         pos, n = 0, len(doc)
         parts = self._parts
         while pos < n:
+            # text-run fast path: equivalent to the regex's [^<]+ branch
+            # (a text token runs exactly to the next '<' or end of doc)
+            if doc[pos] != "<":
+                nxt = doc.find("<", pos)
+                if nxt == -1:
+                    nxt = n
+                tok = doc[pos:nxt]
+                parts.append(tok)
+                if self._anchor_depth:
+                    self._link_chars += len(_WS_RE.sub(" ", unescape(tok)).strip())
+                pos = nxt
+                continue
             m = _HTML_TOKEN_RE.match(doc, pos)
             tok_end = m.end()
             start_name = m.group(2)
@@ -235,7 +252,7 @@ def _chunk_blocks(text: str, level: int, confidence: float) -> list[Block]:
         if not chunk:
             continue
         n_chars = len(chunk)
-        n_words = len(_WORD_RE.findall(chunk))
+        n_words = chunk.count(" ") + 1  # chunk is normalized + stripped
         wrapped = max(1, -(-n_chars // 80))
         blocks.append(Block(
             block_id=len(blocks), start=offset, end=offset + n_chars,
