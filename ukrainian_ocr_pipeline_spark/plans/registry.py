@@ -770,6 +770,54 @@ def q_embedding_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
 
 
+def q_embedding_topk_ivf(spark, sf_dir):
+    """Approximate ANN via IVF inverted lists (the other scale path):
+    deterministic coarse centroids, nprobe=2 list probing, exact re-rank."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS,
+                               k=5, n_centroids=8, nprobe=2)
+
+
+SQL_TOPK_IVF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+asg0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND(SUM(e.v[i] * c.cv[i])
+               / SQRT(SUM(e.v[i] * e.v[i]) * SUM(c.cv[i] * c.cv[i])), 6) AS sim_r
+  FROM e, c, generate_series(1, 64) AS t(i)
+  GROUP BY e.vec_id, c.centroid_id),
+asg AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim_r DESC, centroid_id) AS r
+    FROM asg0) WHERE r = 1),
+qp AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim_r DESC, centroid_id) AS r
+    FROM asg0 WHERE vec_id < 10) WHERE r <= 2),
+cand AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qp JOIN asg a ON a.centroid_id = qp.centroid_id AND a.vec_id <> qp.query_id),
+dots AS (
+  SELECT cand.query_id, cand.vec_id,
+         SUM(q.v[i] * n.v[i]) AS dot,
+         SUM(q.v[i] * q.v[i]) AS qn,
+         SUM(n.v[i] * n.v[i]) AS nn
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e n ON n.vec_id = cand.vec_id,
+       generate_series(1, 64) AS t(i)
+  GROUP BY cand.query_id, cand.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, ROUND(dot / SQRT(qn * nn), 6) AS cosine_r,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / SQRT(qn * nn), 6) DESC, vec_id) AS rank
+  FROM dots)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine_r FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES = {
@@ -808,6 +856,7 @@ QUERIES = {
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
     "extraction_pipeline_metrics": q_extraction_pipeline_metrics,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
 }
 
 ORACLE_SQL = {
@@ -841,6 +890,7 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
     "multimodal_media_meta": SQL_MEDIA_META,
     "doc_zscore_by_lang": SQL_ZSCORE,
+    "embedding_topk_ivf": SQL_TOPK_IVF,
     # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics /
     # embedding_topk_lsh: non-SQL-expressible (Python regex offsets, difflib,
     # full UDF pipeline) — rows-only; covered by the pytest golden corpus.
