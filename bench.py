@@ -31,6 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "20000"))
 PROBE_DOCS = int(os.environ.get("BENCH_PROBE_DOCS", "24000"))
+ROUNDS = int(os.environ.get("BENCH_PROBE_ROUNDS", "3"))
 
 # headline queries: the scale-relevant subset (quadratic self-joins like
 # doc_containment_join are correctness-gate-only, excluded here by design)
@@ -91,6 +92,18 @@ def probe(n_cpus: int, n_docs: int, repeats: int = 5) -> None:
     spark.stop()
 
 
+def _run_probe(n: int, n_docs: int, repeats: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--probe", str(n),
+           str(n_docs), str(repeats)]
+    if os.path.exists("/usr/bin/taskset"):
+        # pin to exactly n cores so "local[n]" means an n-core node, not n
+        # tasks free-riding on 32 cores via pipelined Python workers
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
     from ukrainian_ocr_pipeline_spark.plans.registry import QUERIES
     from ukrainian_ocr_pipeline_spark.sources.session import get_spark
@@ -102,7 +115,7 @@ def main() -> None:
 
     # -- headline queries ---------------------------------------------------
     qtimes: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE if "--scaling-only" not in sys.argv else []:
         fn = QUERIES[name]
         fn(spark, SF_DIR).count()  # warm (plan + file listing)
         t0 = time.perf_counter()
@@ -110,40 +123,51 @@ def main() -> None:
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     # -- extraction throughput (warm-up run, then best of 2) -----------------
-    run_extraction(spark, EXTRACT_DOCS)
-    wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(2))
-    extraction = {"docs": EXTRACT_DOCS, "wall_s": round(wall, 2),
-                  "docs_per_sec": round(EXTRACT_DOCS / wall, 1)}
+    extraction = {}
+    if "--scaling-only" not in sys.argv:
+        run_extraction(spark, EXTRACT_DOCS)
+        wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(2))
+        extraction = {"docs": EXTRACT_DOCS, "wall_s": round(wall, 2),
+                      "docs_per_sec": round(EXTRACT_DOCS / wall, 1)}
     spark.stop()
     time.sleep(3)  # let executors/python workers exit before probing
 
     # -- scaling probes (N vs 4N) -------------------------------------------
     scaling = {}
     if "--no-scaling" not in sys.argv:
-        probes = {}
-        # N=2 vs 4N=8: the honest two-cluster-size pair on this host — at
-        # >8 pinned cores the HOST itself stops scaling (a pure-Python
-        # multiprocessing control shows the same ceiling; see BENCH.md),
-        # so 2->8 isolates the framework's scaling behavior
-        for n in (2, 8):
-            # taskset pins the probe to exactly n cores so "local[8]" means
-            # an 8-core node, not 8 tasks free-riding on 32 cores via
-            # pipelined Python workers — the honest two-cluster-size stand-in
-            cmd = [sys.executable, os.path.abspath(__file__), "--probe", str(n), str(PROBE_DOCS)]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            probes[n] = json.loads(line)
-            time.sleep(3)
-        thr_n, thr_4n = probes[2]["docs_per_sec"], probes[8]["docs_per_sec"]
+        # Pinned curve over 1/2/4/8 cores; headline N->4N pair is 1->4.
+        # This sandbox VM has noisy-neighbor interference (identical pinned
+        # probes swing +-20% across minutes), so widths are probed in
+        # INTERLEAVED rounds and aggregated best-of: every width samples the
+        # same noise window, and the minimum wall per width is the
+        # least-disturbed estimate.  Beyond ~8 pinned cores the single box
+        # additionally saturates on the COMBINED JVM+Python memory traffic
+        # (parquet decompress + Arrow IPC + spec) — multi-node clusters
+        # don't share that: each executor node brings its own bandwidth.
+        # The raw-Python control (bench_out/control_probe.py, identical spec
+        # work, no Spark) is reported alongside in BENCH.md.
+        widths = (1, 4, 2, 8)
+        best: dict[int, float] = {}
+        all_walls: dict[int, list] = {n: [] for n in widths}
+        for _round in range(ROUNDS):
+            for n in widths:
+                p = _run_probe(n, PROBE_DOCS, repeats=2)
+                all_walls[n] += p["walls"]
+                t = p["docs_per_sec"]
+                if t > best.get(n, 0.0):
+                    best[n] = t
+                time.sleep(2)
         scaling = {
             "probe_docs": PROBE_DOCS,
-            "n_cores": 2, "n4_cores": 8,
-            "localN_docs_per_sec": round(thr_n, 1),
-            "local4N_docs_per_sec": round(thr_4n, 1),
-            "speedup_n_to_4n": round(thr_4n / thr_n, 3),
-            "efficiency": round((thr_4n / thr_n) / 4.0, 3),
+            "method": f"interleaved x{ROUNDS} rounds, best-of per width",
+            "docs_per_sec_by_cores": {str(n): round(best[n], 1) for n in sorted(best)},
+            "walls_by_cores": {str(n): all_walls[n] for n in sorted(all_walls)},
+            "n_cores": 1, "n4_cores": 4,
+            "localN_docs_per_sec": round(best[1], 1),
+            "local4N_docs_per_sec": round(best[4], 1),
+            "speedup_n_to_4n": round(best[4] / best[1], 3),
+            "efficiency": round((best[4] / best[1]) / 4.0, 3),
+            "efficiency_2_to_8": round((best[8] / best[2]) / 4.0, 3),
         }
 
     result.update({
@@ -159,6 +183,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--probe":
-        probe(int(sys.argv[2]), int(sys.argv[3]))
+        probe(int(sys.argv[2]), int(sys.argv[3]),
+              repeats=int(sys.argv[4]) if len(sys.argv) > 4 else 5)
     else:
         main()

@@ -110,3 +110,12 @@ def test_topk_broadcasts_queries(spark):
     from ukrainian_ocr_pipeline_spark.plans.registry import q_embedding_topk_bruteforce
     plan = plan_of(q_embedding_topk_bruteforce(spark, "/root/testdata/sf0.001"))
     assert "Broadcast" in plan, plan
+
+
+def test_ivf_joins_are_broadcast(spark):
+    """IVF: centroid cross-joins and the probe join must broadcast the
+    small side — a SortMergeJoin here would shuffle the full corpus."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_embedding_topk_ivf
+    plan = plan_of(q_embedding_topk_ivf(spark, "/root/testdata/sf0.001"))
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
