@@ -61,6 +61,62 @@ def media_metadata(df: DataFrame, blob_col: str = "blob",
     return df.select(*cols).mapInPandas(extract, MEDIA_META_SCHEMA)
 
 
+RESIZE_SCHEMA = ("doc_id bigint, orig_w int, orig_h int, "
+                 "out_w int, out_h int, scale_r double")
+
+FEATURE_SCHEMA = "doc_id bigint, dim_idx int, value_r double"
+
+
+def resize_plan(df: DataFrame, target: int = 256, blob_col: str = "blob",
+                id_col: str = "doc_id") -> DataFrame:
+    """Aspect-preserving resize plumbing: decode dims (stubbed), compute
+    the fit-to-target output size and scale factor.  The real path would
+    hand (blob, out_w, out_h) to PIL/cv2 inside the same batch loop; the
+    geometry math and the Arrow-batched shape are the real engineering."""
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "orig_w", "orig_h", "out_w", "out_h", "scale_r")}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                w, h = _fake_decode(b)
+                scale = target / max(w, h)
+                out["doc_id"].append(int(did))
+                out["orig_w"].append(w)
+                out["orig_h"].append(h)
+                out["out_w"].append(int(w * scale))
+                out["out_h"].append(int(h * scale))
+                out["scale_r"].append(round(scale, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(plan, RESIZE_SCHEMA)
+
+
+def feature_extract(df: DataFrame, dim: int = 8, blob_col: str = "blob",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction plumbing: one deterministic pseudo-feature
+    vector per blob, emitted EXPLODED as (doc_id, dim_idx, value_r) — the
+    row-expanding shape a real embedding extractor feeding the similarity
+    operators has.  Component i = md5(blob + ascii('0'+i))[:4] / 0xffff;
+    the real path would run the vision/audio encoder over the same
+    Arrow batches."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            out = {"doc_id": [], "dim_idx": [], "value_r": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                for i in range(dim):
+                    out["doc_id"].append(int(did))
+                    out["dim_idx"].append(i)
+                    out["value_r"].append(round(
+                        int(hashlib.md5(b + bytes([48 + i])).hexdigest()[:4], 16)
+                        / 65535.0, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, FEATURE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
                  n_frames: int = 3) -> DataFrame:
     """Video-style frame sampling stub: emits n_frames deterministic

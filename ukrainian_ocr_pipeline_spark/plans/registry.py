@@ -705,6 +705,45 @@ FROM documents
 """
 
 
+def q_multimodal_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize geometry over a binary column
+    (decode stubbed; mapInPandas plumbing + fit math real)."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    return multimodal.resize_plan(d, target=256)
+
+
+SQL_RESIZE_PLAN = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS orig_w,
+         CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS orig_h
+  FROM documents)
+SELECT doc_id, orig_w, orig_h,
+       CAST(FLOOR(orig_w * (256.0 / GREATEST(orig_w, orig_h))) AS INTEGER) AS out_w,
+       CAST(FLOOR(orig_h * (256.0 / GREATEST(orig_w, orig_h))) AS INTEGER) AS out_h,
+       ROUND(256.0 / GREATEST(orig_w, orig_h), 6) AS scale_r
+FROM dims
+"""
+
+
+def q_multimodal_feature_extract(spark, sf_dir):
+    """Deterministic pseudo-feature extraction over a binary column,
+    exploded (doc_id, dim_idx, value_r) — embedding-extractor plumbing."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    return multimodal.feature_extract(d, dim=8)
+
+
+SQL_FEATURE_EXTRACT = """
+SELECT d.doc_id, CAST(i.i AS INTEGER) AS dim_idx,
+       ROUND(CAST(concat('0x', substr(md5(concat(d.text,
+                  chr(CAST(48 + i.i AS INTEGER)))), 1, 4))
+                  AS INTEGER) / 65535.0, 6) AS value_r
+FROM documents d, generate_series(0, 7) AS i(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # extraction-spec operators over driver tables — genuinely non-SQL
 # (Python regex offsets / difflib); verified instead by the pytest golden
@@ -851,6 +890,8 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_media_meta": q_multimodal_media_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize_plan": q_multimodal_resize_plan,
+    "multimodal_feature_extract": q_multimodal_feature_extract,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
@@ -889,6 +930,8 @@ ORACLE_SQL = {
     "embedding_label_stats": SQL_LABEL_STATS,
     "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
     "multimodal_media_meta": SQL_MEDIA_META,
+    "multimodal_resize_plan": SQL_RESIZE_PLAN,
+    "multimodal_feature_extract": SQL_FEATURE_EXTRACT,
     "doc_zscore_by_lang": SQL_ZSCORE,
     "embedding_topk_ivf": SQL_TOPK_IVF,
     # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics /
