@@ -156,3 +156,23 @@ def test_pipeline_stats(spark, enriched, oracle_golden):
     assert stats.pages_processed == len(m)
     assert stats.total_entities == m.entities.sum()
     assert stats.total_blocks == m.blocks_detected.sum()
+
+
+def test_arrow_mode_byte_identical(spark, t2_rows):
+    """mode='arrow' (mapInArrow, flat child-array construction) must equal
+    the golden corpus byte-for-byte — same spec, third physical plan.
+    Kept as a variant: measured slower than packed on this host (it ships
+    warc_ts through Python both ways), but the construction pattern is the
+    scale path if nested outputs ever dominate."""
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, metrics_table
+    pdf = pd.DataFrame(t2_rows[:120])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    arrow = extract_pages(pages, mode="arrow")
+    got = arrow.select("url", "extracted_text").orderBy("url").toPandas()
+    want = _load_golden("extracted")
+    want = want[want.url.isin(got.url)].sort_values("url").reset_index(drop=True)
+    assert (got.extracted_text.values == want.extracted_text.values).all()
+    m = metrics_table(arrow).toPandas()
+    assert m.success.all() and len(m) == 120

@@ -272,6 +272,126 @@ def make_packed_extract_udf(terms: list[str] | None,
     return packed_udf
 
 
+#: Spark-side schema of the mapInArrow packed extractor output
+PACKED_ARROW_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("extracted_text", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
+    T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
+    T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("charset", T.StringType(), False),
+    T.StructField("fallback_level", T.IntegerType(), False),
+    T.StructField("success", T.BooleanType(), False),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("blocks_detected", T.IntegerType(), False),
+    T.StructField("blocks_kept", T.IntegerType(), False),
+    T.StructField("t_ms", T.DoubleType(), False),
+])
+
+
+def make_packed_extract_arrow(terms: list[str] | None,
+                              with_matches: bool = True,
+                              with_regions: bool = True):
+    """mapInArrow twin of make_packed_extract_udf: same spec calls, same
+    output values, but the nested span/match/region columns are built as
+    flat Arrow child arrays + offsets (StructArray/ListArray.from_arrays)
+    instead of lists-of-dicts through pandas — measured ~3x faster
+    conversion, which matters because output serialization is the last
+    Python-side cost the spec work doesn't amortize.
+
+    Returns a generator function for DataFrame.mapInArrow with
+    PACKED_ARROW_SCHEMA; input must be (url, warc_ts, html).
+    """
+    import pyarrow as pa
+
+    terms_t = tuple(terms) if terms is not None else None
+
+    def fn(batches):
+        import time
+        from ..spec import extract_page
+        matcher = _get_matcher(terms_t, 0.8) if (with_matches and terms_t) else None
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            texts: list[str] = []
+            kinds: list[str] = []
+            charsets: list[str] = []
+            levels: list[int] = []
+            oks: list[bool] = []
+            errs: list[str | None] = []
+            n_det: list[int] = []
+            n_kept: list[int] = []
+            tms: list[float] = []
+            # flat children + offsets for the three nested list columns
+            sp = ([], [], [], [], [], [])     # text,label,conf,start,end,block_id
+            sp_off = [0]
+            ma = ([], [], [], [], [])         # found,term,conf,word_idx,context
+            ma_off = [0]
+            rg = ([], [], [], [])             # start,end,n_entities,label
+            rg_off = [0]
+            for u, h in zip(urls, htmls):
+                t0 = time.perf_counter()
+                r = extract_page(u, h, matcher)
+                texts.append(r.extracted_text)
+                kinds.append(r.kind)
+                charsets.append(r.charset)
+                levels.append(r.fallback_level)
+                oks.append(r.success)
+                errs.append(r.error)
+                n_det.append(r.blocks_detected)
+                n_kept.append(r.blocks_kept)
+                for s in r.spans:
+                    sp[0].append(s.text); sp[1].append(s.label)
+                    sp[2].append(s.confidence); sp[3].append(s.start)
+                    sp[4].append(s.end); sp[5].append(s.block_id)
+                sp_off.append(len(sp[0]))
+                for m in r.matches:
+                    ma[0].append(m.found_text); ma[1].append(m.matched_term)
+                    ma[2].append(m.confidence); ma[3].append(m.word_idx)
+                    ma[4].append(m.context)
+                ma_off.append(len(ma[0]))
+                for g in (r.regions if with_regions else []):
+                    rg[0].append(g.start); rg[1].append(g.end)
+                    rg[2].append(g.n_entities); rg[3].append(g.label)
+                rg_off.append(len(rg[0]))
+                tms.append((time.perf_counter() - t0) * 1000.0)
+
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(sp_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(sp[0], pa.string()), pa.array(sp[1], pa.string()),
+                     pa.array(sp[2], pa.float64()), pa.array(sp[3], pa.int32()),
+                     pa.array(sp[4], pa.int32()), pa.array(sp[5], pa.int32())],
+                    names=["text", "label", "confidence", "start", "end", "block_id"]))
+            matches_arr = pa.ListArray.from_arrays(
+                pa.array(ma_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(ma[0], pa.string()), pa.array(ma[1], pa.string()),
+                     pa.array(ma[2], pa.float64()), pa.array(ma[3], pa.int32()),
+                     pa.array(ma[4], pa.string())],
+                    names=["found_text", "matched_term", "confidence",
+                           "word_idx", "context"]))
+            regions_arr = pa.ListArray.from_arrays(
+                pa.array(rg_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(rg[0], pa.int32()), pa.array(rg[1], pa.int32()),
+                     pa.array(rg[2], pa.int32()), pa.array(rg[3], pa.string())],
+                    names=["start", "end", "n_entities", "label"]))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("url"), batch.column("warc_ts"),
+                 pa.array(texts, pa.string()), spans_arr, matches_arr,
+                 regions_arr, pa.array(kinds, pa.string()),
+                 pa.array(charsets, pa.string()), pa.array(levels, pa.int32()),
+                 pa.array(oks, pa.bool_()), pa.array(errs, pa.string()),
+                 pa.array(n_det, pa.int32()), pa.array(n_kept, pa.int32()),
+                 pa.array(tms, pa.float64())],
+                names=[f.name for f in PACKED_ARROW_SCHEMA.fields])
+
+    return fn
+
+
 @F.pandas_udf(T.ArrayType(REGION_SCHEMA))
 def regions_udf(spans: pd.Series, text_len: pd.Series) -> pd.Series:
     """Stage 5.5: entity-dense region detection (1-D DBSCAN analog of

@@ -29,7 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.udfs import make_enrich_udf, make_packed_extract_udf, segment_pages_udf
+from ..functions.udfs import (
+    PACKED_ARROW_SCHEMA, make_enrich_udf, make_packed_extract_arrow,
+    make_packed_extract_udf, segment_pages_udf,
+)
 from ..spec import default_lexicon
 
 _KEPT = "filter(seg.blocks, b -> b.is_content)"
@@ -71,6 +74,14 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         df = df.repartition(salt_buckets, F.xxhash64("url"))
 
     lex = (lexicon if lexicon is not None else default_lexicon()) if with_matches else None
+
+    if mode == "arrow":
+        # mapInArrow twin of packed: identical values, nested output
+        # columns built as flat Arrow child arrays (~3x faster conversion).
+        # Keeps only (url, warc_ts) of the input columns.
+        fn = make_packed_extract_arrow(lex, with_matches=with_matches,
+                                       with_regions=with_regions)
+        return df.select("url", "warc_ts", "html").mapInArrow(fn, PACKED_ARROW_SCHEMA)
 
     if mode == "packed":
         packed = make_packed_extract_udf(lex, with_matches=with_matches,
