@@ -65,3 +65,17 @@ def test_snapshot_lineage_chain(spark, pages, tmp_path):
     assert snaps[1]["parent"] == "s1"
     assert cat.read_snapshot(spark, "t", "s1").count() == 10
     assert cat.read_snapshot(spark, "t").count() == 20  # latest wins
+
+
+def test_iceberg_seam_detection_and_fallback(spark):
+    """The sandbox has no Iceberg jar: detection must say so, every
+    Iceberg entry point must fail fast with the fallback pointer, and the
+    SnapshotCatalog remains the engaged path (rest of this file)."""
+    import pytest
+    from ukrainian_ocr_pipeline_spark.sources import iceberg
+
+    assert iceberg.iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="SnapshotCatalog"):
+        iceberg.create_pages_table(spark)
+    with pytest.raises(RuntimeError, match="SnapshotCatalog"):
+        iceberg.append_snapshot(spark.range(1), "wh.db.t")
