@@ -84,11 +84,18 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Content fingerprint: md5 over the whitespace-canonicalized,
-    lowercased text — the exact-dedup key."""
+    """Content fingerprints: md5 over the whitespace-canonicalized,
+    lowercased text (the exact-dedup key) plus a Rabin-Karp-style
+    base-31 rolling hash over its code points — the incremental-update
+    family used for shingle fingerprinting, here as a pure aggregate()
+    HOF so it runs inside whole-stage codegen."""
     canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    rolling = F.expr(
+        "aggregate(split(lower(regexp_replace(trim(text), '\\\\s+', ' ')), ''), "
+        "cast(0 as bigint), (acc, ch) -> (acc * 31 + ascii(ch)) % 2147483647)")
     return docs.select(
         "doc_id",
         F.md5(canon.cast("binary")).alias("fingerprint"),
         F.substring(F.md5(canon.cast("binary")), 1, 8).alias("fp_prefix"),
+        rolling.alias("rolling_fp"),
     )

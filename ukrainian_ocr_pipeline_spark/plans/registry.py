@@ -454,7 +454,12 @@ def q_doc_fingerprints(spark, sf_dir):
 
 SQL_FINGERPRINTS = """
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
-       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [ascii(c) for c in
+                       split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '')]),
+         (acc, cp) -> (acc * 31 + cp) % 2147483647) AS rolling_fp
 FROM documents
 """
 
