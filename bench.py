@@ -3,9 +3,10 @@
 Measures (1) headline query wall times at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], (2) extraction
 pipeline throughput (docs/sec) on the deterministic fixture corpus, and
-(3) N->4N scaling efficiency by re-running the identical extraction job
-at local[8] and local[32] in subprocesses (the sandbox stand-in for the
-north rule's two-cluster-size criterion).
+(3) the N->4N scaling curve by re-running the identical extraction job
+at taskset-pinned local[1]/[2]/[4]/[8] in interleaved subprocess rounds
+(headline pair 1->4; the sandbox stand-in for the north rule's
+two-cluster-size criterion — methodology in BENCH.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
@@ -13,8 +14,9 @@ Prints ONE JSON line:
 
 Usage:
   python bench.py                 # full run (queries + extraction + scaling)
-  python bench.py --probe N_CPUS N_DOCS   # internal: one scaling probe
+  python bench.py --probe N_CPUS N_DOCS [REPEATS]  # internal: one probe
   python bench.py --no-scaling    # skip the subprocess scaling probes
+  python bench.py --scaling-only  # skip queries/extraction, probe only
 """
 
 from __future__ import annotations
@@ -170,10 +172,13 @@ def main() -> None:
             "efficiency_2_to_8": round((best[8] / best[2]) / 4.0, 3),
         }
 
+    scaling_only = "--scaling-only" in sys.argv
     result.update({
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(qtimes.values()), 3),
-        "unit": "sec",
+        "metric": ("scaling_efficiency_n_to_4n" if scaling_only
+                   else "headline_queries_total_wall"),
+        "value": (scaling.get("efficiency") if scaling_only
+                  else round(sum(qtimes.values()), 3)),
+        "unit": "ratio" if scaling_only else "sec",
         "queries": qtimes,
         "extraction": extraction,
         "scaling": scaling,

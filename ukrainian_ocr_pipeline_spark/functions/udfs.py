@@ -207,6 +207,24 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
     return enrich_udf
 
 
+#: output fields of the whole-pipeline (packed) extractor, shared by the
+#: pandas-UDF and mapInArrow physical variants
+PACKED_FIELDS = [
+    T.StructField("extracted_text", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
+    T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
+    T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("charset", T.StringType(), False),
+    T.StructField("fallback_level", T.IntegerType(), False),
+    T.StructField("success", T.BooleanType(), False),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("blocks_detected", T.IntegerType(), False),
+    T.StructField("blocks_kept", T.IntegerType(), False),
+    T.StructField("t_ms", T.DoubleType(), False),
+]
+
+
 def make_packed_extract_udf(terms: list[str] | None,
                             with_matches: bool = True,
                             with_regions: bool = True):
@@ -222,20 +240,7 @@ def make_packed_extract_udf(terms: list[str] | None,
     from ..spec import extract_page
 
     terms_t = tuple(terms) if terms is not None else None
-    packed_schema = T.StructType([
-        T.StructField("extracted_text", T.StringType(), False),
-        T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
-        T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
-        T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
-        T.StructField("kind", T.StringType(), False),
-        T.StructField("charset", T.StringType(), False),
-        T.StructField("fallback_level", T.IntegerType(), False),
-        T.StructField("success", T.BooleanType(), False),
-        T.StructField("error", T.StringType(), True),
-        T.StructField("blocks_detected", T.IntegerType(), False),
-        T.StructField("blocks_kept", T.IntegerType(), False),
-        T.StructField("t_ms", T.DoubleType(), False),
-    ])
+    packed_schema = T.StructType(PACKED_FIELDS)
 
     @F.pandas_udf(packed_schema)
     def packed_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
@@ -272,22 +277,14 @@ def make_packed_extract_udf(terms: list[str] | None,
     return packed_udf
 
 
-#: Spark-side schema of the mapInArrow packed extractor output
+#: Spark-side schema of the mapInArrow packed extractor output: the
+#: packed struct fields plus the (url, warc_ts) passthrough — ONE field
+#: list shared with make_packed_extract_udf so the two physical plans
+#: cannot drift apart.
 PACKED_ARROW_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("warc_ts", T.TimestampType(), True),
-    T.StructField("extracted_text", T.StringType(), False),
-    T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
-    T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
-    T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
-    T.StructField("kind", T.StringType(), False),
-    T.StructField("charset", T.StringType(), False),
-    T.StructField("fallback_level", T.IntegerType(), False),
-    T.StructField("success", T.BooleanType(), False),
-    T.StructField("error", T.StringType(), True),
-    T.StructField("blocks_detected", T.IntegerType(), False),
-    T.StructField("blocks_kept", T.IntegerType(), False),
-    T.StructField("t_ms", T.DoubleType(), False),
+    *PACKED_FIELDS,
 ])
 
 

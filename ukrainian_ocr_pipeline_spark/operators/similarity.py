@@ -97,28 +97,34 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .select("doc_a", "doc_b", "cosine_r"))
 
 
-def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid.
-
-    Centroids here are the `n_centroids` lowest-id vectors — a
-    deterministic stand-in for an offline-trained k-means codebook (at
-    100 TB the codebook is trained once on a sample and broadcast; the
-    plan shape below is identical either way).  Assignment is one
-    broadcast cross-join + map-side max_by aggregation: no shuffle of
-    the big side beyond the groupBy on the vector id, and similarity is
-    rounded to 6 dp with smaller-centroid-id tie-break so the inverted
-    lists are reproducible across engines.
-
-    Returns (vec_id, embedding, nn, centroid_id).
-    """
+def _ivf_scored(emb: DataFrame, n_centroids: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Vector x centroid similarity table, the shared IVF intermediate:
+    (id, vec, nn, centroid_id, sim_r) — one broadcast cross-join against
+    the `n_centroids` lowest-id vectors, the deterministic stand-in for
+    an offline-trained k-means codebook (at 100 TB the codebook is
+    trained once on a sample and broadcast; the plan shape is identical
+    either way).  sim_r is rounded to 6 dp so downstream argmax/rank
+    tie-breaks are reproducible across engines."""
     normed = emb.withColumn("nn", _dot(vec_col, vec_col))
     cents = (normed.where(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("centroid_id"),
                      F.col(vec_col).alias("cvec"), F.col("nn").alias("cn")))
-    scored = (normed.crossJoin(F.broadcast(cents))
-              .withColumn("sim_r", F.round(_dot(vec_col, "cvec")
-                                           / F.sqrt(F.col("nn") * F.col("cn")), 6)))
+    return (normed.crossJoin(F.broadcast(cents))
+            .withColumn("sim_r", F.round(_dot(vec_col, "cvec")
+                                         / F.sqrt(F.col("nn") * F.col("cn")), 6))
+            .drop("cvec", "cn"))
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (max sim_r, smaller-centroid-id tie-break) via map-side max_by
+    aggregation — no shuffle of the big side beyond the groupBy on id.
+
+    Returns (vec_id, embedding, nn, centroid_id).
+    """
+    scored = _ivf_scored(emb, n_centroids, id_col, vec_col)
     best = F.max(F.struct(F.col("sim_r"), (-F.col("centroid_id")).alias("ncid"))).alias("best")
     return (scored.groupBy(id_col)
             .agg(best, F.first(vec_col).alias(vec_col), F.first("nn").alias("nn"))
@@ -134,18 +140,15 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     The 100 TB scale path alongside lsh_topk: candidate generation is an
     equi-join on centroid_id (selectivity ~nprobe/n_centroids of the
     corpus) instead of a full scan per query; recall is tuned by nprobe
-    and n_centroids, both O(1) broadcast state."""
+    and n_centroids, both O(1) broadcast state.  The corpus-wide scored
+    intermediate is built once; the query-probe branch re-reads it with
+    the id-filter pushed to the scan (a few rows), not a second full
+    re-score."""
+    scored = _ivf_scored(emb, n_centroids, id_col, vec_col)
     assigned = ivf_assignments(emb, n_centroids, id_col, vec_col)
-    normed = emb.withColumn("nn", _dot(vec_col, vec_col))
-    cvecs = (normed.where(F.col(id_col) < n_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col(vec_col).alias("cvec"), F.col("nn").alias("cn")))
-    qscored = (normed.where(F.col(id_col).isin(query_ids))
-               .crossJoin(F.broadcast(cvecs))
-               .withColumn("sim_r", F.round(_dot(vec_col, "cvec")
-                                            / F.sqrt(F.col("nn") * F.col("cn")), 6)))
     wq = Window.partitionBy(id_col).orderBy(F.desc("sim_r"), F.col("centroid_id"))
-    qprobes = (qscored.withColumn("pr", F.row_number().over(wq))
+    qprobes = (scored.where(F.col(id_col).isin(query_ids))
+               .withColumn("pr", F.row_number().over(wq))
                .where(F.col("pr") <= nprobe)
                .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
                        F.col("nn").alias("qn"), "centroid_id"))

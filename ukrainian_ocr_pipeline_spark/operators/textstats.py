@@ -48,7 +48,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_upper = n_chars - F.length(F.regexp_replace(t, UPPER_CLASS, ""))
     trimmed = F.trim(t)
     n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
-    n_stop = F.size(F.expr(f"regexp_extract_all(text, ' {STOPWORD_PATTERN} ', 1)"))
+    n_stop = F.size(F.expr(f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)"))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -91,7 +91,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     HOF so it runs inside whole-stage codegen."""
     canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     rolling = F.expr(
-        "aggregate(split(lower(regexp_replace(trim(text), '\\\\s+', ' ')), ''), "
+        f"aggregate(split(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')), ''), "
         "cast(0 as bigint), (acc, ch) -> (acc * 31 + ascii(ch)) % 2147483647)")
     return docs.select(
         "doc_id",

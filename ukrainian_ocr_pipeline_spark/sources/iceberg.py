@@ -78,9 +78,11 @@ def read_incremental(spark: SparkSession, table: str,
 def expire_snapshots(spark: SparkSession, table: str,
                      older_than_ts: str) -> None:
     """Maintenance twin of the reference's temp cleanup
-    (ukrainian_ocr/utils/io.py:274-309) at table scale."""
+    (ukrainian_ocr/utils/io.py:274-309) at table scale.  The procedure
+    lives in the table's own catalog (first identifier component)."""
     _require(spark)
-    spark.sql(f"CALL wh.system.expire_snapshots(table => '{table}', "
+    catalog = table.split(".", 1)[0]
+    spark.sql(f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
               f"older_than => TIMESTAMP '{older_than_ts}')")
 
 

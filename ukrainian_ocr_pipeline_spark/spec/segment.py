@@ -98,9 +98,11 @@ def _finish(raw_parts: list[str],
     return (text, n_words, n_chars, link_chars, text_density, link_density)
 
 
-# single-pass HTML token scanner (replaces html.parser in the hot path —
+# single-pass HTML markup scanner (replaces html.parser in the hot path —
 # measured ~3x faster; html.parser spends most time in per-callback
-# dispatch). Token kinds: comment/doctype/PI, end tag, start tag, text.
+# dispatch).  Only consulted at '<' positions — text runs take the
+# doc.find fast path in feed().  Token kinds: comment/cdata/doctype/PI,
+# end tag, start tag, stray '<'.
 _HTML_TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"                                  # comment
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"                        # cdata
@@ -109,7 +111,6 @@ _HTML_TOKEN_RE = re.compile(
     r"|</\s*([a-zA-Z][a-zA-Z0-9\-]*)[^>]*>"              # end tag -> g1
     r"|<([a-zA-Z][a-zA-Z0-9\-]*)"                        # start tag -> g2
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"            #   attrs g3, self g4
-    r"|[^<]+"                                            # text run
     r"|<",                                               # stray '<'
     re.DOTALL,
 )
@@ -219,12 +220,11 @@ class _BlockParser:
                     self._anchor_depth -= 1
                 pos = tok_end
                 continue
-            tok = m.group(0)
-            if tok[0] != "<" or tok == "<":
-                # text run (or stray '<' kept as text, like html.parser soup)
-                parts.append(tok)
+            if m.group(0) == "<":
+                # stray '<' kept as text, like html.parser soup
+                parts.append("<")
                 if self._anchor_depth:
-                    self._link_chars += len(_WS_RE.sub(" ", unescape(tok)).strip())
+                    self._link_chars += 1
             # comments / doctype / PI / CDATA: dropped
             pos = tok_end
 
