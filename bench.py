@@ -124,11 +124,12 @@ def main() -> None:
         _materialize(fn(spark, SF_DIR))
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
-    # -- extraction throughput (warm-up run, then best of 2) -----------------
+    # -- extraction throughput (warm-up run, then best of 4 — the shared
+    # VM's noisy neighbors can triple any single wall; see BENCH.md) -------
     extraction = {}
     if "--scaling-only" not in sys.argv:
         run_extraction(spark, EXTRACT_DOCS)
-        wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(2))
+        wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(4))
         extraction = {"docs": EXTRACT_DOCS, "wall_s": round(wall, 2),
                       "docs_per_sec": round(EXTRACT_DOCS / wall, 1)}
     spark.stop()
