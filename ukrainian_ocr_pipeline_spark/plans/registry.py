@@ -646,11 +646,17 @@ SELECT doc_a, doc_b, cosine_r FROM scored WHERE cosine_r >= 0.4
 
 def q_multimodal_frame_sample(spark, sf_dir):
     """Row-expanding mapInPandas (UDTF shape): deterministic frame
-    sampling over a binary column — non-SQL (Python hashlib over blob
-    slices); rows-only check, plumbing covered by unit tests."""
+    sampling over a binary column."""
     d = (_t(spark, sf_dir, "documents")
          .select("doc_id", F.encode("text", "utf-8").alias("blob")))
     return multimodal.frame_sample(d)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT d.doc_id, CAST(i.i AS INTEGER) AS frame_idx,
+       substr(md5(concat(d.text, chr(CAST(i.i AS INTEGER)))), 1, 12) AS frame_hash
+FROM documents d, generate_series(0, 2) AS i(i)
+"""
 
 
 def q_embedding_label_stats(spark, sf_dir):
@@ -814,6 +820,43 @@ def q_embedding_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
 
 
+SQL_TOPK_LSH = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT p.p, i.i,
+         CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), ':',
+              CAST(i.i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5 AS c
+  FROM generate_series(0, 7) p(p), generate_series(1, 64) i(i)),
+dots AS (
+  SELECT e.vec_id, comp.p, SUM(e.v[comp.i] * comp.c) AS d
+  FROM e, comp GROUP BY e.vec_id, comp.p),
+sigs AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (1 << (7 - p)) ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id),
+qs AS (
+  SELECT s.vec_id AS query_id, s.bucket, e.v AS qv
+  FROM sigs s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id < 10),
+cand AS (
+  SELECT q.query_id, s.vec_id, q.qv, e.v AS nv
+  FROM qs q
+  JOIN sigs s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+  JOIN e ON e.vec_id = s.vec_id),
+dots2 AS (
+  SELECT query_id, vec_id,
+         SUM(qv[i] * nv[i]) AS dot,
+         SUM(qv[i] * qv[i]) AS qn,
+         SUM(nv[i] * nv[i]) AS nn
+  FROM cand, generate_series(1, 64) AS t(i)
+  GROUP BY query_id, vec_id),
+ranked AS (
+  SELECT query_id, vec_id, ROUND(dot / SQRT(qn * nn), 6) AS cosine_r,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / SQRT(qn * nn), 6) DESC, vec_id) AS rank
+  FROM dots2)
+SELECT query_id, rank, vec_id AS neighbor_id, cosine_r FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_topk_ivf(spark, sf_dir):
     """Approximate ANN via IVF inverted lists (the other scale path):
     deterministic coarse centroids, nprobe=2 list probing, exact re-rank."""
@@ -939,7 +982,9 @@ ORACLE_SQL = {
     "multimodal_feature_extract": SQL_FEATURE_EXTRACT,
     "doc_zscore_by_lang": SQL_ZSCORE,
     "embedding_topk_ivf": SQL_TOPK_IVF,
-    # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics /
-    # embedding_topk_lsh: non-SQL-expressible (Python regex offsets, difflib,
+    "embedding_topk_lsh": SQL_TOPK_LSH,
+    "multimodal_frame_sample": SQL_FRAME_SAMPLE,
+    # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics:
+    # genuinely non-SQL-expressible (Python regex offsets, difflib scoring,
     # full UDF pipeline) — rows-only; covered by the pytest golden corpus.
 }
