@@ -71,7 +71,12 @@ def main(argv=None) -> int:
     cat.write_snapshot(extracted_table(enriched), "extracted", args.snapshot_id)
     metrics = metrics_table(enriched).cache()
     cat.write_snapshot(metrics, "metrics", args.snapshot_id)
-    cat.write_snapshot(lineage_table(enriched, snapshot_id=hash(args.snapshot_id) & 0x7FFFFFFF),
+    import hashlib
+    # keyed digest, NOT Python's salted hash(): lineage ids must be
+    # reproducible across interpreter runs for the same --snapshot-id
+    lineage_id = int.from_bytes(
+        hashlib.sha256(args.snapshot_id.encode("utf-8")).digest()[:4], "big") & 0x7FFFFFFF
+    cat.write_snapshot(lineage_table(enriched, snapshot_id=lineage_id),
                        "lineage", args.snapshot_id)
 
     stats = pipeline_stats(metrics).toPandas().iloc[0].to_dict()

@@ -256,3 +256,42 @@ class TestExtractPage:
         row = page_row(10)
         r = extract_page(row["url"], row["html"])
         assert r.success and r.blocks_detected > 0
+
+
+class TestEdgeCaseFixes:
+    """Regression tests for review-found spec bugs (round 1)."""
+
+    def test_utf16_html_is_parsed_as_html(self):
+        from ukrainian_ocr_pipeline_spark.spec.pipeline import extract_page
+        body = "<html><body><p>" + "word " * 50 + "</p></body></html>"
+        for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+            r = extract_page("u", bom + body.encode(enc))
+            assert r.kind == "html", enc
+            assert r.blocks_kept == 1 and r.extracted_text.startswith("word word")
+            assert "<" not in r.extracted_text  # no raw markup leaked
+
+    def test_unterminated_script_yields_clean_empty(self):
+        from ukrainian_ocr_pipeline_spark.spec.pipeline import extract_page
+        r = extract_page("u", b"<html><body><script>var secret = 1; f();")
+        assert r.success and r.extracted_text == ""
+        assert r.blocks_detected == 0 and r.fallback_level == 0
+
+    def test_deep_nested_boiler_ancestor_still_dropped(self):
+        from ukrainian_ocr_pipeline_spark.spec.pipeline import extract_page
+        page = ("<html><body><nav><table><tr><td><p>"
+                + "linky words " * 20
+                + "</p></td></tr></table></nav><p>"
+                + "real content " * 30 + "</p></body></html>")
+        r = extract_page("u", page.encode())
+        verdicts = {b.tag_path: b.is_content for b in r.blocks}
+        assert verdicts["nav/table/tr/td/p"] is False  # nav preserved in path
+        assert verdicts["body/p"] is True
+        assert "linky" not in r.extracted_text
+
+    def test_matcher_cache_is_per_instance(self):
+        from ukrainian_ocr_pipeline_spark.spec.lexicon import LexiconMatcher
+        m1 = LexiconMatcher(["Шевченко"], 0.8)
+        m1.find_in_text("Шевченко був тут")
+        assert len(m1._best_cache) > 0
+        m2 = LexiconMatcher(["Шевченко"], 0.8)
+        assert len(m2._best_cache) == 0  # no cross-instance state

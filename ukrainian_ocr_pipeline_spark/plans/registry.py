@@ -555,7 +555,7 @@ SELECT doc_a, doc_b, n_inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter / (sa.n_words + sb.n_words - n_inter) >= 0.5
+WHERE ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) >= 0.5
 """
 
 

@@ -88,7 +88,9 @@ class SnapshotCatalog:
         """Single-job write-audit-publish: stage the whole dataset, then
         commit atomically. Re-running a committed snapshot is a no-op."""
         if self.is_committed(table, snapshot_id):
-            return self.latest_snapshot(table)  # idempotent
+            # idempotent: return THIS snapshot's manifest, not the latest
+            return next(s for s in self.snapshots(table)
+                        if s["snapshot_id"] == snapshot_id)
         data_dir = self._data_dir(table, snapshot_id)
         if os.path.exists(data_dir):
             shutil.rmtree(data_dir)  # orphaned uncommitted stage -> redo
@@ -116,7 +118,8 @@ class SnapshotCatalog:
         10^12 docs, n_buckets ~ O(10^3) keeps restart loss ~0.1% of work.
         """
         if self.is_committed(table, snapshot_id):
-            return self.latest_snapshot(table)
+            return next(s for s in self.snapshots(table)
+                        if s["snapshot_id"] == snapshot_id)
         data_dir = self._data_dir(table, snapshot_id)
         markers = self._markers_dir(table, snapshot_id)
         os.makedirs(markers, exist_ok=True)

@@ -53,7 +53,7 @@ def pages_from_fixtures(spark: SparkSession, n_rows: int, seed: int = 42,
 
     def gen(iterator):
         for pdf in iterator:
-            rows = [page_row(int(i)) for i in pdf["i"]]
+            rows = [page_row(int(i), seed) for i in pdf["i"]]
             out = pd.DataFrame(rows)
             out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True).dt.tz_localize(None)
             yield out

@@ -69,6 +69,28 @@ def _sniff_kind(data: bytes) -> str:
     return KIND_BINARY if control / len(sample) > 0.05 else KIND_TEXT
 
 
+def _sniff_kind_text(text: str) -> str:
+    """Kind sniff over already-decoded text — used for BOM-decoded pages,
+    where sniffing the raw bytes would misread UTF-16 HTML as binary
+    (interleaved NULs hide the tags and look like control bytes)."""
+    if text[:5] == "%PDF-":
+        return KIND_PDF
+    head = text[:4096]
+    if _TAG_SNIFF_TEXT_RE.search(head):
+        return KIND_HTML
+    sample = head[:1024]
+    if not sample:
+        return KIND_TEXT
+    control = sum(1 for c in sample if ord(c) < 32 and ord(c) not in (9, 10, 13))
+    return KIND_BINARY if control / len(sample) > 0.05 else KIND_TEXT
+
+
+_TAG_SNIFF_TEXT_RE = re.compile(
+    r"<\s*(?:!doctype|html|head|body|div|p|a|meta|title|h[1-6]|span|table)\b",
+    re.IGNORECASE,
+)
+
+
 def _declared_charset(data: bytes) -> str | None:
     shadow = data[:2048].decode("latin-1", errors="replace")
     m = _META_CHARSET_RE.search(shadow)
@@ -88,15 +110,20 @@ def decode_page(data: bytes) -> DecodeResult:
     """Decode raw page bytes. Never raises."""
     if data is None:
         return DecodeResult("", KIND_TEXT, "utf-8", False)
-    kind = _sniff_kind(data)
 
-    # BOM handling
+    # BOM handling FIRST: kind is sniffed on the decoded text, because a
+    # raw-byte sniff misclassifies UTF-16 HTML as binary
     if data[:3] == b"\xef\xbb\xbf":
-        return DecodeResult(data[3:].decode("utf-8", errors="replace"), kind, "utf-8-sig", False)
+        text = data[3:].decode("utf-8", errors="replace")
+        return DecodeResult(text, _sniff_kind_text(text), "utf-8-sig", False)
     if data[:2] == b"\xff\xfe":
-        return DecodeResult(data.decode("utf-16-le", errors="replace")[1:], kind, "utf-16-le", False)
+        text = data.decode("utf-16-le", errors="replace")[1:]
+        return DecodeResult(text, _sniff_kind_text(text), "utf-16-le", False)
     if data[:2] == b"\xfe\xff":
-        return DecodeResult(data.decode("utf-16-be", errors="replace")[1:], kind, "utf-16-be", False)
+        text = data.decode("utf-16-be", errors="replace")[1:]
+        return DecodeResult(text, _sniff_kind_text(text), "utf-16-be", False)
+
+    kind = _sniff_kind(data)
 
     if kind == KIND_PDF:
         # PDF payloads are parsed byte-wise by spec.pdfmini; give a latin-1

@@ -25,7 +25,6 @@ import re
 import unicodedata
 from dataclasses import dataclass
 from difflib import SequenceMatcher
-from functools import lru_cache
 
 _WORD_RE = re.compile(r"\b[\wЀ-ӿ]+\b")
 _KEEP_RE = re.compile(r"[^\w\sЀ-ӿ]")
@@ -36,14 +35,6 @@ _PHONETIC_GROUPS = [
     ["ж", "ш", "щ"], ["з", "с", "ц"], ["е", "є", "э"],
     ["і", "ї", "ы", "и"], ["о", "а"], ["у", "ю"], ["я", "а"],
 ]
-_PHONETIC_FOLD = {}
-for _group in _PHONETIC_GROUPS:
-    for _ch in _group[1:]:
-        # later groups win on conflict, matching the reference's sequential
-        # str.replace order (я->а applied after и-group etc.)
-        _PHONETIC_FOLD[_ch] = _group[0]
-_PHONETIC_TABLE = str.maketrans(_PHONETIC_FOLD)
-
 DEFAULT_THRESHOLD = 0.8
 DEFAULT_MIN_LENGTH = 3
 
@@ -127,6 +118,10 @@ class LexiconMatcher:
                 if norm != t and len(norm) >= min_length:
                     terms_set.add(norm)
         self.terms = sorted(terms_set)  # sorted: the determinism fix
+        # per-instance bounded memo (NOT @lru_cache on the method, which
+        # would key a process-global cache by self and pin dead matcher
+        # instances — and their prepped SequenceMatchers — forever)
+        self._best_cache: dict[str, tuple[str, float] | None] = {}
         # precomputed per-term state: (term, norm, len(norm), sm_char with
         # seq2=norm, phon, len(phon), sm_phon with seq2=phon)
         self._prepped = []
@@ -139,8 +134,17 @@ class LexiconMatcher:
             smp.set_seq2(phon)
             self._prepped.append((term, norm, len(norm), smc, phon, len(phon), smp))
 
-    @lru_cache(maxsize=65536)
     def _best(self, word: str) -> tuple[str, float] | None:
+        try:
+            return self._best_cache[word]
+        except KeyError:
+            pass
+        r = self._best_uncached(word)
+        if len(self._best_cache) < 65536:
+            self._best_cache[word] = r
+        return r
+
+    def _best_uncached(self, word: str) -> tuple[str, float] | None:
         norm_w = normalize_text(word)
         phon_w = _phonetic(word) if self.use_phonetic else ""
         lw, lpw = len(norm_w), len(phon_w)

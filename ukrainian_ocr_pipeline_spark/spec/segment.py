@@ -59,8 +59,11 @@ _NULS_RE = re.compile("\x00")
 # skip-subtree spans, for the "page has no real text" check (a script-only
 # page must yield a clean empty result, not chunked JavaScript)
 _SKIP_SPAN_RE = re.compile(
-    r"<(script|style|noscript|template|svg|head|iframe)\b.*?</\1\s*>",
-    re.IGNORECASE | re.DOTALL)
+    r"<(script|style|noscript|template|svg|head|iframe)\b.*?(?:</\1\s*>|$)",
+    re.IGNORECASE | re.DOTALL)  # |$: an unterminated <script> swallows to
+                                # EOF, matching the parser's skip-to-close
+                                # behavior — else truncated-crawl JS leaks
+                                # into the level-2 chunk fallback as "text"
 _CHUNK_SIZE = 2000  # chars per emergency chunk (level 2)
 
 
@@ -162,7 +165,17 @@ class _BlockParser:
 
     def _path(self) -> str:
         sem = [t for t in self._stack if t in _BLOCK_TAGS or t in _SKIP_SUBTREE or t == "a"]
-        return "/".join(sem[-4:]) if sem else ""
+        if not sem:
+            return ""
+        keep = sem[-4:]
+        # never truncate away a boilerplate ancestor: the classifier's
+        # drop rule keys on nav/header/footer/aside/form appearing in the
+        # path, and deep nesting (nav>table>tr>td>p) must not escape it
+        for t in sem[:-4]:
+            if t in _BOILER_ANCESTORS:
+                keep = [t] + keep
+                break
+        return "/".join(keep)
 
     # -- token loop --------------------------------------------------------
     def feed(self, doc: str):

@@ -20,6 +20,8 @@ idempotent file sink.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from ..functions.schemas import PAGES_SCHEMA
@@ -39,9 +41,13 @@ def run_incremental_extraction(spark: SparkSession, pages_dir: str,
     out = extracted_table(enriched).drop("spans")
     n_batches = {"n": 0}
 
-    def sink(batch_df, batch_id):  # foreachBatch: idempotent by batch_id
+    def sink(batch_df, batch_id):
+        # idempotent by batch_id: a batch replayed after a crash-before-
+        # checkpoint-commit OVERWRITES its own subdir instead of appending
+        # duplicate rows (blind append breaks the exactly-once claim)
         n_batches["n"] += 1
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
 
     q = (out.writeStream
          .foreachBatch(sink)

@@ -14,6 +14,8 @@ Kept deliberately minimal: one state tuple per host. Real extensions
 
 from __future__ import annotations
 
+import os
+
 from typing import Iterator
 
 import pandas as pd
@@ -52,8 +54,12 @@ def run_stateful_host_counts(spark: SparkSession, pages_dir: str,
                                       GroupStateTimeout.NoTimeout))
 
     def sink(batch_df, batch_id):
+        # per-batch overwrite subdir: a replayed batch rewrites itself
+        # instead of appending duplicates (the batch_id partition column
+        # is recovered on read from the directory name)
         batch_df.withColumn("batch_id", F.lit(batch_id)) \
-            .write.mode("append").parquet(out_dir)
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
     q = (counts.writeStream.foreachBatch(sink)
          .outputMode("update")
