@@ -176,3 +176,46 @@ def test_arrow_mode_byte_identical(spark, t2_rows):
     assert (got.extracted_text.values == want.extracted_text.values).all()
     m = metrics_table(arrow).toPandas()
     assert m.success.all() and len(m) == 120
+
+
+def test_edge_pages_spark_matches_oracle_inline(spark):
+    """Spark parity for the review-found edge cases (UTF-16 HTML,
+    unterminated script, deep-nested boilerplate) — pages handcrafted
+    here, oracle computed inline, so coverage doesn't depend on the
+    fixture corpus happening to contain these shapes."""
+    import datetime
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+    from ukrainian_ocr_pipeline_spark.spec import LexiconMatcher, default_lexicon
+    from ukrainian_ocr_pipeline_spark.spec.pipeline import extract_page
+
+    body = "<html><body><p>" + "слово word " * 30 + "</p></body></html>"
+    edge_htmls = {
+        "https://e.example/utf16le": b"\xff\xfe" + body.encode("utf-16-le"),
+        "https://e.example/utf16be": b"\xfe\xff" + body.encode("utf-16-be"),
+        "https://e.example/unterminated-script":
+            b"<html><body><script>var secret = 1; f();",
+        "https://e.example/deep-nav":
+            ("<html><body><nav><table><tr><td><p>" + "linky words " * 20
+             + "</p></td></tr></table></nav><p>" + "real content " * 30
+             + "</p></body></html>").encode(),
+        "https://e.example/utf16-pdfish": b"\xff\xfe" + "%PDF-1.4 nope".encode("utf-16-le"),
+    }
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [(u, ts, h, None, "uk") for u, h in sorted(edge_htmls.items())]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+    matcher = LexiconMatcher(default_lexicon(), 0.8)
+    want = {u: extract_page(u, h, matcher) for u, h in edge_htmls.items()}
+
+    for mode in ("staged", "packed", "arrow"):
+        got = (extract_pages(pages, mode=mode)
+               .select("url", "extracted_text", "kind", "fallback_level",
+                       "blocks_kept", "success").orderBy("url").toPandas())
+        for r in got.itertuples():
+            w = want[r.url]
+            assert r.success and w.success, (mode, r.url)
+            assert r.extracted_text == w.extracted_text, (mode, r.url)
+            assert r.kind == w.kind, (mode, r.url)
+            assert r.fallback_level == w.fallback_level, (mode, r.url)
+            assert r.blocks_kept == w.blocks_kept, (mode, r.url)
