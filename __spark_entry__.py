@@ -1,8 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)    — flagship: full extraction pipeline over deterministic
-                  fixture pages (sf0.001-sized), returning the extracted
-                  table (url, extracted_text, spans, metrics columns).
+entry(spark)    — flagship: full extraction pipeline (decode → segment →
+                  classify → render → NER → lexicon match → regions) over
+                  deterministic fixture pages (sf0.001-sized), returning
+                  the per-url metrics table.
 queries()       — one entry per implemented operator (SURVEY.md §2 +
                   training-data-pipeline operators).
 oracle_sql()    — DuckDB twins for every SQL-expressible query.
@@ -20,9 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: main-content extraction + NER + fuzzy match +
-    metrics over the deterministic synthetic pages corpus, plus a join
-    back to driver-provided documents stats for good measure."""
+    """Flagship query: run the full main-content extraction + NER +
+    fuzzy-match pipeline over the deterministic synthetic pages corpus
+    and return the per-url metrics table (url, success, kind, charset,
+    fallback_level, blocks_detected, blocks_kept, entities, matches,
+    stage_times, processing_time)."""
     from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, metrics_table
     from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
 

@@ -57,10 +57,18 @@ def _materialize(df):
 def _pages_parquet(spark, n_docs: int) -> str:
     """Materialize the fixture corpus to parquet once (untimed) — the
     measured job then reads a real table, exactly the north-rule shape,
-    with enough files that any parallelism level has uniform tasks."""
+    with enough files that any parallelism level has uniform tasks.
+
+    The cache path is keyed on a digest of fixtures.py, so editing the
+    generator invalidates the cached corpus instead of silently
+    benchmarking stale data."""
+    import hashlib
     import tempfile
+    import ukrainian_ocr_pipeline_spark.fixtures as fx
     from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
-    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}")
+    with open(fx.__file__, "rb") as fh:
+        fp = hashlib.sha256(fh.read()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_docs}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (pages_from_fixtures(spark, n_docs, partitions=64)
          .repartition(128).write.mode("overwrite").parquet(path))
@@ -102,8 +110,12 @@ def _run_probe(n: int, n_docs: int, repeats: int) -> dict:
         # tasks free-riding on 32 cores via pipelined Python workers
         cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling probe local[{n}] failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -113,11 +125,13 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result: dict = {"sf": float(sf) if sf.replace(".", "").isdigit() else sf}
 
-    spark = get_spark(app="bench", master=f"local[{CPUS}]")
+    scaling_only = "--scaling-only" in sys.argv
+    # scaling-only needs no driver session — probes are subprocesses
+    spark = None if scaling_only else get_spark(app="bench", master=f"local[{CPUS}]")
 
     # -- headline queries ---------------------------------------------------
     qtimes: dict[str, float] = {}
-    for name in HEADLINE if "--scaling-only" not in sys.argv else []:
+    for name in HEADLINE if not scaling_only else []:
         fn = QUERIES[name]
         fn(spark, SF_DIR).count()  # warm (plan + file listing)
         t0 = time.perf_counter()
@@ -127,13 +141,13 @@ def main() -> None:
     # -- extraction throughput (warm-up run, then best of 4 — the shared
     # VM's noisy neighbors can triple any single wall; see BENCH.md) -------
     extraction = {}
-    if "--scaling-only" not in sys.argv:
+    if not scaling_only:
         run_extraction(spark, EXTRACT_DOCS)
         wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(4))
         extraction = {"docs": EXTRACT_DOCS, "wall_s": round(wall, 2),
                       "docs_per_sec": round(EXTRACT_DOCS / wall, 1)}
-    spark.stop()
-    time.sleep(3)  # let executors/python workers exit before probing
+        spark.stop()
+        time.sleep(3)  # let executors/python workers exit before probing
 
     # -- scaling probes (N vs 4N) -------------------------------------------
     scaling = {}
@@ -173,7 +187,6 @@ def main() -> None:
             "efficiency_2_to_8": round((best[8] / best[2]) / 4.0, 3),
         }
 
-    scaling_only = "--scaling-only" in sys.argv
     result.update({
         "metric": ("scaling_efficiency_n_to_4n" if scaling_only
                    else "headline_queries_total_wall"),

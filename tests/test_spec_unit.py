@@ -295,3 +295,33 @@ class TestEdgeCaseFixes:
         assert len(m1._best_cache) > 0
         m2 = LexiconMatcher(["Шевченко"], 0.8)
         assert len(m2._best_cache) == 0  # no cross-instance state
+
+    def test_pdf_extractor_edge_cases(self):
+        from ukrainian_ocr_pipeline_spark.spec.pdfmini import extract_pdf_text
+        # 'ET' inside a string literal must not terminate the text object
+        assert extract_pdf_text("BT (NET gain) Tj ET") == "NET gain"
+        # \8 is a literal '8' (not octal); \9 likewise; never raises
+        assert extract_pdf_text(r"BT (a\9b) Tj ET") == "a9b"
+        assert extract_pdf_text(r"BT (\101\8) Tj ET") == "A8"
+        # ']' inside a TJ-array string literal must not kill the array
+        assert extract_pdf_text("BT [(a]b) (c)] TJ ET") == "a]b c"
+        # Tj/TJ reading order preserved
+        assert extract_pdf_text("BT [(first)] TJ (second) Tj ET") == "first second"
+
+    def test_zscore_honors_custom_columns(self, spark):
+        from ukrainian_ocr_pipeline_spark.operators.grouped import zscore_by_group
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 4.0)],
+            "doc_id bigint, source string, score double")
+        out = zscore_by_group(df, group_col="source", value_col="score").toPandas()
+        assert list(out.columns) == ["doc_id", "source", "score", "z_score"]
+        assert sorted(out.score.tolist()) == [1.5, 2.5, 4.0]  # no int truncation
+
+    def test_oracle_empty_tables_keep_schema(self):
+        from ukrainian_ocr_pipeline_spark.oracle import run_oracle
+        golden = run_oracle([{"url": "u1", "html": b"<html><body></body></html>"}])
+        assert list(golden["matches"].columns) == [
+            "url", "found_text", "matched_term", "confidence", "word_idx", "context"]
+        assert len(golden["matches"]) == 0
+        assert list(golden["regions"].columns) == [
+            "url", "start", "end", "n_entities", "label"]

@@ -19,17 +19,25 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-ZSCORE_SCHEMA = "doc_id bigint, lang string, n_chars bigint, z_chars double"
-
-
 def zscore_by_group(docs: DataFrame, group_col: str = "lang",
-                    value_col: str = "n_chars") -> DataFrame:
+                    value_col: str = "n_chars",
+                    id_col: str = "doc_id",
+                    z_col: str | None = None) -> DataFrame:
     """Per-group z-score normalization via grouped-map pandas.
 
     z = (x - mean) / stddev_samp within the group (ddof=1, matching SQL
     STDDEV_SAMP); rounded to 6dp for cross-engine comparison. Groups of
     size 1 or zero variance yield z = 0.0 (defined, not NaN).
+
+    The output schema is derived from the INPUT column types (not
+    hardcoded), so non-default group/value columns keep their names and
+    types instead of being silently relabeled or integer-truncated.
     """
+    z_name = z_col or f"z_{value_col}"
+    dtypes = dict(docs.select(id_col, group_col, value_col).dtypes)
+    schema = (f"{id_col} {dtypes[id_col]}, {group_col} {dtypes[group_col]}, "
+              f"{value_col} {dtypes[value_col]}, {z_name} double")
+
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].astype("float64")
         sd = x.std(ddof=1)
@@ -38,12 +46,12 @@ def zscore_by_group(docs: DataFrame, group_col: str = "lang",
         else:
             z = (x - x.mean()) / sd
         return pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "lang": pdf[group_col],
-            "n_chars": pdf[value_col],
-            "z_chars": z.round(6),
+            id_col: pdf[id_col],
+            group_col: pdf[group_col],
+            value_col: pdf[value_col],
+            z_name: z.round(6),
         })
 
-    return (docs.select("doc_id", group_col, value_col)
+    return (docs.select(id_col, group_col, value_col)
             .groupBy(group_col)
-            .applyInPandas(norm, ZSCORE_SCHEMA))
+            .applyInPandas(norm, schema))

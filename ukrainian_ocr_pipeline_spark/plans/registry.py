@@ -681,7 +681,7 @@ def q_doc_zscore_by_lang(spark, sf_dir):
     """Grouped-map (applyInPandas) per-group normalization — the grouped
     custom-state pattern of SURVEY §2.10."""
     from ..operators.grouped import zscore_by_group
-    return zscore_by_group(_t(spark, sf_dir, "documents"))
+    return zscore_by_group(_t(spark, sf_dir, "documents"), z_col="z_chars")
 
 
 SQL_ZSCORE = """
