@@ -86,3 +86,31 @@ def test_extract_deterministic(data):
     b = extract_page("u", data)
     assert a.extracted_text == b.extracted_text
     assert a.fallback_level == b.fallback_level
+
+
+PDFISH = st.text(
+    alphabet=st.sampled_from(list("BT E()[]\\018ajT j\nРк%PDF-")),
+    max_size=512,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(PDFISH)
+def test_pdf_extractor_total_function(doc):
+    """extract_pdf_text never raises and always returns str — adversarial
+    escape sequences, unbalanced brackets, stray BT/ET included."""
+    from ukrainian_ocr_pipeline_spark.spec.pdfmini import extract_pdf_text
+    out = extract_pdf_text(doc)
+    assert isinstance(out, str)
+    # determinism
+    assert extract_pdf_text(doc) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_pdf_routed_pages_total_function(data):
+    """Pages whose bytes start %PDF- go down the PDF seam end-to-end
+    without raising, whatever follows the magic."""
+    r = extract_page("u", b"%PDF-" + data)
+    assert r.success
+    assert isinstance(r.extracted_text, str)
