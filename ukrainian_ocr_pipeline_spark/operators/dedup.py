@@ -136,6 +136,40 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
                        .otherwise(0)).alias("simhash")))
 
 
+def verified_near_dups(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 8, k: int = 3, band_size: int = 4,
+                       threshold: float = 0.5) -> DataFrame:
+    """End-to-end near-dup detection: MinHash -> LSH banding -> candidate
+    pairs -> exact word-set Jaccard verify -> threshold.
+
+    The canonical 100 TB dedup pipeline in ONE plan: candidate generation
+    is an equi-join on banded signature buckets (never all-pairs), and
+    the expensive exact verification runs only on the candidate set.
+    Candidates whose word sets don't actually intersect score 0 and are
+    dropped by the threshold like any other false positive."""
+    cands = lsh_candidates(
+        minhash_signatures(docs, text_col, num_hashes, k), band_size)
+    words = (docs
+             .select("doc_id", F.explode(F.split(F.trim(_canon(text_col)), " ")).alias("word"))
+             .where(F.length("word") > 0)
+             .distinct())
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
+    inter = (cands.join(wa, "doc_a").join(wb, ["doc_b", "word"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    return (cands
+            .join(inter, ["doc_a", "doc_b"], "left").na.fill({"n_inter": 0})
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_words", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_words", "nb"), "doc_b")
+            .withColumn("jaccard_r", F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+            .where(F.col("jaccard_r") >= threshold)
+            .select("doc_a", "doc_b", "n_inter", "jaccard_r"))
+
+
 def jaccard_pairs(docs: DataFrame, bucket_cols: list[str],
                   text_col: str = "text", threshold: float = 0.5) -> DataFrame:
     """n-gram (word-set) Jaccard for candidate pairs sharing a bucket.

@@ -576,6 +576,39 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_near_dup_verified(spark, sf_dir):
+    """End-to-end near-dup pipeline: MinHash -> LSH candidates -> exact
+    Jaccard verify >= 0.5 (the never-all-pairs 100 TB dedup shape)."""
+    return dedup.verified_near_dups(_t(spark, sf_dir, "documents"))
+
+
+SQL_NEAR_DUP_VERIFIED = """
+WITH cand AS (__LSH_CANDIDATES__),
+words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM documents,
+       unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE length(w) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+  GROUP BY 1, 2),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(i.n_inter, 0) AS n_inter,
+         ROUND(COALESCE(i.n_inter, 0)
+               / (sa.n_words + sb.n_words - COALESCE(i.n_inter, 0)), 6) AS jaccard_r
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, n_inter, jaccard_r FROM scored WHERE jaccard_r >= 0.5
+""".replace("__LSH_CANDIDATES__", SQL_LSH_CANDIDATES)
+
+
 # --------------------------------------------------------------------------
 # similarity search (operators.similarity)
 
@@ -933,6 +966,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "dedup_near_dup_verified": q_dedup_near_dup_verified,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -974,6 +1008,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_jaccard_pairs": SQL_JACCARD,
     "dedup_lsh_candidates": SQL_LSH_CANDIDATES,
+    "dedup_near_dup_verified": SQL_NEAR_DUP_VERIFIED,
     "embedding_topk_bruteforce": SQL_TOPK,
     "embedding_label_stats": SQL_LABEL_STATS,
     "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
