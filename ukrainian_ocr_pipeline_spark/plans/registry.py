@@ -848,6 +848,73 @@ def q_extraction_pipeline_metrics(spark, sf_dir):
                     "blocks_detected", "blocks_kept", "entities", "matches"))
 
 
+def _expected_spec_sqls():
+    """DuckDB twins for the spec queries over the fixed Cyrillic
+    sentences: expected per-sentence spans/matches are committed literal
+    constants (plans/expected_spec.py, drift-guarded by
+    tests/test_expected_spec.py); document-level offsets follow from
+    ``length(text)+1`` (NER char offsets) / the latin-prefix word count
+    (match word_idx).  This makes all three formerly rows-only queries
+    value-checkable by the driver's oracle gate."""
+    from .expected_spec import match_values_sql, ner_values_sql
+
+    sql_ner = f"""
+WITH expected(sid, entity_text, label, rel_start, rel_end) AS (VALUES
+{ner_values_sql()}
+),
+d AS (SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS sid,
+             CAST(length(text) + 1 AS INTEGER) AS base
+      FROM documents)
+SELECT d.doc_id, e.entity_text, e.label,
+       CAST(d.base + e.rel_start AS INTEGER) AS start,
+       CAST(d.base + e.rel_end AS INTEGER) AS "end"
+FROM d JOIN expected e ON d.sid = e.sid
+"""
+    sql_match = f"""
+WITH expected(sid, found_text, matched_term, rel_idx) AS (VALUES
+{match_values_sql()}
+),
+d AS (SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS sid,
+             CAST(len(regexp_extract_all(text, '\\w+')) AS INTEGER) AS nw
+      FROM documents)
+SELECT d.doc_id, e.found_text, e.matched_term,
+       CAST(d.nw + e.rel_idx AS INTEGER) AS word_idx
+FROM d JOIN expected e ON d.sid = e.sid
+"""
+    return sql_ner, sql_match
+
+
+def _expected_metrics_sql():
+    """VALUES twin of the oracle-computed metrics for the 240-page
+    fixture corpus (plans/expected_metrics.py, regenerated only by
+    jobs/make_expected.py from the sequential pure-Python oracle)."""
+    from .expected_metrics import METRICS_EXPECTED
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(
+        f"({lit(url)}, {str(bool(ok)).upper()}, {lit(kind)}, {fl}, {bd}, {bk}, {en}, {ma})"
+        for url, ok, kind, fl, bd, bk, en, ma in METRICS_EXPECTED
+    )
+    return f"""
+SELECT url, success, kind,
+       CAST(fallback_level AS INTEGER) AS fallback_level,
+       CAST(blocks_detected AS INTEGER) AS blocks_detected,
+       CAST(blocks_kept AS INTEGER) AS blocks_kept,
+       CAST(entities AS INTEGER) AS entities,
+       CAST(matches AS INTEGER) AS matches
+FROM (VALUES
+{rows}
+) AS t(url, success, kind, fallback_level, blocks_detected, blocks_kept,
+       entities, matches)
+"""
+
+
+SQL_NER_SPANS, SQL_FUZZY_MATCHES = _expected_spec_sqls()
+SQL_PIPELINE_METRICS = _expected_metrics_sql()
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
     """Approximate ANN via random-hyperplane LSH buckets (scale path)."""
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
@@ -1019,7 +1086,11 @@ ORACLE_SQL = {
     "embedding_topk_ivf": SQL_TOPK_IVF,
     "embedding_topk_lsh": SQL_TOPK_LSH,
     "multimodal_frame_sample": SQL_FRAME_SAMPLE,
-    # ner_entity_spans / fuzzy_lexicon_matches / extraction_pipeline_metrics:
-    # genuinely non-SQL-expressible (Python regex offsets, difflib scoring,
-    # full UDF pipeline) — rows-only; covered by the pytest golden corpus.
+    # The spec queries run Python regex / difflib, but their inputs are
+    # FIXED sentences (ner/fuzzy) or the deterministic fixture corpus
+    # (pipeline metrics), so committed expected-value twins make them
+    # fully value-checkable (see _expected_spec_sqls docstring).
+    "ner_entity_spans": SQL_NER_SPANS,
+    "fuzzy_lexicon_matches": SQL_FUZZY_MATCHES,
+    "extraction_pipeline_metrics": SQL_PIPELINE_METRICS,
 }
