@@ -119,3 +119,19 @@ def test_ivf_joins_are_broadcast(spark):
     plan = plan_of(q_embedding_topk_ivf(spark, "/root/testdata/sf0.001"))
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_probe_filter_pushdown(spark):
+    """ivf_topk's probe branch re-reads _ivf_scored, which is only cheap
+    because the `id IN (query_ids)` filter is pushed through the centroid
+    cross join to the parquet scan — exactly one scan may read the full
+    corpus unfiltered (the assignments branch)."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_embedding_topk_ivf
+    plan = plan_of(q_embedding_topk_ivf(spark, "/root/testdata/sf0.001"))
+    scans = re.findall(r"\(\d+\) Scan parquet[^\n]*\n(?:.+\n)*?PushedFilters: \[([^\]]*)\]",
+                       plan)
+    assert len(scans) >= 3, plan  # corpus + centroids x2 + probe branch
+    selective = [f for f in scans if "In(vec_id" in f or "LessThan(vec_id" in f]
+    # every scan except the assignments corpus scan carries a real filter
+    assert len(scans) - len(selective) == 1, plan
+    assert any("In(vec_id" in f for f in selective), plan  # probe pushdown

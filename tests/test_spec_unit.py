@@ -325,3 +325,57 @@ class TestEdgeCaseFixes:
         assert len(golden["matches"]) == 0
         assert list(golden["regions"].columns) == [
             "url", "start", "end", "n_entities", "label"]
+
+
+class TestRound2AdviceFixes:
+    """Regression tests for round-1 ADVICE findings."""
+
+    def test_unterminated_head_no_body_reaches_fallback(self):
+        # an unterminated <head> with no <body> swallows the whole page in
+        # the structural parse; the empty-page check must NOT also swallow
+        # it (clean-empty) — the content has to surface via a fallback
+        from ukrainian_ocr_pipeline_spark.spec.segment import segment_blocks
+        blocks, level = segment_blocks(
+            "<html><head><title>t</title><p>real visible content here</p>")
+        assert blocks, "content page misclassified as clean-empty"
+        assert level > 0
+        assert "real visible content" in " ".join(b.text for b in blocks)
+
+    def test_unterminated_head_with_body_parses_structurally(self):
+        from ukrainian_ocr_pipeline_spark.spec.segment import segment_blocks
+        blocks, level = segment_blocks(
+            "<html><head><title>t</title><body><p>hello world</p></body>")
+        assert level == 0
+        assert [b.text for b in blocks] == ["hello world"]
+
+    def test_script_only_page_still_clean_empty(self):
+        from ukrainian_ocr_pipeline_spark.spec.segment import segment_blocks
+        blocks, level = segment_blocks(
+            "<html><head></head><body><script>var x = 1;</script></body></html>")
+        assert blocks == [] and level == 0
+
+    def test_iceberg_identifier_validation(self):
+        import pytest as _pytest
+        from ukrainian_ocr_pipeline_spark.sources.iceberg import (
+            _check_ident, _check_ts)
+        assert _check_ident("wh.db.pages") == "wh.db.pages"
+        assert _check_ts("2026-01-01 00:00:00") == "2026-01-01 00:00:00"
+        for bad in ["wh.db'; DROP TABLE x; --", "a b", "", "x-y", "a..b"]:
+            with _pytest.raises(ValueError):
+                _check_ident(bad)
+        with _pytest.raises(ValueError):
+            _check_ts("2026-01-01' OR '1'='1")
+
+    def test_oracle_rejects_row_key_drift(self):
+        # a spec field added to the row dicts must fail loudly, not vanish
+        import pytest as _pytest
+        from ukrainian_ocr_pipeline_spark.oracle import _frame, run_oracle
+        golden = run_oracle([{"url": "u", "html": b"<p>hi there</p>"}])
+        assert len(golden["extracted"]) == 1  # sane corpus still passes
+        good = {"url": "u", "extracted_text": "hi there", "n_spans": 0}
+        assert len(_frame("extracted", [good])) == 1
+        with _pytest.raises(ValueError, match="row keys"):
+            _frame("extracted", [dict(good, new_field=1)])
+        with _pytest.raises(ValueError, match="row keys"):
+            bad = dict(good); del bad["n_spans"]
+            _frame("extracted", [bad])

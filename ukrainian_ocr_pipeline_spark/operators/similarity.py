@@ -140,10 +140,12 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     The 100 TB scale path alongside lsh_topk: candidate generation is an
     equi-join on centroid_id (selectivity ~nprobe/n_centroids of the
     corpus) instead of a full scan per query; recall is tuned by nprobe
-    and n_centroids, both O(1) broadcast state.  The corpus-wide scored
-    intermediate is built once; the query-probe branch re-reads it with
-    the id-filter pushed to the scan (a few rows), not a second full
-    re-score."""
+    and n_centroids, both O(1) broadcast state.  `_ivf_scored` appears in
+    two plan branches, but the corpus-wide N x C scoring runs ONCE (the
+    assignments branch): in the probe branch Catalyst pushes the
+    `id IN (query_ids)` filter through the cross join down to the parquet
+    scan, so only |Q| x C pairs are re-scored there —
+    tests/test_plans.py::test_ivf_probe_filter_pushdown pins this."""
     scored = _ivf_scored(emb, n_centroids, id_col, vec_col)
     assigned = ivf_assignments(emb, n_centroids, id_col, vec_col)
     wq = Window.partitionBy(id_col).orderBy(F.desc("sim_r"), F.col("centroid_id"))

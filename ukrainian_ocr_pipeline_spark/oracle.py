@@ -68,22 +68,35 @@ def run_oracle(rows: Iterable[dict], lexicon: list[str] | None = None) -> dict[s
             "blocks_kept": r.blocks_kept,
             "entities": r.entities, "matches": r.matches_found,
         })
-    # explicit columns: an EMPTY table (e.g. no lexicon hits in the
-    # corpus) must still carry its schema, not come back column-less
-    cols = {
-        "extracted": ["url", "extracted_text", "n_spans"],
-        "blocks": ["url", "block_id", "start", "end", "tag_path", "text",
-                   "n_words", "n_chars", "link_chars", "text_density",
-                   "link_density", "fallback_level", "is_content", "confidence"],
-        "spans": ["url", "text", "label", "confidence", "start", "end", "block_id"],
-        "matches": ["url", "found_text", "matched_term", "confidence",
-                    "word_idx", "context"],
-        "regions": ["url", "start", "end", "n_entities", "label"],
-        "metrics": ["url", "success", "error", "kind", "charset",
-                    "fallback_level", "blocks_detected", "blocks_kept",
-                    "entities", "matches"],
-    }
     data = {"extracted": extracted, "blocks": blocks, "spans": spans,
             "matches": matches, "regions": regions, "metrics": metrics}
-    return {name: pd.DataFrame(rows, columns=cols[name])
-            for name, rows in data.items()}
+    return {name: _frame(name, rows) for name, rows in data.items()}
+
+
+# explicit columns: an EMPTY table (e.g. no lexicon hits in the corpus)
+# must still carry its schema, not come back column-less
+ORACLE_COLUMNS = {
+    "extracted": ["url", "extracted_text", "n_spans"],
+    "blocks": ["url", "block_id", "start", "end", "tag_path", "text",
+               "n_words", "n_chars", "link_chars", "text_density",
+               "link_density", "fallback_level", "is_content", "confidence"],
+    "spans": ["url", "text", "label", "confidence", "start", "end", "block_id"],
+    "matches": ["url", "found_text", "matched_term", "confidence",
+                "word_idx", "context"],
+    "regions": ["url", "start", "end", "n_entities", "label"],
+    "metrics": ["url", "success", "error", "kind", "charset",
+                "fallback_level", "blocks_detected", "blocks_kept",
+                "entities", "matches"],
+}
+
+
+def _frame(name: str, rows: list[dict]) -> pd.DataFrame:
+    """pd.DataFrame(rows, columns=...) silently drops unknown dict keys
+    and NaN-fills missing ones — assert the row shape matches the
+    declared columns so a new spec field fails loudly, not vanishes."""
+    cols = ORACLE_COLUMNS[name]
+    if rows and set(rows[0]) != set(cols):
+        raise ValueError(
+            f"oracle table {name!r}: row keys {sorted(rows[0])} != "
+            f"declared columns {sorted(cols)}")
+    return pd.DataFrame(rows, columns=cols)

@@ -20,7 +20,32 @@ iceberg-spark-runtime-...):
 
 from __future__ import annotations
 
+import re
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession
+
+# dotted table/view identifiers only — interpolated into SQL text below,
+# so anything else (quotes, parens, semicolons) must be rejected first
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _check_ident(name: str) -> str:
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def _check_ts(ts: str) -> str:
+    """older_than timestamps are interpolated into a TIMESTAMP literal —
+    parse first so a malformed value fails here, not inside SQL."""
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d"):
+        try:
+            datetime.strptime(ts, fmt)
+            return ts
+        except (ValueError, TypeError):
+            continue
+    raise ValueError(f"invalid timestamp literal: {ts!r}")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -38,6 +63,8 @@ def create_pages_table(spark: SparkSession, table: str = "wh.db.pages",
     """The north-rule partition spec: url-hash buckets spread megapage
     hosts, days(warc_ts) gives crawl-time pruning."""
     _require(spark)
+    _check_ident(table)
+    url_buckets = int(url_buckets)
     spark.sql(f"""
         CREATE TABLE IF NOT EXISTS {table} (
             url string, warc_ts timestamp, html binary, text string, lang string)
@@ -58,6 +85,8 @@ def merge_extracted(spark: SparkSession, source_view: str,
     job re-produces — the Iceberg twin of SnapshotCatalog's
     re-run-is-a-no-op manifest check."""
     _require(spark)
+    _check_ident(table)
+    _check_ident(source_view)
     spark.sql(f"""
         MERGE INTO {table} t USING {source_view} s ON t.url = s.url
         WHEN MATCHED THEN UPDATE SET *
@@ -81,6 +110,8 @@ def expire_snapshots(spark: SparkSession, table: str,
     (ukrainian_ocr/utils/io.py:274-309) at table scale.  The procedure
     lives in the table's own catalog (first identifier component)."""
     _require(spark)
+    _check_ident(table)
+    _check_ts(older_than_ts)
     catalog = table.split(".", 1)[0]
     spark.sql(f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
               f"older_than => TIMESTAMP '{older_than_ts}')")

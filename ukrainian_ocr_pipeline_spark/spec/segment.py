@@ -59,7 +59,13 @@ _NULS_RE = re.compile("\x00")
 # skip-subtree spans, for the "page has no real text" check (a script-only
 # page must yield a clean empty result, not chunked JavaScript)
 _SKIP_SPAN_RE = re.compile(
-    r"<(script|style|noscript|template|svg|head|iframe)\b.*?(?:</\1\s*>|$)",
+    r"<(script|style|noscript|template|svg|iframe)\b.*?(?:</\1\s*>|$)"
+    # head mirrors _SKIP_CLOSE_RE["head"]: stop at </head> or (zero-width)
+    # at <body> — but NOT at EOF.  An unterminated <head> with no <body>
+    # swallows real content in the structural parse; the check must see
+    # that content so the page reaches the tolerant/chunk fallback instead
+    # of being classified clean-empty.
+    r"|<head\b.*?(?:</head\s*>|(?=<body[\s>]))",
     re.IGNORECASE | re.DOTALL)  # |$: an unterminated <script> swallows to
                                 # EOF, matching the parser's skip-to-close
                                 # behavior — else truncated-crawl JS leaks
