@@ -21,17 +21,54 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="web-text extraction job")
-    p.add_argument("--pages", required=True, help="pages parquet path")
-    p.add_argument("--warehouse", required=True, help="output catalog root")
-    p.add_argument("--snapshot-id", required=True)
-    p.add_argument("--buckets", type=int, default=64,
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON job config (see config.JobConfig); "
+                        "explicit CLI flags override config values")
+    p.add_argument("--pages", default=None, help="pages parquet path")
+    p.add_argument("--warehouse", default=None, help="output catalog root")
+    p.add_argument("--snapshot-id", default=None)
+    p.add_argument("--buckets", type=int, default=None,
                    help="resume-granularity buckets (0 = single-commit)")
     p.add_argument("--salt-buckets", type=int, default=None,
                    help="pre-UDF repartition width for skew spreading")
+    p.add_argument("--mode", default=None, choices=["staged", "packed", "arrow"])
+    p.add_argument("--threshold", type=float, default=None,
+                   help="fuzzy-match similarity threshold")
     p.add_argument("--no-matches", action="store_true")
     p.add_argument("--lexicon", default=None, help="file of lexicon terms, one per line")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+
+    from ukrainian_ocr_pipeline_spark.config import JobConfig
+
+    # config file first, explicit CLI flags override (reference
+    # precedence: cli.py:38-52 loads config then applies per-flag
+    # overrides); dataclass defaults fill the rest
+    cfg = JobConfig.from_file(args.config) if args.config else JobConfig()
+    if args.pages is not None:
+        cfg.pages = args.pages
+    if args.warehouse is not None:
+        cfg.warehouse = args.warehouse
+    if args.snapshot_id is not None:
+        cfg.snapshot_id = args.snapshot_id
+    if args.buckets is not None:
+        cfg.buckets = args.buckets
+    if args.salt_buckets is not None:
+        cfg.extraction.salt_buckets = args.salt_buckets
+    if args.mode is not None:
+        cfg.extraction.mode = args.mode
+    if args.threshold is not None:
+        cfg.matching.threshold = args.threshold
+    if args.no_matches:
+        cfg.matching.enabled = False
+    if args.lexicon is not None:
+        cfg.matching.lexicon_path = args.lexicon
+    if args.master is not None:
+        cfg.master = args.master
+    for req in ("pages", "warehouse", "snapshot_id"):
+        if getattr(cfg, req) is None:
+            p.error(f"--{req.replace('_', '-')} is required "
+                    "(flag or config file)")
 
     from ukrainian_ocr_pipeline_spark.operators.extract import (
         extract_pages, extracted_table, lineage_table, metrics_table, pipeline_stats,
@@ -42,42 +79,43 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
     existing = SparkSession.getActiveSession()
-    spark = existing or get_spark(app=f"extract-{args.snapshot_id}", master=args.master)
-    lexicon = None
-    if args.lexicon:
-        with open(args.lexicon, encoding="utf-8") as fh:
-            lexicon = [line.strip() for line in fh if line.strip()]
+    spark = existing or get_spark(app=f"extract-{cfg.snapshot_id}", master=cfg.master)
+    lexicon = cfg.matching.load_lexicon()
 
-    pages = validate_pages(read_pages(spark, args.pages))
-    cat = SnapshotCatalog(args.warehouse)
+    pages = validate_pages(read_pages(spark, cfg.pages))
+    cat = SnapshotCatalog(cfg.warehouse)
 
     def transform(df):
         # ONE UDF pass producing every downstream table's columns; the
         # heavy html payload is dropped before the write
         return extract_pages(df, lexicon=lexicon,
-                             salt_buckets=args.salt_buckets,
-                             with_matches=not args.no_matches,
-                             mode="packed").drop("html", "text")
+                             salt_buckets=cfg.extraction.salt_buckets,
+                             with_matches=cfg.matching.enabled,
+                             with_regions=cfg.extraction.with_regions,
+                             mode=cfg.extraction.mode,
+                             match_threshold=cfg.matching.threshold,
+                             ner_backend=cfg.ner.backend if cfg.ner.enabled else "none",
+                             ).drop("html", "text")
 
-    if args.buckets > 0:
-        cat.write_snapshot_bucketed(pages, "enriched", args.snapshot_id,
-                                    n_buckets=args.buckets, transform=transform)
+    if cfg.buckets > 0:
+        cat.write_snapshot_bucketed(pages, "enriched", cfg.snapshot_id,
+                                    n_buckets=cfg.buckets, transform=transform)
     else:
-        cat.write_snapshot(transform(pages), "enriched", args.snapshot_id)
+        cat.write_snapshot(transform(pages), "enriched", cfg.snapshot_id)
 
     # extracted / metrics / lineage are cheap projections of the COMMITTED
     # enriched snapshot — no UDF re-execution
-    enriched = cat.read_snapshot(spark, "enriched", args.snapshot_id)
-    cat.write_snapshot(extracted_table(enriched), "extracted", args.snapshot_id)
+    enriched = cat.read_snapshot(spark, "enriched", cfg.snapshot_id)
+    cat.write_snapshot(extracted_table(enriched), "extracted", cfg.snapshot_id)
     metrics = metrics_table(enriched).cache()
-    cat.write_snapshot(metrics, "metrics", args.snapshot_id)
+    cat.write_snapshot(metrics, "metrics", cfg.snapshot_id)
     import hashlib
     # keyed digest, NOT Python's salted hash(): lineage ids must be
     # reproducible across interpreter runs for the same --snapshot-id
     lineage_id = int.from_bytes(
-        hashlib.sha256(args.snapshot_id.encode("utf-8")).digest()[:4], "big") & 0x7FFFFFFF
+        hashlib.sha256(cfg.snapshot_id.encode("utf-8")).digest()[:4], "big") & 0x7FFFFFFF
     cat.write_snapshot(lineage_table(enriched, snapshot_id=lineage_id),
-                       "lineage", args.snapshot_id)
+                       "lineage", cfg.snapshot_id)
 
     stats = pipeline_stats(metrics).toPandas().iloc[0].to_dict()
     print(json.dumps({k: (v if not hasattr(v, "item") else v.item())

@@ -20,7 +20,7 @@ from ..spec import (
     LexiconMatcher, classify_blocks, decode_page, dense_regions,
     segment_blocks, tag_entities,
 )
-from ..spec.ner import Span, attach_block_ids
+from ..spec.ner import Span, attach_block_ids, get_ner_backend
 from .schemas import (
     MATCH_SCHEMA, REGION_SCHEMA, SEGMENT_RESULT_SCHEMA, SPAN_SCHEMA,
 )
@@ -32,11 +32,13 @@ from pyspark.sql import types as T
 _MATCHER_CACHE: dict[tuple, LexiconMatcher] = {}
 
 
-def _get_matcher(terms: tuple[str, ...], threshold: float) -> LexiconMatcher:
-    key = (terms, threshold)
+def _get_matcher(terms: tuple[str, ...], threshold: float,
+                 use_phonetic: bool = True, min_length: int = 3) -> LexiconMatcher:
+    key = (terms, threshold, use_phonetic, min_length)
     m = _MATCHER_CACHE.get(key)
     if m is None:
-        m = LexiconMatcher(list(terms), threshold)
+        m = LexiconMatcher(list(terms), threshold,
+                           use_phonetic=use_phonetic, min_length=min_length)
         _MATCHER_CACHE[key] = m
     return m
 
@@ -145,7 +147,8 @@ def make_match_udf(terms: list[str], threshold: float = 0.8):
 
 
 def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
-                    with_matches: bool = True, with_regions: bool = True):
+                    with_matches: bool = True, with_regions: bool = True,
+                    ner_backend=None):
     """Fused stage 4+5+5.5: NER + fuzzy match + dense regions in ONE
     Arrow pass over the rendered text.
 
@@ -157,6 +160,9 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
     scaling from 8 to 32 cores.
     """
     terms_t = tuple(terms) if terms is not None else None
+    # resolved in the DRIVER; the callable travels in the UDF closure
+    # (cloudpickle), so custom backends work on executors unregistered
+    tagger = get_ner_backend(ner_backend)
     enrich_schema = T.StructType([
         T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
         T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
@@ -170,7 +176,7 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
         for doc, offsets in zip(text, kept):
             try:
                 doc = doc or ""
-                spans = tag_entities(doc)
+                spans = tagger(doc)
                 kept_offsets = []
                 pos = 0
                 for item in (offsets if offsets is not None else []):
@@ -226,8 +232,10 @@ PACKED_FIELDS = [
 
 
 def make_packed_extract_udf(terms: list[str] | None,
+                            threshold: float = 0.8,
                             with_matches: bool = True,
-                            with_regions: bool = True):
+                            with_regions: bool = True,
+                            ner_backend=None):
     """Whole-pipeline fusion: ONE Arrow pass html -> everything.
 
     Calls spec.extract_page per row — the exact function the oracle runs —
@@ -240,16 +248,18 @@ def make_packed_extract_udf(terms: list[str] | None,
     from ..spec import extract_page
 
     terms_t = tuple(terms) if terms is not None else None
+    tagger = get_ner_backend(ner_backend)
     packed_schema = T.StructType(PACKED_FIELDS)
 
     @F.pandas_udf(packed_schema)
     def packed_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         import time
-        matcher = _get_matcher(terms_t, 0.8) if (with_matches and terms_t) else None
+        matcher = _get_matcher(terms_t, threshold) if (with_matches and terms_t) else None
         cols: dict[str, list] = {f.name: [] for f in packed_schema.fields}
         for u, raw in zip(url, html):
             t0 = time.perf_counter()
-            r = extract_page(u, bytes(raw) if raw is not None else None, matcher)
+            r = extract_page(u, bytes(raw) if raw is not None else None,
+                             matcher, ner=tagger)
             cols["extracted_text"].append(r.extracted_text)
             cols["spans"].append([{
                 "text": s.text, "label": s.label, "confidence": s.confidence,
@@ -289,8 +299,10 @@ PACKED_ARROW_SCHEMA = T.StructType([
 
 
 def make_packed_extract_arrow(terms: list[str] | None,
+                              threshold: float = 0.8,
                               with_matches: bool = True,
-                              with_regions: bool = True):
+                              with_regions: bool = True,
+                              ner_backend=None):
     """mapInArrow twin of make_packed_extract_udf: same spec calls, same
     output values, but the nested span/match/region columns are built as
     flat Arrow child arrays + offsets (StructArray/ListArray.from_arrays)
@@ -304,11 +316,12 @@ def make_packed_extract_arrow(terms: list[str] | None,
     import pyarrow as pa
 
     terms_t = tuple(terms) if terms is not None else None
+    tagger = get_ner_backend(ner_backend)
 
     def fn(batches):
         import time
         from ..spec import extract_page
-        matcher = _get_matcher(terms_t, 0.8) if (with_matches and terms_t) else None
+        matcher = _get_matcher(terms_t, threshold) if (with_matches and terms_t) else None
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
@@ -330,7 +343,7 @@ def make_packed_extract_arrow(terms: list[str] | None,
             rg_off = [0]
             for u, h in zip(urls, htmls):
                 t0 = time.perf_counter()
-                r = extract_page(u, h, matcher)
+                r = extract_page(u, h, matcher, ner=tagger)
                 texts.append(r.extracted_text)
                 kinds.append(r.kind)
                 charsets.append(r.charset)

@@ -46,7 +46,9 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
                   salt_buckets: int | None = None,
                   with_matches: bool = True,
                   with_regions: bool = True,
-                  mode: str = "staged") -> DataFrame:
+                  mode: str = "staged",
+                  match_threshold: float = 0.8,
+                  ner_backend=None) -> DataFrame:
     """pages(url, warc_ts, html, ...) -> enriched extraction DataFrame.
 
     Guaranteed columns (both modes): url, warc_ts, extracted_text,
@@ -79,20 +81,26 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         # mapInArrow twin of packed: identical values, nested output
         # columns built as flat Arrow child arrays (~3x faster conversion).
         # Keeps only (url, warc_ts) of the input columns.
-        fn = make_packed_extract_arrow(lex, with_matches=with_matches,
-                                       with_regions=with_regions)
+        fn = make_packed_extract_arrow(lex, threshold=match_threshold,
+                                       with_matches=with_matches,
+                                       with_regions=with_regions,
+                                       ner_backend=ner_backend)
         return df.select("url", "warc_ts", "html").mapInArrow(fn, PACKED_ARROW_SCHEMA)
 
     if mode == "packed":
-        packed = make_packed_extract_udf(lex, with_matches=with_matches,
-                                         with_regions=with_regions)
+        packed = make_packed_extract_udf(lex, threshold=match_threshold,
+                                         with_matches=with_matches,
+                                         with_regions=with_regions,
+                                         ner_backend=ner_backend)
         df = df.withColumn("p", packed(F.col("url"), F.col("html")))
         for c in ["extracted_text", "spans", "matches", "regions", *_METRIC_COLS]:
             df = df.withColumn(c, F.col(f"p.{c}"))
         return df.drop("p")
 
-    enrich = make_enrich_udf(lex, with_matches=with_matches,
-                             with_regions=with_regions)
+    enrich = make_enrich_udf(lex, threshold=match_threshold,
+                             with_matches=with_matches,
+                             with_regions=with_regions,
+                             ner_backend=ner_backend)
     df = (
         df
         .withColumn("seg", segment_pages_udf(F.col("html")))

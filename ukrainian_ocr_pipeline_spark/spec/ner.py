@@ -75,6 +75,47 @@ def tag_entities(text: str) -> list[Span]:
     return [s for s in spans if s.text.lower() not in FALSE_POSITIVE_WORDS]
 
 
+# --------------------------------------------------------------------------
+# backend dispatch seam — parity with the reference's abstract backend
+# registry (core/ner.py:29-40): a backend is any callable
+# ``text -> list[Span]``.  The rule-based backend above is the default
+# (the reference's own offline fallback, core/ner.py:389-396); model
+# backends (spaCy/transformers/...) plug in here without touching the
+# UDF layer — factories accept either a registered name or a picklable
+# callable, which cloudpickle ships to executors in the UDF closure.
+def null_backend(text: str) -> list[Span]:
+    """Tag nothing (ner.enabled=false in job config): spans and regions
+    come out empty while the rest of the pipeline runs unchanged."""
+    return []
+
+
+NER_BACKENDS: dict[str, object] = {"rule": tag_entities, "none": null_backend}
+
+
+def register_ner_backend(name: str, fn) -> None:
+    """Register a backend callable (text -> list[Span]) under a name.
+
+    Note: name-based lookup resolves in the DRIVER process; when passing
+    a *name* to a UDF factory the resolved callable travels in the
+    closure, so executors never need the registration."""
+    NER_BACKENDS[name] = fn
+
+
+def get_ner_backend(backend) -> object:
+    """Resolve a backend: None -> rule default, str -> registry lookup,
+    callable -> itself."""
+    if backend is None:
+        return tag_entities
+    if callable(backend):
+        return backend
+    try:
+        return NER_BACKENDS[backend]
+    except KeyError:
+        raise KeyError(
+            f"unknown NER backend {backend!r}; registered: "
+            f"{sorted(NER_BACKENDS)}") from None
+
+
 def attach_block_ids(spans: list[Span], kept_offsets: list[tuple[int, int, int]]) -> list[Span]:
     """Assign each span the block_id of the kept block containing its start.
 

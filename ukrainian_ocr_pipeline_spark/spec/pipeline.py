@@ -45,14 +45,19 @@ class PageResult:
 
 
 def extract_page(url: str, html: bytes | None,
-                 matcher: LexiconMatcher | None = None) -> PageResult:
-    """Run the full extraction spec on one page. Never raises."""
+                 matcher: LexiconMatcher | None = None,
+                 ner=None) -> PageResult:
+    """Run the full extraction spec on one page. Never raises.
+
+    ``ner`` is the backend seam (spec/ner.py NER_BACKENDS): any callable
+    text -> list[Span]; None = the rule-based default."""
     try:
+        tagger = tag_entities if ner is None else ner
         dec = decode_page(html)
         blocks, fallback_level = segment_blocks(dec.text, dec.kind)
         classify_blocks(blocks)
         text, kept_offsets = render_text(blocks)
-        spans = attach_block_ids(tag_entities(text), kept_offsets)
+        spans = attach_block_ids(tagger(text), kept_offsets)
         matches: list[Match] = []
         if matcher is not None and text:
             matches = matcher.find_in_text(text)
