@@ -915,6 +915,110 @@ SQL_NER_SPANS, SQL_FUZZY_MATCHES = _expected_spec_sqls()
 SQL_PIPELINE_METRICS = _expected_metrics_sql()
 
 
+def _fixture_matches(spark):
+    """Exploded matches table from the 240-page fixture corpus — the
+    real domain table the reporting queries aggregate."""
+    from ..operators.extract import extract_pages
+    from ..sources.pages import pages_from_fixtures
+    pages = pages_from_fixtures(spark, 240)
+    return (extract_pages(pages, mode="packed")
+            .select(F.explode("matches").alias("m"))
+            .select("m.found_text", "m.matched_term", "m.confidence"))
+
+
+def q_match_stats(spark, sf_dir):
+    """Match-report twin of SurnameMatcher.get_statistics
+    (core/surname_matcher.py:356-402) over the REAL matches table."""
+    from ..operators.matchstats import match_stats
+    return match_stats(_fixture_matches(spark))
+
+
+def q_match_top_terms(spark, sf_dir):
+    """get_top_surnames twin (core/surname_matcher.py:393-397)."""
+    from ..operators.matchstats import match_top_terms
+    return match_top_terms(_fixture_matches(spark), n=10)
+
+
+def q_entity_spans_by_type(spark, sf_dir):
+    """Ranked-by-type entity export (core/ner.py:463-476 twin) over the
+    fixed-sentence NER spans."""
+    from ..operators.matchstats import entity_spans_by_type
+    spans = q_ner_entity_spans(spark, sf_dir).withColumn(
+        "confidence",
+        F.when(F.col("label") == "PERSON", F.lit(0.8)).otherwise(F.lit(0.7)))
+    return entity_spans_by_type(spans)
+
+
+def _matches_values_sql():
+    from .expected_metrics import MATCHES_EXPECTED
+
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(f"({lit(ft)}, {lit(mt)}, {c!r})"
+                      for ft, mt, c in MATCHES_EXPECTED)
+    return (f"(VALUES\n{rows}\n) AS "
+            "m(found_text, matched_term, confidence)")
+
+
+def _match_report_sqls():
+    m = _matches_values_sql()
+    stats = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_matches,
+       CAST(COUNT(DISTINCT matched_term) AS BIGINT) AS unique_terms,
+       CAST(COUNT(DISTINCT found_text) AS BIGINT) AS unique_found_texts,
+       ROUND(AVG(confidence), 6) AS avg_confidence_r,
+       ROUND(MIN(confidence), 6) AS min_confidence_r,
+       ROUND(MAX(confidence), 6) AS max_confidence_r,
+       CAST(SUM(CASE WHEN confidence >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_excellent,
+       CAST(SUM(CASE WHEN confidence >= 0.9 AND confidence < 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN confidence >= 0.8 AND confidence < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN confidence >= 0.7 AND confidence < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_acceptable,
+       CAST(SUM(CASE WHEN confidence < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM {m}
+"""
+    top = f"""
+WITH counts AS (
+  SELECT matched_term, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM {m} GROUP BY matched_term),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_matches DESC, matched_term)
+              AS INTEGER) AS rank, matched_term, n_matches
+  FROM counts)
+SELECT rank, matched_term, n_matches FROM ranked WHERE rank <= 10
+"""
+    return stats, top
+
+
+SQL_MATCH_STATS, SQL_MATCH_TOP_TERMS = _match_report_sqls()
+
+
+def _spans_by_type_sql():
+    from .expected_spec import ner_values_sql
+    return f"""
+WITH expected(sid, entity_text, label, rel_start, rel_end) AS (VALUES
+{ner_values_sql()}
+),
+d AS (SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS sid,
+             CAST(length(text) + 1 AS INTEGER) AS base
+      FROM documents),
+spans AS (
+  SELECT d.doc_id, e.entity_text, e.label,
+         CAST(d.base + e.rel_start AS INTEGER) AS start,
+         CASE WHEN e.label = 'PERSON' THEN 0.8 ELSE 0.7 END AS confidence
+  FROM d JOIN expected e ON d.sid = e.sid)
+SELECT label,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY confidence DESC, entity_text, doc_id, start)
+            AS INTEGER) AS rank,
+       entity_text, ROUND(confidence, 6) AS confidence_r, doc_id, start
+FROM spans
+"""
+
+
+SQL_SPANS_BY_TYPE = _spans_by_type_sql()
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
     """Approximate ANN via random-hyperplane LSH buckets (scale path)."""
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
@@ -1045,6 +1149,9 @@ QUERIES = {
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
     "extraction_pipeline_metrics": q_extraction_pipeline_metrics,
+    "match_stats": q_match_stats,
+    "match_top_terms": q_match_top_terms,
+    "entity_spans_by_type": q_entity_spans_by_type,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
 }
@@ -1093,4 +1200,7 @@ ORACLE_SQL = {
     "ner_entity_spans": SQL_NER_SPANS,
     "fuzzy_lexicon_matches": SQL_FUZZY_MATCHES,
     "extraction_pipeline_metrics": SQL_PIPELINE_METRICS,
+    "match_stats": SQL_MATCH_STATS,
+    "match_top_terms": SQL_MATCH_TOP_TERMS,
+    "entity_spans_by_type": SQL_SPANS_BY_TYPE,
 }
