@@ -1,0 +1,98 @@
+"""Recall pin for the banded embedding LSH (similarity.py): on a
+clustered corpus the multi-band variant must recover ~all true near-dup
+pairs, while the single-signature variant provably drops pairs that
+straddle one hyperplane (the round-1 VERDICT's recall-cliff finding)."""
+
+import hashlib
+import math
+
+import pytest
+
+DIM = 64
+N_CLUSTERS = 24
+PER_CLUSTER = 4
+THRESH = 0.95
+
+
+def _unit(vals):
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+def _h(s: str, lo: float = -0.5, hi: float = 0.5) -> float:
+    """Deterministic pseudo-random in [lo, hi) from md5 — no RNG state."""
+    x = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+    return lo + x * (hi - lo)
+
+
+def _clustered_vectors():
+    """N_CLUSTERS centers, PER_CLUSTER members each: member = center +
+    small deterministic perturbation, so within-cluster cosine ~0.99 and
+    across-cluster cosine ~0 (random 64-dim directions)."""
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        center = _unit([_h(f"c{c}:{i}") for i in range(DIM)])
+        for m in range(PER_CLUSTER):
+            noise = [_h(f"n{c}:{m}:{i}", -0.02, 0.02) for i in range(DIM)]
+            vec = _unit([a + b for a, b in zip(center, noise)])
+            rows.append((vid, [float(v) for v in vec]))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(_clustered_vectors(),
+                                 "vec_id bigint, embedding array<float>")
+
+
+def _truth_pairs(rows):
+    """Brute-force ground truth >= THRESH (float32-quantized like the
+    Spark path reads them)."""
+    import numpy as np
+    vecs = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    n = len(rows)
+    return {(a, b) for a in range(n) for b in range(a + 1, n)
+            if round(sims[a, b], 6) >= THRESH}
+
+
+def test_banded_recall_vs_single_signature(spark, emb):
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    truth = _truth_pairs(_clustered_vectors())
+    assert len(truth) >= N_CLUSTERS * 3  # fixture really is clustered
+
+    banded = {(r.doc_a, r.doc_b) for r in similarity.cosine_near_dup_banded(
+        emb, threshold=THRESH, n_bands=8, band_planes=4).collect()}
+    single = {(r.doc_a, r.doc_b) for r in similarity.cosine_near_dup_pairs(
+        emb, threshold=THRESH, n_planes=4).collect()}
+
+    # verify stage guarantees precision for both
+    assert banded <= truth and single <= truth
+
+    banded_recall = len(banded & truth) / len(truth)
+    single_recall = len(single & truth) / len(truth)
+    # 8 OR-ed bands: miss prob per near-dup pair ~(1-p^4)^8 << 1
+    assert banded_recall >= 0.95, (banded_recall, single_recall)
+    # the single 4-bit signature must show the cliff the VERDICT called
+    # out (if it ever reaches ~1.0 on this fixture, the fixture stopped
+    # exercising the failure mode and this test needs a harder one)
+    assert single_recall < banded_recall, (banded_recall, single_recall)
+
+
+def test_banded_plan_is_jvm_only_equi_join(spark, emb):
+    """No Python eval, no cartesian/nested-loop join: candidates come
+    from an equi-join on (band, bucket)."""
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+    import contextlib, io
+    df = similarity.cosine_near_dup_banded(emb, threshold=THRESH)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -135,3 +135,14 @@ def test_ivf_probe_filter_pushdown(spark):
     # every scan except the assignments corpus scan carries a real filter
     assert len(scans) - len(selective) == 1, plan
     assert any("In(vec_id" in f for f in selective), plan  # probe pushdown
+
+
+def test_headline_bench_excludes_quadratic_shapes():
+    """The two deliberately-kept quadratic/reference-parity queries must
+    never be promoted to the headline bench (VERDICT round 1, items 2-3)."""
+    import bench
+    assert "doc_containment_join" not in bench.HEADLINE
+    assert "dedup_jaccard_pairs" not in bench.HEADLINE
+    # and the scale-safe near-dup entry points ARE headline
+    assert "dedup_near_dup_verified" in bench.HEADLINE
+    assert "dedup_embedding_cosine_banded" in bench.HEADLINE

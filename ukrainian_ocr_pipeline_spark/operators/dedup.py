@@ -172,10 +172,17 @@ def verified_near_dups(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, bucket_cols: list[str],
                   text_col: str = "text", threshold: float = 0.5) -> DataFrame:
-    """n-gram (word-set) Jaccard for candidate pairs sharing a bucket.
+    """Word-set Jaccard for candidate pairs sharing a bucket —
+    VERIFY-STAGE INTERNAL, not a scale entry point.
 
-    Never all-pairs: candidates are restricted to equal `bucket_cols`
-    (at scale: LSH band buckets from lsh_candidates)."""
+    The public near-dup API is `verified_near_dups` (MinHash -> LSH band
+    candidates -> exact verify): there `bucket_cols` are uniform LSH
+    band buckets, so the within-bucket self-join stays near-linear.
+    Calling this directly with LOW-CARDINALITY buckets (lang, source,
+    ...) makes the word self-join near-quadratic and skew-prone at
+    100x — acceptable only as a small-corpus reference/verification
+    path (which is how the registry's dedup_jaccard_pairs query uses
+    it: a correctness twin, excluded from the headline bench)."""
     words = (docs
              .select("doc_id", *bucket_cols,
                      F.explode(F.split(F.trim(_canon(text_col)), " ")).alias("word"))

@@ -532,7 +532,13 @@ FROM maj GROUP BY doc_id
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
-    """Word-set Jaccard within (lang, source) candidate buckets."""
+    """Word-set Jaccard within (lang, source) candidate buckets.
+
+    CORRECTNESS-GATE TWIN ONLY: (lang, source) buckets are
+    low-cardinality, so this shape is near-quadratic at scale — the
+    documented scale path is q_dedup_near_dup_verified (LSH band
+    buckets); this query exists to pin jaccard_pairs' arithmetic
+    against the SQL oracle and is excluded from the headline bench."""
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"),
                                bucket_cols=["lang", "source"], threshold=0.5)
 
@@ -674,6 +680,48 @@ scored AS (
   FROM cand, generate_series(1, 64) t(i)
   GROUP BY doc_a, doc_b)
 SELECT doc_a, doc_b, cosine_r FROM scored WHERE cosine_r >= 0.4
+"""
+
+
+def q_dedup_embedding_cosine_banded(spark, sf_dir):
+    """Banded (multi-band OR-amplified) embedding near-dup — the
+    scale-correct variant of q_dedup_embedding_cosine: candidates from
+    ANY of 8 independent 4-bit hyperplane bands, one exact verify per
+    distinct pair.  Threshold tuned to the unclustered synthetic corpus
+    like the single-signature query."""
+    return similarity.cosine_near_dup_banded(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_bands=8, band_planes=4)
+
+
+SQL_EMB_NEAR_DUP_BANDED = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT p.p, i.i,
+         CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), ':',
+              CAST(i.i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5 AS c
+  FROM generate_series(0, 31) p(p), generate_series(1, 64) i(i)),
+dots AS (
+  SELECT e.vec_id, comp.p, SUM(e.v[comp.i] * comp.c) AS d
+  FROM e, comp GROUP BY e.vec_id, comp.p),
+sigs AS (
+  SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+         CAST(SUM(CASE WHEN d >= 0 THEN (1 << (3 - (p % 4))) ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id, p // 4),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(SUM(ea.v[i] * eb.v[i])
+               / SQRT(SUM(ea.v[i]*ea.v[i]) * SUM(eb.v[i]*eb.v[i])), 6) AS cosine_r
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.doc_a
+  JOIN e eb ON eb.vec_id = c.doc_b,
+       generate_series(1, 64) t(i)
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, cosine_r FROM scored WHERE cosine_r >= 0.35
 """
 
 
@@ -1141,6 +1189,7 @@ QUERIES = {
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_banded": q_dedup_embedding_cosine_banded,
     "multimodal_media_meta": q_multimodal_media_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize_plan": q_multimodal_resize_plan,
@@ -1186,6 +1235,7 @@ ORACLE_SQL = {
     "embedding_topk_bruteforce": SQL_TOPK,
     "embedding_label_stats": SQL_LABEL_STATS,
     "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
+    "dedup_embedding_cosine_banded": SQL_EMB_NEAR_DUP_BANDED,
     "multimodal_media_meta": SQL_MEDIA_META,
     "multimodal_resize_plan": SQL_RESIZE_PLAN,
     "multimodal_feature_extract": SQL_FEATURE_EXTRACT,
