@@ -60,3 +60,41 @@ def test_sentence_spans_do_not_cross_boundary():
                    for s in tag_entities(base + sent)]
         plain = [(s.text, s.label, s.start, s.end) for s in tag_entities(sent)]
         assert shifted == plain
+
+
+def test_widened_corpus_contains_edge_kinds():
+    """The round-2 fixture widening must keep all five new edge-page
+    kinds present and behaving per spec in the 500-row golden corpus."""
+    import ukrainian_ocr_pipeline_spark.fixtures as fx
+    from ukrainian_ocr_pipeline_spark.spec import extract_page
+
+    got = {"utf16": 0, "truncscript": 0, "deepnav": 0, "souphead": 0,
+           "pdfvariant": 0}
+    for i in range(500):
+        row = fx.page_row(i)
+        if i % 97 == 0 or i % 89 == 3 or i % 83 == 5 or i % 79 == 7:
+            continue
+        if row["url"].startswith("https://megahost") and i % 149 == 11:
+            continue
+        r = extract_page(row["url"], row["html"])
+        if i % 101 == 13:
+            got["utf16"] += 1
+            assert r.kind == "html" and r.charset.startswith("utf-16"), r.charset
+            assert r.blocks_kept > 0 and "<" not in r.extracted_text
+        elif i % 103 == 17:
+            got["truncscript"] += 1
+            assert "var state" not in r.extracted_text  # JS never leaks
+            assert r.blocks_kept > 0  # the real content before it survives
+        elif i % 107 == 19:
+            got["deepnav"] += 1
+            assert r.success and r.blocks_kept > 0
+        elif i % 109 == 23:
+            got["souphead"] += 1
+            assert r.success and r.fallback_level >= 1  # reached a fallback
+            assert r.extracted_text  # content recovered, not clean-empty
+        elif i % 113 == 29:
+            got["pdfvariant"] += 1
+            assert r.kind == "pdf" and r.success
+            assert "NET" in r.extracted_text  # TJ array parsed
+            assert "par(en) A" in r.extracted_text  # escapes decoded
+    assert all(v >= 3 for v in got.values()), got

@@ -157,6 +157,66 @@ def _mega_page(rng: random.Random, url: str, lang: str) -> bytes:
             f"<main>{body}</main></body></html>").encode("utf-8")
 
 
+def _utf16_page(rng: random.Random, url: str, lang: str, i: int) -> bytes:
+    """UTF-16 page with BOM (LE for even i, BE for odd): the decode
+    stage must sniff the BOM before any utf-8 attempt (round-1 fix,
+    previously covered only by an inline test)."""
+    paras = "".join(_paragraph(rng, lang, with_entity=(j % 2 == 0))
+                    for j in range(rng.randint(2, 5)))
+    body = (f'<html><head><meta charset="utf-16"></head><body>'
+            f"{_nav_block(rng)}<main>{paras}</main></body></html>")
+    if i % 2 == 0:
+        return b"\xff\xfe" + body.encode("utf-16-le")
+    return b"\xfe\xff" + body.encode("utf-16-be")
+
+
+def _truncated_script_page(rng: random.Random, url: str, lang: str) -> bytes:
+    """Truncated crawl: real content, then a <script> cut off mid-object
+    with no closing tag — the JS must never leak into extracted text."""
+    paras = "".join(_paragraph(rng, lang, with_entity=True)
+                    for _ in range(rng.randint(2, 4)))
+    return (f"<html><body><main>{paras}</main>"
+            f"<script>var state = {{ a: {rng.randint(0, 99)}, b: [1,2,"
+            ).encode("utf-8")
+
+
+def _deep_nav_page(rng: random.Random, url: str, lang: str) -> bytes:
+    """Boilerplate buried under deep nesting (nav>table>tr>td>p): the
+    classifier's boiler-ancestor rule must still see `nav` in the
+    truncated tag_path."""
+    cells = "".join(
+        f'<tr><td><p><a href="/{w.lower()}">{w}</a> {_salad(rng, 6)}</p></td></tr>'
+        for w in rng.sample(_NAV_WORDS, 4))
+    paras = "".join(_paragraph(rng, lang, with_entity=(rng.random() < 0.5))
+                    for _ in range(rng.randint(2, 6)))
+    return (f"<html><body><nav><table>{cells}</table></nav>"
+            f"<main>{paras}</main></body></html>").encode("utf-8")
+
+
+def _soup_head_page(rng: random.Random, url: str, lang: str) -> bytes:
+    """Tag soup: unterminated <head>, no <body> tag, real content after —
+    the structural parse swallows everything, so the page must surface
+    via the tolerant/chunk fallback (round-1 ADVICE finding)."""
+    return (f"<html><head><title>{_salad(rng, 4)}</title>"
+            f"<p>{_salad(rng, rng.randint(40, 90))}</p>"
+            f"<p>{_salad(rng, rng.randint(20, 50))}</p>").encode("utf-8")
+
+
+def _pdf_variant_page(rng: random.Random) -> bytes:
+    """PDF seam variants beyond the plain-Tj corpus: TJ arrays with
+    kerning numbers, escaped parens/octal in literals, 'ET' inside a
+    string — the pdfmini edge cases previously pinned only by unit
+    tests."""
+    t1, t2, t3 = (_salad(rng, rng.randint(4, 9)) for _ in range(3))
+    objs = (
+        f"BT /F1 12 Tf 72 700 Td [({t1}) -250 (NET {t2})] TJ ET\n"
+        f"BT (par\\(en\\) \\101 {t3}) Tj ET\n"
+        f"BT [({_salad(rng, 3)})] TJ ET\n"
+    )
+    return (f"%PDF-1.4\n1 0 obj << /Type /Page >> endobj\nstream\n{objs}endstream\n"
+            "trailer << /Root 1 0 R >>\n%%EOF").encode("latin-1")
+
+
 def page_row(i: int, seed: int = 42) -> dict:
     """Generate row i of the pages table. Pure function of (i, seed)."""
     host = HOSTS[0] if i % 10 < 3 else HOSTS[1 + (i % 19)]
@@ -175,6 +235,16 @@ def page_row(i: int, seed: int = 42) -> dict:
         html = _pdf_like_page(rng)
     elif host == HOSTS[0] and i % 149 == 11:
         html = _mega_page(rng, url, lang)
+    elif i % 101 == 13:
+        html = _utf16_page(rng, url, lang, i)
+    elif i % 103 == 17:
+        html = _truncated_script_page(rng, url, lang)
+    elif i % 107 == 19:
+        html = _deep_nav_page(rng, url, lang)
+    elif i % 109 == 23:
+        html = _soup_head_page(rng, url, lang)
+    elif i % 113 == 29:
+        html = _pdf_variant_page(rng)
     else:
         html = _standard_page(rng, url, lang)
 

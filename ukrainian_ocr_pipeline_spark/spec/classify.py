@@ -51,6 +51,11 @@ def classify_blocks(blocks: list[Block]) -> list[Block]:
         if b.fallback_level >= FALLBACK_CHUNK:
             # sentinel verdict assigned at segmentation (0.3 / 0.1)
             continue
+        if b.tag_path == "(pdf)":
+            # PDF text chunks have no link/boiler structure for the HTML
+            # rules to score: they keep the segmenter's verdict (0.9) —
+            # re-scoring by word count wrongly drops short PDFs entirely
+            continue
         prev_w = blocks[i - 1].n_words if i > 0 else 0
         next_w = blocks[i + 1].n_words if i + 1 < n else 0
         if _is_boiler_path(b.tag_path):
