@@ -114,3 +114,63 @@ def test_pdf_routed_pages_total_function(data):
     r = extract_page("u", b"%PDF-" + data)
     assert r.success
     assert isinstance(r.extracted_text, str)
+
+
+# ---------------------------------------------------------------------------
+# round-2 hot-path optimizations must be EXACTLY output-preserving
+
+CYRX = st.text(
+    alphabet=st.sampled_from(list(
+        "абвгдеТарасШевченкоІЇЄЁіїєёмісто селоx y.z,Q9 \t\n-")),
+    max_size=400,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(CYRX)
+def test_region_gated_ner_equals_naive_scan(text):
+    """tag_entities' Cyrillic-region gating vs the naive five-pass scan:
+    identical spans, offsets, and emission order on adversarial mixes of
+    Cyrillic/latin/punctuation (incl. \\b edge cases at region borders)."""
+    from ukrainian_ocr_pipeline_spark.spec import ner as N
+
+    naive = []
+    for pat in N._PERSON_PATTERNS:
+        for m in pat.finditer(text):
+            naive.append((m.group(), "PERSON", m.start(), m.end()))
+    for pat in N._LOCATION_PATTERNS:
+        for m in pat.finditer(text):
+            naive.append((m.group(), "LOCATION", m.start(), m.end()))
+    naive = [t for t in naive if t[0].lower() not in N.FALSE_POSITIVE_WORDS]
+
+    got = [(s.text, s.label, s.start, s.end) for s in N.tag_entities(text)]
+    assert got == naive
+
+
+from hypothesis import example
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("abcШевченкоШевчеико col")),
+               min_size=0, max_size=60))
+@example("Шевченко")      # exact match survives
+@example("Шевчеико")      # fuzzy OCR-confusion match survives
+@example("shevchenko")    # pure-latin word is pruned to the same None
+@example("colab")
+def test_charset_prune_preserves_best_match(word):
+    """The alphabet-disjointness prune must never change _best's answer:
+    compare against a matcher whose charsets are widened so the
+    disjointness test can never fire (isdisjoint(empty) is True, so an
+    EMPTY charset would force the prune, not disable it)."""
+    m = LexiconMatcher(default_lexicon())
+    pruned = m._best_uncached(word)
+    m2 = LexiconMatcher(default_lexicon())
+    m2._norm_chars = m2._norm_chars | frozenset(word) | frozenset("ab")
+    m2._phon_chars = m2._phon_chars | frozenset(word) | frozenset("ab")
+    unpruned = m2._best_uncached(word)
+    assert pruned == unpruned
+    # and the canonical cases really behave as designed
+    if word == "Шевченко":
+        assert pruned == ("Шевченко", 1.0)
+    if word == "shevchenko":
+        assert pruned is None

@@ -133,6 +133,15 @@ class LexiconMatcher:
             smp = SequenceMatcher(None)
             smp.set_seq2(phon)
             self._prepped.append((term, norm, len(norm), smc, phon, len(phon), smp))
+        # alphabet-disjointness prune: SequenceMatcher.ratio() is 0 when
+        # the two strings share no characters, so a word whose chars are
+        # disjoint from EVERY term's chars (both the normalized and the
+        # phonetic alphabets) has sim == 0.0 exactly — for a Cyrillic
+        # lexicon this rejects every latin word in O(len(word)), which
+        # is the dominant case on a web-scale corpus (the 66-term difflib
+        # scan otherwise runs once per distinct latin word)
+        self._norm_chars = frozenset("".join(p[1] for p in self._prepped))
+        self._phon_chars = frozenset("".join(p[4] for p in self._prepped))
 
     def _best(self, word: str) -> tuple[str, float] | None:
         try:
@@ -147,6 +156,14 @@ class LexiconMatcher:
     def _best_uncached(self, word: str) -> tuple[str, float] | None:
         norm_w = normalize_text(word)
         phon_w = _phonetic(word) if self.use_phonetic else ""
+        if (self._norm_chars.isdisjoint(norm_w)
+                and (not self.use_phonetic
+                     or self._phon_chars.isdisjoint(phon_w))):
+            # both ratios are exactly 0 against every term -> sim 0.0,
+            # below any positive threshold (threshold <= 0 never matches
+            # anything above it either way, since 0.0 >= thr still needs
+            # sim > best_sim = 0.0 to select — and 0.0 > 0.0 is False)
+            return None
         lw, lpw = len(norm_w), len(phon_w)
         thr = self.threshold
         best_term, best_sim = None, 0.0
@@ -189,10 +206,18 @@ class LexiconMatcher:
             return []
         words = _WORD_RE.findall(text)
         matches: list[Match] = []
+        # hot loop: cache consulted inline (one dict.get per word instead
+        # of a method call — measured ~10% of whole-pipeline time at the
+        # typical >99% hit rate)
+        cache_get = self._best_cache.get
+        min_length = self.min_length
+        miss = ("miss",)
         for idx, word in enumerate(words):
-            if len(word) < self.min_length:
+            if len(word) < min_length:
                 continue
-            hit = self._best(word)
+            hit = cache_get(word, miss)
+            if hit is miss:
+                hit = self._best(word)
             if hit is None:
                 continue
             term, sim = hit

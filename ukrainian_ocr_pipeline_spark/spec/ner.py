@@ -49,6 +49,19 @@ LOCATION_CONFIDENCE = 0.7
 # common case in a web-scale corpus); semantics unchanged
 _CYR_GATE = re.compile(r"[А-ЯІЇЄЁ]")
 
+# Maximal Cyrillic-anchored regions: every char any pattern can consume
+# is Cyrillic (U+0400-U+04FF) or whitespace, and every match starts and
+# ends on a Cyrillic letter, so all matches lie inside maximal runs of
+# [Ѐ-ӿ\s] trimmed to their Cyrillic endpoints.  Scanning only those
+# regions (one C-level pass) replaces five whole-document regex passes —
+# on mostly-latin web text the patterns then touch a tiny fraction of
+# the input.  Semantics preserved exactly: regions are padded by one
+# context char on each side so \b at region edges evaluates against the
+# true neighbor chars (a latin letter adjacent to a Cyrillic run
+# correctly suppresses the boundary), and padding chars are non-Cyrillic
+# by maximality so no pattern can consume them.
+_CYR_REGION = re.compile(r"[Ѐ-ӿ](?:[Ѐ-ӿ\s]*[Ѐ-ӿ])?")
+
 
 @dataclass(frozen=True)
 class Span:
@@ -61,16 +74,34 @@ class Span:
 
 
 def tag_entities(text: str) -> list[Span]:
-    """Extract entity spans. Deterministic; never raises on str input."""
+    """Extract entity spans. Deterministic; never raises on str input.
+
+    Emission order is the reference's (all person patterns in document
+    order, then all location patterns); the region gating below is a
+    pure scan optimization — identical output, pinned by the golden
+    corpus and test_spec_unit's region-equivalence property."""
     if not text or _CYR_GATE.search(text) is None:
         return []
+    # (substring with ±1 context char, offset of substring start)
+    regions: list[tuple[str, int]] = []
+    n = len(text)
+    for m in _CYR_REGION.finditer(text):
+        if _CYR_GATE.search(text, m.start(), m.end()) is None:
+            continue  # lowercase-only run: no pattern can start here
+        lo = m.start() - 1 if m.start() > 0 else 0
+        hi = m.end() + 1 if m.end() < n else n
+        regions.append((text[lo:hi], lo))
     spans: list[Span] = []
     for pat in _PERSON_PATTERNS:
-        for m in pat.finditer(text):
-            spans.append(Span(m.group(), "PERSON", PERSON_CONFIDENCE, m.start(), m.end()))
+        for seg, base in regions:
+            for m in pat.finditer(seg):
+                spans.append(Span(m.group(), "PERSON", PERSON_CONFIDENCE,
+                                  base + m.start(), base + m.end()))
     for pat in _LOCATION_PATTERNS:
-        for m in pat.finditer(text):
-            spans.append(Span(m.group(), "LOCATION", LOCATION_CONFIDENCE, m.start(), m.end()))
+        for seg, base in regions:
+            for m in pat.finditer(seg):
+                spans.append(Span(m.group(), "LOCATION", LOCATION_CONFIDENCE,
+                                  base + m.start(), base + m.end()))
     # stoplist filter — parity with core/ner.py:403-408
     return [s for s in spans if s.text.lower() not in FALSE_POSITIVE_WORDS]
 
@@ -124,12 +155,21 @@ def attach_block_ids(spans: list[Span], kept_offsets: list[tuple[int, int, int]]
     (core/ner.py:515-520): offsets are carried through the pipeline, so
     this is a deterministic interval lookup, not a fuzzy join.
     """
+    if not spans:
+        return []
+    # kept_offsets are ascending, non-overlapping intervals of the
+    # rendered stream (cumulative offsets), so the first-match linear
+    # scan is equivalent to a bisect on the interval starts — O(log b)
+    # per span instead of O(b), which matters for block-heavy pages
+    from bisect import bisect_right
+    starts = [start for _, start, _ in kept_offsets]
     out: list[Span] = []
     for s in spans:
         bid = -1
-        for block_id, start, end in kept_offsets:
-            if start <= s.start < end + 1:  # +1 admits the '\n' boundary
+        i = bisect_right(starts, s.start) - 1
+        if i >= 0:
+            block_id, start, end = kept_offsets[i]
+            if s.start < end + 1:  # +1 admits the '\n' boundary
                 bid = block_id
-                break
         out.append(Span(s.text, s.label, s.confidence, s.start, s.end, bid))
     return out
