@@ -94,6 +94,7 @@ def main(argv=None) -> int:
                              with_regions=cfg.extraction.with_regions,
                              mode=cfg.extraction.mode,
                              match_threshold=cfg.matching.threshold,
+                             match_min_length=cfg.matching.min_length,
                              ner_backend=cfg.ner.backend if cfg.ner.enabled else "none",
                              ).drop("html", "text")
 

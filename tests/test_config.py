@@ -140,3 +140,39 @@ class TestNERBackendSeam:
         out = (extract_pages(pages, mode="packed", ner_backend="none")
                .selectExpr("size(spans) AS n").toPandas())
         assert (out.n == 0).all()
+
+
+class TestReviewFixesRound2:
+    def test_invalid_mode_rejected_at_load(self):
+        with pytest.raises(ValueError, match="extraction.mode"):
+            JobConfig.from_dict({"extraction": {"mode": "pakced"}})
+
+    def test_empty_yaml_section_means_defaults(self, tmp_path):
+        path = tmp_path / "job.yaml"
+        path.write_text("matching:\n# all keys commented out\nner:\n",
+                        encoding="utf-8")
+        cfg = JobConfig.from_file(path)
+        assert cfg.matching.threshold == 0.8 and cfg.ner.backend == "rule"
+
+    def test_min_length_reaches_the_matcher(self, spark):
+        """min_length must actually change matching behavior end to end
+        (it was a dead knob: accepted by config, never threaded)."""
+        from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+        from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+        html = ("<html><body><p>" + "padding words here " * 30
+                + " Жук був тут</p></body></html>").encode()
+        pages = spark.createDataFrame(
+            [("u1", None, bytearray(html), None, "uk")], PAGES_SCHEMA)
+        n3 = (extract_pages(pages, mode="packed", match_min_length=3)
+              .selectExpr("size(matches) AS n").collect()[0].n)
+        n4 = (extract_pages(pages, mode="packed", match_min_length=4)
+              .selectExpr("size(matches) AS n").collect()[0].n)
+        assert n3 >= 1   # "Жук" (3 chars) matches the lexicon term
+        assert n4 == 0   # excluded once min_length=4
+
+    def test_oracle_frame_guard_checks_all_rows(self):
+        import pytest as _pytest
+        from ukrainian_ocr_pipeline_spark.oracle import _frame
+        good = {"url": "u", "extracted_text": "x", "n_spans": 0}
+        with _pytest.raises(ValueError, match="row keys"):
+            _frame("extracted", [good, dict(good, stray=1)])  # row 1 drifts

@@ -44,12 +44,23 @@ class NERConfig:
     backend: str = "rule"
 
 
+VALID_MODES = ("staged", "packed", "arrow")
+
+
 @dataclass
 class ExtractionConfig:
     """Pipeline shape knobs (operators/extract.py)."""
     mode: str = "packed"           # staged | packed | arrow
     with_regions: bool = True
     salt_buckets: int | None = None
+
+    def __post_init__(self):
+        # a typo'd mode must fail at load time — extract_pages would
+        # otherwise silently fall through to the staged path
+        if self.mode not in VALID_MODES:
+            raise ValueError(
+                f"extraction.mode must be one of {VALID_MODES}, "
+                f"got {self.mode!r}")
 
 
 @dataclass
@@ -72,7 +83,7 @@ class JobConfig:
         d = dict(d or {})
         kwargs = {}
         for name, sub_cls in cls._SECTIONS.items():
-            sub = d.pop(name, {})
+            sub = d.pop(name, {}) or {}  # empty YAML section parses as None = defaults
             _check_keys(sub_cls, sub, section=name)
             kwargs[name] = sub_cls(**sub)
         _check_keys(cls, d, section=None,

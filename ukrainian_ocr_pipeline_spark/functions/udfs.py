@@ -117,7 +117,8 @@ def ner_udf(text: pd.Series, kept: pd.Series) -> pd.Series:
     return pd.Series(results)
 
 
-def make_match_udf(terms: list[str], threshold: float = 0.8):
+def make_match_udf(terms: list[str], threshold: float = 0.8,
+                   min_length: int = 3):
     """Fuzzy lexicon match UDF factory.
 
     The lexicon travels in the UDF closure (small — the Spark analog of a
@@ -130,7 +131,7 @@ def make_match_udf(terms: list[str], threshold: float = 0.8):
 
     @F.pandas_udf(T.ArrayType(MATCH_SCHEMA))
     def match_udf(text: pd.Series) -> pd.Series:
-        matcher = _get_matcher(terms_t, threshold)
+        matcher = _get_matcher(terms_t, threshold, min_length=min_length)
         results = []
         for doc in text:
             try:
@@ -148,7 +149,7 @@ def make_match_udf(terms: list[str], threshold: float = 0.8):
 
 def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
                     with_matches: bool = True, with_regions: bool = True,
-                    ner_backend=None):
+                    ner_backend=None, min_length: int = 3):
     """Fused stage 4+5+5.5: NER + fuzzy match + dense regions in ONE
     Arrow pass over the rendered text.
 
@@ -171,7 +172,8 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
 
     @F.pandas_udf(enrich_schema)
     def enrich_udf(text: pd.Series, kept: pd.Series) -> pd.DataFrame:
-        matcher = _get_matcher(terms_t, threshold) if (with_matches and terms_t) else None
+        matcher = (_get_matcher(terms_t, threshold, min_length=min_length)
+                   if (with_matches and terms_t) else None)
         col_spans, col_matches, col_regions = [], [], []
         for doc, offsets in zip(text, kept):
             try:
@@ -235,7 +237,7 @@ def make_packed_extract_udf(terms: list[str] | None,
                             threshold: float = 0.8,
                             with_matches: bool = True,
                             with_regions: bool = True,
-                            ner_backend=None):
+                            ner_backend=None, min_length: int = 3):
     """Whole-pipeline fusion: ONE Arrow pass html -> everything.
 
     Calls spec.extract_page per row — the exact function the oracle runs —
@@ -254,7 +256,8 @@ def make_packed_extract_udf(terms: list[str] | None,
     @F.pandas_udf(packed_schema)
     def packed_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         import time
-        matcher = _get_matcher(terms_t, threshold) if (with_matches and terms_t) else None
+        matcher = (_get_matcher(terms_t, threshold, min_length=min_length)
+                   if (with_matches and terms_t) else None)
         cols: dict[str, list] = {f.name: [] for f in packed_schema.fields}
         for u, raw in zip(url, html):
             t0 = time.perf_counter()
@@ -302,7 +305,7 @@ def make_packed_extract_arrow(terms: list[str] | None,
                               threshold: float = 0.8,
                               with_matches: bool = True,
                               with_regions: bool = True,
-                              ner_backend=None):
+                              ner_backend=None, min_length: int = 3):
     """mapInArrow twin of make_packed_extract_udf: same spec calls, same
     output values, but the nested span/match/region columns are built as
     flat Arrow child arrays + offsets (StructArray/ListArray.from_arrays)
@@ -321,7 +324,8 @@ def make_packed_extract_arrow(terms: list[str] | None,
     def fn(batches):
         import time
         from ..spec import extract_page
-        matcher = _get_matcher(terms_t, threshold) if (with_matches and terms_t) else None
+        matcher = (_get_matcher(terms_t, threshold, min_length=min_length)
+                   if (with_matches and terms_t) else None)
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()

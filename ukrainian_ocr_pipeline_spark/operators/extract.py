@@ -48,6 +48,7 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
                   with_regions: bool = True,
                   mode: str = "staged",
                   match_threshold: float = 0.8,
+                  match_min_length: int = 3,
                   ner_backend=None) -> DataFrame:
     """pages(url, warc_ts, html, ...) -> enriched extraction DataFrame.
 
@@ -84,14 +85,16 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         fn = make_packed_extract_arrow(lex, threshold=match_threshold,
                                        with_matches=with_matches,
                                        with_regions=with_regions,
-                                       ner_backend=ner_backend)
+                                       ner_backend=ner_backend,
+                                       min_length=match_min_length)
         return df.select("url", "warc_ts", "html").mapInArrow(fn, PACKED_ARROW_SCHEMA)
 
     if mode == "packed":
         packed = make_packed_extract_udf(lex, threshold=match_threshold,
                                          with_matches=with_matches,
                                          with_regions=with_regions,
-                                         ner_backend=ner_backend)
+                                         ner_backend=ner_backend,
+                                         min_length=match_min_length)
         df = df.withColumn("p", packed(F.col("url"), F.col("html")))
         for c in ["extracted_text", "spans", "matches", "regions", *_METRIC_COLS]:
             df = df.withColumn(c, F.col(f"p.{c}"))
@@ -100,7 +103,8 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
     enrich = make_enrich_udf(lex, threshold=match_threshold,
                              with_matches=with_matches,
                              with_regions=with_regions,
-                             ner_backend=ner_backend)
+                             ner_backend=ner_backend,
+                             min_length=match_min_length)
     df = (
         df
         .withColumn("seg", segment_pages_udf(F.col("html")))

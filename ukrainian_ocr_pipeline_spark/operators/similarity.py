@@ -12,9 +12,32 @@ formulation, which is what lets the correctness gate compare ranks.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+
+
+def _plane_component(p: int, i: int) -> float:
+    """Component i of pseudo-hyperplane p in [-0.5, 0.5): the CPython
+    twin of the SQL derivation `conv(substring(md5(concat(p,':',i)), 1,
+    8), 16, 10) / 2^32 - 0.5` — verified bit-exact against Spark for all
+    (p, i) used here.  Shared by every signature builder so the
+    hyperplane/banded formula-compatibility is one definition, not two
+    copies of a template string."""
+    return int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+
+
+def _plane_array_sql(p: int, dim: int) -> str:
+    """Plane p as a constant array literal, folded on the DRIVER: the
+    components depend only on (p, i), so computing them per row (dim x
+    planes md5+conv calls each, twice across a self-join) is pure waste.
+    repr() round-trips doubles exactly through Spark's literal parser,
+    and the DuckDB oracle twins still derive the same values from md5
+    independently — the correctness gate cross-checks the fold."""
+    vals = ", ".join(f"{_plane_component(p, i)!r}d" for i in range(dim))
+    return f"array({vals})"
 
 
 def _dot(a: str, b: str):
@@ -62,12 +85,9 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 8,
     The signature is the scale path: near neighbors collide in buckets,
     and candidate generation becomes a uniform equi-join.
     """
-    # component(p, i) in [-0.5, 0.5): (md5_32(p:i) / 2^32) - 0.5
-    comp = ("transform(sequence(0, {d}), i -> "
-            "cast(conv(substring(md5(cast(concat('{p}', ':', i) as binary)), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5d)")
     sig = None
     for p in range(n_planes):
-        plane = comp.format(d=dim - 1, p=p)
+        plane = _plane_array_sql(p, dim)
         bit = F.when(F.expr(_DOT.format(a=vec_col, b=plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = bit if sig is None else sig * 2 + bit
     return emb.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_bucket"))
@@ -111,14 +131,12 @@ def banded_signatures(emb: DataFrame, n_bands: int = 8, band_planes: int = 4,
     single-signature recall cliff of cosine_near_dup_pairs: miss
     probability decays as (1 - p^band_planes)^n_bands instead of
     1 - p^n_planes."""
-    comp = ("transform(sequence(0, {d}), i -> "
-            "cast(conv(substring(md5(cast(concat('{p}', ':', i) as binary)), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5d)")
     band_cols = []
     for b in range(n_bands):
         sig = None
         for j in range(band_planes):
             gp = b * band_planes + j
-            plane = comp.format(d=dim - 1, p=gp)
+            plane = _plane_array_sql(gp, dim)
             bit = F.when(F.expr(_DOT.format(a=vec_col, b=plane)) >= 0,
                          F.lit(1)).otherwise(F.lit(0))
             sig = bit if sig is None else sig * 2 + bit

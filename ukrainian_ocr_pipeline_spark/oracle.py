@@ -95,8 +95,11 @@ def _frame(name: str, rows: list[dict]) -> pd.DataFrame:
     and NaN-fills missing ones — assert the row shape matches the
     declared columns so a new spec field fails loudly, not vanishes."""
     cols = ORACLE_COLUMNS[name]
-    if rows and set(rows[0]) != set(cols):
-        raise ValueError(
-            f"oracle table {name!r}: row keys {sorted(rows[0])} != "
-            f"declared columns {sorted(cols)}")
+    expected = set(cols)
+    for r in rows:  # ALL rows: a key drifting only on some rows (e.g.
+        # error-only fields) must fail just as loudly as on row 0
+        if set(r) != expected:
+            raise ValueError(
+                f"oracle table {name!r}: row keys {sorted(r)} != "
+                f"declared columns {sorted(cols)}")
     return pd.DataFrame(rows, columns=cols)
