@@ -38,6 +38,41 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, RE2-safe subset (no lookahead, no \b —
+# identical semantics in Java regex and DuckDB's RE2): contractions,
+# optional-space + letter run, optional-space + digit run,
+# optional-space + symbol run.  Pure-whitespace stretches between
+# matches are simply not emitted (the lookahead trick GPT-2 uses to
+# attach trailing spaces is RE2-incompatible and irrelevant for counts).
+BPE_PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+)
+
+
+def subword_token_counts(docs: DataFrame, text_col: str = "text",
+                         piece_chars: int = 4) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pre-tokenization (regex
+    above), then each pre-token contributes ceil(len_sans_space /
+    piece_chars) wordpieces — the standard fast estimator when the real
+    merges table isn't available.  All codegen: regexp_extract_all +
+    aggregate over the token array, no Python.  (Column-based API, not
+    F.expr: the pattern's backslashes must not pass through the SQL
+    string-literal escaper.)"""
+    toks = F.regexp_extract_all(F.col(text_col),
+                                F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    pieces = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / piece_chars).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_pretokens"),
+        pieces.alias("n_pieces"),
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / uppercase ratios — the standard
     web-text quality features (C4/Gopher-style), integer-derived so the

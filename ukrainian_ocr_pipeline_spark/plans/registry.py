@@ -407,6 +407,28 @@ FROM documents
 """
 
 
+def q_doc_subword_tokens(spark, sf_dir):
+    """BPE-ish token counting (GPT-2-style RE2-safe pre-tokenizer +
+    ceil(len/4) wordpieces per pre-token) — the `whitespace + BPE-ish
+    regex` pair the training-data surface calls for; doc_token_counts
+    is the whitespace half."""
+    return textstats.subword_token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_SUBWORD_TOKENS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0) AS ts
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_pretokens,
+       CAST(coalesce(list_sum(list_transform(ts,
+            t -> CAST(ceil(length(trim(t)) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_pieces
+FROM toks
+"""
+
+
 def q_doc_quality_scores(spark, sf_dir):
     return textstats.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -1188,6 +1210,7 @@ QUERIES = {
     "session_window_rollup": q_session_window_rollup,
     "hourly_event_rollup": q_hourly_event_rollup,
     "doc_token_counts": q_doc_token_counts,
+    "doc_subword_tokens": q_doc_subword_tokens,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1234,6 +1257,7 @@ ORACLE_SQL = {
     "session_window_rollup": SQL_SESSION_WINDOW,
     "hourly_event_rollup": SQL_HOURLY,
     "doc_token_counts": SQL_TOKENS,
+    "doc_subword_tokens": SQL_SUBWORD_TOKENS,
     "doc_quality_scores": SQL_QUALITY,
     "doc_language_id": SQL_LANG_ID,
     "doc_fingerprints": SQL_FINGERPRINTS,
