@@ -1,0 +1,98 @@
+"""spark-submit entry point for INCREMENTAL extraction (streaming twin
+of jobs/extract.py).
+
+    spark-submit --py-files engine.zip jobs/stream.py \
+        --pages /path/to/pages/dir --out /path/to/out \
+        --checkpoint /path/to/ckpt [--dedup-watermark "1 hour"] \
+        [--config job.yaml]
+
+Each invocation runs ONE Trigger.AvailableNow increment: every page
+file not yet recorded in the checkpoint is extracted exactly once
+(crash-safe via checkpointed source offsets + idempotent per-batch
+sink), optionally de-duplicated in-stream by text digest within a
+watermark horizon.  Re-run on a schedule, this is the resumable
+ingest loop the north rule's checkpoint-resume criterion describes,
+on Structured Streaming's native offset tracking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="incremental web-text extraction")
+    p.add_argument("--config", default=None, help="YAML/JSON job config")
+    p.add_argument("--pages", default=None, help="pages parquet DIRECTORY (watched)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    p.add_argument("--dedup-watermark", default=None,
+                   help='enable in-stream exact dedup, e.g. "1 hour"')
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ukrainian_ocr_pipeline_spark.config import JobConfig
+    from ukrainian_ocr_pipeline_spark.sources.session import get_spark
+
+    cfg = JobConfig.from_file(args.config) if args.config else JobConfig()
+    if args.pages is not None:
+        cfg.pages = args.pages
+    if args.master is not None:
+        cfg.master = args.master
+    if cfg.pages is None:
+        p.error("--pages is required (flag or config file)")
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(app="extract-stream", master=cfg.master)
+
+    import os
+
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.operators.extract import (
+        extract_pages, extracted_table,
+    )
+    from ukrainian_ocr_pipeline_spark.streaming.dedup import dedup_stream
+
+    stream = (spark.readStream
+              .schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(cfg.pages))
+    if args.dedup_watermark:
+        stream = dedup_stream(stream, watermark=args.dedup_watermark)
+    enriched = extract_pages(
+        stream,
+        lexicon=cfg.matching.load_lexicon(),
+        with_matches=cfg.matching.enabled,
+        with_regions=cfg.extraction.with_regions,
+        match_threshold=cfg.matching.threshold,
+        match_min_length=cfg.matching.min_length,
+        ner_backend=cfg.ner.backend if cfg.ner.enabled else "none")
+    out_df = extracted_table(enriched)
+
+    n_rows = {"n": 0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        # idempotent by batch_id (same contract as streaming/incremental)
+        n_rows["batches"] += 1
+        n_rows["n"] += batch_df.count()
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(args.out, f"batch_id={batch_id}"))
+
+    q = (out_df.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", args.checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    print(json.dumps({"batches": n_rows["batches"], "rows": n_rows["n"]}))
+    if existing is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,3 +41,47 @@ def test_job_main_end_to_end(spark, t2_rows, tmp_path):
 
     lineage = cat.read_snapshot(spark, "lineage", "r1").toPandas()
     assert lineage.n_rows.sum() == 80 and lineage.n_err.sum() == 0
+
+
+def test_stream_job_incremental_end_to_end(spark, t2_rows, tmp_path):
+    """jobs/stream.py: AvailableNow increments are exactly-once and
+    byte-identical to the golden corpus; second run is a no-op."""
+    import stream as job
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows)
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                            preserve_index=False),
+                       str(pages_dir / name))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write(t2_rows[:40], "f0.parquet")
+    rc = job.main(["--pages", str(pages_dir), "--out", out,
+                   "--checkpoint", ckpt])
+    assert rc == 0
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 40 and got.url.is_unique
+
+    # no new files: no re-processing
+    job.main(["--pages", str(pages_dir), "--out", out, "--checkpoint", ckpt])
+    assert spark.read.parquet(out).count() == 40
+
+    # incremental file: only the new rows, byte-identical to golden
+    write(t2_rows[40:60], "f1.parquet")
+    job.main(["--pages", str(pages_dir), "--out", out, "--checkpoint", ckpt])
+    got = spark.read.parquet(out).orderBy("url").toPandas()
+    assert len(got) == 60 and got.url.is_unique
+    golden = pd.read_parquet(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden", "extracted.parquet"))
+    golden = golden[golden.url.isin(got.url)].sort_values("url").reset_index(drop=True)
+    assert (got.extracted_text.values == golden.extracted_text.values).all()

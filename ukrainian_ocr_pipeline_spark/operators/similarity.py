@@ -160,7 +160,12 @@ def cosine_near_dup_banded(emb: DataFrame, threshold: float = 0.95,
     fixture where the single-signature variant provably drops pairs.
     At larger N, raise band_planes (selectivity per band) and n_bands
     (recall) together; candidate generation stays an equi-join on
-    (band, bucket), never all-pairs."""
+    (band, bucket), never all-pairs.  Note the signature subtree
+    evaluates once per side of the self-join (no Python, folded plane
+    constants, but 2x the dot products): a production pipeline
+    materializes signatures once as a corpus column and self-joins the
+    materialized table — the one-shot query form trades that for
+    statelessness."""
     sigs = banded_signatures(emb, n_bands, band_planes, id_col, vec_col, dim)
     a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
     b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")
