@@ -9,10 +9,16 @@ of jobs/extract.py).
 Each invocation runs ONE Trigger.AvailableNow increment: every page
 file not yet recorded in the checkpoint is extracted exactly once
 (crash-safe via checkpointed source offsets + idempotent per-batch
-sink), optionally de-duplicated in-stream by text digest within a
-watermark horizon.  Re-run on a schedule, this is the resumable
-ingest loop the north rule's checkpoint-resume criterion describes,
-on Structured Streaming's native offset tracking.
+sink).  Re-run on a schedule, this is the resumable ingest loop the
+north rule's checkpoint-resume criterion describes, on Structured
+Streaming's native offset tracking.
+
+--dedup-watermark enables in-stream exact dedup keyed on the html
+digest — NOTE it weakens the exactly-once-per-page contract for LATE
+data: the horizon is also a late-arrival cutoff, so a page whose
+warc_ts lags the stream maximum by more than the horizon is dropped
+even if unique (see streaming/dedup.py).  Use only for near-monotonic
+live crawls; dedup backfills in batch.
 """
 
 from __future__ import annotations
@@ -66,8 +72,10 @@ def main(argv=None) -> int:
     enriched = extract_pages(
         stream,
         lexicon=cfg.matching.load_lexicon(),
+        salt_buckets=cfg.extraction.salt_buckets,
         with_matches=cfg.matching.enabled,
         with_regions=cfg.extraction.with_regions,
+        mode=cfg.extraction.mode,
         match_threshold=cfg.matching.threshold,
         match_min_length=cfg.matching.min_length,
         ner_backend=cfg.ner.backend if cfg.ner.enabled else "none")
@@ -76,11 +84,14 @@ def main(argv=None) -> int:
     n_rows = {"n": 0, "batches": 0}
 
     def sink(batch_df, batch_id):
-        # idempotent by batch_id (same contract as streaming/incremental)
+        # idempotent by batch_id (same contract as streaming/incremental).
+        # Count from the WRITTEN parquet (footer metadata), not
+        # batch_df.count() — counting the unpersisted batch would run the
+        # whole extraction UDF chain a second time
         n_rows["batches"] += 1
-        n_rows["n"] += batch_df.count()
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(args.out, f"batch_id={batch_id}"))
+        path = os.path.join(args.out, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)
+        n_rows["n"] += spark.read.parquet(path).count()
 
     q = (out_df.writeStream
          .foreachBatch(sink)

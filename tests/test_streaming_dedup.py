@@ -24,7 +24,9 @@ def _write_pages(rows, path):
 
 
 def _row(url, minutes, text):
-    return (url, T0 + datetime.timedelta(minutes=minutes), b"<p>x</p>", text, "en")
+    # html is the dedup identity (the text column is untrusted/raw)
+    html = f"<p>{text}</p>".encode()
+    return (url, T0 + datetime.timedelta(minutes=minutes), html, text, "en")
 
 
 def _run(spark, pages_dir, out_dir, ckpt):
@@ -82,3 +84,28 @@ def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     assert "u7-latecrawl" in set(got.url)
     assert len(got) == 5
+
+
+def test_null_text_pages_are_not_false_duplicates(spark, tmp_path):
+    """Review regression: distinct pages with NULL text (the common
+    crawl case — html is the payload) must all survive; only true
+    same-html duplicates drop.  NULL-html pages fall back to a
+    url-keyed digest and never collide."""
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        ("n1", T0, b"<p>one</p>", None, "en"),
+        ("n2", T0 + datetime.timedelta(minutes=1), b"<p>two</p>", None, "en"),
+        ("n3", T0 + datetime.timedelta(minutes=2), b"<p>three</p>", None, "en"),
+        # a true duplicate of n1's html, text also null -> must drop
+        ("n4-dup", T0 + datetime.timedelta(minutes=3), b"<p>one</p>", None, "en"),
+        # two null-HTML pages: url-keyed fallback, both survive
+        ("h1", T0 + datetime.timedelta(minutes=4), None, None, "en"),
+        ("h2", T0 + datetime.timedelta(minutes=5), None, None, "en"),
+    ]
+    _write_pages(rows, str(pages_dir / "f0.parquet"))
+    _run(spark, pages_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert set(got.url) == {"n1", "n2", "n3", "h1", "h2"}

@@ -70,6 +70,9 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
     each extra chained pandas-UDF column is another worker process per
     task and another Arrow round-trip of the document payload.
     """
+    if mode not in ("staged", "packed", "arrow"):
+        raise ValueError(f"unknown extract mode {mode!r}; "
+                         "expected staged | packed | arrow")
     df = pages
     if salt_buckets:
         # megapage-host skew: url-hash repartition spreads any single hot

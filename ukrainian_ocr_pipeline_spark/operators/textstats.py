@@ -61,8 +61,13 @@ def subword_token_counts(docs: DataFrame, text_col: str = "text",
     aggregate over the token array, no Python.  (Column-based API, not
     F.expr: the pattern's backslashes must not pass through the SQL
     string-literal escaper.)"""
-    toks = F.regexp_extract_all(F.col(text_col),
-                                F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    # NULL text -> empty token array (counts 0/0), matching the DuckDB
+    # twin's coalesce — without this Spark yields NULL and the parity
+    # gate would break on the first NULL-text document
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
+        F.array().cast("array<string>"))
     pieces = F.aggregate(
         toks, F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / piece_chars).cast("long"))

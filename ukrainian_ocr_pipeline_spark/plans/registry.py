@@ -418,8 +418,9 @@ def q_doc_subword_tokens(spark, sf_dir):
 SQL_SUBWORD_TOKENS = r"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0) AS ts
+         coalesce(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0),
+           []) AS ts
   FROM documents)
 SELECT doc_id,
        CAST(len(ts) AS BIGINT) AS n_pretokens,
@@ -990,9 +991,15 @@ _FIXTURE_ENRICHED: dict[tuple[str, int], DataFrame] = {}
 
 
 def _fixture_enriched(spark, n_pages: int) -> DataFrame:
-    key = (spark.sparkContext.applicationId, n_pages)
+    app = spark.sparkContext.applicationId
+    key = (app, n_pages)
     df = _FIXTURE_ENRICHED.get(key)
     if df is None:
+        # evict entries from other (stopped) sessions — their cached
+        # DataFrames are dead JVM references that would otherwise
+        # accumulate in a long-lived process cycling Spark sessions
+        for k in [k for k in _FIXTURE_ENRICHED if k[0] != app]:
+            del _FIXTURE_ENRICHED[k]
         from ..operators.extract import extract_pages
         from ..sources.pages import pages_from_fixtures
         df = extract_pages(pages_from_fixtures(spark, n_pages),
