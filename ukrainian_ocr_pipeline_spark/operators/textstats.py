@@ -102,6 +102,46 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   min_words: int = 5, max_words: int = 100000,
+                   min_mean_word_len: float = 2.0,
+                   max_mean_word_len: float = 12.0,
+                   max_symbol_ratio: float = 0.3,
+                   min_stopwords: int = 1) -> DataFrame:
+    """Gopher/C4-style document quality gate: (doc_id, keep,
+    drop_reason), first-failing-rule-wins so the reason is
+    deterministic.  The standard pre-training corpus filter shape —
+    pure codegen predicates over the scan, so at 100 TB this runs at
+    scan speed and composes with partition pruning.
+
+    Rules (each a Gopher-paper analog, thresholds parameterized):
+    word-count bounds, mean-word-length bounds, symbol ratio, minimum
+    stopword evidence."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_chars = F.length(t)
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+    mean_wl = n_chars / F.greatest(n_words, F.lit(1))
+    # symbols = chars that are neither alphanumeric nor whitespace
+    n_sym = n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9 \\t\\n]", ""))
+    n_stop = F.size(F.expr(
+        f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)"))
+    reason = (
+        F.when(n_words < min_words, F.lit("too_short"))
+        .when(n_words > max_words, F.lit("too_long"))
+        .when(mean_wl < min_mean_word_len, F.lit("short_words"))
+        .when(mean_wl > max_mean_word_len, F.lit("long_words"))
+        .when(n_sym / F.greatest(n_chars, F.lit(1)) > max_symbol_ratio,
+              F.lit("symbol_ratio"))
+        .when(n_stop < min_stopwords, F.lit("few_stopwords"))
+        .otherwise(F.lit(None).cast("string")))
+    return docs.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"))
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-class language/script heuristic (n-gram-free but
     deterministic): counts per script, majority wins."""

@@ -407,6 +407,34 @@ FROM documents
 """
 
 
+def q_doc_quality_filter(spark, sf_dir):
+    """Gopher/C4-style keep/drop gate with first-failing-rule reason."""
+    return textstats.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_FILTER = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS n_sym,
+         length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_words < 5 THEN 'too_short'
+              WHEN n_words > 100000 THEN 'too_long'
+              WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0 THEN 'short_words'
+              WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0 THEN 'long_words'
+              WHEN CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3 THEN 'symbol_ratio'
+              WHEN n_stop < 1 THEN 'few_stopwords'
+              ELSE NULL END AS drop_reason
+  FROM f)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
+"""
+
+
 def q_doc_subword_tokens(spark, sf_dir):
     """BPE-ish token counting (GPT-2-style RE2-safe pre-tokenizer +
     ceil(len/4) wordpieces per pre-token) — the `whitespace + BPE-ish
@@ -1218,6 +1246,7 @@ QUERIES = {
     "hourly_event_rollup": q_hourly_event_rollup,
     "doc_token_counts": q_doc_token_counts,
     "doc_subword_tokens": q_doc_subword_tokens,
+    "doc_quality_filter": q_doc_quality_filter,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1265,6 +1294,7 @@ ORACLE_SQL = {
     "hourly_event_rollup": SQL_HOURLY,
     "doc_token_counts": SQL_TOKENS,
     "doc_subword_tokens": SQL_SUBWORD_TOKENS,
+    "doc_quality_filter": SQL_QUALITY_FILTER,
     "doc_quality_scores": SQL_QUALITY,
     "doc_language_id": SQL_LANG_ID,
     "doc_fingerprints": SQL_FINGERPRINTS,
