@@ -43,7 +43,7 @@ HEADLINE = [
     "session_window_rollup", "hourly_event_rollup",
     "event_context_window", "doc_zscore_by_lang",
     "doc_quality_scores", "doc_language_id", "doc_fingerprints",
-    "doc_subword_tokens", "doc_quality_filter",
+    "doc_subword_tokens", "doc_quality_filter", "corpus_curation",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
     "dedup_lsh_candidates", "dedup_embedding_cosine",
     "dedup_embedding_cosine_banded", "dedup_near_dup_verified",

@@ -146,3 +146,14 @@ def test_headline_bench_excludes_quadratic_shapes():
     # and the scale-safe near-dup entry points ARE headline
     assert "dedup_near_dup_verified" in bench.HEADLINE
     assert "dedup_embedding_cosine_banded" in bench.HEADLINE
+
+
+def test_textstats_gates_are_scan_speed(spark):
+    """quality_filter and subword_token_counts claim scan-speed: their
+    plans must be a single map stage — no Exchange, no Python."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_doc_quality_filter, q_doc_subword_tokens)
+    for q in (q_doc_quality_filter, q_doc_subword_tokens):
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan

@@ -435,6 +435,54 @@ SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The composed curation pipeline in ONE plan — the shape a
+    pre-training data job actually runs: quality gate -> exact dedup
+    (keep lowest doc_id per digest) -> per-language survivor rollup.
+    Composes quality_filter + the exact-dedup key + an aggregation
+    without materializing intermediates; Catalyst fuses the gates into
+    the scan and the only shuffles are the dedup groupBy and the final
+    rollup."""
+    d = _t(spark, sf_dir, "documents")
+    keep = textstats.quality_filter(d).where(F.col("keep")).select("doc_id")
+    canon = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    winners = (d.join(keep, "doc_id")
+               .withColumn("digest", F.md5(canon.cast("binary")))
+               .groupBy("digest")
+               .agg(F.min("doc_id").alias("doc_id")))
+    return (d.join(winners, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).cast("bigint").alias("n_chars")))
+
+
+SQL_CURATION = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS n_sym,
+         length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
+  FROM documents),
+kept AS (
+  SELECT doc_id FROM f
+  WHERE NOT (n_words < 5 OR n_words > 100000
+         OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0
+         OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0
+         OR CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3
+         OR n_stop < 1)),
+winners AS (
+  SELECT MIN(d.doc_id) AS doc_id
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+  GROUP BY md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))))
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(d.text)) AS BIGINT) AS n_chars
+FROM documents d JOIN winners w ON d.doc_id = w.doc_id
+GROUP BY d.lang
+"""
+
+
 def q_doc_subword_tokens(spark, sf_dir):
     """BPE-ish token counting (GPT-2-style RE2-safe pre-tokenizer +
     ceil(len/4) wordpieces per pre-token) — the `whitespace + BPE-ish
@@ -1247,6 +1295,7 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_subword_tokens": q_doc_subword_tokens,
     "doc_quality_filter": q_doc_quality_filter,
+    "corpus_curation": q_corpus_curation,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1295,6 +1344,7 @@ ORACLE_SQL = {
     "doc_token_counts": SQL_TOKENS,
     "doc_subword_tokens": SQL_SUBWORD_TOKENS,
     "doc_quality_filter": SQL_QUALITY_FILTER,
+    "corpus_curation": SQL_CURATION,
     "doc_quality_scores": SQL_QUALITY,
     "doc_language_id": SQL_LANG_ID,
     "doc_fingerprints": SQL_FINGERPRINTS,
