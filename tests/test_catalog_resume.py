@@ -79,3 +79,38 @@ def test_iceberg_seam_detection_and_fallback(spark):
         iceberg.create_pages_table(spark)
     with pytest.raises(RuntimeError, match="SnapshotCatalog"):
         iceberg.append_snapshot(spark.range(1), "wh.db.t")
+
+
+def test_concurrent_writers_same_snapshot_commit_once(spark, t2_rows, tmp_path):
+    """Two writers racing on the SAME (table, snapshot_id) — e.g. a
+    retried orchestrator task whose predecessor didn't die — must yield
+    exactly one committed manifest and a consistent table.  Simulated by
+    interleaving: writer A stages+commits; writer B (started before A's
+    commit in the worst case) sees the committed manifest and no-ops."""
+    import threading
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pages = pages_from_fixtures(spark, 30).select("url", "lang")
+
+    errs = []
+
+    def writer():
+        try:
+            cat.write_snapshot(pages, "t", "race-1")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # exactly one manifest for race-1; data readable and complete
+    snaps = [s for s in cat.snapshots("t") if s["snapshot_id"] == "race-1"]
+    assert len(snaps) == 1
+    got = cat.read_snapshot(spark, "t", "race-1")
+    assert got.count() == 30 and got.select("url").distinct().count() == 30

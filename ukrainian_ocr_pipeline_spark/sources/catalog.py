@@ -32,6 +32,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class CommitConflict(Exception):
+    """Another writer committed this snapshot_id first (lost the race)."""
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -60,7 +64,9 @@ class SnapshotCatalog:
             if f.endswith(".json"):
                 with open(os.path.join(d, f), encoding="utf-8") as fh:
                     out.append(json.load(fh))
-        return sorted(out, key=lambda m: m["sequence"])
+        # snapshot_id tiebreak: concurrent commits of DIFFERENT ids can
+        # observe the same length and claim equal sequence numbers
+        return sorted(out, key=lambda m: (m["sequence"], m["snapshot_id"]))
 
     def latest_snapshot(self, table: str) -> dict | None:
         snaps = self.snapshots(table)
@@ -76,7 +82,15 @@ class SnapshotCatalog:
             fh.flush()
             os.fsync(fh.fileno())
         final = os.path.join(snap_dir, f"{manifest['snapshot_id']}.json")
-        os.rename(tmp, final)  # atomic commit point
+        # EXCLUSIVE commit point: link() fails if the manifest already
+        # exists (rename() would silently replace a concurrent winner's
+        # manifest) — the one writer whose link succeeds owns the snapshot
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(manifest["snapshot_id"]) from None
+        os.unlink(tmp)
         return manifest
 
     def is_committed(self, table: str, snapshot_id: str) -> bool:
@@ -91,15 +105,26 @@ class SnapshotCatalog:
             # idempotent: return THIS snapshot's manifest, not the latest
             return next(s for s in self.snapshots(table)
                         if s["snapshot_id"] == snapshot_id)
-        data_dir = self._data_dir(table, snapshot_id)
-        if os.path.exists(data_dir):
-            shutil.rmtree(data_dir)  # orphaned uncommitted stage -> redo
-        df.write.mode("overwrite").parquet(data_dir)
-        return self._commit(table, {
-            "snapshot_id": snapshot_id, "parent": parent,
-            "data_dir": data_dir, "committed_at_unix": time.time(),
-            "mode": "full",
-        })
+        # stage into a per-ATTEMPT directory: concurrent writers of the
+        # same snapshot_id (retried-but-not-dead orchestrator tasks)
+        # must never share a staging path — the old shared-dir staging
+        # let one writer rmtree/overwrite another's in-flight files.
+        # The manifest records the winning attempt's dir; readers only
+        # ever follow the manifest.
+        stage_dir = os.path.join(self._data_dir(table, snapshot_id),
+                                 f"attempt-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage_dir)
+        try:
+            return self._commit(table, {
+                "snapshot_id": snapshot_id, "parent": parent,
+                "data_dir": stage_dir, "committed_at_unix": time.time(),
+                "mode": "full",
+            })
+        except CommitConflict:
+            # lost the race: discard our stage, adopt the winner's result
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            return next(s for s in self.snapshots(table)
+                        if s["snapshot_id"] == snapshot_id)
 
     def write_snapshot_bucketed(self, pages: DataFrame, table: str,
                                 snapshot_id: str, n_buckets: int,
@@ -139,11 +164,17 @@ class SnapshotCatalog:
             done += 1
             if fail_after_bucket is not None and done > fail_after_bucket:
                 raise RuntimeError(f"simulated crash after bucket {b}")
-        manifest = self._commit(table, {
-            "snapshot_id": snapshot_id, "parent": None, "data_dir": data_dir,
-            "n_buckets": n_buckets, "committed_at_unix": time.time(),
-            "mode": "bucketed",
-        })
+        try:
+            manifest = self._commit(table, {
+                "snapshot_id": snapshot_id, "parent": None, "data_dir": data_dir,
+                "n_buckets": n_buckets, "committed_at_unix": time.time(),
+                "mode": "bucketed",
+            })
+        except CommitConflict:
+            # a concurrent duplicate run committed first; both staged the
+            # same bucket layout (marker-guarded), so adopt its manifest
+            return next(s for s in self.snapshots(table)
+                        if s["snapshot_id"] == snapshot_id)
         shutil.rmtree(markers, ignore_errors=True)
         return manifest
 
