@@ -69,6 +69,10 @@ def main(argv=None) -> int:
         if getattr(cfg, req) is None:
             p.error(f"--{req.replace('_', '-')} is required "
                     "(flag or config file)")
+    import os
+    if not os.path.exists(cfg.pages):
+        # fail with a one-line message instead of a Java stack trace
+        p.error(f"--pages path does not exist: {cfg.pages}")
 
     from ukrainian_ocr_pipeline_spark.operators.extract import (
         extract_pages, extracted_table, lineage_table, metrics_table, pipeline_stats,

@@ -51,6 +51,9 @@ def main(argv=None) -> int:
         cfg.master = args.master
     if cfg.pages is None:
         p.error("--pages is required (flag or config file)")
+    import os
+    if not os.path.isdir(cfg.pages):
+        p.error(f"--pages must be an existing directory: {cfg.pages}")
 
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark(app="extract-stream", master=cfg.master)

@@ -85,3 +85,17 @@ def test_stream_job_incremental_end_to_end(spark, t2_rows, tmp_path):
         os.path.abspath(__file__))), "golden", "extracted.parquet"))
     golden = golden[golden.url.isin(got.url)].sort_values("url").reset_index(drop=True)
     assert (got.extracted_text.values == golden.extracted_text.values).all()
+
+
+def test_missing_pages_path_fails_cleanly():
+    """A bad --pages path must exit with a one-line argparse error, not
+    a Java FileNotFoundException stack trace."""
+    import extract as job
+    import stream as sjob
+    import pytest
+    with pytest.raises(SystemExit):
+        job.main(["--pages", "/nonexistent/p", "--warehouse", "/tmp/w",
+                  "--snapshot-id", "s"])
+    with pytest.raises(SystemExit):
+        sjob.main(["--pages", "/nonexistent/p", "--out", "/tmp/o",
+                   "--checkpoint", "/tmp/c"])
