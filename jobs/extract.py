@@ -70,8 +70,11 @@ def main(argv=None) -> int:
             p.error(f"--{req.replace('_', '-')} is required "
                     "(flag or config file)")
     import os
-    if not os.path.exists(cfg.pages):
-        # fail with a one-line message instead of a Java stack trace
+
+    from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
+    if is_checkable_local_path(cfg.pages) and not os.path.exists(cfg.pages):
+        # fail with a one-line message instead of a Java stack trace;
+        # URIs (hdfs://, s3a://) and globs are left for Spark to resolve
         p.error(f"--pages path does not exist: {cfg.pages}")
 
     from ukrainian_ocr_pipeline_spark.operators.extract import (

@@ -52,13 +52,15 @@ def main(argv=None) -> int:
     if cfg.pages is None:
         p.error("--pages is required (flag or config file)")
     import os
-    if not os.path.isdir(cfg.pages):
+
+    from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
+    if is_checkable_local_path(cfg.pages) and not os.path.isdir(cfg.pages):
+        # URIs (hdfs://, s3a://) are left for Spark to resolve
         p.error(f"--pages must be an existing directory: {cfg.pages}")
 
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark(app="extract-stream", master=cfg.master)
 
-    import os
 
     from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
     from ukrainian_ocr_pipeline_spark.operators.extract import (

@@ -114,3 +114,65 @@ def test_concurrent_writers_same_snapshot_commit_once(spark, t2_rows, tmp_path):
     assert len(snaps) == 1
     got = cat.read_snapshot(spark, "t", "race-1")
     assert got.count() == 30 and got.select("url").distinct().count() == 30
+
+
+def test_vacuum_removes_dead_orphans_keeps_committed(spark, tmp_path):
+    import json
+    import os
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pages = pages_from_fixtures(spark, 10).select("url", "lang")
+    cat.write_snapshot(pages, "t", "v1")
+
+    # forge a crashed attempt: orphan dir + dead-pid owner file
+    root = cat._data_dir("t", "v1")
+    orphan = os.path.join(root, "attempt-deadbeef")
+    os.makedirs(orphan)
+    with open(orphan + ".writer.json", "w") as fh:
+        json.dump({"pid": 999999999}, fh)
+    # and a live in-flight attempt (pid 1 is always alive)
+    live = os.path.join(root, "attempt-live0001")
+    os.makedirs(live)
+    with open(live + ".writer.json", "w") as fh:
+        json.dump({"pid": 1}, fh)
+
+    removed = cat.vacuum("t")
+    assert orphan in removed
+    assert not os.path.exists(orphan)
+    assert os.path.exists(live)  # live writer untouched
+    # committed data still readable
+    assert cat.read_snapshot(spark, "t", "v1").count() == 10
+
+
+def test_bucketed_concurrent_writer_lease(spark, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import (
+        ConcurrentWriter, SnapshotCatalog)
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pages = pages_from_fixtures(spark, 12).select("url", "lang")
+
+    # a LIVE foreign lease (pid 1) blocks a second bucketed writer loudly
+    markers = cat._markers_dir("t", "b1")
+    os.makedirs(markers)
+    with open(os.path.join(markers, ".lease.json"), "w") as fh:
+        json.dump({"pid": 1}, fh)
+    with _pytest.raises(ConcurrentWriter):
+        cat.write_snapshot_bucketed(pages, "t", "b1", n_buckets=2,
+                                    transform=lambda df: df)
+
+    # a DEAD holder's lease is broken automatically (crash-restart)
+    with open(os.path.join(markers, ".lease.json"), "w") as fh:
+        json.dump({"pid": 999999999}, fh)
+    cat.write_snapshot_bucketed(pages, "t", "b1", n_buckets=2,
+                                transform=lambda df: df)
+    assert cat.is_committed("t", "b1")
+    assert cat.read_snapshot(spark, "t", "b1").count() == 12

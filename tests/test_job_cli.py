@@ -99,3 +99,14 @@ def test_missing_pages_path_fails_cleanly():
     with pytest.raises(SystemExit):
         sjob.main(["--pages", "/nonexistent/p", "--out", "/tmp/o",
                    "--checkpoint", "/tmp/c"])
+
+
+def test_uri_and_glob_pages_paths_pass_validation():
+    """Review regression: hdfs://, s3a:// and glob --pages values are
+    valid Spark inputs and must not be rejected by the driver-local
+    existence check (they fail later, inside Spark, if truly absent)."""
+    from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
+    for p in ("hdfs://nn/pages", "s3a://bucket/pages",
+              "/data/pages/part-*.parquet", "/data/pages/f[0-9].parquet"):
+        assert not is_checkable_local_path(p), p
+    assert is_checkable_local_path("/data/pages")

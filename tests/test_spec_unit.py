@@ -379,3 +379,45 @@ class TestRound2AdviceFixes:
         with _pytest.raises(ValueError, match="row keys"):
             bad = dict(good); del bad["n_spans"]
             _frame("extracted", [bad])
+
+
+class TestQualityFilterUnicode:
+    """Review regression: the quality gate must not treat non-ASCII
+    letters as symbols (dropping the pipeline's target language) and
+    must drop NULL text explicitly on BOTH engines."""
+
+    def test_cyrillic_document_survives(self, spark):
+        from ukrainian_ocr_pipeline_spark.operators.textstats import quality_filter
+        uk = ("Привіт світе це тестовий документ про місто Київ і його "
+              "мешканців які читають книги та пишуть листи щодня разом")
+        df = spark.createDataFrame([(0, uk), (1, "the cat sat on the mat "
+                                              "and then ran off to a barn")],
+                                   "doc_id bigint, text string")
+        out = {r.doc_id: (r.keep, r.drop_reason)
+               for r in quality_filter(df).collect()}
+        assert out[0] == (True, None), out   # Cyrillic doc kept
+        assert out[1] == (True, None), out   # English doc kept
+
+    def test_null_and_symbol_heavy_dropped(self, spark):
+        from ukrainian_ocr_pipeline_spark.operators.textstats import quality_filter
+        df = spark.createDataFrame(
+            [(0, None),
+             (1, "@@ ## $$ %% ^^ && ** (( )) __ ++ == ~~ :: ;; !!"),
+             (2, "word " * 2)],
+            "doc_id bigint, text string")
+        out = {r.doc_id: r.drop_reason for r in quality_filter(df).collect()}
+        assert out[0] == "null_text"
+        assert out[1] == "symbol_ratio"
+        assert out[2] == "too_short"
+
+    def test_nonlatin_exempt_from_english_stopwords(self, spark):
+        from ukrainian_ocr_pipeline_spark.operators.textstats import quality_filter
+        # latin-majority doc without stopwords -> dropped; the same
+        # word count in Cyrillic -> exempt from the English stoplist
+        lat = "zebra quartz jumble wombat fedora pixel nugget voxel crumb"
+        cyr = "зебра кварц джемпер вомбат федора піксель нагет воксель крихта"
+        df = spark.createDataFrame([(0, lat), (1, cyr)],
+                                   "doc_id bigint, text string")
+        out = {r.doc_id: r.drop_reason for r in quality_filter(df).collect()}
+        assert out[0] == "few_stopwords"
+        assert out[1] is None

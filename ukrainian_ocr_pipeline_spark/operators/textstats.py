@@ -115,26 +115,37 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     scan speed and composes with partition pruning.
 
     Rules (each a Gopher-paper analog, thresholds parameterized):
-    word-count bounds, mean-word-length bounds, symbol ratio, minimum
-    stopword evidence."""
+    non-null text, word-count bounds, mean-word-length bounds, symbol
+    ratio, minimum stopword evidence.
+
+    Unicode-correct by construction: "symbol" means a char that is not a
+    LETTER (any script), DIGIT, or whitespace (``[^\\p{L}\\p{N}\\s]``,
+    identical semantics in Java regex and RE2) — an ASCII-only class
+    would count every Cyrillic/accented letter as a symbol and drop the
+    pipeline's target-language documents wholesale.  The (English)
+    stopword rule applies only to latin-majority documents; other
+    scripts are exempt rather than auto-dropped."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_chars = F.length(t)
     n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+")))
     mean_wl = n_chars / F.greatest(n_words, F.lit(1))
-    # symbols = chars that are neither alphanumeric nor whitespace
-    n_sym = n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9 \\t\\n]", ""))
+    n_sym = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}\s]", ""))
+    n_latin = n_chars - F.length(F.regexp_replace(t, LATIN_CLASS, ""))
+    n_letters = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    latin_major = n_latin * 2 > n_letters
     n_stop = F.size(F.expr(
         f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)"))
     reason = (
-        F.when(n_words < min_words, F.lit("too_short"))
+        F.when(t.isNull(), F.lit("null_text"))
+        .when(n_words < min_words, F.lit("too_short"))
         .when(n_words > max_words, F.lit("too_long"))
         .when(mean_wl < min_mean_word_len, F.lit("short_words"))
         .when(mean_wl > max_mean_word_len, F.lit("long_words"))
         .when(n_sym / F.greatest(n_chars, F.lit(1)) > max_symbol_ratio,
               F.lit("symbol_ratio"))
-        .when(n_stop < min_stopwords, F.lit("few_stopwords"))
+        .when(latin_major & (n_stop < min_stopwords), F.lit("few_stopwords"))
         .otherwise(F.lit(None).cast("string")))
     return docs.select(
         "doc_id",

@@ -412,23 +412,26 @@ def q_doc_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_t(spark, sf_dir, "documents"))
 
 
-SQL_QUALITY_FILTER = """
+SQL_QUALITY_FILTER = r"""
 WITH f AS (
-  SELECT doc_id,
+  SELECT doc_id, text IS NULL AS is_null,
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_words,
-         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS n_sym,
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+         length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+         length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
          length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
   FROM documents),
 r AS (
   SELECT doc_id,
-         CASE WHEN n_words < 5 THEN 'too_short'
+         CASE WHEN is_null THEN 'null_text'
+              WHEN n_words < 5 THEN 'too_short'
               WHEN n_words > 100000 THEN 'too_long'
               WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0 THEN 'short_words'
               WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0 THEN 'long_words'
               WHEN CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3 THEN 'symbol_ratio'
-              WHEN n_stop < 1 THEN 'few_stopwords'
+              WHEN n_latin * 2 > n_letters AND n_stop < 1 THEN 'few_stopwords'
               ELSE NULL END AS drop_reason
   FROM f)
 SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
@@ -445,9 +448,11 @@ def q_corpus_curation(spark, sf_dir):
     rollup."""
     d = _t(spark, sf_dir, "documents")
     keep = textstats.quality_filter(d).where(F.col("keep")).select("doc_id")
-    canon = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    # the ONE canonical exact-dedup key (dedup._canon) — re-deriving it
+    # inline would let the curation winners silently diverge from
+    # dedup_exact's keeper_doc_id if the canonicalization ever changes
     winners = (d.join(keep, "doc_id")
-               .withColumn("digest", F.md5(canon.cast("binary")))
+               .withColumn("digest", F.md5(dedup._canon("text").cast("binary")))
                .groupBy("digest")
                .agg(F.min("doc_id").alias("doc_id")))
     return (d.join(winners, "doc_id")
@@ -456,26 +461,29 @@ def q_corpus_curation(spark, sf_dir):
                  F.sum(F.length("text")).cast("bigint").alias("n_chars")))
 
 
-SQL_CURATION = """
+SQL_CURATION = r"""
 WITH f AS (
-  SELECT doc_id,
+  SELECT doc_id, text IS NULL AS is_null,
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_words,
-         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS n_sym,
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+         length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+         length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
          length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
   FROM documents),
 kept AS (
   SELECT doc_id FROM f
-  WHERE NOT (n_words < 5 OR n_words > 100000
+  WHERE NOT is_null
+    AND NOT (n_words < 5 OR n_words > 100000
          OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0
          OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0
          OR CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3
-         OR n_stop < 1)),
+         OR (n_latin * 2 > n_letters AND n_stop < 1))),
 winners AS (
   SELECT MIN(d.doc_id) AS doc_id
   FROM documents d JOIN kept k ON d.doc_id = k.doc_id
-  GROUP BY md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))))
+  GROUP BY md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))))
 SELECT d.lang, COUNT(*) AS n_docs,
        CAST(SUM(length(d.text)) AS BIGINT) AS n_chars
 FROM documents d JOIN winners w ON d.doc_id = w.doc_id

@@ -36,6 +36,53 @@ class CommitConflict(Exception):
     """Another writer committed this snapshot_id first (lost the race)."""
 
 
+class ConcurrentWriter(Exception):
+    """A live writer already holds this bucketed snapshot's lease."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except (ValueError, OverflowError):
+        return False
+    return True
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+def _write_owner(path: str) -> None:
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({"pid": os.getpid()}, fh)
+
+
+def _lease_holder(path: str) -> int | None:
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return int(json.load(fh)["pid"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+
+
+def _owner_alive(path: str) -> bool:
+    """True when the owner file exists and its recorded pid is live.
+    Single-node semantics (the local fallback's scope); the production
+    catalog is Iceberg, whose optimistic commits need no pid."""
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return _pid_alive(int(json.load(fh)["pid"]))
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return False
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -64,9 +111,13 @@ class SnapshotCatalog:
             if f.endswith(".json"):
                 with open(os.path.join(d, f), encoding="utf-8") as fh:
                     out.append(json.load(fh))
-        # snapshot_id tiebreak: concurrent commits of DIFFERENT ids can
-        # observe the same length and claim equal sequence numbers
-        return sorted(out, key=lambda m: (m["sequence"], m["snapshot_id"]))
+        # tiebreaks: concurrent commits of DIFFERENT ids can observe the
+        # same length and claim equal sequence numbers — order ties by
+        # commit wall time, then id (a stalled writer that commits late
+        # with a stale sequence sorts by when it actually committed)
+        return sorted(out, key=lambda m: (m["sequence"],
+                                          m.get("committed_at_unix", 0.0),
+                                          m["snapshot_id"]))
 
     def latest_snapshot(self, table: str) -> dict | None:
         snaps = self.snapshots(table)
@@ -111,11 +162,17 @@ class SnapshotCatalog:
         # let one writer rmtree/overwrite another's in-flight files.
         # The manifest records the winning attempt's dir; readers only
         # ever follow the manifest.
-        stage_dir = os.path.join(self._data_dir(table, snapshot_id),
-                                 f"attempt-{uuid.uuid4().hex}")
+        stage_root = self._data_dir(table, snapshot_id)
+        stage_dir = os.path.join(stage_root, f"attempt-{uuid.uuid4().hex}")
+        os.makedirs(stage_root, exist_ok=True)
+        # owner marker is a SIBLING file, not inside the dir — the
+        # overwrite-mode parquet write would wipe an in-dir marker and
+        # leave a live in-flight attempt looking dead to the GC below
+        owner = stage_dir + ".writer.json"
+        _write_owner(owner)
         df.write.mode("overwrite").parquet(stage_dir)
         try:
-            return self._commit(table, {
+            manifest = self._commit(table, {
                 "snapshot_id": snapshot_id, "parent": parent,
                 "data_dir": stage_dir, "committed_at_unix": time.time(),
                 "mode": "full",
@@ -123,8 +180,21 @@ class SnapshotCatalog:
         except CommitConflict:
             # lost the race: discard our stage, adopt the winner's result
             shutil.rmtree(stage_dir, ignore_errors=True)
+            _unlink_quiet(owner)
             return next(s for s in self.snapshots(table)
                         if s["snapshot_id"] == snapshot_id)
+        _unlink_quiet(owner)  # committed: the manifest now guards the dir
+        # winner: GC sibling attempt dirs whose writer is dead (crashed
+        # attempts would otherwise leak a full dataset copy each); live
+        # concurrent losers clean up after themselves on CommitConflict
+        for d in os.listdir(stage_root):
+            path = os.path.join(stage_root, d)
+            if (path != stage_dir and d.startswith("attempt-")
+                    and os.path.isdir(path)
+                    and not _owner_alive(path + ".writer.json")):
+                shutil.rmtree(path, ignore_errors=True)
+                _unlink_quiet(path + ".writer.json")
+        return manifest
 
     def write_snapshot_bucketed(self, pages: DataFrame, table: str,
                                 snapshot_id: str, n_buckets: int,
@@ -148,6 +218,27 @@ class SnapshotCatalog:
         data_dir = self._data_dir(table, snapshot_id)
         markers = self._markers_dir(table, snapshot_id)
         os.makedirs(markers, exist_ok=True)
+        # writer LEASE: the bucketed path shares data_dir/markers across
+        # attempts (that sharing IS the resume mechanism), which is only
+        # safe for SEQUENTIAL restart — a concurrently-live second writer
+        # would rmtree/rewrite buckets the first is mid-writing.  A pid
+        # lease turns that corruption into a loud error; a dead holder's
+        # lease (the crash-restart case) is broken automatically.
+        lease = os.path.join(markers, ".lease.json")
+        while True:
+            try:
+                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if _lease_holder(lease) == os.getpid():
+                    break  # re-entrant: our own earlier (failed) attempt
+                if _owner_alive(lease):
+                    raise ConcurrentWriter(
+                        f"bucketed writer already live for {table}/{snapshot_id}")
+                _unlink_quiet(lease)  # stale lease from a crashed writer
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump({"pid": os.getpid()}, fh)
+            break
         bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
         done = 0
         for b in range(n_buckets):
@@ -171,12 +262,47 @@ class SnapshotCatalog:
                 "mode": "bucketed",
             })
         except CommitConflict:
-            # a concurrent duplicate run committed first; both staged the
-            # same bucket layout (marker-guarded), so adopt its manifest
+            # a racer committed between our lease and commit (it must
+            # have held an earlier lease and died after committing, or
+            # committed via the non-bucketed path); our buckets match
+            # the marker-guarded layout — adopt the manifest, and clean
+            # our markers like the winning path does
+            shutil.rmtree(markers, ignore_errors=True)
             return next(s for s in self.snapshots(table)
                         if s["snapshot_id"] == snapshot_id)
         shutil.rmtree(markers, ignore_errors=True)
         return manifest
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, table: str) -> list[str]:
+        """Remove storage not referenced by any committed manifest:
+        attempt dirs whose writer is dead (crash leftovers) and markers
+        dirs of already-committed snapshots.  The local twin of Iceberg's
+        remove_orphan_files; safe to run any time — live writers are
+        detected via their .writer.json/.lease.json pid and skipped."""
+        removed = []
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return removed
+        referenced = {m["data_dir"] for m in self.snapshots(table)}
+        for entry in sorted(os.listdir(tdir)):
+            path = os.path.join(tdir, entry)
+            if entry.startswith("data-") and os.path.isdir(path):
+                for sub in sorted(os.listdir(path)):
+                    apath = os.path.join(path, sub)
+                    if (sub.startswith("attempt-") and os.path.isdir(apath)
+                            and apath not in referenced
+                            and not _owner_alive(apath + ".writer.json")):
+                        shutil.rmtree(apath, ignore_errors=True)
+                        _unlink_quiet(apath + ".writer.json")
+                        removed.append(apath)
+            elif entry.startswith("markers-") and os.path.isdir(path):
+                snap = entry[len("markers-"):]
+                if self.is_committed(table, snap) and not _owner_alive(
+                        os.path.join(path, ".lease.json")):
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        return removed
 
     # -- read path ----------------------------------------------------------
     def read_snapshot(self, spark: SparkSession, table: str,

@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.schemas import PAGES_SCHEMA
 
 
+def is_checkable_local_path(path: str) -> bool:
+    """True when `path` is a plain local filesystem path a driver-side
+    existence check may validate.  Scheme-qualified URIs (hdfs://,
+    s3a://, ...) and glob patterns must be left to Spark — a local
+    os.path check would wrongly reject them (they are valid inputs to
+    spark.read)."""
+    return "://" not in path and not any(ch in path for ch in "*?[{")
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Read a pages parquet dataset with the canonical schema."""
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
