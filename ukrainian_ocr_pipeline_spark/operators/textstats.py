@@ -119,19 +119,23 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     ratio, minimum stopword evidence.
 
     Unicode-correct by construction: "symbol" means a char that is not a
-    LETTER (any script), DIGIT, or whitespace (``[^\\p{L}\\p{N}\\s]``,
-    identical semantics in Java regex and RE2) — an ASCII-only class
-    would count every Cyrillic/accented letter as a symbol and drop the
-    pipeline's target-language documents wholesale.  The (English)
-    stopword rule applies only to latin-majority documents; other
-    scripts are exempt rather than auto-dropped."""
+    LETTER (any script), DIGIT, or common whitespace
+    (``[^\\p{L}\\p{N} \\t\\n\\f\\r]`` — whitespace spelled out because
+    Java's ``\\s`` includes \\x0B where RE2's does not) — an ASCII-only
+    class would count every Cyrillic/accented letter as a symbol and
+    drop the pipeline's target-language documents wholesale.  The
+    (English) stopword rule applies only to latin-majority documents;
+    other scripts are exempt rather than auto-dropped."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_chars = F.length(t)
     n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+")))
     mean_wl = n_chars / F.greatest(n_words, F.lit(1))
-    n_sym = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}\s]", ""))
+    # whitespace spelled out: Java's \s includes \x0B where RE2's does
+    # not — an explicit class keeps the Spark operator and its DuckDB
+    # twin bit-identical on control-char-bearing text
+    n_sym = n_chars - F.length(F.regexp_replace(t, "[^\\p{L}\\p{N} \\t\\n\\f\\r]", ""))
     n_latin = n_chars - F.length(F.regexp_replace(t, LATIN_CLASS, ""))
     n_letters = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
     latin_major = n_latin * 2 > n_letters

@@ -418,7 +418,7 @@ WITH f AS (
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
-         length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym,
+         length(text) - length(regexp_replace(text, '[^\p{L}\p{N} \t\n\f\r]', '', 'g')) AS n_sym,
          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
          length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
          length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
@@ -467,7 +467,7 @@ WITH f AS (
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
-         length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym,
+         length(text) - length(regexp_replace(text, '[^\p{L}\p{N} \t\n\f\r]', '', 'g')) AS n_sym,
          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
          length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
          length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop

@@ -76,11 +76,8 @@ def _owner_alive(path: str) -> bool:
     """True when the owner file exists and its recorded pid is live.
     Single-node semantics (the local fallback's scope); the production
     catalog is Iceberg, whose optimistic commits need no pid."""
-    try:
-        with open(path, encoding="utf-8") as fh:
-            return _pid_alive(int(json.load(fh)["pid"]))
-    except (OSError, ValueError, KeyError, json.JSONDecodeError):
-        return False
+    holder = _lease_holder(path)
+    return holder is not None and _pid_alive(holder)
 
 
 class SnapshotCatalog:
@@ -234,7 +231,25 @@ class SnapshotCatalog:
                 if _owner_alive(lease):
                     raise ConcurrentWriter(
                         f"bucketed writer already live for {table}/{snapshot_id}")
-                _unlink_quiet(lease)  # stale lease from a crashed writer
+                # break the stale lease ATOMICALLY: rename to a unique
+                # tombstone — of N racers only the one whose rename
+                # succeeds proceeds immediately; check-then-unlink would
+                # let a second racer delete the lease the first just
+                # created and run concurrently with it
+                try:
+                    os.rename(lease, os.path.join(
+                        markers, f".lease-tomb-{uuid.uuid4().hex}"))
+                except OSError:
+                    pass  # someone else broke/claimed it first; retry
+                continue
+            except FileNotFoundError:
+                # markers dir vacuumed between our makedirs and here
+                # (snapshot committed concurrently): recreate and retry;
+                # the is_committed re-check below will short-circuit
+                if self.is_committed(table, snapshot_id):
+                    return next(s for s in self.snapshots(table)
+                                if s["snapshot_id"] == snapshot_id)
+                os.makedirs(markers, exist_ok=True)
                 continue
             with os.fdopen(fd, "w", encoding="utf-8") as fh:
                 json.dump({"pid": os.getpid()}, fh)
@@ -255,6 +270,17 @@ class SnapshotCatalog:
             done += 1
             if fail_after_bucket is not None and done > fail_after_bucket:
                 raise RuntimeError(f"simulated crash after bucket {b}")
+        # GC dead full-mode attempt leftovers from the shared root BEFORE
+        # committing: the bucketed manifest points at data_dir itself, so
+        # a crashed write_snapshot attempt-* left inside would be read
+        # back (recursiveFileLookup) as foreign rows
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                sub = os.path.join(data_dir, d)
+                if (d.startswith("attempt-") and os.path.isdir(sub)
+                        and not _owner_alive(sub + ".writer.json")):
+                    shutil.rmtree(sub, ignore_errors=True)
+                    _unlink_quiet(sub + ".writer.json")
         try:
             manifest = self._commit(table, {
                 "snapshot_id": snapshot_id, "parent": None, "data_dir": data_dir,
@@ -295,6 +321,14 @@ class SnapshotCatalog:
                             and not _owner_alive(apath + ".writer.json")):
                         shutil.rmtree(apath, ignore_errors=True)
                         _unlink_quiet(apath + ".writer.json")
+                        removed.append(apath)
+                    elif (sub.startswith("attempt-")
+                          and sub.endswith(".writer.json")
+                          and not os.path.isdir(apath[:-len(".writer.json")])
+                          and not _owner_alive(apath)):
+                        # dangling owner file: writer died between marker
+                        # creation and the parquet write creating its dir
+                        _unlink_quiet(apath)
                         removed.append(apath)
             elif entry.startswith("markers-") and os.path.isdir(path):
                 snap = entry[len("markers-"):]

@@ -23,10 +23,13 @@ from ..functions.schemas import PAGES_SCHEMA
 def is_checkable_local_path(path: str) -> bool:
     """True when `path` is a plain local filesystem path a driver-side
     existence check may validate.  Scheme-qualified URIs (hdfs://,
-    s3a://, ...) and glob patterns must be left to Spark — a local
-    os.path check would wrongly reject them (they are valid inputs to
-    spark.read)."""
-    return "://" not in path and not any(ch in path for ch in "*?[{")
+    s3a://, and the single-slash form file:/x Hadoop also accepts) and
+    glob patterns must be left to Spark — a local os.path check would
+    wrongly reject them (they are valid inputs to spark.read)."""
+    import re as _re
+    if _re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", path):
+        return False  # any URI scheme, with or without //
+    return not any(ch in path for ch in "*?[{")
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
