@@ -45,7 +45,7 @@ HEADLINE = [
     "doc_quality_scores", "doc_language_id", "doc_fingerprints",
     "doc_subword_tokens", "doc_quality_filter", "corpus_curation",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
-    "dedup_lsh_candidates", "dedup_embedding_cosine",
+    "dedup_lsh_candidates", "contamination_check", "dedup_embedding_cosine",
     "dedup_embedding_cosine_banded", "dedup_near_dup_verified",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

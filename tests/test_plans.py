@@ -157,3 +157,12 @@ def test_textstats_gates_are_scan_speed(spark):
         plan = plan_of(q(spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """Decontamination must broadcast the (small) benchmark gram set —
+    a SortMergeJoin on the shingle would shuffle every corpus gram."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_contamination_check
+    plan = plan_of(q_contamination_check(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan

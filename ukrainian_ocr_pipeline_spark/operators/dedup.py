@@ -201,3 +201,29 @@ def jaccard_pairs(docs: DataFrame, bucket_cols: list[str],
             .withColumn("jaccard_r", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
             .where(F.col("jaccard_r") >= threshold)
             .select("doc_a", "doc_b", "n_inter", "jaccard_r"))
+
+
+def contamination_check(docs: DataFrame, benchmark_ids: list[int],
+                        text_col: str = "text", k: int = 5) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its k-word
+    shingles also appear in a (small) benchmark/eval document set.
+
+    The standard pre-training hygiene op: before training, flag corpus
+    documents that leak eval data.  Scale shape: the benchmark gram set
+    is tiny relative to the corpus, so the match is a BROADCAST
+    semi-join on the shingle — the corpus side streams through one
+    shingle pass with no corpus-wide shuffle; the per-doc rollup is the
+    only aggregation.  Returns (doc_id, n_grams, n_contaminated,
+    contamination_r) for non-benchmark docs with >= 1 hit."""
+    grams = _word_shingles(docs, text_col, k)
+    bench = (grams.where(F.col("doc_id").isin(benchmark_ids))
+             .select("shingle").distinct())
+    corpus = grams.where(~F.col("doc_id").isin(benchmark_ids))
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated")))
+    return (hits.join(totals, "doc_id")
+            .select("doc_id", "n_grams", "n_contaminated",
+                    F.round(F.col("n_contaminated") / F.col("n_grams"), 6)
+                    .alias("contamination_r")))

@@ -672,6 +672,39 @@ WHERE ROUND(n_inter / (sa.n_words + sb.n_words - n_inter), 6) >= 0.5
 """
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs sharing 5-word shingles with the
+    (deterministic) benchmark set doc_id < 5 — broadcast semi-join on
+    the shingle, no corpus-wide shuffle."""
+    return dedup.contamination_check(_t(spark, sf_dir, "documents"),
+                                     benchmark_ids=[0, 1, 2, 3, 4], k=5)
+
+
+SQL_CONTAMINATION = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w) - 4),
+                                    i -> array_to_string(w[i:i+4], ' '))
+                END) AS shingle
+  FROM words),
+bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id < 5),
+corpus AS (SELECT * FROM grams WHERE doc_id >= 5),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_contaminated
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id)
+SELECT h.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+       ROUND(CAST(h.n_contaminated AS DOUBLE) / t.n_grams, 6) AS contamination_r
+FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+"""
+
+
 def q_dedup_lsh_candidates(spark, sf_dir):
     return dedup.lsh_candidates(dedup.minhash_signatures(_t(spark, sf_dir, "documents")))
 
@@ -1312,6 +1345,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "contamination_check": q_contamination_check,
     "dedup_near_dup_verified": q_dedup_near_dup_verified,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
@@ -1361,6 +1395,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_jaccard_pairs": SQL_JACCARD,
     "dedup_lsh_candidates": SQL_LSH_CANDIDATES,
+    "contamination_check": SQL_CONTAMINATION,
     "dedup_near_dup_verified": SQL_NEAR_DUP_VERIFIED,
     "embedding_topk_bruteforce": SQL_TOPK,
     "embedding_label_stats": SQL_LABEL_STATS,
