@@ -276,3 +276,22 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "cosine_r"))
+
+
+def label_centroids(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label", dim: int = 64) -> DataFrame:
+    """Per-label mean vector (class centroids), exploded to
+    (label, dim_idx, centroid_r) rows — the embedding-pipeline building
+    block behind per-class prototypes / nearest-class-mean classifiers
+    and IVF codebook seeding.
+
+    Shape: posexplode to (label, dim) then one partial-agg groupBy —
+    map-side combine reduces each partition to n_labels x dim rows
+    before the single shuffle, so the exchange is tiny regardless of
+    corpus size."""
+    return (emb.select(F.col(label_col).alias("label"),
+                       F.posexplode(F.col(vec_col)).alias("dim_idx", "v"))
+            .groupBy("label", "dim_idx")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_r"),
+                 F.count("*").alias("n_vecs")))

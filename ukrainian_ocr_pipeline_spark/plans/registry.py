@@ -129,6 +129,34 @@ FROM c
 """
 
 
+def q_orders_price_percentiles(spark, sf_dir):
+    """Exact percentiles (A4 companion): p50/p90/p99 of order value in
+    cents per order priority.  Uses EXACT percentile (not the t-digest
+    approximation) so the DuckDB quantile_cont twin matches cell-exact —
+    both engines use the same linear-interpolation definition.  At
+    100 TB the approx variant (percentile_approx) is the scale path;
+    the exact form is the correctness anchor."""
+    o = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return (o.select("o_orderpriority", cents.alias("cents"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.expr("percentile(cents, 0.5)"), 4).alias("p50_r"),
+                 F.round(F.expr("percentile(cents, 0.9)"), 4).alias("p90_r"),
+                 F.round(F.expr("percentile(cents, 0.99)"), 4).alias("p99_r")))
+
+
+SQL_PERCENTILES = """
+WITH c AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(quantile_cont(cents, 0.5), 4) AS p50_r,
+       ROUND(quantile_cont(cents, 0.9), 4) AS p90_r,
+       ROUND(quantile_cont(cents, 0.99), 4) AS p99_r
+FROM c GROUP BY o_orderpriority
+"""
+
+
 def q_docs_per_lang_concat(spark, sf_dir):
     """Deterministic ordered string concatenation agg (A10): the
     collect_list-order trap, pinned with sort_array on both sides."""
@@ -898,6 +926,22 @@ FROM n GROUP BY label
 """
 
 
+def q_embedding_label_centroids(spark, sf_dir):
+    """Per-label mean embedding, exploded per dimension — partial-agg
+    shuffle of only n_labels x dim rows."""
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
+       ROUND(AVG(CAST(v[i] AS DOUBLE)), 6) AS centroid_r,
+       COUNT(*) AS n_vecs
+FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     generate_series(1, 64) AS t(i)
+GROUP BY label, i
+"""
+
+
 def q_doc_zscore_by_lang(spark, sf_dir):
     """Grouped-map (applyInPandas) per-group normalization — the grouped
     custom-state pattern of SURVEY §2.10."""
@@ -1321,6 +1365,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_parts": q_top_parts,
     "orders_price_histogram": q_orders_price_histogram,
+    "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
     "customers_without_orders": q_customers_without_orders,
     "big_spender_customers": q_big_spender_customers,
@@ -1349,6 +1394,7 @@ QUERIES = {
     "dedup_near_dup_verified": q_dedup_near_dup_verified,
     "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_banded": q_dedup_embedding_cosine_banded,
     "multimodal_media_meta": q_multimodal_media_meta,
@@ -1371,6 +1417,7 @@ ORACLE_SQL = {
     "revenue_by_nation": SQL_REVENUE_NATION,
     "top_parts": SQL_TOP_PARTS,
     "orders_price_histogram": SQL_HISTOGRAM,
+    "orders_price_percentiles": SQL_PERCENTILES,
     "docs_per_lang_concat": SQL_LANG_CONCAT,
     "customers_without_orders": SQL_NO_ORDERS,
     "big_spender_customers": SQL_BIG_SPENDERS,
@@ -1399,6 +1446,7 @@ ORACLE_SQL = {
     "dedup_near_dup_verified": SQL_NEAR_DUP_VERIFIED,
     "embedding_topk_bruteforce": SQL_TOPK,
     "embedding_label_stats": SQL_LABEL_STATS,
+    "embedding_label_centroids": SQL_LABEL_CENTROIDS,
     "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
     "dedup_embedding_cosine_banded": SQL_EMB_NEAR_DUP_BANDED,
     "multimodal_media_meta": SQL_MEDIA_META,
