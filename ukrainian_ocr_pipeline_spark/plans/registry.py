@@ -177,6 +177,99 @@ FROM documents GROUP BY lang
 # --------------------------------------------------------------------------
 # §2.3 joins
 
+def q_lineitem_rollup(spark, sf_dir):
+    """Multi-level aggregation via ROLLUP (grouping sets): per
+    (returnflag, linestatus), per returnflag subtotal, and grand total
+    in ONE pass — Catalyst expands to a single shuffle with an Expand
+    node, not three scans.  grouping_id disambiguates subtotal rows
+    from real NULL keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.count("*").alias("n_rows"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+                    "sum_qty", "n_rows", "gid"))
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_docs_lang_by_source_pivot(spark, sf_dir):
+    """Pivot (long -> wide): document counts per lang pivoted across
+    sources.  Explicit pivot value list — at scale an unlisted pivot
+    triggers an extra distinct-values job; pinning the columns keeps it
+    one pass."""
+    d = _t(spark, sf_dir, "documents")
+    sources = [r.source for r in
+               d.select("source").distinct().orderBy("source").collect()]
+    return (d.groupBy("lang").pivot("source", sources).count()
+            .na.fill(0, sources))
+
+
+SQL_PIVOT = """
+SELECT lang,
+       CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+       CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+       CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3,
+       CAST(SUM(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS src4,
+       CAST(SUM(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS BIGINT) AS src5,
+       CAST(SUM(CASE WHEN source = 'src6' THEN 1 ELSE 0 END) AS BIGINT) AS src6,
+       CAST(SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS src7,
+       CAST(SUM(CASE WHEN source = 'src8' THEN 1 ELSE 0 END) AS BIGINT) AS src8,
+       CAST(SUM(CASE WHEN source = 'src9' THEN 1 ELSE 0 END) AS BIGINT) AS src9,
+       CAST(SUM(CASE WHEN source = 'src10' THEN 1 ELSE 0 END) AS BIGINT) AS src10,
+       CAST(SUM(CASE WHEN source = 'src11' THEN 1 ELSE 0 END) AS BIGINT) AS src11,
+       CAST(SUM(CASE WHEN source = 'src12' THEN 1 ELSE 0 END) AS BIGINT) AS src12,
+       CAST(SUM(CASE WHEN source = 'src13' THEN 1 ELSE 0 END) AS BIGINT) AS src13,
+       CAST(SUM(CASE WHEN source = 'src14' THEN 1 ELSE 0 END) AS BIGINT) AS src14,
+       CAST(SUM(CASE WHEN source = 'src15' THEN 1 ELSE 0 END) AS BIGINT) AS src15,
+       CAST(SUM(CASE WHEN source = 'src16' THEN 1 ELSE 0 END) AS BIGINT) AS src16,
+       CAST(SUM(CASE WHEN source = 'src17' THEN 1 ELSE 0 END) AS BIGINT) AS src17,
+       CAST(SUM(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT) AS src18,
+       CAST(SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS BIGINT) AS src19
+FROM documents GROUP BY lang
+"""
+
+
+def q_high_volume_customers(spark, sf_dir):
+    """Q18 flavour: aggregate-then-HAVING-then-join — customers whose
+    total order volume crosses a threshold, with their segment.  The
+    HAVING filter runs on the aggregated (small) side BEFORE the join,
+    so the join input is already reduced."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (o.groupBy("o_custkey")
+           .agg(F.count("*").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+           .where((F.col("n_orders") >= 8)
+                  & (F.col("total_cents") > 150000000)))
+    return (big.join(c, big.o_custkey == c.c_custkey)
+            .select(F.col("o_custkey").alias("custkey"), "c_mktsegment",
+                    "n_orders", "total_cents"))
+
+
+SQL_HIGH_VOLUME = """
+WITH big AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+  HAVING COUNT(*) >= 8 AND SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) > 150000000)
+SELECT o_custkey AS custkey, c_mktsegment, n_orders, total_cents
+FROM big JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_customers_without_orders(spark, sf_dir):
     """Left-anti join (J7)."""
     c = _t(spark, sf_dir, "customer")
@@ -1367,6 +1460,9 @@ QUERIES = {
     "orders_price_histogram": q_orders_price_histogram,
     "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
+    "lineitem_rollup": q_lineitem_rollup,
+    "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
+    "high_volume_customers": q_high_volume_customers,
     "customers_without_orders": q_customers_without_orders,
     "big_spender_customers": q_big_spender_customers,
     "doc_containment_join": q_doc_containment_join,
@@ -1419,6 +1515,9 @@ ORACLE_SQL = {
     "orders_price_histogram": SQL_HISTOGRAM,
     "orders_price_percentiles": SQL_PERCENTILES,
     "docs_per_lang_concat": SQL_LANG_CONCAT,
+    "lineitem_rollup": SQL_ROLLUP,
+    "docs_lang_by_source_pivot": SQL_PIVOT,
+    "high_volume_customers": SQL_HIGH_VOLUME,
     "customers_without_orders": SQL_NO_ORDERS,
     "big_spender_customers": SQL_BIG_SPENDERS,
     "doc_containment_join": SQL_CONTAINMENT,
