@@ -389,6 +389,35 @@ def _pin_utc(spark):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def q_nation_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (U1 companions — union is covered by
+    trading_nations_union): nations with both suppliers and customers,
+    and nations with suppliers but no customers, tagged in one result."""
+    su = _t(spark, sf_dir, "supplier").select("s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_nationkey")
+    both = (su.intersect(cu.withColumnRenamed("c_nationkey", "s_nationkey"))
+            .select(F.lit("both").alias("op"),
+                    F.col("s_nationkey").alias("nationkey")))
+    only = (su.exceptAll(cu.withColumnRenamed("c_nationkey", "s_nationkey"))
+            .distinct()
+            .select(F.lit("supplier_only").alias("op"),
+                    F.col("s_nationkey").alias("nationkey")))
+    return both.unionByName(only)
+
+
+SQL_SET_OPS = """
+SELECT 'both' AS op, nationkey FROM (
+  SELECT s_nationkey AS nationkey FROM supplier
+  INTERSECT
+  SELECT c_nationkey FROM customer)
+UNION ALL
+SELECT 'supplier_only' AS op, nationkey FROM (
+  SELECT s_nationkey AS nationkey FROM supplier
+  EXCEPT
+  SELECT c_nationkey FROM customer)
+"""
+
+
 def q_latest_order_per_customer(spark, sf_dir):
     """Per-group argmax via rank window (W4)."""
     _pin_utc(spark)
@@ -1469,6 +1498,7 @@ QUERIES = {
     "event_pairs_60s": q_event_pairs_60s,
     "event_category_rollup": q_event_category_rollup,
     "trading_nations_union": q_trading_nations_union,
+    "nation_set_ops": q_nation_set_ops,
     "latest_order_per_customer": q_latest_order_per_customer,
     "event_context_window": q_event_context_window,
     "user_sessionization": q_user_sessionization,
@@ -1524,6 +1554,7 @@ ORACLE_SQL = {
     "event_pairs_60s": SQL_EVENT_PAIRS,
     "event_category_rollup": SQL_CATEGORY,
     "trading_nations_union": SQL_NATIONS_UNION,
+    "nation_set_ops": SQL_SET_OPS,
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "event_context_window": SQL_CONTEXT_WINDOW,
     "user_sessionization": SQL_SESSIONIZE,
