@@ -421,3 +421,18 @@ class TestQualityFilterUnicode:
         out = {r.doc_id: r.drop_reason for r in quality_filter(df).collect()}
         assert out[0] == "few_stopwords"
         assert out[1] is None
+
+
+def test_nation_set_ops_uses_distinct_except_semantics(spark):
+    """Review regression: EXCEPT (distinct), not EXCEPT ALL — a nation
+    with any customer must never appear as supplier_only, regardless of
+    supplier/customer multiplicities."""
+    from pyspark.sql import functions as F
+    su = spark.createDataFrame([(1,), (1,), (2,)], "s_nationkey bigint")
+    cu = spark.createDataFrame([(1,), (3,)], "c_nationkey bigint")
+    both = su.select("s_nationkey").intersect(
+        cu.withColumnRenamed("c_nationkey", "s_nationkey"))
+    only = su.select("s_nationkey").subtract(
+        cu.withColumnRenamed("c_nationkey", "s_nationkey"))
+    assert [r.s_nationkey for r in both.collect()] == [1]
+    assert [r.s_nationkey for r in only.collect()] == [2]  # NOT {1, 2}

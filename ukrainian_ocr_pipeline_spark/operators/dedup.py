@@ -217,13 +217,17 @@ def contamination_check(docs: DataFrame, benchmark_ids: list[int],
     contamination_r) for non-benchmark docs with >= 1 hit."""
     grams = _word_shingles(docs, text_col, k)
     bench = (grams.where(F.col("doc_id").isin(benchmark_ids))
-             .select("shingle").distinct())
+             .select("shingle").distinct().withColumn("hit", F.lit(1)))
     corpus = grams.where(~F.col("doc_id").isin(benchmark_ids))
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = (corpus.join(F.broadcast(bench), "shingle")
+    # ONE corpus shingle pass: broadcast LEFT join marks hits inline, a
+    # single groupBy produces both the total and the hit count (separate
+    # totals/hits branches would re-shingle the corpus twice and add a
+    # doc_id join shuffle)
+    return (corpus.join(F.broadcast(bench), "shingle", "left")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_contaminated")))
-    return (hits.join(totals, "doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"))
+            .where(F.col("n_contaminated") >= 1)
             .select("doc_id", "n_grams", "n_contaminated",
                     F.round(F.col("n_contaminated") / F.col("n_grams"), 6)
                     .alias("contamination_r")))

@@ -278,9 +278,8 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "cosine_r"))
 
 
-def label_centroids(emb: DataFrame, id_col: str = "vec_id",
-                    vec_col: str = "embedding",
-                    label_col: str = "label", dim: int = 64) -> DataFrame:
+def label_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
     """Per-label mean vector (class centroids), exploded to
     (label, dim_idx, centroid_r) rows — the embedding-pipeline building
     block behind per-class prototypes / nearest-class-mean classifiers
@@ -289,7 +288,8 @@ def label_centroids(emb: DataFrame, id_col: str = "vec_id",
     Shape: posexplode to (label, dim) then one partial-agg groupBy —
     map-side combine reduces each partition to n_labels x dim rows
     before the single shuffle, so the exchange is tiny regardless of
-    corpus size."""
+    corpus size.  Dimensionality follows the actual array lengths (the
+    registry's DuckDB twin is pinned to the 64-dim fixture table)."""
     return (emb.select(F.col(label_col).alias("label"),
                        F.posexplode(F.col(vec_col)).alias("dim_idx", "v"))
             .groupBy("label", "dim_idx")

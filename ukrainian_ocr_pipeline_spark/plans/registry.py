@@ -204,16 +204,19 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+#: the documents table's pinned source vocabulary (matches the DuckDB
+#: twin's hardcoded columns; the testdata generator emits exactly these)
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
 def q_docs_lang_by_source_pivot(spark, sf_dir):
     """Pivot (long -> wide): document counts per lang pivoted across
-    sources.  Explicit pivot value list — at scale an unlisted pivot
-    triggers an extra distinct-values job; pinning the columns keeps it
-    one pass."""
+    sources.  The pivot value list is PINNED (not discovered with a
+    distinct-values job): output schema stays data-independent and the
+    pivot is one pass — the production pattern for known vocabularies."""
     d = _t(spark, sf_dir, "documents")
-    sources = [r.source for r in
-               d.select("source").distinct().orderBy("source").collect()]
-    return (d.groupBy("lang").pivot("source", sources).count()
-            .na.fill(0, sources))
+    return (d.groupBy("lang").pivot("source", _PIVOT_SOURCES).count()
+            .na.fill(0, _PIVOT_SOURCES))
 
 
 SQL_PIVOT = """
@@ -398,8 +401,10 @@ def q_nation_set_ops(spark, sf_dir):
     both = (su.intersect(cu.withColumnRenamed("c_nationkey", "s_nationkey"))
             .select(F.lit("both").alias("op"),
                     F.col("s_nationkey").alias("nationkey")))
-    only = (su.exceptAll(cu.withColumnRenamed("c_nationkey", "s_nationkey"))
-            .distinct()
+    # subtract() = EXCEPT (distinct): a nation with ANY customer must
+    # not appear — exceptAll+distinct would leak nations whose supplier
+    # multiplicity merely exceeds their customer multiplicity
+    only = (su.subtract(cu.withColumnRenamed("c_nationkey", "s_nationkey"))
             .select(F.lit("supplier_only").alias("op"),
                     F.col("s_nationkey").alias("nationkey")))
     return both.unionByName(only)
