@@ -446,6 +446,38 @@ WHERE rn = 1
 """
 
 
+def q_order_value_ranks(spark, sf_dir):
+    """Window-function breadth beyond row_number (W-family): dense_rank
+    and ntile quartiles of order value within each priority class, for
+    the top-3 dense ranks."""
+    o = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cents"), F.asc("o_orderkey"))
+    return (o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+            .withColumn("dr", F.dense_rank().over(w))
+            .withColumn("quartile", F.ntile(4).over(w))
+            .where(F.col("dr") <= 3)
+            .select("o_orderpriority", "dr", "o_orderkey", "cents", "quartile"))
+
+
+SQL_ORDER_RANKS = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, o_orderkey, cents,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents DESC, o_orderkey ASC) AS dr,
+         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY cents DESC, o_orderkey ASC) AS INTEGER) AS quartile
+  FROM c)
+SELECT o_orderpriority, CAST(dr AS INTEGER) AS dr, o_orderkey, cents, quartile
+FROM r WHERE dr <= 3
+"""
+
+
 def q_event_context_window(spark, sf_dir):
     """rowsBetween(-2, 2) neighborhood concatenation (W2/J3 — the ±2-line
     context window of core/ner.py:505-513)."""
@@ -1506,6 +1538,7 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "latest_order_per_customer": q_latest_order_per_customer,
     "event_context_window": q_event_context_window,
+    "order_value_ranks": q_order_value_ranks,
     "user_sessionization": q_user_sessionization,
     "session_window_rollup": q_session_window_rollup,
     "hourly_event_rollup": q_hourly_event_rollup,
@@ -1562,6 +1595,7 @@ ORACLE_SQL = {
     "nation_set_ops": SQL_SET_OPS,
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "event_context_window": SQL_CONTEXT_WINDOW,
+    "order_value_ranks": SQL_ORDER_RANKS,
     "user_sessionization": SQL_SESSIONIZE,
     "session_window_rollup": SQL_SESSION_WINDOW,
     "hourly_event_rollup": SQL_HOURLY,
