@@ -448,33 +448,39 @@ WHERE rn = 1
 
 def q_order_value_ranks(spark, sf_dir):
     """Window-function breadth beyond row_number (W-family): dense_rank
-    and ntile quartiles of order value within each priority class, for
-    the top-3 dense ranks."""
-    o = _t(spark, sf_dir, "orders")
-    cents = _cents(F.col("o_totalprice"))
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("cents"), F.asc("o_orderkey"))
-    return (o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
-            .withColumn("dr", F.dense_rank().over(w))
-            .withColumn("quartile", F.ntile(4).over(w))
-            .where(F.col("dr") <= 3)
-            .select("o_orderpriority", "dr", "o_orderkey", "cents", "quartile"))
+    over a TIE-HEAVY key (integer quantity — many rows share each rank,
+    so dense semantics are genuinely exercised, not row_number in
+    disguise) and ntile quartiles over a total order, top-2 dense ranks
+    per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.floor("l_quantity").cast("bigint")
+    w_dense = Window.partitionBy("l_returnflag").orderBy(F.desc("qty"))
+    w_total = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("qty"), F.asc("l_orderkey"), F.asc("l_partkey"))
+    return (li.select("l_orderkey", "l_partkey", "l_returnflag",
+                      qty.alias("qty"))
+            .withColumn("dr", F.dense_rank().over(w_dense))
+            .withColumn("quartile", F.ntile(4).over(w_total))
+            .where(F.col("dr") <= 2)
+            .select("l_returnflag", "dr", "l_orderkey", "l_partkey",
+                    "qty", "quartile"))
 
 
 SQL_ORDER_RANKS = """
 WITH c AS (
-  SELECT o_orderkey, o_orderpriority,
-         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-  FROM orders),
+  SELECT l_orderkey, l_partkey, l_returnflag,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+  FROM lineitem),
 r AS (
-  SELECT o_orderpriority, o_orderkey, cents,
-         DENSE_RANK() OVER (PARTITION BY o_orderpriority
-                            ORDER BY cents DESC, o_orderkey ASC) AS dr,
-         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
-                             ORDER BY cents DESC, o_orderkey ASC) AS INTEGER) AS quartile
+  SELECT l_returnflag, l_orderkey, l_partkey, qty,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY qty DESC) AS dr,
+         CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+                             ORDER BY qty DESC, l_orderkey ASC, l_partkey ASC)
+              AS INTEGER) AS quartile
   FROM c)
-SELECT o_orderpriority, CAST(dr AS INTEGER) AS dr, o_orderkey, cents, quartile
-FROM r WHERE dr <= 3
+SELECT l_returnflag, CAST(dr AS INTEGER) AS dr, l_orderkey, l_partkey, qty, quartile
+FROM r WHERE dr <= 2
 """
 
 
