@@ -366,6 +366,59 @@ FROM events GROUP BY 1
 """
 
 
+def q_nation_name_similarity(spark, sf_dir):
+    """Edit-distance scalar (C4 relational cousin): each nation's
+    closest OTHER nation by levenshtein distance — tiny 25x25 cross
+    join, argmin via window with name tiebreak.  The JVM-side twin of
+    the spec's Python difflib scoring."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    pairs = (a.crossJoin(b).where(F.col("name_a") != F.col("name_b"))
+             .withColumn("dist", F.levenshtein("name_a", "name_b")))
+    w = Window.partitionBy("name_a").orderBy(F.asc("dist"), F.asc("name_b"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("name_a", F.col("name_b").alias("closest"),
+                    F.col("dist").cast("int").alias("dist")))
+
+
+SQL_NATION_SIMILARITY = """
+WITH pairs AS (
+  SELECT a.n_name AS name_a, b.n_name AS name_b,
+         levenshtein(a.n_name, b.n_name) AS dist
+  FROM nation a, nation b WHERE a.n_name <> b.n_name),
+r AS (
+  SELECT name_a, name_b, dist,
+         ROW_NUMBER() OVER (PARTITION BY name_a
+                            ORDER BY dist ASC, name_b ASC) AS rn
+  FROM pairs)
+SELECT name_a, name_b AS closest, CAST(dist AS INTEGER) AS dist
+FROM r WHERE rn = 1
+"""
+
+
+def q_events_by_weekday(spark, sf_dir):
+    """Date-part extraction breadth (C8): event counts per ISO weekday
+    and per week-truncated date.  Spark's dayofweek is 1=Sunday; the
+    query uses weekday()+1 (0=Monday -> 1..7 ISO) so the DuckDB twin
+    (isodow) matches without engine-specific offsets."""
+    e = _t(spark, sf_dir, "events")
+    return (e.select((F.weekday("ts") + 1).alias("iso_dow"),
+                     F.date_format(F.date_trunc("week", F.col("ts")),
+                                   "yyyy-MM-dd").alias("week_start"))
+            .groupBy("week_start", "iso_dow")
+            .agg(F.count("*").alias("n_events")))
+
+
+SQL_EVENTS_WEEKDAY = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+       CAST(isodow(ts) AS INTEGER) AS iso_dow,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_trading_nations_union(spark, sf_dir):
     """Union + distinct set op (U1)."""
     c = _t(spark, sf_dir, "customer")
@@ -1542,6 +1595,8 @@ QUERIES = {
     "event_category_rollup": q_event_category_rollup,
     "trading_nations_union": q_trading_nations_union,
     "nation_set_ops": q_nation_set_ops,
+    "nation_name_similarity": q_nation_name_similarity,
+    "events_by_weekday": q_events_by_weekday,
     "latest_order_per_customer": q_latest_order_per_customer,
     "event_context_window": q_event_context_window,
     "order_value_ranks": q_order_value_ranks,
@@ -1599,6 +1654,8 @@ ORACLE_SQL = {
     "event_category_rollup": SQL_CATEGORY,
     "trading_nations_union": SQL_NATIONS_UNION,
     "nation_set_ops": SQL_SET_OPS,
+    "nation_name_similarity": SQL_NATION_SIMILARITY,
+    "events_by_weekday": SQL_EVENTS_WEEKDAY,
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "event_context_window": SQL_CONTEXT_WINDOW,
     "order_value_ranks": SQL_ORDER_RANKS,
