@@ -46,7 +46,8 @@ HEADLINE = [
     "doc_subword_tokens", "doc_quality_filter", "corpus_curation",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
     "dedup_lsh_candidates", "contamination_check", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_banded", "dedup_near_dup_verified",
+    "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
+    "dedup_near_dup_verified",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",
 ]

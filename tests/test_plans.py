@@ -148,6 +148,25 @@ def test_headline_bench_excludes_quadratic_shapes():
     assert "dedup_embedding_cosine_banded" in bench.HEADLINE
 
 
+def test_banded_mat_signature_subtree_runs_once(spark):
+    """The materialized banded near-dup must read the persisted signature
+    table everywhere (4 consumers: two candidate-join sides + two exact
+    -verify vector lookups) instead of re-deriving signatures per side —
+    the VERDICT r2 item-5 fix.  The unmaterialized variant, kept as the
+    stateless comparison twin, re-evaluates the subtree once per join
+    side and must contain no cache scan."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_dedup_embedding_cosine_banded, q_dedup_embedding_cosine_banded_mat)
+    mat = q_dedup_embedding_cosine_banded_mat(spark, "/root/testdata/sf0.001")
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 4, plan
+    unmat = q_dedup_embedding_cosine_banded(spark, "/root/testdata/sf0.001")
+    plan2 = unmat._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan2
+    # neither variant runs Python
+    assert "EvalPython" not in plan and "EvalPython" not in plan2
+
+
 def test_textstats_gates_are_scan_speed(spark):
     """quality_filter and subword_token_counts claim scan-speed: their
     plans must be a single map stage — no Exchange, no Python."""

@@ -117,20 +117,11 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .select("doc_a", "doc_b", "cosine_r"))
 
 
-def banded_signatures(emb: DataFrame, n_bands: int = 8, band_planes: int = 4,
-                      id_col: str = "vec_id", vec_col: str = "embedding",
-                      dim: int = 64) -> DataFrame:
-    """Multi-band hyperplane signatures: n_bands independent
-    band_planes-bit buckets per vector (global plane gp = band *
-    band_planes + j shares the md5(gp:i) component family with
-    hyperplane_signatures, so the two stay formula-compatible).
-
-    Returns (vec_id, band, bucket) exploded rows — the same banding
-    MinHash-LSH uses (dedup.lsh_candidates): a pair is a candidate if it
-    collides in ANY band (OR-amplification), which removes the
-    single-signature recall cliff of cosine_near_dup_pairs: miss
-    probability decays as (1 - p^band_planes)^n_bands instead of
-    1 - p^n_planes."""
+def _band_sig_cols(vec_col: str, n_bands: int, band_planes: int, dim: int) -> list:
+    """One Column per band: the band's band_planes sign bits packed into
+    an int bucket.  Global plane gp = band * band_planes + j shares the
+    md5(gp:i) component family with hyperplane_signatures, so the two
+    stay formula-compatible."""
     band_cols = []
     for b in range(n_bands):
         sig = None
@@ -141,8 +132,78 @@ def banded_signatures(emb: DataFrame, n_bands: int = 8, band_planes: int = 4,
                          F.lit(1)).otherwise(F.lit(0))
             sig = bit if sig is None else sig * 2 + bit
         band_cols.append(sig)
+    return band_cols
+
+
+def banded_signatures(emb: DataFrame, n_bands: int = 8, band_planes: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64) -> DataFrame:
+    """Multi-band hyperplane signatures: n_bands independent
+    band_planes-bit buckets per vector.
+
+    Returns (vec_id, band, bucket) exploded rows — the same banding
+    MinHash-LSH uses (dedup.lsh_candidates): a pair is a candidate if it
+    collides in ANY band (OR-amplification), which removes the
+    single-signature recall cliff of cosine_near_dup_pairs: miss
+    probability decays as (1 - p^band_planes)^n_bands instead of
+    1 - p^n_planes."""
+    band_cols = _band_sig_cols(vec_col, n_bands, band_planes, dim)
     return (emb.select(F.col(id_col).alias("vec_id"),
                        F.posexplode(F.array(*band_cols)).alias("band", "bucket")))
+
+
+def banded_signature_table(emb: DataFrame, n_bands: int = 8, band_planes: int = 4,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           dim: int = 64) -> DataFrame:
+    """The one-pass signature+norm corpus table:
+    (vec_id, v, nrm, bands array<int>) — every per-vector quantity the
+    banded near-dup pipeline needs, computed in a single scan.
+
+    At 100 TB this is a real table written next to the corpus (signatures
+    are tiny and reused across dedup runs); in a one-shot query the
+    caller persists it so the n_bands x band_planes x dim dot products
+    run ONCE instead of once per self-join side."""
+    band_cols = _band_sig_cols(vec_col, n_bands, band_planes, dim)
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("v"),
+                      _dot(vec_col, vec_col).alias("nrm"),
+                      F.array(*band_cols).alias("bands"))
+
+
+def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
+                                        n_bands: int = 8, band_planes: int = 4,
+                                        id_col: str = "vec_id",
+                                        vec_col: str = "embedding",
+                                        dim: int = 64) -> DataFrame:
+    """Banded embedding near-dup over a MATERIALIZED signature table —
+    same results as cosine_near_dup_banded, different physical plan: the
+    signature subtree is persisted and every downstream read (both
+    candidate-join sides and both exact-verify vector lookups) is an
+    InMemoryTableScan, so the 32 folded-plane dot products per vector run
+    exactly once (tests/test_plans.py pins the plane constants appearing
+    once in the plan).  This is the in-query analog of the production
+    shape: write banded_signature_table once, self-join it forever.
+    The persisted table stays cached for the session (signatures + norms
+    + vectors: small relative to the corpus scan that built it)."""
+    base = banded_signature_table(emb, n_bands, band_planes,
+                                  id_col, vec_col, dim).persist()
+    sigs = base.select("vec_id", F.posexplode("bands").alias("band", "bucket"))
+    a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
+    b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    return (cands
+            .join(base.select(F.col("vec_id").alias("doc_a"),
+                              F.col("v").alias("va"), F.col("nrm").alias("na")),
+                  "doc_a")
+            .join(base.select(F.col("vec_id").alias("doc_b"),
+                              F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+                  "doc_b")
+            .withColumn("cosine_r", F.round(_dot("va", "vb")
+                                            / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .where(F.col("cosine_r") >= threshold)
+            .select("doc_a", "doc_b", "cosine_r"))
 
 
 def cosine_near_dup_banded(emb: DataFrame, threshold: float = 0.95,

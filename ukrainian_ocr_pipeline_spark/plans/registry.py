@@ -1080,6 +1080,17 @@ def q_dedup_embedding_cosine_banded(spark, sf_dir):
         n_bands=8, band_planes=4)
 
 
+def q_dedup_embedding_cosine_banded_mat(spark, sf_dir):
+    """The materialized-signature twin of dedup_embedding_cosine_banded:
+    identical results (same oracle SQL), but the signature table is
+    persisted so the folded-plane dot products evaluate once instead of
+    once per self-join side — the production write-signatures-once
+    shape, expressed in-query."""
+    return similarity.cosine_near_dup_banded_materialized(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_bands=8, band_planes=4)
+
+
 SQL_EMB_NEAR_DUP_BANDED = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 comp AS (
@@ -1595,6 +1606,8 @@ QUERIES = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
+    # -- new in round 3 --
+    "dedup_embedding_cosine_banded_mat": q_dedup_embedding_cosine_banded_mat,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
@@ -1691,6 +1704,7 @@ ORACLE_SQL = {
     "embedding_label_centroids": SQL_LABEL_CENTROIDS,
     "dedup_embedding_cosine": SQL_EMB_NEAR_DUP,
     "dedup_embedding_cosine_banded": SQL_EMB_NEAR_DUP_BANDED,
+    "dedup_embedding_cosine_banded_mat": SQL_EMB_NEAR_DUP_BANDED,
     "multimodal_media_meta": SQL_MEDIA_META,
     "multimodal_resize_plan": SQL_RESIZE_PLAN,
     "multimodal_feature_extract": SQL_FEATURE_EXTRACT,
