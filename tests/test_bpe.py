@@ -1,0 +1,106 @@
+"""BPE tokenizer: semantics pins, drift guards, and encoder properties.
+
+The committed merges table (spec/bpe_merges.py) and the expected count
+table (plans/expected_metrics.BPE_EXPECTED) are regenerated ONLY by
+jobs/make_merges.py / jobs/make_expected.py; these tests retrain and
+recount in-memory so any fixture or spec drift fails loudly.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ukrainian_ocr_pipeline_spark.spec import bpe
+from ukrainian_ocr_pipeline_spark.spec.bpe_merges import MERGES
+
+
+def test_trainer_semantics_tiny_corpus():
+    """Hand-checked trainer behavior: most frequent pair merges first;
+    ties break to the lexicographically largest pair."""
+    # "aaab" x2 -> pairs: (a,a) x4, (a,b) x2
+    merges = bpe.train_merges(["aaab aaab"], n_merges=2)
+    assert merges[0] == ("a", "a")
+    # after merging: ('aa','a','b') x2 -> pairs (aa,a) x2, (a,b) x2 —
+    # tie breaks to the LARGEST pair ('aa','a')
+    assert merges[1] == ("aa", "a")
+
+
+def test_encoder_applies_merges_in_rank_order():
+    ranks = bpe.merge_ranks([("a", "b"), ("ab", "c"), ("c", "d")])
+    assert bpe.encode("abcd", ranks) == ["abc", "d"]
+    assert bpe.encode("cdcd", ranks) == ["cd", "cd"]
+    assert bpe.encode("xyz", ranks) == ["x", "y", "z"]
+
+
+def test_overlapping_pair_merges_left_to_right():
+    ranks = bpe.merge_ranks([("a", "a")])
+    assert bpe.encode("aaa", ranks) == ["aa", "a"]
+    assert bpe.encode("aaaa", ranks) == ["aa", "aa"]
+
+
+def test_committed_merges_match_retraining():
+    """Drift guard: retraining on the fixture corpus reproduces the
+    committed table exactly."""
+    from ukrainian_ocr_pipeline_spark.fixtures import gen_pages
+    from ukrainian_ocr_pipeline_spark.oracle import run_oracle
+
+    golden = run_oracle(list(gen_pages(240)))
+    retrained = bpe.train_merges(
+        golden["extracted"]["extracted_text"].tolist(), n_merges=500)
+    assert retrained == [tuple(p) for p in MERGES]
+
+
+def test_committed_expected_counts_match_recount():
+    from ukrainian_ocr_pipeline_spark.fixtures import gen_pages
+    from ukrainian_ocr_pipeline_spark.oracle import run_oracle
+    from ukrainian_ocr_pipeline_spark.plans.expected_metrics import BPE_EXPECTED
+
+    golden = run_oracle(list(gen_pages(240)))
+    ranks = bpe.merge_ranks()
+    cache = {}
+    got = [(r.url, bpe.count_tokens(r.extracted_text, ranks, cache))
+           for r in golden["extracted"].itertuples(index=False)]
+    assert got == BPE_EXPECTED
+
+
+@given(st.text(alphabet=string.printable + "абвгдеєжзиіїйклмнопрстуфхцчшщьюя",
+               max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_encode_partitions_every_pretoken(text):
+    """Tokens concatenate back to the pretoken (BPE only merges, never
+    drops or rewrites), and counts are consistent with encode()."""
+    ranks = bpe.merge_ranks()
+    total = 0
+    for w in bpe.pretokenize(text):
+        toks = bpe.encode(w, ranks)
+        assert "".join(toks) == w
+        assert all(toks)
+        total += len(toks)
+    assert bpe.count_tokens(text, ranks) == total
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_count_cache_is_transparent(text):
+    ranks = bpe.merge_ranks()
+    cache = {}
+    a = bpe.count_tokens(text, ranks, cache)
+    b = bpe.count_tokens(text, ranks, cache)   # warm
+    c = bpe.count_tokens(text, ranks, None)    # uncached
+    assert a == b == c
+
+
+def test_real_merges_compress_fixture_text():
+    """The trained table must actually compress: fewer BPE tokens than
+    characters, more than whitespace words, on real corpus text."""
+    from ukrainian_ocr_pipeline_spark.fixtures import gen_pages
+    from ukrainian_ocr_pipeline_spark.oracle import run_oracle
+
+    golden = run_oracle(list(gen_pages(20)))
+    ranks = bpe.merge_ranks()
+    text = " ".join(golden["extracted"]["extracted_text"].tolist())
+    n = bpe.count_tokens(text, ranks)
+    n_chars = len(text.replace(" ", ""))
+    n_words = len(text.split())
+    assert n_words <= n < n_chars

@@ -11,6 +11,7 @@ correctness gate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # simple cross-engine-safe character classes (identical semantics in Java
@@ -75,6 +76,36 @@ def subword_token_counts(docs: DataFrame, text_col: str = "text",
         "doc_id",
         F.size(toks).cast("bigint").alias("n_pretokens"),
         pieces.alias("n_pieces"),
+    )
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """REAL merges-table BPE token counting (vs subword_token_counts'
+    ceil(len/4) estimator): GPT-2-style pretokenize, then the standard
+    rank-ordered pair-merge encode against the committed 500-merge table
+    (spec/bpe_merges.py, trained deterministically on the fixture
+    corpus by jobs/make_merges.py).
+
+    The merge loop is genuinely imperative, so this is an Arrow-batched
+    pandas UDF — the sanctioned slow-path shape: ranks build once per
+    executor task, a batch-scoped pretoken cache collapses repeated
+    words (Zipf), and the scan still prunes to (id, text) columns.
+    Parity: the pure-Python oracle calls the same spec functions; the
+    registry twin is a VALUES table of oracle-computed counts."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..spec import bpe
+
+    @pandas_udf("long")
+    def n_bpe(s: pd.Series) -> pd.Series:
+        ranks = bpe.merge_ranks()
+        cache: dict = {}
+        return s.map(lambda t: bpe.count_tokens(t or "", ranks, cache))
+
+    return docs.select(
+        F.col(id_col),
+        n_bpe(F.col(text_col)).alias("n_bpe_tokens"),
     )
 
 

@@ -1370,8 +1370,36 @@ FROM (VALUES
 """
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Real merges-table BPE token counts over the REAL extracted text
+    of the 240-page fixture corpus (same cached extraction as the
+    metrics/match-report queries).  The estimator twin is
+    doc_subword_tokens; this one applies the committed 500-merge table
+    via the Arrow-batched encoder in spec/bpe.py."""
+    from ..operators.textstats import bpe_token_counts
+    return bpe_token_counts(_fixture_enriched(spark, 240),
+                            text_col="extracted_text", id_col="url")
+
+
+def _expected_bpe_sql():
+    """VALUES twin of the oracle-computed BPE counts (expected_metrics
+    .BPE_EXPECTED — pure-Python pretokenize+encode over the committed
+    merges, regenerated only by jobs/make_expected.py)."""
+    from .expected_metrics import BPE_EXPECTED
+    from .expected_spec import _sql_str as lit
+
+    rows = ",\n".join(f"({lit(url)}, {n})" for url, n in BPE_EXPECTED)
+    return f"""
+SELECT url, CAST(n AS BIGINT) AS n_bpe_tokens
+FROM (VALUES
+{rows}
+) AS t(url, n)
+"""
+
+
 SQL_NER_SPANS, SQL_FUZZY_MATCHES = _expected_spec_sqls()
 SQL_PIPELINE_METRICS = _expected_metrics_sql()
+SQL_BPE_TOKENS = _expected_bpe_sql()
 
 
 # one cached extraction per (session, corpus size): three registry
@@ -1608,6 +1636,7 @@ QUERIES = {
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
     # -- new in round 3 --
     "dedup_embedding_cosine_banded_mat": q_dedup_embedding_cosine_banded_mat,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
@@ -1719,6 +1748,7 @@ ORACLE_SQL = {
     "ner_entity_spans": SQL_NER_SPANS,
     "fuzzy_lexicon_matches": SQL_FUZZY_MATCHES,
     "extraction_pipeline_metrics": SQL_PIPELINE_METRICS,
+    "doc_bpe_tokens": SQL_BPE_TOKENS,
     "match_stats": SQL_MATCH_STATS,
     "match_top_terms": SQL_MATCH_TOP_TERMS,
     "entity_spans_by_type": SQL_SPANS_BY_TYPE,
