@@ -170,6 +170,31 @@ class TestNER:
         kept = [(3, 0, 10), (7, 11, 20)]
         out = attach_block_ids(spans, kept)
         assert out[0].block_id == 3 and out[1].block_id == 7
+        # offset-only call: context stays empty
+        assert out[0].context == "" and out[1].context == ""
+
+    def test_context_is_pm2_kept_block_window(self):
+        """find_context parity (core/ner.py:505-513): space-joined texts
+        of kept blocks [i-2, i+2], clipped at the corpus edges — keyed by
+        the carried block index, not the reference's substring scan."""
+        texts = ["b0", "b1", "b2", "b3", "b4", "b5"]
+        text = "\n".join(texts)
+        kept, pos = [], 0
+        for i, t in enumerate(texts):
+            kept.append((i, pos, pos + len(t)))
+            pos += len(t) + 1
+        spans = [Span("x", "PERSON", 0.8, kept[i][1], kept[i][1] + 1)
+                 for i in range(6)]
+        out = attach_block_ids(spans, kept, text)
+        assert out[0].context == "b0 b1 b2"            # head-clipped
+        assert out[1].context == "b0 b1 b2 b3"
+        assert out[3].context == "b1 b2 b3 b4 b5"      # full ±2
+        assert out[5].context == "b3 b4 b5"            # tail-clipped
+
+    def test_context_empty_for_unattached_span(self):
+        out = attach_block_ids([Span("x", "PERSON", 0.8, 50, 55)],
+                               [(0, 0, 10)], "0123456789")
+        assert out[0].block_id == -1 and out[0].context == ""
 
 
 class TestLexicon:

@@ -42,6 +42,7 @@ SPAN_SCHEMA = T.StructType([
     T.StructField("start", T.IntegerType(), False),
     T.StructField("end", T.IntegerType(), False),
     T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("context", T.StringType(), False),
 ])
 
 MATCH_SCHEMA = T.StructType([

@@ -107,10 +107,11 @@ def ner_udf(text: pd.Series, kept: pd.Series) -> pd.Series:
                 d = item if isinstance(item, dict) else item.asDict()
                 kept_offsets.append((int(d["block_id"]), pos, pos + int(d["n_chars"])))
                 pos += int(d["n_chars"]) + 1
-            spans = attach_block_ids(spans, kept_offsets)
+            spans = attach_block_ids(spans, kept_offsets, doc or "")
             results.append([{
                 "text": s.text, "label": s.label, "confidence": s.confidence,
                 "start": s.start, "end": s.end, "block_id": s.block_id,
+                "context": s.context,
             } for s in spans])
         except Exception:
             results.append([])
@@ -185,10 +186,11 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
                     d = item if isinstance(item, dict) else item.asDict()
                     kept_offsets.append((int(d["block_id"]), pos, pos + int(d["n_chars"])))
                     pos += int(d["n_chars"]) + 1
-                spans = attach_block_ids(spans, kept_offsets)
+                spans = attach_block_ids(spans, kept_offsets, doc)
                 col_spans.append([{
                     "text": s.text, "label": s.label, "confidence": s.confidence,
                     "start": s.start, "end": s.end, "block_id": s.block_id,
+                    "context": s.context,
                 } for s in spans])
                 if matcher is not None:
                     col_matches.append([{
@@ -267,6 +269,7 @@ def make_packed_extract_udf(terms: list[str] | None,
             cols["spans"].append([{
                 "text": s.text, "label": s.label, "confidence": s.confidence,
                 "start": s.start, "end": s.end, "block_id": s.block_id,
+                "context": s.context,
             } for s in r.spans])
             cols["matches"].append([{
                 "found_text": m.found_text, "matched_term": m.matched_term,
@@ -339,7 +342,7 @@ def make_packed_extract_arrow(terms: list[str] | None,
             n_kept: list[int] = []
             tms: list[float] = []
             # flat children + offsets for the three nested list columns
-            sp = ([], [], [], [], [], [])     # text,label,conf,start,end,block_id
+            sp = ([], [], [], [], [], [], [])  # text,label,conf,start,end,block_id,context
             sp_off = [0]
             ma = ([], [], [], [], [])         # found,term,conf,word_idx,context
             ma_off = [0]
@@ -360,6 +363,7 @@ def make_packed_extract_arrow(terms: list[str] | None,
                     sp[0].append(s.text); sp[1].append(s.label)
                     sp[2].append(s.confidence); sp[3].append(s.start)
                     sp[4].append(s.end); sp[5].append(s.block_id)
+                    sp[6].append(s.context)
                 sp_off.append(len(sp[0]))
                 for m in r.matches:
                     ma[0].append(m.found_text); ma[1].append(m.matched_term)
@@ -377,8 +381,10 @@ def make_packed_extract_arrow(terms: list[str] | None,
                 pa.StructArray.from_arrays(
                     [pa.array(sp[0], pa.string()), pa.array(sp[1], pa.string()),
                      pa.array(sp[2], pa.float64()), pa.array(sp[3], pa.int32()),
-                     pa.array(sp[4], pa.int32()), pa.array(sp[5], pa.int32())],
-                    names=["text", "label", "confidence", "start", "end", "block_id"]))
+                     pa.array(sp[4], pa.int32()), pa.array(sp[5], pa.int32()),
+                     pa.array(sp[6], pa.string())],
+                    names=["text", "label", "confidence", "start", "end",
+                           "block_id", "context"]))
             matches_arr = pa.ListArray.from_arrays(
                 pa.array(ma_off, pa.int32()),
                 pa.StructArray.from_arrays(

@@ -47,7 +47,7 @@ def run_oracle(rows: Iterable[dict], lexicon: list[str] | None = None) -> dict[s
             spans.append({
                 "url": r.url, "text": s.text, "label": s.label,
                 "confidence": s.confidence, "start": s.start, "end": s.end,
-                "block_id": s.block_id,
+                "block_id": s.block_id, "context": s.context,
             })
         for m in r.matches:
             matches.append({
@@ -80,7 +80,8 @@ ORACLE_COLUMNS = {
     "blocks": ["url", "block_id", "start", "end", "tag_path", "text",
                "n_words", "n_chars", "link_chars", "text_density",
                "link_density", "fallback_level", "is_content", "confidence"],
-    "spans": ["url", "text", "label", "confidence", "start", "end", "block_id"],
+    "spans": ["url", "text", "label", "confidence", "start", "end", "block_id",
+              "context"],
     "matches": ["url", "found_text", "matched_term", "confidence",
                 "word_idx", "context"],
     "regions": ["url", "start", "end", "n_entities", "label"],

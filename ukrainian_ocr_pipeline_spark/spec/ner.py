@@ -71,6 +71,7 @@ class Span:
     start: int
     end: int
     block_id: int = -1  # filled by the pipeline from kept-block offsets
+    context: str = ""   # ±2-kept-block window, filled with block_id
 
 
 def tag_entities(text: str) -> list[Span]:
@@ -147,13 +148,23 @@ def get_ner_backend(backend) -> object:
             f"{sorted(NER_BACKENDS)}") from None
 
 
-def attach_block_ids(spans: list[Span], kept_offsets: list[tuple[int, int, int]]) -> list[Span]:
-    """Assign each span the block_id of the kept block containing its start.
+def attach_block_ids(spans: list[Span], kept_offsets: list[tuple[int, int, int]],
+                     text: str = "") -> list[Span]:
+    """Assign each span the block_id of the kept block containing its
+    start, plus the ±2-kept-block context window around it.
 
     Replaces the reference's fragile text-equality regroup
     (core/pipeline.py:257-271) / substring containment join
     (core/ner.py:515-520): offsets are carried through the pipeline, so
     this is a deterministic interval lookup, not a fuzzy join.
+
+    `context` is the exact analog of find_context (core/ner.py:505-513):
+    the space-joined texts of kept blocks [i-2, i+2] around the span's
+    block — except keyed by the carried block index instead of the
+    reference's first-line-containing-the-text scan.  Block texts are
+    sliced from `text` via kept_offsets (the rendered stream IS the
+    kept blocks), so no extra payload rides through the pipeline; with
+    the default empty `text`, context stays "" (offset-only callers).
     """
     if not spans:
         return []
@@ -163,13 +174,22 @@ def attach_block_ids(spans: list[Span], kept_offsets: list[tuple[int, int, int]]
     # per span instead of O(b), which matters for block-heavy pages
     from bisect import bisect_right
     starts = [start for _, start, _ in kept_offsets]
+    ctx_cache: dict[int, str] = {}
     out: list[Span] = []
     for s in spans:
         bid = -1
+        ctx = ""
         i = bisect_right(starts, s.start) - 1
         if i >= 0:
             block_id, start, end = kept_offsets[i]
             if s.start < end + 1:  # +1 admits the '\n' boundary
                 bid = block_id
-        out.append(Span(s.text, s.label, s.confidence, s.start, s.end, bid))
+                if text:
+                    ctx = ctx_cache.get(i)
+                    if ctx is None:
+                        lo = max(0, i - 2)
+                        ctx = " ".join(text[b0:b1] for _, b0, b1
+                                       in kept_offsets[lo:i + 3])
+                        ctx_cache[i] = ctx
+        out.append(Span(s.text, s.label, s.confidence, s.start, s.end, bid, ctx))
     return out

@@ -57,7 +57,7 @@ def extract_page(url: str, html: bytes | None,
         blocks, fallback_level = segment_blocks(dec.text, dec.kind)
         classify_blocks(blocks)
         text, kept_offsets = render_text(blocks)
-        spans = attach_block_ids(tagger(text), kept_offsets)
+        spans = attach_block_ids(tagger(text), kept_offsets, text)
         matches: list[Match] = []
         if matcher is not None and text:
             matches = matcher.find_in_text(text)
