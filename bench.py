@@ -32,7 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "20000"))
+# 10x corpus leg: does the headline extraction plan hold shape at a scale
+# step? (/root/testdata tops out at sf0.1, so the step is generated.)
+EXTRACT_DOCS_LARGE = int(os.environ.get("BENCH_EXTRACT_DOCS_LARGE",
+                                        str(10 * EXTRACT_DOCS)))
 PROBE_DOCS = int(os.environ.get("BENCH_PROBE_DOCS", "24000"))
+# the 8->32 pair gets a 4x corpus: at 24k docs a 32-thread run is
+# scheduler/startup-bound and the pair would understate true scaling.
+# Same input at BOTH widths of a pair is what the north rule requires;
+# different pairs may size their input to their throughput.
+WIDE_DOCS = int(os.environ.get("BENCH_PROBE_DOCS_WIDE", str(4 * PROBE_DOCS)))
 ROUNDS = int(os.environ.get("BENCH_PROBE_ROUNDS", "3"))
 
 # headline queries: the scale-relevant subset (quadratic self-joins like
@@ -144,11 +153,24 @@ def main() -> None:
     # -- extraction throughput (warm-up run, then best of 4 — the shared
     # VM's noisy neighbors can triple any single wall; see BENCH.md) -------
     extraction = {}
+    extraction_large = {}
     if not scaling_only:
         run_extraction(spark, EXTRACT_DOCS)
         wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(4))
         extraction = {"docs": EXTRACT_DOCS, "wall_s": round(wall, 2),
                       "docs_per_sec": round(EXTRACT_DOCS / wall, 1)}
+        if EXTRACT_DOCS_LARGE > EXTRACT_DOCS:
+            # scale-step evidence: same plan, 10x rows (best-of-2 after a
+            # warm run; corpus write itself is untimed and cached)
+            run_extraction(spark, EXTRACT_DOCS_LARGE)
+            wall_l = min(run_extraction(spark, EXTRACT_DOCS_LARGE)
+                         for _ in range(2))
+            extraction_large = {
+                "docs": EXTRACT_DOCS_LARGE, "wall_s": round(wall_l, 2),
+                "docs_per_sec": round(EXTRACT_DOCS_LARGE / wall_l, 1),
+                "vs_small_throughput": round(
+                    (EXTRACT_DOCS_LARGE / wall_l) / (EXTRACT_DOCS / wall), 3),
+            }
         spark.stop()
         time.sleep(3)  # let executors/python workers exit before probing
 
@@ -166,9 +188,15 @@ def main() -> None:
         # don't share that: each executor node brings its own bandwidth.
         # The raw-Python control (bench_out/control_probe.py, identical spec
         # work, no Spark) is reported alongside in BENCH.md.
+        # three N->4N pairs: 1->4 and 2->8 on PROBE_DOCS, 8->32 on the
+        # 4x WIDE_DOCS corpus (whole-box pair — expect the documented
+        # JVM+Python bandwidth ceiling there)
         widths = (1, 4, 2, 8)
+        wide = (8, 32)
         best: dict[int, float] = {}
+        best_wide: dict[int, float] = {}
         all_walls: dict[int, list] = {n: [] for n in widths}
+        wide_walls: dict[int, list] = {n: [] for n in wide}
         for _round in range(ROUNDS):
             for n in widths:
                 p = _run_probe(n, PROBE_DOCS, repeats=2)
@@ -177,17 +205,29 @@ def main() -> None:
                 if t > best.get(n, 0.0):
                     best[n] = t
                 time.sleep(2)
+            for n in wide:
+                p = _run_probe(n, WIDE_DOCS, repeats=2)
+                wide_walls[n] += p["walls"]
+                t = p["docs_per_sec"]
+                if t > best_wide.get(n, 0.0):
+                    best_wide[n] = t
+                time.sleep(2)
         scaling = {
             "probe_docs": PROBE_DOCS,
+            "wide_probe_docs": WIDE_DOCS,
             "method": f"interleaved x{ROUNDS} rounds, best-of per width",
             "docs_per_sec_by_cores": {str(n): round(best[n], 1) for n in sorted(best)},
             "walls_by_cores": {str(n): all_walls[n] for n in sorted(all_walls)},
+            "wide_docs_per_sec_by_cores": {str(n): round(best_wide[n], 1)
+                                           for n in sorted(best_wide)},
+            "wide_walls_by_cores": {str(n): wide_walls[n] for n in sorted(wide_walls)},
             "n_cores": 1, "n4_cores": 4,
             "localN_docs_per_sec": round(best[1], 1),
             "local4N_docs_per_sec": round(best[4], 1),
             "speedup_n_to_4n": round(best[4] / best[1], 3),
             "efficiency": round((best[4] / best[1]) / 4.0, 3),
             "efficiency_2_to_8": round((best[8] / best[2]) / 4.0, 3),
+            "efficiency_8_to_32": round((best_wide[32] / best_wide[8]) / 4.0, 3),
         }
 
     result.update({
@@ -198,6 +238,7 @@ def main() -> None:
         "unit": "ratio" if scaling_only else "sec",
         "queries": qtimes,
         "extraction": extraction,
+        "extraction_large": extraction_large,
         "scaling": scaling,
     })
     print(json.dumps(result))
