@@ -54,9 +54,16 @@ _SKEW_CONF = {"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)}
 
 
 def _fixture_digest() -> str:
+    """Covers BOTH generators feeding the skew corpus: fixtures.py (the
+    normal rows) and this file (the _mega_rows recipe) — editing either
+    invalidates the cached corpus instead of silently benchmarking
+    stale data."""
     import ukrainian_ocr_pipeline_spark.fixtures as fx
-    with open(fx.__file__, "rb") as fh:
-        return hashlib.sha256(fh.read()).hexdigest()[:8]
+    h = hashlib.sha256()
+    for path in (fx.__file__, os.path.abspath(__file__)):
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:8]
 
 
 def _mega_rows(n_mega: int):

@@ -15,6 +15,55 @@ from ukrainian_ocr_pipeline_spark.spec import bpe
 from ukrainian_ocr_pipeline_spark.spec.bpe_merges import MERGES
 
 
+def test_pretokenize_hand_audited_literals():
+    """Hand-derived pretokenizations (not produced by the code under
+    test): contractions split, spaces attach forward (GPT-2 style),
+    symbol runs separate from letter runs."""
+    assert bpe.pretokenize("Hello, world!") == ["Hello", ",", " world", "!"]
+    assert bpe.pretokenize("it's Kate's") == ["it", "'s", " Kate", "'s"]
+    assert bpe.pretokenize("v2.0 beta-3") == ["v", "2", ".", "0", " beta",
+                                              "-", "3"]
+    assert bpe.pretokenize("Київ — столиця") == ["Київ", " —", " столиця"]
+    assert bpe.pretokenize("  a") == [" a"]  # unattached space not emitted
+    assert bpe.pretokenize("") == []
+
+
+def _encode_sequential(pretoken: str, merges: list[tuple]) -> list[str]:
+    """Independent differential twin of bpe.encode: replay the merge
+    list IN TRAINING ORDER, exhausting each merge before the next — a
+    different algorithm (no rank-priority scan).  For a greedily trained
+    table the two are provably equivalent, because a pair can only be
+    learned after both of its symbols exist (rank(parts) < rank(pair)),
+    so a later merge can never create an occurrence of an earlier one."""
+    sym = tuple(pretoken)
+    for pair in merges:
+        while True:
+            merged = bpe._merge_word(sym, pair)
+            if merged == sym:
+                break
+            sym = merged
+    return list(sym)
+
+
+def test_encode_matches_independent_sequential_replay():
+    """Breaks the oracle circularity for the encoder: spec.bpe.encode
+    (rank-priority) must agree with the order-replay implementation
+    above on every pretoken of the fixture corpus plus edge strings."""
+    from ukrainian_ocr_pipeline_spark.fixtures import gen_pages
+    from ukrainian_ocr_pipeline_spark.oracle import run_oracle
+
+    merges = [tuple(p) for p in MERGES]
+    ranks = bpe.merge_ranks()
+    golden = run_oracle(list(gen_pages(60)))
+    words = set()
+    for t in golden["extracted"]["extracted_text"]:
+        words.update(bpe.pretokenize(t))
+    words.update([" the", "aaaa", " ааа", "don't", " don't", "x", ""])
+    assert len(words) > 200
+    for w in sorted(words):
+        assert bpe.encode(w, ranks) == _encode_sequential(w, merges), w
+
+
 def test_trainer_semantics_tiny_corpus():
     """Hand-checked trainer behavior: most frequent pair merges first;
     ties break to the lexicographically largest pair."""

@@ -170,11 +170,19 @@ def banded_signature_table(emb: DataFrame, n_bands: int = 8, band_planes: int = 
                       F.array(*band_cols).alias("bands"))
 
 
+# last persisted signature table per Spark application: each new
+# materialized-banded call releases the previous one, so a session
+# sweeping scales/parameters pins at most ONE signature cache instead of
+# accumulating an InMemoryRelation per distinct input plan.
+_MAT_SIG_CACHE: dict[str, DataFrame] = {}
+
+
 def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
                                         n_bands: int = 8, band_planes: int = 4,
                                         id_col: str = "vec_id",
                                         vec_col: str = "embedding",
-                                        dim: int = 64) -> DataFrame:
+                                        dim: int = 64,
+                                        signatures: DataFrame | None = None) -> DataFrame:
     """Banded embedding near-dup over a MATERIALIZED signature table —
     same results as cosine_near_dup_banded, different physical plan: the
     signature subtree is persisted and every downstream read (both
@@ -183,10 +191,27 @@ def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
     exactly once (tests/test_plans.py pins the plane constants appearing
     once in the plan).  This is the in-query analog of the production
     shape: write banded_signature_table once, self-join it forever.
-    The persisted table stays cached for the session (signatures + norms
-    + vectors: small relative to the corpus scan that built it)."""
-    base = banded_signature_table(emb, n_bands, band_planes,
-                                  id_col, vec_col, dim).persist()
+
+    Cache lifecycle: pass `signatures` (a banded_signature_table DataFrame
+    you persist/unpersist yourself, or a table read back from storage) to
+    own it; otherwise the table is persisted internally and the PREVIOUS
+    internal table of this session is released, bounding cache growth to
+    one signature table regardless of how many scales/parameter settings
+    a session sweeps."""
+    if signatures is not None:
+        base = signatures
+    else:
+        base = banded_signature_table(emb, n_bands, band_planes,
+                                      id_col, vec_col, dim).persist()
+        app = emb.sparkSession.sparkContext.applicationId
+        prev = _MAT_SIG_CACHE.get(app)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # previous session's dead reference
+        _MAT_SIG_CACHE.clear()  # also drops handles from stopped sessions
+        _MAT_SIG_CACHE[app] = base
     sigs = base.select("vec_id", F.posexplode("bands").alias("band", "bucket"))
     a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
     b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")

@@ -88,19 +88,25 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text",
     corpus by jobs/make_merges.py).
 
     The merge loop is genuinely imperative, so this is an Arrow-batched
-    pandas UDF — the sanctioned slow-path shape: ranks build once per
-    executor task, a batch-scoped pretoken cache collapses repeated
-    words (Zipf), and the scan still prunes to (id, text) columns.
+    pandas UDF — the sanctioned slow-path shape: the ranks table is
+    built ONCE on the driver and ships in the UDF closure (cloudpickle),
+    the pretoken cache lives in the same closure so it persists across
+    Arrow batches for the lifetime of each Python worker process
+    (size-capped — word frequency is Zipfian, so the cap almost never
+    trips), and the scan still prunes to (id, text) columns.
     Parity: the pure-Python oracle calls the same spec functions; the
     registry twin is a VALUES table of oracle-computed counts."""
     from pyspark.sql.functions import pandas_udf
 
     from ..spec import bpe
 
+    ranks = bpe.merge_ranks()
+    cache: dict = {}
+
     @pandas_udf("long")
     def n_bpe(s: pd.Series) -> pd.Series:
-        ranks = bpe.merge_ranks()
-        cache: dict = {}
+        if len(cache) > 200_000:
+            cache.clear()
         return s.map(lambda t: bpe.count_tokens(t or "", ranks, cache))
 
     return docs.select(

@@ -22,10 +22,15 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-# Python twin of operators/textstats.BPE_PRETOKEN_PATTERN (Java regex):
-# contractions, optional-space letter run, optional-space digit run,
-# optional-space symbol run.  \p{L} -> [^\W\d_], \p{N} -> \d,
-# [^\s\p{L}\p{N}] -> non-word-non-space plus underscore.  The leading
+# Python counterpart of operators/textstats.BPE_PRETOKEN_PATTERN (Java
+# regex): contractions, optional-space letter run, optional-space digit
+# run, optional-space symbol run.  APPROXIMATE twin, not exact: Python
+# `re` has no \p classes, and [^\W\d_] / \d diverge from \p{L} / \p{N}
+# on non-decimal numerics (², ½, Ⅻ ride the letter run here).  That is
+# acceptable because no runtime gate crosses the boundary — the trainer,
+# the pure-Python oracle, and the Spark UDF all call THIS function, so
+# BPE counts are internally consistent; never compare them token-wise
+# against the Java-regex estimator on numeric-symbol text.  The leading
 # space stays attached to the token (GPT-2's "Ġ" convention), so merges
 # learned across word boundaries are space-aware.
 _PRETOKEN_RE = re.compile(
