@@ -167,6 +167,27 @@ def test_banded_mat_signature_subtree_runs_once(spark):
     assert "EvalPython" not in plan and "EvalPython" not in plan2
 
 
+def test_asof_join_is_one_shuffle_no_theta(spark):
+    """The as-of join must be the union-tag + window shape: exactly one
+    Exchange (hash on user_id) and NO join operator at all — a range
+    theta join here would be a per-user nested loop."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_event_asof_join
+    plan = plan_of(q_event_asof_join(spark, "/root/testdata/sf0.001"))
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert nodes(plan, "Window") == 1, plan
+
+
+def test_split_assign_is_partial_agg_scan(spark):
+    """Deterministic hash split: pure codegen scan + partial agg — no
+    Python, no sample(), map-side combine before the single exchange."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_corpus_split_assign
+    plan = plan_of(q_corpus_split_assign(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "HashAggregate") >= 2, plan
+    assert nodes(plan, "Exchange") == 1, plan
+
+
 def test_textstats_gates_are_scan_speed(spark):
     """quality_filter and subword_token_counts claim scan-speed: their
     plans must be a single map stage — no Exchange, no Python."""

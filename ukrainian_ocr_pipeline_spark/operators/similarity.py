@@ -197,7 +197,17 @@ def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
     own it; otherwise the table is persisted internally and the PREVIOUS
     internal table of this session is released, bounding cache growth to
     one signature table regardless of how many scales/parameter settings
-    a session sweeps."""
+    a session sweeps.
+
+    Measured tradeoff (bench_out/mat_reuse_r3.json, BENCH.md round 3):
+    at dim=64 / 32 planes the STATELESS variant is faster one-shot —
+    recomputing folded-constant signatures in codegen costs less than
+    round-tripping them through the columnar cache.  This variant's
+    value is the write-once TABLE shape: at corpus scale the win is
+    skipping a second full corpus scan+decode, which an in-memory cache
+    on a small benchmark cannot emulate.  Also note: never warm the
+    persist via count() — AQE coalesces the cached partitioning and
+    slows every later join over it."""
     if signatures is not None:
         base = signatures
     else:

@@ -555,6 +555,80 @@ FROM events
 """
 
 
+def q_event_asof_join(spark, sf_dir):
+    """As-of join, the union-tag + carry-forward window shape: each
+    purchase gets the user's most recent STRICTLY PRIOR click (by
+    (ts, event_id) order).  This is THE scalable as-of form in Spark —
+    one shuffle on user_id, one sorted window pass, never a theta join:
+    a range-predicate join here would be O(clicks x purchases) per user,
+    and Spark has no native ASOF operator.  The DuckDB twin is an
+    independent formulation (correlated subqueries with nested-loop
+    semantics), so the oracle genuinely cross-checks the window trick.
+    Nullable asof columns: purchases with no prior click keep NULLs
+    (left-as-of semantics)."""
+    e = _t(spark, sf_dir, "events")
+    tagged = (e.where(F.col("event_type").isin("click", "purchase"))
+              .withColumn("click_ev",
+                          F.when(F.col("event_type") == "click",
+                                 F.struct("event_id", "ts"))))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (tagged
+            .withColumn("asof", F.last("click_ev", ignorenulls=True).over(w))
+            .where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("asof.event_id").alias("asof_click_id"),
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     - F.unix_micros(F.col("asof.ts").cast("timestamp"))
+                     ).alias("gap_us")))
+
+
+SQL_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id,
+       (SELECT CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS gap_us
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+def q_corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (8/1/1) by md5(doc_id) bucket
+    — the training-data-pipeline staple: membership is a pure function
+    of the key, so the split is stable across runs, engines, and
+    re-partitionings (no sample(), no RNG state to ship).  Pure codegen
+    scan + one tiny partial-agg shuffle; at 100 TB the assignment adds
+    zero shuffles to whatever pipeline consumes it."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("int") % 10
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (d.withColumn("split", split)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+SQL_SPLIT = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 10 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY 1, 2
+"""
+
+
 def q_user_sessionization(spark, sf_dir):
     """Gap-based sessionization (lag + conditional running count) — the
     batch analog of stateful streaming sessionization."""
@@ -1637,6 +1711,8 @@ QUERIES = {
     # -- new in round 3 --
     "dedup_embedding_cosine_banded_mat": q_dedup_embedding_cosine_banded_mat,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "event_asof_join": q_event_asof_join,
+    "corpus_split_assign": q_corpus_split_assign,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
@@ -1749,6 +1825,8 @@ ORACLE_SQL = {
     "fuzzy_lexicon_matches": SQL_FUZZY_MATCHES,
     "extraction_pipeline_metrics": SQL_PIPELINE_METRICS,
     "doc_bpe_tokens": SQL_BPE_TOKENS,
+    "event_asof_join": SQL_ASOF,
+    "corpus_split_assign": SQL_SPLIT,
     "match_stats": SQL_MATCH_STATS,
     "match_top_terms": SQL_MATCH_TOP_TERMS,
     "entity_spans_by_type": SQL_SPANS_BY_TYPE,
