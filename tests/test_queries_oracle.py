@@ -60,3 +60,51 @@ def test_rows_only_queries_run(spark, name):
     n = df.count()
     assert n >= 0
     df.limit(5).collect()  # schema materializes without error
+
+
+def test_asof_tie_semantics(spark):
+    """The driver corpus has no (user_id, ts) collisions at any scale
+    factor, so the sf-table oracle can't exercise the as-of tie rule.
+    Synthetic equal-timestamp rows pin it THREE ways: Spark window
+    result == hand-derived expectation == the committed correlated-
+    subquery SQL twin run by DuckDB on the same rows.
+
+    Rule: a click qualifies for a purchase iff (c.ts, c.event_id) <
+    (p.ts, p.event_id) lexicographically; latest qualifying click wins.
+    """
+    import datetime
+
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        SQL_ASOF, asof_purchase_click)
+
+    t = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click(1)@t, purchase(2)@t, click(3)@t, purchase(4)@t
+        (1, t, 1, "click", 0.0, ""),
+        (2, t, 1, "purchase", 0.0, ""),   # matches click 1 (3 > 2 excluded)
+        (3, t, 1, "click", 0.0, ""),
+        (4, t, 1, "purchase", 0.0, ""),   # matches click 3 (latest of 1,3)
+        # user 2: only a same-ts click with HIGHER id -> no match
+        (5, t, 2, "purchase", 0.0, ""),
+        (6, t, 2, "click", 0.0, ""),
+        # user 3: earlier click beats same-ts exclusion
+        (7, t - datetime.timedelta(seconds=5), 3, "click", 0.0, ""),
+        (8, t, 3, "click", 0.0, ""),      # id 8 < 9: qualifies, is latest
+        (9, t, 3, "purchase", 0.0, ""),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    expected = {2: 1, 4: 3, 5: None, 9: 8}
+
+    got = {r["purchase_id"]: r["asof_click_id"]
+           for r in asof_purchase_click(
+               spark.createDataFrame(rows, schema)).collect()}
+    assert got == expected
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    con.register("events", pdf)
+    want = {int(r[0]): (None if pd.isna(r[2]) else int(r[2]))
+            for r in con.execute(SQL_ASOF).fetchall()}
+    assert want == expected

@@ -171,10 +171,25 @@ def banded_signature_table(emb: DataFrame, n_bands: int = 8, band_planes: int = 
 
 
 # last persisted signature table per Spark application: each new
-# materialized-banded call releases the previous one, so a session
+# materialized-banded call releases the previous one (under a lock, and
+# unpersisting every held handle before dropping it), so a session
 # sweeping scales/parameters pins at most ONE signature cache instead of
 # accumulating an InMemoryRelation per distinct input plan.
+import threading
+
 _MAT_SIG_CACHE: dict[str, DataFrame] = {}
+_MAT_SIG_LOCK = threading.Lock()
+
+
+def _register_mat_signatures(app: str, base: DataFrame) -> None:
+    with _MAT_SIG_LOCK:
+        for handle in _MAT_SIG_CACHE.values():
+            try:
+                handle.unpersist(blocking=False)
+            except Exception:
+                pass  # stopped session's dead reference
+        _MAT_SIG_CACHE.clear()
+        _MAT_SIG_CACHE[app] = base
 
 
 def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
@@ -213,15 +228,8 @@ def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
     else:
         base = banded_signature_table(emb, n_bands, band_planes,
                                       id_col, vec_col, dim).persist()
-        app = emb.sparkSession.sparkContext.applicationId
-        prev = _MAT_SIG_CACHE.get(app)
-        if prev is not None:
-            try:
-                prev.unpersist(blocking=False)
-            except Exception:
-                pass  # previous session's dead reference
-        _MAT_SIG_CACHE.clear()  # also drops handles from stopped sessions
-        _MAT_SIG_CACHE[app] = base
+        _register_mat_signatures(emb.sparkSession.sparkContext.applicationId,
+                                 base)
     sigs = base.select("vec_id", F.posexplode("bands").alias("band", "bucket"))
     a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
     b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")

@@ -91,9 +91,10 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text",
     pandas UDF — the sanctioned slow-path shape: the ranks table is
     built ONCE on the driver and ships in the UDF closure (cloudpickle),
     the pretoken cache lives in the same closure so it persists across
-    Arrow batches for the lifetime of each Python worker process
-    (size-capped — word frequency is Zipfian, so the cap almost never
-    trips), and the scan still prunes to (id, text) columns.
+    Arrow batches WITHIN a task (closure state re-deserializes fresh per
+    task command, so there is no cross-task reuse; size-capped anyway —
+    word frequency is Zipfian), and the scan still prunes to (id, text)
+    columns.
     Parity: the pure-Python oracle calls the same spec functions; the
     registry twin is a VALUES table of oracle-computed counts."""
     from pyspark.sql.functions import pandas_udf

@@ -555,18 +555,18 @@ FROM events
 """
 
 
-def q_event_asof_join(spark, sf_dir):
+def asof_purchase_click(e: DataFrame) -> DataFrame:
     """As-of join, the union-tag + carry-forward window shape: each
     purchase gets the user's most recent STRICTLY PRIOR click (by
     (ts, event_id) order).  This is THE scalable as-of form in Spark —
     one shuffle on user_id, one sorted window pass, never a theta join:
     a range-predicate join here would be O(clicks x purchases) per user,
-    and Spark has no native ASOF operator.  The DuckDB twin is an
-    independent formulation (correlated subqueries with nested-loop
-    semantics), so the oracle genuinely cross-checks the window trick.
-    Nullable asof columns: purchases with no prior click keep NULLs
-    (left-as-of semantics)."""
-    e = _t(spark, sf_dir, "events")
+    and Spark has no native ASOF operator.  Nullable asof columns:
+    purchases with no prior click keep NULLs (left-as-of semantics).
+    Tie semantics ((ts, event_id) lexicographic) are pinned by
+    tests/test_queries_oracle.py::test_asof_tie_semantics on synthetic
+    equal-timestamp rows — the driver corpus has no (user_id, ts)
+    collisions, so the sf-table oracle alone cannot exercise ties."""
     tagged = (e.where(F.col("event_type").isin("click", "purchase"))
               .withColumn("click_ev",
                           F.when(F.col("event_type") == "click",
@@ -581,6 +581,13 @@ def q_event_asof_join(spark, sf_dir):
                     (F.unix_micros(F.col("ts").cast("timestamp"))
                      - F.unix_micros(F.col("asof.ts").cast("timestamp"))
                      ).alias("gap_us")))
+
+
+def q_event_asof_join(spark, sf_dir):
+    """See asof_purchase_click.  The DuckDB twin is an independent
+    formulation (correlated subqueries with nested-loop semantics), so
+    the oracle genuinely cross-checks the window trick."""
+    return asof_purchase_click(_t(spark, sf_dir, "events"))
 
 
 SQL_ASOF = """
@@ -604,9 +611,11 @@ def q_corpus_split_assign(spark, sf_dir):
     re-partitionings (no sample(), no RNG state to ship).  Pure codegen
     scan + one tiny partial-agg shuffle; at 100 TB the assignment adds
     zero shuffles to whatever pipeline consumes it."""
+    from ..operators.dedup import _h32
     d = _t(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                    16, 10).cast("int") % 10
+    # same md5-prefix hash family as the dedup operators (one helper,
+    # one SQL-twin convention to maintain)
+    bucket = _h32(F.col("doc_id").cast("string")) % 10
     split = (F.when(bucket <= 7, "train")
              .when(bucket == 8, "val").otherwise("test"))
     return (d.withColumn("split", split)
@@ -618,8 +627,8 @@ def q_corpus_split_assign(spark, sf_dir):
 SQL_SPLIT = """
 WITH assigned AS (
   SELECT lang, n_chars,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-              AS INTEGER) % 10 AS bucket
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS bucket
   FROM documents)
 SELECT CASE WHEN bucket <= 7 THEN 'train'
             WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
