@@ -638,6 +638,79 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+def q_event_props_json(spark, sf_dir):
+    """Data-plane JSON decode (C15 twin, utils/io.py:109-157 /
+    core/ner.py:274 json.loads of structured payloads): schema-checked
+    from_json over the events.props column, aggregated per event_type.
+    from_json with an explicit schema stays in codegen and column-prunes
+    the parsed struct — the right shape for sparse JSON at scan scale
+    (vs get_json_object re-parsing per extraction)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+                 F.max("p.k").alias("max_k"),
+                 F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_bad_json")))
+
+
+SQL_PROPS_JSON = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props ->> '$.k' AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(SUM(CASE WHEN (props ->> '$.k') IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_json
+FROM events GROUP BY event_type
+"""
+
+
+def q_doc_bigram_counts(spark, sf_dir):
+    """Corpus bigram statistics (n-gram LM counts, the training-data
+    analytics staple): lowercase word bigrams per lang, top 5 per lang
+    by (count desc, bigram asc).  Explode + partial-agg + window top-k —
+    the count table shuffles once on (lang, bigram) with map-side
+    combine, so the exchange carries distinct bigrams, not corpus
+    positions."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                             r"\s+", " ")), " ")
+    grams = F.when(
+        F.size(F.col("words")) >= 2,
+        F.expr("transform(sequence(1, size(words) - 1), "
+               "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))")
+    ).otherwise(F.array().cast("array<string>"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (d.select("lang", words.alias("words"))
+            .select("lang", F.explode(grams).alias("bigram"))
+            .groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("lang", "rank", "bigram", "n"))
+
+
+SQL_BIGRAMS = """
+WITH words AS (
+  SELECT lang,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT lang,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w) - 1),
+                                    i -> concat(w[i], ' ', w[i + 1]))
+                ELSE [] END) AS bigram
+  FROM words),
+counted AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram),
+ranked AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM counted)
+SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_user_sessionization(spark, sf_dir):
     """Gap-based sessionization (lag + conditional running count) — the
     batch analog of stateful streaming sessionization."""
@@ -1722,6 +1795,8 @@ QUERIES = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "event_asof_join": q_event_asof_join,
     "corpus_split_assign": q_corpus_split_assign,
+    "event_props_json": q_event_props_json,
+    "doc_bigram_counts": q_doc_bigram_counts,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
@@ -1836,6 +1911,8 @@ ORACLE_SQL = {
     "doc_bpe_tokens": SQL_BPE_TOKENS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
+    "event_props_json": SQL_PROPS_JSON,
+    "doc_bigram_counts": SQL_BIGRAMS,
     "match_stats": SQL_MATCH_STATS,
     "match_top_terms": SQL_MATCH_TOP_TERMS,
     "entity_spans_by_type": SQL_SPANS_BY_TYPE,
