@@ -108,3 +108,54 @@ def test_asof_tie_semantics(spark):
     want = {int(r[0]): (None if pd.isna(r[2]) else int(r[2]))
             for r in con.execute(SQL_ASOF).fetchall()}
     assert want == expected
+
+
+def test_props_json_bad_rows_semantics(spark):
+    """No scale factor contains malformed props, so the n_bad_json
+    branch is corpus-unreachable.  Synthetic rows pin it three ways:
+    Spark from_json == hand-derived expectation == the committed
+    json_valid-gated SQL twin in DuckDB (without the gate, DuckDB's ->>
+    raises on malformed JSON instead of cross-checking)."""
+    import datetime
+
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        SQL_PROPS_JSON, q_event_props_json)
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, t, 1, "click", 0.0, '{"k": 5}'),      # good
+        (2, t, 1, "click", 0.0, "not json"),      # malformed -> bad
+        (3, t, 1, "click", 0.0, "{}"),            # valid, k missing -> bad
+        (4, t, 1, "click", 0.0, None),            # NULL props -> bad
+        (5, t, 1, "view", 0.0, '{"k": 7}'),       # good
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    df.createOrReplaceTempView("_props_rows")
+
+    def frm(rs):
+        return {r["event_type"]: (r["n_events"], r["sum_k"], r["max_k"],
+                                  r["n_bad_json"]) for r in rs}
+
+    expected = {"click": (4, 5, 5, 3), "view": (1, 7, 7, 0)}
+    # run the registry transform against the synthetic rows by reusing
+    # its body on a substituted table
+    from pyspark.sql import functions as F
+    parsed = df.withColumn("p", F.from_json("props", "k INT"))
+    got = frm((parsed.groupBy("event_type")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+                    F.max("p.k").alias("max_k"),
+                    F.count(F.when(F.col("p.k").isNull(), 1))
+                    .alias("n_bad_json"))).collect())
+    assert got == expected
+    # NULL-props row: from_json(NULL) -> NULL struct, counted as bad
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    con.register("events", pdf)
+    want = frm(r._asdict() if hasattr(r, "_asdict") else r
+               for r in con.execute(SQL_PROPS_JSON).df().to_dict("records"))
+    want = {k: tuple(int(x) for x in v) for k, v in want.items()}
+    assert want == expected

@@ -13,6 +13,7 @@ formulation, which is what lets the correctness gate compare ranks.
 from __future__ import annotations
 
 import hashlib
+import threading
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -170,26 +171,23 @@ def banded_signature_table(emb: DataFrame, n_bands: int = 8, band_planes: int = 
                       F.array(*band_cols).alias("bands"))
 
 
-# last persisted signature table per Spark application: each new
-# materialized-banded call releases the previous one (under a lock, and
-# unpersisting every held handle before dropping it), so a session
-# sweeping scales/parameters pins at most ONE signature cache instead of
-# accumulating an InMemoryRelation per distinct input plan.
-import threading
-
-_MAT_SIG_CACHE: dict[str, DataFrame] = {}
+# last internally-persisted signature table (a single slot — each new
+# materialized-banded call releases the previous table under a lock),
+# so a process sweeping scales/parameters pins at most ONE signature
+# cache instead of accumulating an InMemoryRelation per input plan.
+_MAT_SIG: list[DataFrame] = []
 _MAT_SIG_LOCK = threading.Lock()
 
 
-def _register_mat_signatures(app: str, base: DataFrame) -> None:
+def _register_mat_signatures(base: DataFrame) -> None:
     with _MAT_SIG_LOCK:
-        for handle in _MAT_SIG_CACHE.values():
+        for handle in _MAT_SIG:
             try:
                 handle.unpersist(blocking=False)
             except Exception:
                 pass  # stopped session's dead reference
-        _MAT_SIG_CACHE.clear()
-        _MAT_SIG_CACHE[app] = base
+        _MAT_SIG.clear()
+        _MAT_SIG.append(base)
 
 
 def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
@@ -228,8 +226,7 @@ def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
     else:
         base = banded_signature_table(emb, n_bands, band_planes,
                                       id_col, vec_col, dim).persist()
-        _register_mat_signatures(emb.sparkSession.sparkContext.applicationId,
-                                 base)
+        _register_mat_signatures(base)
     sigs = base.select("vec_id", F.posexplode("bands").alias("band", "bucket"))
     a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
     b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")

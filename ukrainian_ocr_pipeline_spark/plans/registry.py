@@ -654,13 +654,21 @@ def q_event_props_json(spark, sf_dir):
                  F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_bad_json")))
 
 
+# json_valid gate: DuckDB's ->> RAISES on malformed JSON while Spark's
+# from_json yields NULL — without the gate the twin crashes instead of
+# cross-checking the bad-JSON path (pinned on synthetic rows by
+# tests/test_queries_oracle.py::test_props_json_bad_rows_semantics)
 SQL_PROPS_JSON = """
+WITH parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(props ->> '$.k' AS INTEGER) END AS k
+  FROM events)
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-       CAST(MAX(CAST(props ->> '$.k' AS INTEGER)) AS INTEGER) AS max_k,
-       CAST(SUM(CASE WHEN (props ->> '$.k') IS NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_bad_json
-FROM events GROUP BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS INTEGER) AS max_k,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_json
+FROM parsed GROUP BY event_type
 """
 
 
@@ -671,9 +679,11 @@ def q_doc_bigram_counts(spark, sf_dir):
     the count table shuffles once on (lang, bigram) with map-side
     combine, so the exchange carries distinct bigrams, not corpus
     positions."""
+    from ..operators import dedup
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")),
-                                             r"\s+", " ")), " ")
+    # split on the ONE canonical normalization (dedup._canon) so bigram
+    # words stay key-compatible with the dedup/fingerprint family
+    words = F.split(dedup._canon("text"), " ")
     grams = F.when(
         F.size(F.col("words")) >= 2,
         F.expr("transform(sequence(1, size(words) - 1), "
