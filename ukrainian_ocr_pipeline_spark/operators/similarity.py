@@ -183,7 +183,11 @@ def _register_mat_signatures(base: DataFrame) -> None:
     with _MAT_SIG_LOCK:
         for handle in _MAT_SIG:
             try:
-                handle.unpersist(blocking=False)
+                # an equal-plan handle SHARES the new table's cache entry
+                # (CacheManager dedupes by semantics): unpersisting it
+                # would silently drop the cache we just registered
+                if not handle.sameSemantics(base):
+                    handle.unpersist(blocking=False)
             except Exception:
                 pass  # stopped session's dead reference
         _MAT_SIG.clear()
