@@ -96,3 +96,32 @@ def test_banded_plan_is_jvm_only_equi_join(spark, emb):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_written_signature_table_join_only_path(spark, emb, tmp_path):
+    """The production write-once path: signatures written to parquet,
+    dedup re-run join-only over the read-back table.  Results must be
+    identical to the stateless query, and the join-only plan must
+    contain ZERO signature recomputation (no folded plane constants —
+    the signature subtree lives behind the parquet scan) and no
+    Python."""
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    path = str(tmp_path / "sigs")
+    similarity.write_banded_signatures(emb, path, n_bands=8, band_planes=4)
+    sigs = spark.read.parquet(path)
+
+    join_only = similarity.cosine_near_dup_banded_materialized(
+        emb, threshold=THRESH, n_bands=8, band_planes=4, signatures=sigs)
+    stateless = similarity.cosine_near_dup_banded(
+        emb, threshold=THRESH, n_bands=8, band_planes=4)
+    got = {(r.doc_a, r.doc_b, r.cosine_r) for r in join_only.collect()}
+    want = {(r.doc_a, r.doc_b, r.cosine_r) for r in stateless.collect()}
+    assert got == want and got
+
+    plan = join_only._jdf.queryExecution().executedPlan().toString()
+    plane0 = repr(similarity._plane_component(0, 0))
+    assert plane0 not in plan, "signature subtree recomputed in join-only path"
+    assert "EvalPython" not in plan
+    # and the signatures genuinely come from storage
+    assert plan.count("Scan parquet") >= 1, plan

@@ -194,6 +194,21 @@ def _register_mat_signatures(base: DataFrame) -> None:
         _MAT_SIG.append(base)
 
 
+def write_banded_signatures(emb: DataFrame, path: str, n_bands: int = 8,
+                            band_planes: int = 4, id_col: str = "vec_id",
+                            vec_col: str = "embedding", dim: int = 64) -> None:
+    """The production write-once path: materialize the signature table
+    to storage next to the corpus.  Signature compute runs exactly once
+    per corpus snapshot; every later dedup run is join-only over this
+    table (pass `spark.read.parquet(path)` as `signatures` to
+    cosine_near_dup_banded_materialized) — no corpus re-scan, no
+    re-encode.  tests/test_banded_recall.py proves the read-back path
+    is result-identical to the stateless query and that its plan
+    contains zero signature recomputation."""
+    (banded_signature_table(emb, n_bands, band_planes, id_col, vec_col, dim)
+     .write.mode("overwrite").parquet(path))
+
+
 def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
                                         n_bands: int = 8, band_planes: int = 4,
                                         id_col: str = "vec_id",
