@@ -721,6 +721,57 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_doc_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF — the retrieval/analytics
+    staple over a text corpus.  Shape: one tf shuffle on (doc_id, word),
+    one df shuffle on word, corpus size N as a broadcast one-row
+    cross-join (never a collect), then a per-doc top-k window.  Both
+    engines compute ln() in double and the score is rounded to 6 dp
+    before ranking (tie-break by word) so ranks agree bit-for-bit."""
+    from ..operators import dedup
+    d = _t(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.explode(F.split(dedup._canon("text"), " "))
+                      .alias("word"))
+             .where(F.length("word") > 0))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = words.select("doc_id", "word").distinct() \
+                 .groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf_r",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_docs") / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), "word")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "rank", "word", "tf", "tfidf_r"))
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents,
+       unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE length(w) > 0),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (
+  SELECT word, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df), 6) AS tfidf_r
+  FROM tf JOIN dfreq USING (word)),
+ranked AS (
+  SELECT doc_id, word, tf, tfidf_r,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, word) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf,
+       tfidf_r
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_user_sessionization(spark, sf_dir):
     """Gap-based sessionization (lag + conditional running count) — the
     batch analog of stateful streaming sessionization."""
@@ -1807,6 +1858,7 @@ QUERIES = {
     "corpus_split_assign": q_corpus_split_assign,
     "event_props_json": q_event_props_json,
     "doc_bigram_counts": q_doc_bigram_counts,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "docs_per_lang_concat": q_docs_per_lang_concat,
@@ -1923,6 +1975,7 @@ ORACLE_SQL = {
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
     "doc_bigram_counts": SQL_BIGRAMS,
+    "doc_tfidf_top_terms": SQL_TFIDF,
     "match_stats": SQL_MATCH_STATS,
     "match_top_terms": SQL_MATCH_TOP_TERMS,
     "entity_spans_by_type": SQL_SPANS_BY_TYPE,
