@@ -57,7 +57,8 @@ HEADLINE = [
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
     "dedup_lsh_candidates", "contamination_check", "dedup_embedding_cosine",
     "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
-    "dedup_near_dup_verified",
+    "dedup_near_dup_verified", "dedup_cluster_assign",
+    "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",
 ]

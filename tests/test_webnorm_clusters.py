@@ -1,0 +1,133 @@
+"""Unit tests for the round-3 web-hygiene operators: URL
+canonicalization, PII redaction, repetition signals, and near-dup
+cluster assignment (connected components)."""
+
+from pyspark.sql import Row, functions as F
+
+from ukrainian_ocr_pipeline_spark.operators import dedup, textstats, webnorm
+
+
+# ---------------------------------------------------------------- URLs
+
+URL_CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.News.Example.ORG/a/b/?utm_source=x&ref=t#frag",
+     "https://news.example.org/a/b?ref=t"),
+    ("http://example.com/path?b=2&a=1",          # params sorted
+     "http://example.com/path?a=1&b=2"),
+    ("https://example.com/?utm_a=1&utm_b=2",     # all params stripped
+     "https://example.com"),
+    ("https://example.com",                      # no path at all
+     "https://example.com"),
+    ("https://wwwx.example.com/p",               # wwwx is NOT a www prefix
+     "https://wwwx.example.com/p"),
+    ("https://example.com/p#only-fragment",
+     "https://example.com/p"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([Row(url=r) for r, _ in URL_CASES])
+    got = [r[0] for r in
+           df.select(webnorm.canonical_url("url")).collect()]
+    assert got == [c for _, c in URL_CASES]
+
+
+def test_url_dedup_groups_collapses_variants(spark):
+    rows = [
+        Row(doc_id=1, url="https://a.com/x?utm_s=1"),
+        Row(doc_id=2, url="HTTPS://A.com/x/"),
+        Row(doc_id=3, url="https://www.a.com/x#f"),
+        Row(doc_id=4, url="https://b.com/y"),
+    ]
+    out = {r["canonical_url"]: r for r in
+           webnorm.url_dedup_groups(spark.createDataFrame(rows)).collect()}
+    assert out["https://a.com/x"]["n_variants"] == 3
+    assert out["https://a.com/x"]["n_distinct_raw"] == 3
+    assert out["https://a.com/x"]["keeper_doc_id"] == 1
+    assert out["https://b.com/y"]["n_variants"] == 1
+
+
+# ---------------------------------------------------------------- PII
+
+def test_pii_redact_counts_and_tail(spark):
+    rows = [
+        Row(doc_id=1, text="mail me at a.b+c@x-y.example.com or 10.0.0.1 now"),
+        Row(doc_id=2, text="no pii here"),
+        Row(doc_id=3, text="two 1.2.3.4 addrs 255.255.255.255"),
+        Row(doc_id=4, text="a@b.co"),  # shorter than the 48-char tail
+    ]
+    out = {r["doc_id"]: r for r in
+           webnorm.pii_redact(spark.createDataFrame(rows)).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (0, 0)
+    assert out[3]["n_ips"] == 2
+    # redaction really replaced the text
+    assert out[1]["redacted_tail"].endswith("<EMAIL> or <IP> now")
+    # tail clamp on strings shorter than 48 chars returns the whole string
+    assert out[4]["redacted_tail"] == "<EMAIL>"
+    assert out[4]["redacted_len"] == len("<EMAIL>")
+
+
+# ------------------------------------------------------- repetition
+
+def test_repetition_signals_crafted(spark):
+    rows = [
+        Row(doc_id=1, text="spam spam spam spam eggs"),   # repetitive
+        Row(doc_id=2, text="one two three four five"),    # diverse
+        Row(doc_id=3, text="solo"),                       # no bigrams
+    ]
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_signals(spark.createDataFrame(rows)).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_types"]) == (5, 2)
+    assert r1["top_word_frac"] == 0.8
+    # "spam spam" occurs 3x of 4 bigrams; only it is duplicated
+    assert r1["top_bigram_frac"] == 0.75
+    assert r1["dup_bigram_frac"] == 0.75
+    assert r1["flag_repetitive"]
+    r2 = out[2]
+    # all-unique bigrams: top fraction is the degenerate 1/(n-1) but the
+    # duplicate-bigram mass (the flag input) is exactly 0
+    assert r2["type_token_r"] == 1.0
+    assert r2["top_bigram_frac"] == 0.25
+    assert r2["dup_bigram_frac"] == 0.0
+    assert not r2["flag_repetitive"]
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["top_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------- cluster assign
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges])
+
+
+def test_cluster_assign_components(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    out = dedup.cluster_assign(_pairs(spark, [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+    ]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert rows[4]["cluster_size"] == 4
+    assert rows[12]["cluster_size"] == 3
+    assert [d for d, r in sorted(rows.items()) if r["is_keeper"]] == [1, 10, 20]
+
+
+def test_cluster_assign_long_chain_converges(spark):
+    # a 9-vertex chain needs 8 propagation rounds — exercises the loop
+    out = dedup.cluster_assign(_pairs(spark, [(i, i + 1) for i in range(9)]))
+    assert set(r["cluster_id"] for r in out.collect()) == {0}
+    assert out.count() == 10
+
+
+def test_cluster_assign_raises_without_convergence(spark):
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_assign(_pairs(spark, [(i, i + 1) for i in range(9)]),
+                             max_iter=2)

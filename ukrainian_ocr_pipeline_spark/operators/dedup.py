@@ -231,3 +231,64 @@ def contamination_check(docs: DataFrame, benchmark_ids: list[int],
             .select("doc_id", "n_grams", "n_contaminated",
                     F.round(F.col("n_contaminated") / F.col("n_grams"), 6)
                     .alias("contamination_r")))
+
+
+def cluster_assign(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Connected components over near-dup pairs -> duplicate clusters.
+
+    The FINAL step of every web-scale dedup pipeline (C4/Gopher-style):
+    pairwise near-dup hits are only half the job — documents must be
+    grouped into transitive clusters so exactly one representative per
+    cluster survives.  Input is any (doc_a, doc_b) pair table (e.g.
+    `verified_near_dups`); output assigns every paired document its
+    cluster id (the component's minimum doc_id), the cluster size, and
+    an `is_keeper` flag for the canonical representative.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min of its own label and its neighbors' labels, until a
+    fixpoint.  Rounds needed = graph diameter; duplicate clusters are
+    shallow (near-clique families), so this converges in a handful of
+    rounds.  Each round is one shuffle-join on vertex id plus a partial
+    agg; `localCheckpoint` truncates the lineage so plan depth stays
+    constant across rounds (at cluster scale you would checkpoint to
+    reliable storage and switch to the large-star/small-star variant,
+    which contracts star centers and converges in O(log n) rounds on
+    adversarial graphs — same per-round join shape).
+
+    Raises if the graph has not converged after `max_iter` rounds (never
+    silently returns a partial clustering).
+    """
+    # materialize the edge list ONCE — the upstream pair plan (MinHash ->
+    # LSH -> verify) must not be re-executed every propagation round
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.src == labels.doc_id)
+                   .groupBy(F.col("dst").alias("doc_id"))
+                   .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (labels.join(nbr_min, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("cluster_id"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("cluster_id")))
+                              .alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.withColumnRenamed("cluster_id", "old_cluster")
+                   .join(new_labels, "doc_id")
+                   .where(F.col("old_cluster") != F.col("cluster_id"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cluster_assign did not converge in {max_iter} rounds")
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")))

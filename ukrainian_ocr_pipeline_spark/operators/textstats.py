@@ -232,3 +232,66 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.substring(F.md5(canon.cast("binary")), 1, 8).alias("fp_prefix"),
         rolling.alias("rolling_fp"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters, per document: total / distinct
+    token counts, type-token ratio, most-frequent-token fraction, and
+    most-frequent-bigram fraction, plus the resulting repetitive flag
+    (the "remove documents dominated by a few n-grams" rule from the
+    Gopher / MassiveText curation recipe).
+
+    Shape: one explode over tokens and one over bigrams, each followed
+    by a two-level partial agg ((doc, gram) counts, then per-doc
+    max/sum) — both shuffles carry distinct grams per doc, never corpus
+    positions, and combine map-side.  Only the fractions are compared
+    against thresholds, so tie-breaking among equally-frequent grams
+    never matters.  Thresholds (0.20 top-word / 0.30 duplicate-bigram
+    mass) are fixed constants of the same order as the published Gopher
+    rules."""
+    from . import dedup
+
+    words = (docs.select("doc_id",
+                         F.explode(F.split(F.trim(dedup._canon(text_col)), " "))
+                         .alias("word"))
+             .where(F.length("word") > 0))
+    per_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    tok = per_word.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.max("n").alias("top_word_n"))
+    # per-doc bigrams rebuilt from a collect_list of tokens would not be
+    # deterministic (collect_list order) — derive them from the text
+    # directly with the same transform the corpus bigram query uses
+    w = F.split(F.trim(dedup._canon(text_col)), " ")
+    bi = (docs.select("doc_id", w.alias("ws"))
+          .select("doc_id", F.explode(F.when(
+              F.size("ws") >= 2,
+              F.expr("transform(sequence(1, size(ws) - 1), "
+                     "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+          ).otherwise(F.array().cast("array<string>"))).alias("bigram")))
+    per_bi = (bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+              .groupBy("doc_id")
+              .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bi_n"),
+                   # duplicate-bigram mass: bigrams occurring >= 2x —
+                   # exactly 0 for an all-unique doc, so (unlike the raw
+                   # top-bigram fraction, which is 1/(n-1) for ANY short
+                   # diverse doc) it is a usable flag signal
+                   F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+                   .alias("dup_bi_n")))
+    out = (tok.join(per_bi, "doc_id", "left")
+           .select(
+               "doc_id", "n_tokens", "n_types",
+               F.round(F.col("n_types") / F.col("n_tokens"), 6)
+               .alias("type_token_r"),
+               F.round(F.col("top_word_n") / F.col("n_tokens"), 6)
+               .alias("top_word_frac"),
+               F.round(F.coalesce(F.col("top_bi_n") / F.col("n_bigrams"),
+                                  F.lit(0.0)), 6)
+               .alias("top_bigram_frac"),
+               F.round(F.coalesce(F.col("dup_bi_n") / F.col("n_bigrams"),
+                                  F.lit(0.0)), 6)
+               .alias("dup_bigram_frac")))
+    return out.withColumn(
+        "flag_repetitive",
+        (F.col("top_word_frac") > 0.20) | (F.col("dup_bigram_frac") > 0.30))

@@ -1,0 +1,98 @@
+"""Web-hygiene operators: URL canonicalization and PII redaction.
+
+Both are pure JVM-side expressions (regexp + array higher-order
+functions — whole-stage codegen, no Python workers), because at crawl
+scale these run against every page and must execute at scan speed.
+
+URL canonicalization is the web-tier dedup primitive the reference's
+per-page identity has no analog for (its pages are locally unique
+image files, `ukrainian_ocr/core/config.py` path handling): a crawl
+sees the same page under tracking-parameter / fragment / host-case /
+www-prefix variants, and collapsing those BEFORE content dedup removes
+the bulk of exact duplicates with a string expression instead of a
+content hash.
+
+PII redaction is standard pre-training hygiene: strip emails / IP
+addresses from the text column while recording per-document match
+counts for the curation report.  Patterns deliberately use only
+constructs with identical semantics in Java regex and RE2 (no \\b, no
+lookaround) so the DuckDB oracle twin is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# cross-engine-safe patterns (Java regex == RE2 semantics)
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL column: lowercase scheme and host, strip
+    a leading ``www.``, drop the fragment, drop ``utm_*`` tracking
+    parameters, sort the surviving query parameters, and strip a
+    trailing slash from the path.
+
+    Everything is regexp_extract + array HOFs on one row — narrow, no
+    shuffle, safe to apply inline during the scan of a 10^12-row page
+    table."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
+        "^www\\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(F.filter(
+            F.split(query, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != F.lit("")))),
+        "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)))
+
+
+def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group a page table by canonical URL: one row per canonical URL
+    with the variant count, the distinct-raw-URL count, and the keeper
+    (min doc_id).  One partial-agg shuffle on the canonical string —
+    the same shape as exact content dedup, but run on the URL column
+    alone so it needs no text bytes at all (column pruning keeps the
+    scan to two columns)."""
+    return (pages
+            .select(canonical_url(url_col).alias("canonical_url"),
+                    F.col(url_col).alias("raw_url"), "doc_id")
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.countDistinct("raw_url").alias("n_distinct_raw"),
+                 F.min("doc_id").alias("keeper_doc_id")))
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII scrub: replace every email address with
+    ``<EMAIL>`` and every IPv4-shaped number run with ``<IP>``,
+    recording match counts.  Narrow (per-row regexp), runs at scan
+    speed; the counts feed the curation report, the redacted column
+    feeds the training corpus."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+        IPV4_PATTERN, "<IP>")
+    # tail sample via explicit 1-based clamp, NOT substring(col, -48):
+    # Spark's negative-pos substring returns '' when |pos| > length while
+    # DuckDB's right() clamps — the clamp form is identical in both
+    return (docs.withColumn("_pii_redacted", redacted)
+            .select(
+                "doc_id",
+                F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+                .alias("n_emails"),
+                F.size(F.regexp_extract_all(t, F.lit(IPV4_PATTERN), F.lit(0)))
+                .alias("n_ips"),
+                F.length("_pii_redacted").alias("redacted_len"),
+                F.expr("substring(_pii_redacted,"
+                       " greatest(length(_pii_redacted) - 47, 1), 48)")
+                .alias("redacted_tail"),
+            ))

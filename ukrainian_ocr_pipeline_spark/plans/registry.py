@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, similarity, textstats, webnorm
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -1218,6 +1218,38 @@ SELECT doc_a, doc_b, n_inter, jaccard_r FROM scored WHERE jaccard_r >= 0.5
 """.replace("__LSH_CANDIDATES__", SQL_LSH_CANDIDATES)
 
 
+def q_dedup_cluster_assign(spark, sf_dir):
+    """Transitive duplicate clusters: near-dup pairs -> connected
+    components (iterative min-label propagation, lineage-truncated per
+    round) -> one keeper per cluster.  The step that turns pairwise
+    dedup output into the actual drop list at 100 TB."""
+    return dedup.cluster_assign(
+        dedup.verified_near_dups(_t(spark, sf_dir, "documents")))
+
+
+# The oracle computes the same components with a recursive CTE: reach
+# enumerates every (vertex, reachable-vertex) pair over the symmetric
+# edge list, and MIN(reachable) per vertex is exactly the converged
+# min-label.  Fine at oracle scale; quadratic in cluster size, which is
+# why the Spark side propagates labels instead.
+SQL_CLUSTER_ASSIGN = """
+WITH RECURSIVE pairs AS (__PAIRS__),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS is_keeper
+FROM labels l JOIN sized s USING (cluster_id)
+""".replace("__PAIRS__", SQL_NEAR_DUP_VERIFIED)
+
+
 # --------------------------------------------------------------------------
 # similarity search (operators.similarity)
 
@@ -1833,6 +1865,191 @@ SELECT query_id, rank, vec_id AS neighbor_id, cosine_r FROM ranked WHERE rank <=
 
 
 # --------------------------------------------------------------------------
+# web-hygiene (operators.webnorm) + repetition filters (textstats)
+#
+# The documents table has no URL / PII columns, so these queries first
+# synthesize them DETERMINISTICALLY from (doc_id, source) with the SAME
+# arithmetic in both engines — the operator under test is the
+# canonicalization / redaction that follows, and the value-hash checks
+# its real output cell-by-cell.
+
+
+def _dirty_url_col():
+    """Deterministic crawl-style dirty URL: host-case noise (doc_id%7),
+    WWW prefix (%13), shared path bucket (%5 — small on purpose: with 20
+    sources the canonical key collapses to ~tens of groups, so cleanup
+    produces real cross-doc collisions at every sf), trailing slash
+    (%11), utm tracking / ref params (%3), fragment (%5)."""
+    d = F.col("doc_id")
+    host = F.when(d % 7 == 0, F.upper("source")).otherwise(F.col("source"))
+    www = F.when(d % 13 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/articles/"), (d % 5).cast("string"))
+    slash = F.when(d % 11 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&utm_campaign=c"),
+                                     (d % 5).cast("string")))
+         .when(d % 3 == 1, F.concat(F.lit("?ref=r"), (d % 4).cast("string"),
+                                    F.lit("&utm_medium=social")))
+         .otherwise(F.lit("")))
+    frag = F.when(d % 5 == 0, F.concat(F.lit("#sec"), (d % 3).cast("string"))) \
+            .otherwise(F.lit(""))
+    return F.concat(F.lit("HTTPS://"), www, host, F.lit(".Example.org"),
+                    path, slash, q, frag)
+
+
+_SQL_DIRTY_URL = """
+    'HTTPS://'
+    || CASE WHEN doc_id % 13 = 0 THEN 'WWW.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END
+    || '.Example.org'
+    || '/articles/' || CAST(doc_id % 5 AS VARCHAR)
+    || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 5 AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN '?ref=r' || CAST(doc_id % 4 AS VARCHAR) || '&utm_medium=social'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Crawl URL canonicalization + dedup: strip tracking params /
+    fragments / host case / www / trailing slash, then group by the
+    canonical form.  The web-tier first-pass dedup that removes the
+    bulk of exact duplicates before any content hashing — one
+    partial-agg shuffle on the canonical string, scan reads only
+    (doc_id, source)."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select("doc_id", _dirty_url_col().alias("url")))
+    return webnorm.url_dedup_groups(pages)
+
+
+SQL_URL_CANONICAL = """
+WITH raw AS (
+  SELECT doc_id, __DIRTY__ AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw),
+kept AS (
+  SELECT doc_id, url, scheme, host, path,
+         COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS kq
+  FROM parts),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path
+         || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical_url
+  FROM kept)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon GROUP BY canonical_url
+""".replace("__DIRTY__", _SQL_DIRTY_URL)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus: emails / IPv4 runs replaced with
+    placeholder tokens, per-doc match counts + redacted length + a
+    48-char redacted tail sample.  PII is injected deterministically
+    (doc_id arithmetic) since the synthetic corpus contains none; the
+    operator under test is the extraction/redaction."""
+    d = F.col("doc_id")
+    email = F.when(d % 4 < 3, F.concat(
+        F.lit(" contact user"), (d % 50).cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com"))).otherwise(F.lit(""))
+    ip = F.when(d % 6 == 0, F.concat(
+        F.lit(" from 10."), (d % 200).cast("string"),
+        F.lit(".0."), (d % 250).cast("string"))).otherwise(F.lit(""))
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.concat(F.col("text"), email, ip).alias("text")))
+    return webnorm.pii_redact(docs)
+
+
+SQL_PII = """
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 < 3
+                 THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+                      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+         AS redacted
+  FROM injected)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INTEGER)
+         AS n_ips,
+       CAST(length(redacted) AS INTEGER) AS redacted_len,
+       substr(redacted, greatest(length(redacted) - 47, 1), 48) AS redacted_tail
+FROM red
+"""
+
+
+def q_doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters per document (type-token ratio,
+    top-word / top-bigram fractions, repetitive flag)."""
+    return textstats.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents,
+       unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t(w)
+  WHERE length(w) > 0),
+pw AS (SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+tok AS (
+  SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_types, MAX(n) AS top_word_n
+  FROM pw GROUP BY doc_id),
+ws AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w) - 1),
+                                    i -> concat(w[i], ' ', w[i + 1]))
+                ELSE [] END) AS bigram
+  FROM ws),
+pb AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+bit AS (
+  SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bi_n,
+         SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_bi_n
+  FROM pb GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       ROUND(t.n_types * 1.0 / t.n_tokens, 6) AS type_token_r,
+       ROUND(t.top_word_n * 1.0 / t.n_tokens, 6) AS top_word_frac,
+       ROUND(COALESCE(b.top_bi_n * 1.0 / b.n_bigrams, 0.0), 6) AS top_bigram_frac,
+       ROUND(COALESCE(b.dup_bi_n * 1.0 / b.n_bigrams, 0.0), 6) AS dup_bigram_frac,
+       (ROUND(t.top_word_n * 1.0 / t.n_tokens, 6) > 0.20
+        OR ROUND(COALESCE(b.dup_bi_n * 1.0 / b.n_bigrams, 0.0), 6) > 0.30)
+         AS flag_repetitive
+FROM tok t LEFT JOIN bit b ON t.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Queries that have never (or only once) had a driver
@@ -1859,18 +2076,18 @@ QUERIES = {
     "event_props_json": q_event_props_json,
     "doc_bigram_counts": q_doc_bigram_counts,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "dedup_cluster_assign": q_dedup_cluster_assign,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "pii_redaction": q_pii_redaction,
+    "doc_repetition_signals": q_doc_repetition_signals,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
-    "docs_per_lang_concat": q_docs_per_lang_concat,
     "lineitem_rollup": q_lineitem_rollup,
     "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "high_volume_customers": q_high_volume_customers,
-    "doc_containment_join": q_doc_containment_join,
     "nation_set_ops": q_nation_set_ops,
     "nation_name_similarity": q_nation_name_similarity,
     "events_by_weekday": q_events_by_weekday,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "event_context_window": q_event_context_window,
     "order_value_ranks": q_order_value_ranks,
     "user_sessionization": q_user_sessionization,
     "session_window_rollup": q_session_window_rollup,
@@ -1900,6 +2117,10 @@ QUERIES = {
     "multimodal_feature_extract": q_multimodal_feature_extract,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
     # -- doubly-stable TPC twins rotated out of the 50-entry window --
+    "docs_per_lang_concat": q_docs_per_lang_concat,
+    "doc_containment_join": q_doc_containment_join,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "event_context_window": q_event_context_window,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_parts": q_top_parts,
@@ -1979,4 +2200,8 @@ ORACLE_SQL = {
     "match_stats": SQL_MATCH_STATS,
     "match_top_terms": SQL_MATCH_TOP_TERMS,
     "entity_spans_by_type": SQL_SPANS_BY_TYPE,
+    "dedup_cluster_assign": SQL_CLUSTER_ASSIGN,
+    "url_canonical_dedup": SQL_URL_CANONICAL,
+    "pii_redaction": SQL_PII,
+    "doc_repetition_signals": SQL_REPETITION,
 }
