@@ -206,3 +206,35 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     plan = plan_of(q_contamination_check(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_repetition_signals_is_shuffle_free(spark):
+    """Per-doc repetition stats derive from each row's own text: the
+    plan must be a narrow scan->project (sorted-run-length HOF fold),
+    never explode+groupBy — at 10^12 rows those two shuffles would
+    dwarf the whole job."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_repetition_signals"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_url_canonical_scan_prunes_to_two_columns(spark):
+    """URL dedup needs no text bytes: the scan must read only
+    (doc_id, source)."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["url_canonical_dedup"](
+        spark, "/root/testdata/sf0.001"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "source"}, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pii_redaction_is_narrow_codegen(spark):
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["pii_redaction"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -236,62 +236,67 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters, per document: total / distinct
-    token counts, type-token ratio, most-frequent-token fraction, and
-    most-frequent-bigram fraction, plus the resulting repetitive flag
-    (the "remove documents dominated by a few n-grams" rule from the
-    Gopher / MassiveText curation recipe).
+    token counts, type-token ratio, most-frequent-token fraction,
+    most-frequent-bigram fraction, duplicate-bigram mass, and the
+    resulting repetitive flag (the "remove documents dominated by a few
+    n-grams" rule from the Gopher / MassiveText curation recipe).
 
-    Shape: one explode over tokens and one over bigrams, each followed
-    by a two-level partial agg ((doc, gram) counts, then per-doc
-    max/sum) — both shuffles carry distinct grams per doc, never corpus
-    positions, and combine map-side.  Only the fractions are compared
-    against thresholds, so tie-breaking among equally-frequent grams
-    never matters.  Thresholds (0.20 top-word / 0.30 duplicate-bigram
-    mass) are fixed constants of the same order as the published Gopher
-    rules."""
+    Shape: ZERO shuffles.  Every signal derives from the document's own
+    text, so instead of explode + groupBy (which would shuffle corpus
+    positions twice and re-join), each row sorts its token / bigram
+    array once and folds run lengths with aggregate() — max run = top
+    gram count, sum of runs >= 2 = duplicate mass.  O(n log n) per row,
+    whole-stage codegen, runs at scan speed on a 10^12-row table with
+    full column pruning (the plan is Scan -> Project, nothing else).
+    Only fractions are compared against thresholds, so tie-breaking
+    among equally-frequent grams never matters.  Thresholds (0.20
+    top-word / 0.30 duplicate-bigram mass) are fixed constants of the
+    same order as the published Gopher rules."""
     from . import dedup
 
-    words = (docs.select("doc_id",
-                         F.explode(F.split(F.trim(dedup._canon(text_col)), " "))
-                         .alias("word"))
-             .where(F.length("word") > 0))
-    per_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
-    tok = per_word.groupBy("doc_id").agg(
-        F.sum("n").alias("n_tokens"),
-        F.count("*").alias("n_types"),
-        F.max("n").alias("top_word_n"))
-    # per-doc bigrams rebuilt from a collect_list of tokens would not be
-    # deterministic (collect_list order) — derive them from the text
-    # directly with the same transform the corpus bigram query uses
-    w = F.split(F.trim(dedup._canon(text_col)), " ")
-    bi = (docs.select("doc_id", w.alias("ws"))
-          .select("doc_id", F.explode(F.when(
-              F.size("ws") >= 2,
-              F.expr("transform(sequence(1, size(ws) - 1), "
-                     "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
-          ).otherwise(F.array().cast("array<string>"))).alias("bigram")))
-    per_bi = (bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
-              .groupBy("doc_id")
-              .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bi_n"),
-                   # duplicate-bigram mass: bigrams occurring >= 2x —
-                   # exactly 0 for an all-unique doc, so (unlike the raw
-                   # top-bigram fraction, which is 1/(n-1) for ANY short
-                   # diverse doc) it is a usable flag signal
-                   F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
-                   .alias("dup_bi_n")))
-    out = (tok.join(per_bi, "doc_id", "left")
-           .select(
-               "doc_id", "n_tokens", "n_types",
-               F.round(F.col("n_types") / F.col("n_tokens"), 6)
-               .alias("type_token_r"),
-               F.round(F.col("top_word_n") / F.col("n_tokens"), 6)
-               .alias("top_word_frac"),
-               F.round(F.coalesce(F.col("top_bi_n") / F.col("n_bigrams"),
-                                  F.lit(0.0)), 6)
-               .alias("top_bigram_frac"),
-               F.round(F.coalesce(F.col("dup_bi_n") / F.col("n_bigrams"),
-                                  F.lit(0.0)), 6)
-               .alias("dup_bigram_frac")))
+    def run_stats(arr_sql: str) -> str:
+        # fold a SORTED array into (best run, duplicated mass): a run is
+        # a maximal block of equal adjacent elements; runs >= 2 are
+        # duplicated grams.  The finish lambda closes the last run.
+        return (
+            "aggregate(array_sort({a}), "
+            " named_struct('prev', cast(null as string), 'run', 0L,"
+            "              'best', 0L, 'dup', 0L), "
+            " (acc, w) -> IF(w <=> acc.prev, "
+            "   named_struct('prev', w, 'run', acc.run + 1L,"
+            "                'best', greatest(acc.best, acc.run + 1L),"
+            "                'dup', acc.dup), "
+            "   named_struct('prev', w, 'run', 1L,"
+            "                'best', greatest(acc.best, 1L),"
+            "                'dup', acc.dup + IF(acc.run >= 2L, acc.run, 0L))), "
+            " acc -> named_struct('best', acc.best,"
+            "                     'dup', acc.dup + IF(acc.run >= 2L, acc.run, 0L))"
+            ")").format(a=arr_sql)
+
+    ws = F.filter(F.split(F.trim(dedup._canon(text_col)), " "),
+                  lambda w: F.length(w) > 0)
+    base = (docs.select("doc_id", ws.alias("ws"))
+            .where(F.size("ws") > 0)
+            .withColumn("bs", F.when(
+                F.size("ws") >= 2,
+                F.expr("transform(sequence(1, size(ws) - 1), "
+                       "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+            ).otherwise(F.array().cast("array<string>")))
+            .withColumn("wstat", F.expr(run_stats("ws")))
+            .withColumn("bstat", F.expr(run_stats("bs"))))
+    out = base.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_types"),
+        F.round(F.size(F.array_distinct("ws")) / F.size("ws"), 6)
+        .alias("type_token_r"),
+        F.round(F.col("wstat.best") / F.size("ws"), 6).alias("top_word_frac"),
+        F.round(F.when(F.size("bs") > 0,
+                       F.col("bstat.best") / F.size("bs")).otherwise(F.lit(0.0)),
+                6).alias("top_bigram_frac"),
+        F.round(F.when(F.size("bs") > 0,
+                       F.col("bstat.dup") / F.size("bs")).otherwise(F.lit(0.0)),
+                6).alias("dup_bigram_frac"))
     return out.withColumn(
         "flag_repetitive",
         (F.col("top_word_frac") > 0.20) | (F.col("dup_bigram_frac") > 0.30))
