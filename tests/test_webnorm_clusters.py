@@ -131,3 +131,39 @@ def test_cluster_assign_raises_without_convergence(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.cluster_assign(_pairs(spark, [(i, i + 1) for i in range(9)]),
                              max_iter=2)
+
+
+# ------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_statuses(spark):
+    """All three statuses pinned on synthetic rows (the corpus has no
+    exact duplicates below sf0.1, so branch semantics must be proven
+    here, not just via the oracle twin)."""
+    existing = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text="gamma delta"),
+    ])
+    incoming = spark.createDataFrame([
+        Row(doc_id=10, text="ALPHA   beta "),   # canon-equal to doc 1
+        Row(doc_id=11, text="epsilon zeta"),    # genuinely new
+        Row(doc_id=12, text="epsilon  zeta"),   # batch dup of 11
+        Row(doc_id=13, text="eta theta"),       # new, unique
+    ])
+    out = {r["doc_id"]: r["status"] for r in
+           dedup.incremental_dedup(existing, incoming).collect()}
+    assert out == {10: "dup_of_existing", 11: "new",
+                   12: "dup_within_batch", 13: "new"}
+
+
+def test_cross_doc_shingle_stats_crafted(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f"),      # shares "a b c d e" with 2
+        Row(doc_id=2, text="a b c d e x"),
+        Row(doc_id=3, text="p q r s t u"),      # fully unique
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup.cross_doc_shingle_stats(docs, k=5).collect()}
+    # 6 words -> 2 distinct 5-shingles each
+    assert out[1]["n_shingles"] == 2 and out[1]["n_shared"] == 1
+    assert out[1]["shared_frac"] == 0.5
+    assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0

@@ -292,3 +292,65 @@ def cluster_assign(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     return (labels.join(sizes, "cluster_id")
             .select("doc_id", "cluster_id", "cluster_size",
                     (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")))
+
+
+def incremental_dedup(existing: DataFrame, incoming: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Ingest-time dedup: classify every document of an incoming batch
+    against the already-committed corpus AND within its own batch —
+    the production ingestion path (snapshot N + new crawl -> snapshot
+    N+1 without re-deduping history).
+
+    Status per incoming doc: 'dup_of_existing' (content hash already in
+    the corpus), 'dup_within_batch' (first occurrence in this batch
+    wins), or 'new'.
+
+    Scale shape: the existing side collapses to DISTINCT 16-byte
+    digests — ONE equi-join on the digest (at 10^12 docs you keep that
+    hash index as a digest-bucketed table so the join needs no shuffle
+    of the big side), plus one window over the batch (small relative to
+    the corpus).  Existing TEXT is never rescanned."""
+    ex = (existing
+          .select(F.md5(_canon(text_col).cast("binary")).alias("content_hash"))
+          .distinct()
+          .withColumn("seen", F.lit(1)))
+    inc = incoming.select(
+        "doc_id", F.md5(_canon(text_col).cast("binary")).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (inc.join(ex, "content_hash", "left")
+            .withColumn("batch_keeper", F.min("doc_id").over(w))
+            .select("doc_id", "content_hash",
+                    F.when(F.col("seen").isNotNull(),
+                           F.lit("dup_of_existing"))
+                    .when(F.col("doc_id") != F.col("batch_keeper"),
+                          F.lit("dup_within_batch"))
+                    .otherwise(F.lit("new")).alias("status")))
+
+
+def cross_doc_shingle_stats(docs: DataFrame, text_col: str = "text",
+                            k: int = 5) -> DataFrame:
+    """Per-document cross-document duplication (the RefinedWeb-style
+    'how much of this page is copied text' signal): the fraction of a
+    document's DISTINCT k-word shingles that occur in at least one
+    OTHER document.
+
+    Scale shape: shingles are hashed to 16-byte digests BEFORE the
+    exchange (a 5-word shingle string is 3-10x wider than its digest —
+    at 100 TB the shuffle IS the cost, so narrow the key first); then
+    one partial-agg per-shingle doc count, one join back on the digest,
+    one per-doc rollup.  Since the per-doc shingle set is DISTINCT, a
+    digest's row count equals its document count — no countDistinct
+    needed."""
+    shd = (_word_shingles(docs, text_col, k)
+           .select("doc_id",
+                   F.md5(F.col("shingle").cast("binary")).alias("sh"))
+           .distinct())
+    counts = shd.groupBy("sh").agg(F.count("*").alias("nd"))
+    return (shd.join(counts, "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .alias("n_shared"))
+            .select("doc_id", "n_shingles", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+                    .alias("shared_frac")))

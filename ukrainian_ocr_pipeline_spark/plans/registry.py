@@ -1218,6 +1218,85 @@ SELECT doc_a, doc_b, n_inter, jaccard_r FROM scored WHERE jaccard_r >= 0.5
 """.replace("__LSH_CANDIDATES__", SQL_LSH_CANDIDATES)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup of an incoming batch against the committed
+    corpus — the snapshot-N -> snapshot-N+1 production path that never
+    re-dedupes history.
+
+    The committed corpus is doc_id % 10 < 8; the batch is the other 20%
+    PLUS a deterministic recrawl (every existing doc_id % 17 == 0
+    reappears under a fresh id) and batch-internal repeats (every
+    incoming doc_id % 23 == 0 appears twice) — the synthetic corpus has
+    no exact duplicates below sf0.1, so without these both non-'new'
+    statuses would be corpus-unreachable at oracle scale."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    existing = docs.where(d % 10 < 8)
+    incoming = (docs.where(d % 10 >= 8).select("doc_id", "text")
+                .unionByName(existing.where(d % 17 == 0)
+                             .select((d + 1000000).alias("doc_id"), "text"))
+                .unionByName(docs.where((d % 10 >= 8) & (d % 23 == 0))
+                             .select((d + 2000000).alias("doc_id"), "text")))
+    return dedup.incremental_dedup(existing=existing, incoming=incoming)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH inc_rows AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 10 < 8 AND doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  WHERE doc_id % 10 >= 8 AND doc_id % 23 = 0),
+ex AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         AS content_hash
+  FROM documents WHERE doc_id % 10 < 8),
+inc AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM inc_rows),
+keep AS (SELECT content_hash, MIN(doc_id) AS batch_keeper FROM inc GROUP BY 1)
+SELECT i.doc_id, i.content_hash,
+       CASE WHEN e.content_hash IS NOT NULL THEN 'dup_of_existing'
+            WHEN i.doc_id <> k.batch_keeper THEN 'dup_within_batch'
+            ELSE 'new' END AS status
+FROM inc i
+LEFT JOIN ex e ON i.content_hash = e.content_hash
+JOIN keep k ON i.content_hash = k.content_hash
+"""
+
+
+def q_cross_doc_shingle_dup(spark, sf_dir):
+    """Per-doc cross-document duplication signal: fraction of each
+    document's distinct 5-word shingles that occur in >= 1 other doc."""
+    return dedup.cross_doc_shingle_stats(_t(spark, sf_dir, "documents"), k=5)
+
+
+SQL_SHINGLE_DUP = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w) - 4),
+                                    i -> array_to_string(w[i:i+4], ' '))
+                END) AS shingle
+  FROM words),
+shd AS (SELECT DISTINCT doc_id, md5(shingle) AS sh FROM grams),
+cnt AS (SELECT sh, COUNT(*) AS nd FROM shd GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS shared_frac
+FROM shd s JOIN cnt c ON s.sh = c.sh
+GROUP BY s.doc_id
+"""
+
+
 def q_dedup_cluster_assign(spark, sf_dir):
     """Transitive duplicate clusters: near-dup pairs -> connected
     components (iterative min-label propagation, lineage-truncated per
@@ -2080,6 +2159,8 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "pii_redaction": q_pii_redaction,
     "doc_repetition_signals": q_doc_repetition_signals,
+    "dedup_incremental": q_dedup_incremental,
+    "cross_doc_shingle_dup": q_cross_doc_shingle_dup,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "lineitem_rollup": q_lineitem_rollup,
@@ -2089,9 +2170,7 @@ QUERIES = {
     "nation_name_similarity": q_nation_name_similarity,
     "events_by_weekday": q_events_by_weekday,
     "order_value_ranks": q_order_value_ranks,
-    "user_sessionization": q_user_sessionization,
     "session_window_rollup": q_session_window_rollup,
-    "hourly_event_rollup": q_hourly_event_rollup,
     "doc_token_counts": q_doc_token_counts,
     "doc_subword_tokens": q_doc_subword_tokens,
     "doc_quality_filter": q_doc_quality_filter,
@@ -2117,6 +2196,8 @@ QUERIES = {
     "multimodal_feature_extract": q_multimodal_feature_extract,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
     # -- doubly-stable TPC twins rotated out of the 50-entry window --
+    "user_sessionization": q_user_sessionization,
+    "hourly_event_rollup": q_hourly_event_rollup,
     "docs_per_lang_concat": q_docs_per_lang_concat,
     "doc_containment_join": q_doc_containment_join,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -2204,4 +2285,6 @@ ORACLE_SQL = {
     "url_canonical_dedup": SQL_URL_CANONICAL,
     "pii_redaction": SQL_PII,
     "doc_repetition_signals": SQL_REPETITION,
+    "dedup_incremental": SQL_INCREMENTAL_DEDUP,
+    "cross_doc_shingle_dup": SQL_SHINGLE_DUP,
 }
