@@ -23,6 +23,12 @@ URL_CASES = [
      "https://wwwx.example.com/p"),
     ("https://example.com/p#only-fragment",
      "https://example.com/p"),
+    # SPA-style fragment route: the '?' lives INSIDE the fragment and
+    # must be dropped with it, never resurrected as query params
+    ("https://example.com/p#/search?q=x&utm_source=t",
+     "https://example.com/p"),
+    ("https://example.com/p?a=1#/route?b=2",
+     "https://example.com/p?a=1"),
 ]
 
 
@@ -67,6 +73,17 @@ def test_pii_redact_counts_and_tail(spark):
     # tail clamp on strings shorter than 48 chars returns the whole string
     assert out[4]["redacted_tail"] == "<EMAIL>"
     assert out[4]["redacted_len"] == len("<EMAIL>")
+
+
+def test_pii_redact_ip_consumed_by_email_not_double_counted(spark):
+    """An IPv4-shaped substring inside an email local part is scrubbed
+    by the email rule; n_ips must reflect the post-email text (what the
+    IP rule actually replaced), not the raw text."""
+    rows = [Row(doc_id=1, text="contact 1.2.3.4b@x.com please")]
+    r = webnorm.pii_redact(spark.createDataFrame(rows)).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_ips"] == 0
+    assert r["redacted_tail"] == "contact <EMAIL> please"
 
 
 # ------------------------------------------------------- repetition
@@ -152,6 +169,24 @@ def test_incremental_dedup_statuses(spark):
     out = {r["doc_id"]: r["status"] for r in
            dedup.incremental_dedup(existing, incoming).collect()}
     assert out == {10: "dup_of_existing", 11: "new",
+                   12: "dup_within_batch", 13: "new"}
+
+
+def test_incremental_dedup_null_text_hashes_as_empty(spark):
+    """NULL text is content-identical to empty text by definition: the
+    pinned semantics are one shared digest (never NULL propagation,
+    which would drop rows from the oracle's hash join)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    existing = spark.createDataFrame([(1, "alpha")], schema)
+    incoming = spark.createDataFrame(
+        [(10, None), (11, ""), (12, None), (13, "beta")], schema)
+    out = {r["doc_id"]: r["status"] for r in
+           dedup.incremental_dedup(existing, incoming).collect()}
+    # 10 is the batch keeper of the empty-content group; 11 and 12 are
+    # its batch dups; nothing joins to existing
+    assert out == {10: "new", 11: "dup_within_batch",
                    12: "dup_within_batch", 13: "new"}
 
 

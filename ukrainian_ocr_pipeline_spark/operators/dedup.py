@@ -251,9 +251,17 @@ def cluster_assign(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     rounds.  Each round is one shuffle-join on vertex id plus a partial
     agg; `localCheckpoint` truncates the lineage so plan depth stays
     constant across rounds (at cluster scale you would checkpoint to
-    reliable storage and switch to the large-star/small-star variant,
-    which contracts star centers and converges in O(log n) rounds on
+    reliable storage — deleting round N-1's checkpoint once round N
+    commits — and switch to the large-star/small-star variant, which
+    contracts star centers and converges in O(log n) rounds on
     adversarial graphs — same per-round join shape).
+
+    Storage note: each round's localCheckpoint pins one labels snapshot
+    ((id, label) pairs — tiny next to the corpus) in block storage;
+    superseded snapshots are released asynchronously by Spark's
+    ContextCleaner once the rebinding below drops the last driver
+    reference, so retention is bounded at a couple of rounds, not
+    max_iter.
 
     Raises if the graph has not converged after `max_iter` rounds (never
     silently returns a partial clustering).
@@ -309,13 +317,20 @@ def incremental_dedup(existing: DataFrame, incoming: DataFrame,
     digests — ONE equi-join on the digest (at 10^12 docs you keep that
     hash index as a digest-bucketed table so the join needs no shuffle
     of the big side), plus one window over the batch (small relative to
-    the corpus).  Existing TEXT is never rescanned."""
+    the corpus).  Existing TEXT is never rescanned.
+
+    NULL text hashes like EMPTY text (one shared digest): all
+    empty/failed-extraction documents are content-identical by
+    definition, so they dedup against each other deterministically
+    instead of NULL-propagating through the join (which would silently
+    drop or mis-group them).  Filter failed docs upstream if they
+    should not participate."""
+    h = F.md5(F.coalesce(_canon(text_col), F.lit("")).cast("binary"))
     ex = (existing
-          .select(F.md5(_canon(text_col).cast("binary")).alias("content_hash"))
+          .select(h.alias("content_hash"))
           .distinct()
           .withColumn("seen", F.lit(1)))
-    inc = incoming.select(
-        "doc_id", F.md5(_canon(text_col).cast("binary")).alias("content_hash"))
+    inc = incoming.select("doc_id", h.alias("content_hash"))
     w = Window.partitionBy("content_hash")
     return (inc.join(ex, "content_hash", "left")
             .withColumn("batch_keeper", F.min("doc_id").over(w))

@@ -37,14 +37,17 @@ def canonical_url(url) -> Column:
     Everything is regexp_extract + array HOFs on one row — narrow, no
     shuffle, safe to apply inline during the scan of a 10^12-row page
     table."""
-    u = F.col(url) if isinstance(url, str) else url
+    raw = F.col(url) if isinstance(url, str) else url
+    # fragment dropped FIRST: a '?' inside an SPA-style fragment route
+    # ('#/search?q=...') must not be resurrected as query parameters
+    u = F.regexp_extract(raw, "^([^#]*)", 1)
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
     host = F.regexp_replace(
         F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
         "^www\\.", "")
     path = F.regexp_replace(
         F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
-    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    query = F.regexp_extract(u, "\\?(.*)", 1)
     kept = F.array_join(
         F.array_sort(F.filter(
             F.split(query, "&"),
@@ -78,18 +81,24 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     speed; the counts feed the curation report, the redacted column
     feeds the training corpus."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
-        IPV4_PATTERN, "<IP>")
+    after_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, IPV4_PATTERN, "<IP>")
+    # counts mirror the replacement order exactly: emails on the raw
+    # text, IPs on the email-redacted text — an IPv4-shaped substring
+    # consumed by an email match (digits/dots are legal in a local
+    # part) is counted once as email, never double-counted as IP.
     # tail sample via explicit 1-based clamp, NOT substring(col, -48):
     # Spark's negative-pos substring returns '' when |pos| > length while
     # DuckDB's right() clamps — the clamp form is identical in both
-    return (docs.withColumn("_pii_redacted", redacted)
+    return (docs
+            .withColumn("_pii_after_email", after_email)
+            .withColumn("_pii_redacted", redacted)
             .select(
                 "doc_id",
                 F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
                 .alias("n_emails"),
-                F.size(F.regexp_extract_all(t, F.lit(IPV4_PATTERN), F.lit(0)))
+                F.size(F.regexp_extract_all(F.col("_pii_after_email"),
+                                            F.lit(IPV4_PATTERN), F.lit(0)))
                 .alias("n_ips"),
                 F.length("_pii_redacted").alias("redacted_len"),
                 F.expr("substring(_pii_redacted,"

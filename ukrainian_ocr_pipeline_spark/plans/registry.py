@@ -1250,12 +1250,14 @@ WITH inc_rows AS (
   SELECT doc_id + 2000000, text FROM documents
   WHERE doc_id % 10 >= 8 AND doc_id % 23 = 0),
 ex AS (
-  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+  SELECT DISTINCT
+         md5(COALESCE(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''))
          AS content_hash
   FROM documents WHERE doc_id % 10 < 8),
 inc AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+         md5(COALESCE(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''))
+         AS content_hash
   FROM inc_rows),
 keep AS (SELECT content_hash, MIN(doc_id) AS batch_keeper FROM inc GROUP BY 1)
 SELECT i.doc_id, i.content_hash,
@@ -2004,15 +2006,17 @@ def q_url_canonical_dedup(spark, sf_dir):
 SQL_URL_CANONICAL = """
 WITH raw AS (
   SELECT doc_id, __DIRTY__ AS url FROM documents),
+defrag AS (
+  SELECT doc_id, url, regexp_extract(url, '^([^#]*)', 1) AS u FROM raw),
 parts AS (
   SELECT doc_id, url,
-         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
                         '^www\\.', '') AS host,
-         regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+         regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                         '/$', '') AS path,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query
-  FROM raw),
+         regexp_extract(u, '\\?(.*)', 1) AS query
+  FROM defrag),
 kept AS (
   SELECT doc_id, url, scheme, host, path,
          COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
@@ -2064,21 +2068,26 @@ WITH injected AS (
   FROM documents),
 red AS (
   SELECT doc_id, text,
-         regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         AS after_email
+  FROM injected),
+red2 AS (
+  SELECT doc_id, text, after_email,
+         regexp_replace(after_email,
              '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
          AS redacted
-  FROM injected)
+  FROM red)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
          AS n_emails,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(after_email,
             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INTEGER)
          AS n_ips,
        CAST(length(redacted) AS INTEGER) AS redacted_len,
        substr(redacted, greatest(length(redacted) - 47, 1), 48) AS redacted_tail
-FROM red
+FROM red2
 """
 
 
