@@ -24,10 +24,12 @@ def test_engine_zip_matches_sources():
             rel = os.path.relpath(path, REPO)
             if rel not in members:
                 missing.append(rel)
-            elif open(path, "rb").read() != members[rel]:
-                stale.append(rel)
+            else:
+                with open(path, "rb") as fh:
+                    if fh.read() != members[rel]:
+                        stale.append(rel)
     assert not missing and not stale, (
         f"engine.zip out of date (missing={missing}, stale={stale}) — "
-        f"rebuild with: zip -qr engine.zip {PKG} -x '*__pycache__*'")
+        f"rebuild with: zip -FSqr engine.zip {PKG} -x '*__pycache__*'")
     extra = [n for n in members if not os.path.exists(os.path.join(REPO, n))]
     assert not extra, f"engine.zip ships deleted files: {extra}"

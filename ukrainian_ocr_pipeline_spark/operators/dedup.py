@@ -41,11 +41,22 @@ def _canon(text_col: str):
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
+def _content_hash(text_col: str):
+    """The ONE content digest every hash-based dedup path shares.  NULL
+    text hashes like EMPTY text: all empty/failed-extraction documents
+    are content-identical by definition, and a single definition here
+    keeps batch dedup (exact_duplicates) and ingest dedup
+    (incremental_dedup) classifying the same corpus identically —
+    per-operator NULL handling would make snapshot-via-incremental
+    diverge from dedup-from-scratch on the first NULL."""
+    return F.md5(F.coalesce(_canon(text_col), F.lit("")).cast("binary"))
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content hash with
     the kept doc (min id) and the duplicate count."""
     return (docs
-            .select(F.md5(_canon(text_col).cast("binary")).alias("content_hash"), "doc_id")
+            .select(_content_hash(text_col).alias("content_hash"), "doc_id")
             .groupBy("content_hash")
             .agg(F.min("doc_id").alias("keeper_doc_id"),
                  F.count("*").alias("n_copies"))
@@ -257,11 +268,13 @@ def cluster_assign(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     adversarial graphs — same per-round join shape).
 
     Storage note: each round's localCheckpoint pins one labels snapshot
-    ((id, label) pairs — tiny next to the corpus) in block storage;
-    superseded snapshots are released asynchronously by Spark's
-    ContextCleaner once the rebinding below drops the last driver
-    reference, so retention is bounded at a couple of rounds, not
-    max_iter.
+    ((id, label) pairs — tiny next to the corpus) in block storage.
+    Superseded snapshots become ContextCleaner-eligible once the
+    rebinding below drops the last driver reference, but actual release
+    waits for a driver GC (ContextCleaner's periodic-GC backstop
+    defaults to 30 min), so worst-case retention is all max_iter
+    snapshots — size storage for that, or move to reliable checkpoints
+    with explicit per-round deletion at cluster scale.
 
     Raises if the graph has not converged after `max_iter` rounds (never
     silently returns a partial clustering).
@@ -319,13 +332,14 @@ def incremental_dedup(existing: DataFrame, incoming: DataFrame,
     of the big side), plus one window over the batch (small relative to
     the corpus).  Existing TEXT is never rescanned.
 
-    NULL text hashes like EMPTY text (one shared digest): all
-    empty/failed-extraction documents are content-identical by
-    definition, so they dedup against each other deterministically
-    instead of NULL-propagating through the join (which would silently
-    drop or mis-group them).  Filter failed docs upstream if they
-    should not participate."""
-    h = F.md5(F.coalesce(_canon(text_col), F.lit("")).cast("binary"))
+    NULL text hashes like EMPTY text (the shared _content_hash
+    definition): empty/failed-extraction documents dedup against each
+    other deterministically instead of NULL-propagating through the
+    join (which would silently drop or mis-group them), and the
+    incremental path classifies exactly like a from-scratch
+    exact_duplicates run.  Filter failed docs upstream if they should
+    not participate."""
+    h = _content_hash(text_col)
     ex = (existing
           .select(h.alias("content_hash"))
           .distinct()

@@ -91,13 +91,12 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # Spark's negative-pos substring returns '' when |pos| > length while
     # DuckDB's right() clamps — the clamp form is identical in both
     return (docs
-            .withColumn("_pii_after_email", after_email)
             .withColumn("_pii_redacted", redacted)
             .select(
                 "doc_id",
                 F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
                 .alias("n_emails"),
-                F.size(F.regexp_extract_all(F.col("_pii_after_email"),
+                F.size(F.regexp_extract_all(after_email,
                                             F.lit(IPV4_PATTERN), F.lit(0)))
                 .alias("n_ips"),
                 F.length("_pii_redacted").alias("redacted_len"),

@@ -1042,7 +1042,8 @@ def q_dedup_exact(spark, sf_dir):
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+SELECT md5(COALESCE(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''))
+         AS content_hash,
        MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """
