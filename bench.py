@@ -58,7 +58,7 @@ HEADLINE = [
     "dedup_lsh_candidates", "contamination_check", "dedup_embedding_cosine",
     "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
     "dedup_near_dup_verified", "dedup_cluster_assign",
-    "dedup_incremental", "cross_doc_shingle_dup",
+    "dedup_incremental", "cross_doc_shingle_dup", "graph_pagerank",
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

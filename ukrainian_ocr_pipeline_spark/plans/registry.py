@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import dedup, multimodal, similarity, textstats, webnorm
+from ..operators import (dedup, graphrank, multimodal, similarity, textstats,
+                         webnorm)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -1332,6 +1333,67 @@ FROM labels l JOIN sized s USING (cluster_id)
 """.replace("__PAIRS__", SQL_NEAR_DUP_VERIFIED)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the customer<->supplier trade graph — the
+    relational twin of link-graph host ranking (crawl prioritization /
+    quality weighting at web scale).  Nodes are namespaced 2*custkey /
+    2*suppkey+1; edge weight = lineitem count; the graph is symmetrized
+    so it has no dangling nodes and the fixed-budget iteration is a pure
+    function of the input."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges_dir = (li.join(o, li.l_orderkey == o.o_orderkey)
+                 .groupBy((F.col("o_custkey") * 2).alias("src"),
+                          (F.col("l_suppkey") * 2 + 1).alias("dst"))
+                 .agg(F.count("*").cast("double").alias("weight")))
+    edges = edges_dir.unionByName(
+        edges_dir.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"), "weight"))
+    pr = graphrank.pagerank(edges, d=0.85, n_iter=6)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+         .otherwise(F.lit("supplier")).alias("node_type"),
+        F.shiftright(F.col("node"), 1).alias("member_key"),
+        F.round("pr_rank", 6).alias("pr_rank_r"))
+
+
+# The oracle unrolls the 6 fixed iterations as chained CTEs (the SQL
+# standard forbids aggregation over the recursive reference, so a
+# recursive CTE can't express a per-round SUM).  Both engines compute
+# the identical IEEE expression tree; only double summation order
+# differs, orders of magnitude below the 1e-6 rounding grain.
+_SQL_PR_ITER = """pr{i} AS (
+  SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT ne.dst AS node, SUM(ne.share * p.pr) AS s
+    FROM ne JOIN pr{prev} p ON ne.src = p.node GROUP BY 1) c
+  ON n.node = c.node),
+"""
+
+SQL_PAGERANK = ("""
+WITH edges0 AS (
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT src, dst, w FROM edges0
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM edges0),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, e.w / o.ow AS share
+       FROM edges e JOIN outw o ON e.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+""" + "".join(_SQL_PR_ITER.format(i=i, prev=i - 1) for i in range(1, 7)) +
+"""fin AS (SELECT node, pr FROM pr6)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node >> 1 AS member_key, ROUND(pr, 6) AS pr_rank_r
+FROM fin
+""")
+
+
 # --------------------------------------------------------------------------
 # similarity search (operators.similarity)
 
@@ -2171,6 +2233,7 @@ QUERIES = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "dedup_incremental": q_dedup_incremental,
     "cross_doc_shingle_dup": q_cross_doc_shingle_dup,
+    "graph_pagerank": q_graph_pagerank,
     # -- the rest, relative order preserved --
     "orders_price_percentiles": q_orders_price_percentiles,
     "lineitem_rollup": q_lineitem_rollup,
@@ -2297,4 +2360,5 @@ ORACLE_SQL = {
     "doc_repetition_signals": SQL_REPETITION,
     "dedup_incremental": SQL_INCREMENTAL_DEDUP,
     "cross_doc_shingle_dup": SQL_SHINGLE_DUP,
+    "graph_pagerank": SQL_PAGERANK,
 }
