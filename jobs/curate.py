@@ -1,0 +1,149 @@
+"""spark-submit entry point for the corpus-curation job.
+
+    spark-submit --py-files engine.zip jobs/curate.py \
+        --docs /path/to/documents.parquet --warehouse /path/to/warehouse \
+        --snapshot-id cur-001 [--no-neardup] [--min-words 5]
+
+The training-data production pipeline as ONE deployable job: quality
+gate (Gopher/C4-style, deterministic first-fail reason) -> exact dedup
+(content-digest keeper) -> near-dup dedup (MinHash -> LSH -> exact
+Jaccard verify -> connected-component clusters) -> deterministic
+train/val/test split — committed atomically through the snapshot
+catalog, so re-running the same --snapshot-id is an idempotent no-op
+and a crashed run resumes from nothing-committed.
+
+Output tables (all under the catalog, all per-snapshot):
+  curation_decisions  one row PER INPUT DOC: status
+                      ('kept' | 'quality:<reason>' | 'dup_exact' |
+                      'dup_near'), the keeper doc for dups, and the
+                      split for kept docs — the audit trail / drop list.
+  curated             the surviving documents with their split column —
+                      what a training run actually reads.
+
+Scale shape: every stage is the already-verified operator (see
+operators/textstats.quality_filter, operators/dedup.*) — codegen
+predicates at scan speed, digest-narrowed shuffles, bucketed candidate
+joins; the decisions table is assembled from doc_id-keyed status slices
+(never a wide row), and the heavy text column is only carried into the
+near-dup stage's candidate verification.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="corpus curation job")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--warehouse", required=True, help="output catalog root")
+    p.add_argument("--snapshot-id", required=True)
+    p.add_argument("--min-words", type=int, default=5,
+                   help="quality gate: minimum word count")
+    p.add_argument("--no-neardup", action="store_true",
+                   help="skip the near-dup stage (exact dedup only)")
+    p.add_argument("--neardup-threshold", type=float, default=0.5,
+                   help="exact-Jaccard verify threshold for near-dups")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    import os
+    if not os.path.exists(args.docs):
+        p.error(f"--docs path does not exist: {args.docs}")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from ukrainian_ocr_pipeline_spark.operators import dedup, textstats
+    from ukrainian_ocr_pipeline_spark.operators.dedup import content_digest
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(app=f"curate-{args.snapshot_id}",
+                                  master=args.master)
+    cat = SnapshotCatalog(args.warehouse)
+    docs = spark.read.parquet(args.docs)
+
+    def build_decisions():
+        # quality gate: codegen predicates, no shuffle
+        qf = textstats.quality_filter(docs, min_words=args.min_words)
+        dropped_q = (qf.where(~F.col("keep"))
+                     .select("doc_id",
+                             F.concat(F.lit("quality:"),
+                                      F.col("drop_reason")).alias("status"),
+                             F.lit(None).cast("long").alias("keeper_doc_id")))
+        kept_q = qf.where(F.col("keep")).select("doc_id")
+
+        # exact dedup among quality survivors: one digest shuffle
+        hashed = (docs.join(kept_q, "doc_id")
+                  .select("doc_id", content_digest("text").alias("content_hash")))
+        keepers = (hashed.groupBy("content_hash")
+                   .agg(F.min("doc_id").alias("keeper_doc_id")))
+        exact_status = hashed.join(keepers, "content_hash")
+        dropped_x = (exact_status
+                     .where(F.col("doc_id") != F.col("keeper_doc_id"))
+                     .select("doc_id", F.lit("dup_exact").alias("status"),
+                             "keeper_doc_id"))
+        surv_ids = (exact_status
+                    .where(F.col("doc_id") == F.col("keeper_doc_id"))
+                    .select("doc_id"))
+
+        # near-dup dedup among exact survivors: banded candidates only
+        if args.no_neardup:
+            dropped_n = dropped_x.limit(0)
+        else:
+            surv_docs = docs.join(surv_ids, "doc_id")
+            clusters = dedup.cluster_assign(dedup.verified_near_dups(
+                surv_docs, threshold=args.neardup_threshold))
+            dropped_n = (clusters.where(~F.col("is_keeper"))
+                         .select("doc_id", F.lit("dup_near").alias("status"),
+                                 F.col("cluster_id").alias("keeper_doc_id")))
+        final_ids = surv_ids.join(dropped_n.select("doc_id"), "doc_id",
+                                  "left_anti")
+
+        # deterministic split: pure function of doc_id (no RNG state)
+        bucket = dedup._h32(F.col("doc_id").cast("string")) % 10
+        split = (F.when(bucket <= 7, "train")
+                 .when(bucket == 8, "val").otherwise("test"))
+        kept = final_ids.select(
+            "doc_id", F.lit("kept").alias("status"),
+            F.lit(None).cast("long").alias("keeper_doc_id"))
+        return (dropped_q.unionByName(dropped_x).unionByName(dropped_n)
+                .withColumn("split", F.lit(None).cast("string"))
+                .unionByName(kept.withColumn("split", split)))
+
+    cat.write_snapshot(build_decisions(), "curation_decisions",
+                       args.snapshot_id)
+    decisions = cat.read_snapshot(spark, "curation_decisions",
+                                  args.snapshot_id)
+    # curated = input docs filtered by the COMMITTED decisions — the
+    # expensive dedup plan is not re-executed for the second table
+    curated = (docs.join(decisions.where(F.col("status") == "kept")
+                         .select("doc_id", "split"), "doc_id"))
+    cat.write_snapshot(curated, "curated", args.snapshot_id)
+
+    counts = {r["status"]: r["n"] for r in
+              (decisions.groupBy("status").agg(F.count("*").alias("n"))
+               .collect())}
+    splits = {r["split"]: r["n"] for r in
+              (decisions.where(F.col("split").isNotNull())
+               .groupBy("split").agg(F.count("*").alias("n")).collect())}
+    stats = {
+        "docs_in": sum(counts.values()),
+        "dropped_quality": sum(v for k, v in counts.items()
+                               if k.startswith("quality:")),
+        "dropped_exact_dup": counts.get("dup_exact", 0),
+        "dropped_near_dup": counts.get("dup_near", 0),
+        "docs_out": counts.get("kept", 0),
+        "splits": splits,
+    }
+    print(json.dumps(stats, sort_keys=True))
+    if existing is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

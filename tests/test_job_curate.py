@@ -1,0 +1,92 @@
+"""End-to-end smoke of the curation job entry (jobs/curate.py): every
+input doc gets exactly one decision, the stage partition is consistent
+with the standalone operators, and re-runs are idempotent."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_job_end_to_end(spark, tmp_path, capsys):
+    import curate as job
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "c1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from ukrainian_ocr_pipeline_spark.operators import dedup, textstats
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    assert cat.is_committed("curation_decisions", "c1")
+    assert cat.is_committed("curated", "c1")
+
+    docs = spark.read.parquet(docs_path)
+    dec = cat.read_snapshot(spark, "curation_decisions", "c1")
+    cur = cat.read_snapshot(spark, "curated", "c1")
+
+    # exactly one decision per input doc; the stats line adds up
+    n_docs = docs.count()
+    assert dec.count() == n_docs == stats["docs_in"]
+    assert dec.select("doc_id").distinct().count() == n_docs
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_exact_dup"] + stats["dropped_near_dup"]) == n_docs
+
+    # curated == the kept decisions, split only on kept rows
+    kept = dec.where(F.col("status") == "kept")
+    assert cur.count() == kept.count() == stats["docs_out"]
+    assert kept.where(F.col("split").isNull()).count() == 0
+    assert dec.where((F.col("status") != "kept")
+                     & F.col("split").isNotNull()).count() == 0
+    assert sum(stats["splits"].values()) == stats["docs_out"]
+
+    # quality drops match the standalone operator verbatim
+    want_q = {f"quality:{r['drop_reason']}"
+              for r in textstats.quality_filter(docs)
+              .where(~F.col("keep")).select("drop_reason").distinct().collect()}
+    got_q = {r["status"] for r in dec.where(F.col("status")
+             .startswith("quality:")).select("status").distinct().collect()}
+    assert got_q == want_q
+    assert (dec.where(F.col("status").startswith("quality:")).count()
+            == textstats.quality_filter(docs).where(~F.col("keep")).count())
+
+    # every exact-dup keeper shares the dropped doc's content digest and
+    # has a smaller id (min-keeper rule)
+    digests = docs.select("doc_id", dedup.content_digest("text").alias("h"))
+    bad = (dec.where(F.col("status") == "dup_exact")
+           .join(digests, "doc_id")
+           .join(digests.select(F.col("doc_id").alias("keeper_doc_id"),
+                                F.col("h").alias("kh")), "keeper_doc_id")
+           .where((F.col("h") != F.col("kh"))
+                  | (F.col("keeper_doc_id") >= F.col("doc_id"))))
+    assert bad.count() == 0
+
+    # re-run with the same snapshot-id: no new snapshot, identical stats
+    rc2 = job.main(["--docs", docs_path, "--warehouse", wh,
+                    "--snapshot-id", "c1"])
+    assert rc2 == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+    assert len(cat.snapshots("curation_decisions")) == 1
+    assert len(cat.snapshots("curated")) == 1
+
+
+def test_curate_no_neardup_flag(spark, tmp_path, capsys):
+    import curate as job
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", f"{SF_DIR}/documents.parquet",
+                   "--warehouse", wh, "--snapshot-id", "c2", "--no-neardup"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_near_dup"] == 0
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_exact_dup"]) == stats["docs_in"]

@@ -41,7 +41,7 @@ def _canon(text_col: str):
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
-def _content_hash(text_col: str):
+def content_digest(text_col: str):
     """The ONE content digest every hash-based dedup path shares.  NULL
     text hashes like EMPTY text: all empty/failed-extraction documents
     are content-identical by definition, and a single definition here
@@ -56,7 +56,7 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content hash with
     the kept doc (min id) and the duplicate count."""
     return (docs
-            .select(_content_hash(text_col).alias("content_hash"), "doc_id")
+            .select(content_digest(text_col).alias("content_hash"), "doc_id")
             .groupBy("content_hash")
             .agg(F.min("doc_id").alias("keeper_doc_id"),
                  F.count("*").alias("n_copies"))
@@ -332,14 +332,14 @@ def incremental_dedup(existing: DataFrame, incoming: DataFrame,
     of the big side), plus one window over the batch (small relative to
     the corpus).  Existing TEXT is never rescanned.
 
-    NULL text hashes like EMPTY text (the shared _content_hash
+    NULL text hashes like EMPTY text (the shared content_digest
     definition): empty/failed-extraction documents dedup against each
     other deterministically instead of NULL-propagating through the
     join (which would silently drop or mis-group them), and the
     incremental path classifies exactly like a from-scratch
     exact_duplicates run.  Filter failed docs upstream if they should
     not participate."""
-    h = _content_hash(text_col)
+    h = content_digest(text_col)
     ex = (existing
           .select(h.alias("content_hash"))
           .distinct()
