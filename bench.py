@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
     "dedup_near_dup_verified", "dedup_cluster_assign",
     "dedup_incremental", "cross_doc_shingle_dup", "graph_pagerank",
+    "doc_unigram_logprob", "doc_vocab_oov",
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

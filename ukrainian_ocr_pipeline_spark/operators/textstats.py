@@ -12,7 +12,7 @@ correctness gate.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # simple cross-engine-safe character classes (identical semantics in Java
 # regex and RE2: no \b, no \w, no POSIX classes)
@@ -300,3 +300,72 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "flag_repetitive",
         (F.col("top_word_frac") > 0.20) | (F.col("dup_bigram_frac") > 0.30))
+
+
+def _doc_words(docs: DataFrame, text_col: str):
+    """(doc_id, word) with one row per token instance — canonical
+    whitespace tokens of the shared dedup._canon normalization, empty
+    docs excluded (no token instances to score)."""
+    from . import dedup
+    ws = F.filter(F.split(F.trim(dedup._canon(text_col)), " "),
+                  lambda w: F.length(w) > 0)
+    return (docs.select("doc_id", ws.alias("ws"))
+            .where(F.size("ws") > 0)
+            .select("doc_id", F.explode("ws").alias("word")))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus-LM document scoring: train a unigram language
+    model on the corpus itself (word -> count / total) and score every
+    document by its mean token log-probability.  Low scores flag
+    gibberish / non-language content; the cheap stand-in for the KenLM
+    perplexity gate in CCNet's curation recipe (the full 5-gram model
+    would ship as a broadcast table into the same join shape).
+
+    Scale shape: one explode + partial-agg groupBy builds the count
+    table (vocab-sized, ~10^7 rows at web scale — a fraction of the
+    corpus); the corpus total is a one-row aggregate broadcast back
+    in-plan (no driver collect); scoring is one equi-join of token
+    instances against the count table + a per-doc partial agg.  Hot
+    words are exactly the rows AQE's skew handling splits best, and the
+    count table side is uniform by construction.
+    """
+    words = _doc_words(docs, text_col)
+    freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    return (words.join(freq, "word")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6)
+                 .alias("avg_logprob_r")))
+
+
+def vocab_oov(docs: DataFrame, text_col: str = "text",
+              top_v: int = 1000) -> DataFrame:
+    """Vocabulary build + per-document out-of-vocabulary rate: the
+    corpus's top_v words by frequency (ties broken lexicographically so
+    the vocabulary is a deterministic function of the corpus), then each
+    document's fraction of token instances outside it.  High OOV flags
+    encoding damage / language mismatch; the vocab table itself is the
+    classical tokenizer-training input.
+
+    Scale shape: the count table is vocab-sized; the top_v cut is a
+    single ROW_NUMBER window over it (one shuffle of the SMALL table,
+    never the corpus); scoring joins token instances against the
+    bounded-size vocabulary — broadcast by construction.
+    """
+    words = _doc_words(docs, text_col)
+    freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab = (freq.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("word"))))
+        .where(F.col("rn") <= top_v)
+        .select("word", F.lit(True).alias("in_vocab")))
+    return (words.join(F.broadcast(vocab), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_oov"))
+            .withColumn("oov_rate_r",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
