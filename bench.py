@@ -164,6 +164,7 @@ def main() -> None:
     # VM's noisy neighbors can triple any single wall; see BENCH.md) -------
     extraction = {}
     extraction_large = {}
+    curation = {}
     if not scaling_only:
         run_extraction(spark, EXTRACT_DOCS)
         wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(4))
@@ -181,6 +182,31 @@ def main() -> None:
                 "vs_small_throughput": round(
                     (EXTRACT_DOCS_LARGE / wall_l) / (EXTRACT_DOCS / wall), 3),
             }
+        # -- composed curation pipeline end-to-end (jobs/curate.py: quality
+        # gate -> exact dedup -> near-dup clusters -> split, including the
+        # catalog commits) over the sf documents table ---------------------
+        import contextlib
+        import io
+        import shutil
+        import tempfile
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "jobs"))
+        import curate as curate_job
+        docs_path = f"{SF_DIR}/documents.parquet"
+        n_docs = spark.read.parquet(docs_path).count()
+        walls = []
+        for i in range(2):  # warm + timed (fresh warehouse each run)
+            wh = tempfile.mkdtemp(prefix="bench_curate_")
+            t0 = time.perf_counter()
+            # swallow the job's own stats line — bench.py's contract is
+            # ONE JSON line on stdout
+            with contextlib.redirect_stdout(io.StringIO()):
+                curate_job.main(["--docs", docs_path, "--warehouse", wh,
+                                 "--snapshot-id", f"bench-{i}"])
+            walls.append(time.perf_counter() - t0)
+            shutil.rmtree(wh, ignore_errors=True)
+        curation = {"docs": n_docs, "wall_s": round(walls[-1], 2),
+                    "docs_per_sec": round(n_docs / walls[-1], 1)}
         spark.stop()
         time.sleep(3)  # let executors/python workers exit before probing
 
@@ -249,6 +275,7 @@ def main() -> None:
         "queries": qtimes,
         "extraction": extraction,
         "extraction_large": extraction_large,
+        "curation": curation,
         "scaling": scaling,
     })
     print(json.dumps(result))

@@ -103,10 +103,9 @@ def main(argv=None) -> int:
         final_ids = surv_ids.join(dropped_n.select("doc_id"), "doc_id",
                                   "left_anti")
 
-        # deterministic split: pure function of doc_id (no RNG state)
-        bucket = dedup._h32(F.col("doc_id").cast("string")) % 10
-        split = (F.when(bucket <= 7, "train")
-                 .when(bucket == 8, "val").otherwise("test"))
+        # deterministic split: pure function of doc_id (no RNG state);
+        # the ONE definition shared with the registry's split query
+        split = dedup.train_val_test_split(F.col("doc_id"))
         kept = final_ids.select(
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
@@ -114,8 +113,13 @@ def main(argv=None) -> int:
                 .withColumn("split", F.lit(None).cast("string"))
                 .unionByName(kept.withColumn("split", split)))
 
-    cat.write_snapshot(build_decisions(), "curation_decisions",
-                       args.snapshot_id)
+    # short-circuit BEFORE building the plan: build_decisions() runs the
+    # near-dup stage eagerly (cluster_assign checkpoints per round), so
+    # the is_committed check inside write_snapshot would fire only after
+    # the expensive work already re-executed
+    if not cat.is_committed("curation_decisions", args.snapshot_id):
+        cat.write_snapshot(build_decisions(), "curation_decisions",
+                           args.snapshot_id)
     decisions = cat.read_snapshot(spark, "curation_decisions",
                                   args.snapshot_id)
     # curated = input docs filtered by the COMMITTED decisions — the

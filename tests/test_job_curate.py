@@ -69,6 +69,19 @@ def test_curate_job_end_to_end(spark, tmp_path, capsys):
                   | (F.col("keeper_doc_id") >= F.col("doc_id"))))
     assert bad.count() == 0
 
+    # near-dup drops match the standalone operators verbatim: re-derive
+    # the cluster assignment over the exact-dedup survivors (the docs
+    # that reached the near-dup stage = kept + dup_near) and compare
+    # membership AND keeper ids
+    surv = docs.join(dec.where(F.col("status").isin("kept", "dup_near"))
+                     .select("doc_id"), "doc_id")
+    want_clusters = dedup.cluster_assign(dedup.verified_near_dups(surv))
+    want_drops = {(r["doc_id"], r["cluster_id"]) for r in
+                  want_clusters.where(~F.col("is_keeper")).collect()}
+    got_drops = {(r["doc_id"], r["keeper_doc_id"]) for r in
+                 dec.where(F.col("status") == "dup_near").collect()}
+    assert got_drops == want_drops and len(got_drops) == stats["dropped_near_dup"]
+
     # re-run with the same snapshot-id: no new snapshot, identical stats
     rc2 = job.main(["--docs", docs_path, "--warehouse", wh,
                     "--snapshot-id", "c1"])

@@ -52,6 +52,21 @@ def content_digest(text_col: str):
     return F.md5(F.coalesce(_canon(text_col), F.lit("")).cast("binary"))
 
 
+def train_val_test_split(key_col):
+    """Deterministic 8/1/1 train/val/test assignment: md5 bucket of the
+    key (the same _h32 family as every dedup hash) — membership is a
+    pure function of the key, stable across runs, engines, and
+    re-partitionings (no sample(), no RNG state to ship).  The ONE split
+    definition shared by the registry's corpus_split_assign query and
+    jobs/curate.py — two diverging copies would let a deployed curation
+    job leak eval documents into train relative to what the query layer
+    reports."""
+    bucket = _h32(key_col.cast("string")) % 10
+    return (F.when(bucket <= 7, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content hash with
     the kept doc (min id) and the duplicate count."""

@@ -612,14 +612,9 @@ def q_corpus_split_assign(spark, sf_dir):
     re-partitionings (no sample(), no RNG state to ship).  Pure codegen
     scan + one tiny partial-agg shuffle; at 100 TB the assignment adds
     zero shuffles to whatever pipeline consumes it."""
-    from ..operators.dedup import _h32
     d = _t(spark, sf_dir, "documents")
-    # same md5-prefix hash family as the dedup operators (one helper,
-    # one SQL-twin convention to maintain)
-    bucket = _h32(F.col("doc_id").cast("string")) % 10
-    split = (F.when(bucket <= 7, "train")
-             .when(bucket == 8, "val").otherwise("test"))
-    return (d.withColumn("split", split)
+    # the ONE split definition (shared with jobs/curate.py)
+    return (d.withColumn("split", dedup.train_val_test_split(F.col("doc_id")))
             .groupBy("split", "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars")))
@@ -1363,7 +1358,7 @@ def q_graph_pagerank(spark, sf_dir):
 # the identical IEEE expression tree; only double summation order
 # differs, orders of magnitude below the 1e-6 rounding grain.
 _SQL_PR_ITER = """pr{i} AS (
-  SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS pr
+  SELECT n.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS pr
   FROM nodes n LEFT JOIN (
     SELECT ne.dst AS node, SUM(ne.share * p.pr) AS s
     FROM ne JOIN pr{prev} p ON ne.src = p.node GROUP BY 1) c
@@ -2283,9 +2278,10 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_vocab_oov": q_doc_vocab_oov,
-    # -- the rest, relative order preserved (except dedup_embedding_cosine
-    # and multimodal_media_meta, moved past the driver's 50-entry window:
-    # both hash-green in BOTH prior rounds, ceding their slots to the
+    # -- the rest, relative order preserved (except embedding_label_stats,
+    # dedup_embedding_cosine, and multimodal_media_meta, displaced past
+    # the driver's 50-entry window by the three new round-3 queries: all
+    # three hash-green in BOTH prior rounds, ceding their slots to the
     # never-witnessed new queries while the once-witnessed banded/centroid
     # entries stay inside) --
     "orders_price_percentiles": q_orders_price_percentiles,
