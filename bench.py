@@ -205,8 +205,11 @@ def main() -> None:
                                  "--snapshot-id", f"bench-{i}"])
             walls.append(time.perf_counter() - t0)
             shutil.rmtree(wh, ignore_errors=True)
-        curation = {"docs": n_docs, "wall_s": round(walls[-1], 2),
-                    "docs_per_sec": round(n_docs / walls[-1], 1)}
+        # both runs do identical full work against fresh warehouses, so
+        # best-of attenuates this VM's noise spikes like every other probe
+        wall_c = min(walls)
+        curation = {"docs": n_docs, "wall_s": round(wall_c, 2),
+                    "docs_per_sec": round(n_docs / wall_c, 1)}
         spark.stop()
         time.sleep(3)  # let executors/python workers exit before probing
 

@@ -50,7 +50,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     import os
-    if not os.path.exists(args.docs):
+
+    from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
+    if is_checkable_local_path(args.docs) and not os.path.exists(args.docs):
+        # fail with a one-line message instead of a Java stack trace;
+        # URIs (hdfs://, s3a://) and globs are left for Spark to resolve
         p.error(f"--docs path does not exist: {args.docs}")
 
     from pyspark.sql import SparkSession, functions as F

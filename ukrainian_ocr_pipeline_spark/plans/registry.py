@@ -907,11 +907,12 @@ def q_corpus_curation(spark, sf_dir):
     rollup."""
     d = _t(spark, sf_dir, "documents")
     keep = textstats.quality_filter(d).where(F.col("keep")).select("doc_id")
-    # the ONE canonical exact-dedup key (dedup._canon) — re-deriving it
-    # inline would let the curation winners silently diverge from
-    # dedup_exact's keeper_doc_id if the canonicalization ever changes
+    # the ONE canonical exact-dedup key (dedup.content_digest) —
+    # re-deriving it inline would let the curation winners silently
+    # diverge from dedup_exact's keeper_doc_id if the canonicalization
+    # ever changes
     winners = (d.join(keep, "doc_id")
-               .withColumn("digest", F.md5(dedup._canon("text").cast("binary")))
+               .withColumn("digest", dedup.content_digest("text"))
                .groupBy("digest")
                .agg(F.min("doc_id").alias("doc_id")))
     return (d.join(winners, "doc_id")
