@@ -61,7 +61,9 @@ HEADLINE = [
     "dedup_incremental", "cross_doc_shingle_dup", "graph_pagerank",
     "doc_unigram_logprob", "doc_vocab_oov",
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
-    "embedding_topk_bruteforce", "embedding_topk_lsh", "embedding_topk_ivf",
+    "doc_line_dedup", "host_cap_sample",
+    "embedding_topk_bruteforce", "embedding_topk_quantized",
+    "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",
 ]
 

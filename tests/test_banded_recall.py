@@ -125,3 +125,48 @@ def test_written_signature_table_join_only_path(spark, emb, tmp_path):
     assert "EvalPython" not in plan
     # and the signatures genuinely come from storage
     assert plan.count("Scan parquet") >= 1, plan
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantization at dim=64 perturbs cosine by ~1e-3; on the
+    real sf0.001 embeddings the quantized top-5 must recover almost all
+    of the float top-5 (macro recall >= 0.9) and the rank-1 neighbor
+    for at least 8 of 10 queries — if quantization were wired wrong
+    (wrong scale, truncation instead of rounding, int overflow) recall
+    collapses far below this."""
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    exact = similarity.brute_force_topk(emb, qids, k=5).collect()
+    quant = similarity.quantized_topk(emb, qids, k=5).collect()
+    want = {}
+    got = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(want[q] & got[q]) / len(want[q]) for q in want) / len(want)
+    assert recall >= 0.9, f"macro recall@5 {recall:.3f}"
+    top1_exact = {r["query_id"]: r["neighbor_id"] for r in exact
+                  if r["rank"] == 1}
+    top1_quant = {r["query_id"]: r["neighbor_id"] for r in quant
+                  if r["rank"] == 1}
+    hits = sum(top1_exact[q] == top1_quant[q] for q in top1_exact)
+    assert hits >= 8, f"top-1 agreement {hits}/10"
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    """Quantized components stay in [-127, 127]; max-magnitude
+    component maps to +-127; an all-zero vector quantizes to zeros
+    (epsilon guard, no NaN/overflow)."""
+    from pyspark.sql import Row
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    rows = [Row(vec_id=0, embedding=[0.5, -1.0, 0.25, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0])]
+    out = {r["vec_id"]: r["qvec"] for r in
+           similarity.quantize_int8(spark.createDataFrame(rows)).collect()}
+    assert out[0] == [64, -127, 32, 0]   # floor(63.5+0.5), -127, floor(31.75+.5)
+    assert out[1] == [0, 0, 0, 0]

@@ -202,3 +202,70 @@ def test_cross_doc_shingle_stats_crafted(spark):
     assert out[1]["n_shingles"] == 2 and out[1]["n_shared"] == 1
     assert out[1]["shared_frac"] == 0.5
     assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
+
+
+def test_line_dedup_crafted(spark):
+    """Boilerplate census, ordered reassembly, blank-line and NULL-text
+    handling, and the all-lines-removed document — none of which the
+    sf corpus (single-line docs, no NULLs) can exercise."""
+    boiler = "All rights reserved"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"unique one\n\n{boiler}"),     # blank kept
+        Row(doc_id=2, text=f"{boiler}\nunique two"),
+        Row(doc_id=3, text=f"  {boiler}  "),               # trimmed match;
+        Row(doc_id=4, text=None),                          # -> all removed
+        Row(doc_id=5, text="unique five"),
+    ])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert len(out) == 5                       # every doc keeps its row
+    # the boilerplate line appears in 3 distinct docs -> removed from all
+    assert out[1]["clean_text"] == "unique one\n"   # blank line survives
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == ""          # all content removed
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (1, 1)
+    assert out[4]["clean_text"] == ""          # NULL text == empty text
+    assert (out[4]["n_lines"], out[4]["n_removed"]) == (1, 0)
+    assert out[5]["clean_text"] == "unique five"
+
+
+def test_line_dedup_threshold_boundary(spark):
+    """min_docs is a >= cutoff on DISTINCT documents: a line repeated
+    three times inside ONE doc stays; the same line across three docs
+    goes."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="x\nx\nx\nkeep me"),
+        Row(doc_id=2, text="y"), Row(doc_id=3, text="y"),
+        Row(doc_id=4, text="y"),
+    ])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"].count("x") == 3
+    assert all(out[i]["clean_text"] == "" and out[i]["n_removed"] == 1
+               for i in (2, 3, 4))
+
+
+def test_host_cap_sample_two_stage_equals_naive_window(spark):
+    """The salted two-stage top-K must select EXACTLY the rows the
+    naive one-window form selects — on a skewed input where one host
+    far exceeds salt_buckets * cap (stage-1 pruning genuinely fires)
+    and another sits below the cap (no pruning at all)."""
+    from pyspark.sql import Window
+
+    rows = ([Row(doc_id=i, host="mega.example.org") for i in range(500)]
+            + [Row(doc_id=1000 + i, host="tiny.example.org")
+               for i in range(3)])
+    pages = spark.createDataFrame(rows)
+    got = {(r["host"], r["doc_id"], r["sample_rank"]) for r in
+           webnorm.host_cap_sample(pages, cap=4, salt_buckets=4).collect()}
+
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit("hostcap:"), F.col("doc_id").cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("host").orderBy(h, "doc_id")
+    want = {(r["host"], r["doc_id"], r["sample_rank"]) for r in
+            pages.withColumn("sample_rank", F.row_number().over(w))
+                 .where(F.col("sample_rank") <= 4).collect()}
+    assert got == want
+    # tiny host keeps all 3 rows; mega host exactly cap rows
+    assert sum(1 for t in got if t[0] == "tiny.example.org") == 3
+    assert sum(1 for t in got if t[0] == "mega.example.org") == 4

@@ -398,3 +398,56 @@ def cross_doc_shingle_stats(docs: DataFrame, text_col: str = "text",
             .select("doc_id", "n_shingles", "n_shared",
                     F.round(F.col("n_shared") / F.col("n_shingles"), 6)
                     .alias("shared_frac")))
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               min_docs: int = 3) -> DataFrame:
+    """C4-style cross-document LINE deduplication: any trimmed non-empty
+    line that occurs in >= ``min_docs`` distinct documents is treated as
+    boilerplate (nav bars, cookie banners, footers) and removed from
+    EVERY document's text; the cleaned text is reassembled with the
+    surviving lines in their original order.  This is the curation step
+    that doc-level dedup cannot express — the document survives, its
+    repeated furniture does not (C4 does this with three-sentence spans,
+    Common-Crawl pipelines with lines; same shape).
+
+    Returns one row per input document:
+      doc_id, n_lines (total, incl. empty), n_removed, clean_text.
+
+    Scale shape (10^12 docs): posexplode is narrow (rows widen inside
+    one stage, no exchange); the boilerplate census is one partial-agg
+    shuffle on the 16-byte line digest (count DISTINCT doc_id done as a
+    two-phase agg on an already-distinct projection — one row per
+    (digest, doc) per map partition reaches the exchange); the removal
+    join is a shuffle equi-join on the same digest (NOT broadcast: at
+    crawl scale the boilerplate set is itself huge); reassembly is one
+    groupBy(doc_id) whose value payload is exactly the surviving lines.
+    No Python, no window over unbounded partitions, no collect.
+
+    NULL text behaves like empty text (consistent with
+    ``content_digest``): the document keeps its output row with
+    clean_text = '' and one (empty) line counted."""
+    lines = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.coalesce(F.col(text_col),
+                                                     F.lit("")), "\n", -1))
+                     .alias("pos", "line"))
+             .withColumn("k", F.md5(F.trim(F.col("line")).cast("binary")))
+             .withColumn("is_blank", F.trim(F.col("line")) == ""))
+    boiler = (lines.where(~F.col("is_blank"))
+              .select("k", "doc_id").distinct()
+              .groupBy("k").agg(F.count("*").alias("nd"))
+              .where(F.col("nd") >= min_docs)
+              .select("k", F.lit(True).alias("is_dup")))
+    flagged = (lines.join(boiler, "k", "left")
+               .withColumn("is_dup", F.coalesce(F.col("is_dup"),
+                                                F.lit(False))))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line", "is_dup")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(ordered, lambda x: ~x.is_dup),
+                         lambda x: x.line),
+                     "\n").alias("clean_text")))

@@ -21,11 +21,23 @@ lookaround) so the DuckDB oracle twin is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # cross-engine-safe patterns (Java regex == RE2 semantics)
 EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def canonical_host(url) -> Column:
+    """Canonical host of a URL column: lowercased, leading ``www.``
+    stripped.  The grouping key for every per-site operation (host
+    stats, per-host caps, domain blocklists); the extraction regex
+    stops at ``/``, ``?``, and ``#`` so it is safe on raw URLs with
+    fragments still attached."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
+        "^www\\.", "")
 
 
 def canonical_url(url) -> Column:
@@ -42,9 +54,7 @@ def canonical_url(url) -> Column:
     # ('#/search?q=...') must not be resurrected as query parameters
     u = F.regexp_extract(raw, "^([^#]*)", 1)
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
-        "^www\\.", "")
+    host = canonical_host(u)
     path = F.regexp_replace(
         F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
     query = F.regexp_extract(u, "\\?(.*)", 1)
@@ -104,3 +114,45 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
                        " greatest(length(_pii_redacted) - 47, 1), 48)")
                 .alias("redacted_tail"),
             ))
+
+
+def host_cap_sample(pages: DataFrame, host_col: str = "host",
+                    id_col: str = "doc_id", cap: int = 8,
+                    salt_buckets: int = 16) -> DataFrame:
+    """Deterministic per-host cap-K sampling (crawl-curation staple: no
+    single site may contribute more than ``cap`` documents).  Selection
+    order is the md5-derived hash of the document id — a pure function
+    of the key, so membership is stable across runs, engines, and
+    repartitionings, and statistically uniform (no 'first K by crawl
+    order' bias).
+
+    Returns the KEPT sample only: one row per surviving document with
+    (host, id, sample_rank in 1..cap).
+
+    Scale shape — the naive plan is a window over ``partitionBy(host)``,
+    which serializes a megahost's 10^8 rows through one task.  Instead:
+    exact top-K in two bounded stages.  Stage 1 ranks within
+    (host, salt) where salt = hash % ``salt_buckets`` and keeps the
+    per-salt top ``cap``; any row ranked <= cap for its host globally
+    has at most cap-1 rows ahead of it in ITS salt bucket too, so stage
+    1 provably never discards a final-sample member.  Stage 2 ranks the
+    <= salt_buckets * cap survivors per host — a bounded partition no
+    matter how large the host.  Both exchanges carry bounded partitions;
+    the same pattern scales from this sandbox to a 1000-executor
+    cluster by raising salt_buckets."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("hostcap:"),
+                       F.col(id_col).cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("bigint")
+    salted = pages.select(
+        F.col(host_col).alias("host"), F.col(id_col).alias(id_col),
+        h.alias("_h"), (h % salt_buckets).alias("_salt"))
+    w_local = Window.partitionBy("host", "_salt").orderBy("_h", id_col)
+    survivors = (salted
+                 .withColumn("_lr", F.row_number().over(w_local))
+                 .where(F.col("_lr") <= cap))
+    w_host = Window.partitionBy("host").orderBy("_h", id_col)
+    return (survivors
+            .withColumn("sample_rank", F.row_number().over(w_host))
+            .where(F.col("sample_rank") <= cap)
+            .select("host", id_col, "sample_rank"))
