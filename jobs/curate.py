@@ -7,10 +7,15 @@
 The training-data production pipeline as ONE deployable job: quality
 gate (Gopher/C4-style, deterministic first-fail reason) -> exact dedup
 (content-digest keeper) -> near-dup dedup (MinHash -> LSH -> exact
-Jaccard verify -> connected-component clusters) -> deterministic
-train/val/test split — committed atomically through the snapshot
-catalog, so re-running the same --snapshot-id is an idempotent no-op
-and a crashed run resumes from nothing-committed.
+Jaccard verify -> connected-component clusters) -> optional C4-style
+cross-document line dedup (--line-dedup: boilerplate lines occurring in
+>= --line-dedup-min-docs surviving docs are stripped and the cleaned
+text written) -> deterministic train/val/test split — committed
+atomically through the snapshot catalog, so re-running the same
+--snapshot-id is an idempotent no-op and a crashed run resumes from
+nothing-committed.  Line dedup runs AFTER document dedup on purpose
+(the C4 ordering): duplicated documents must not inflate the
+boilerplate census.
 
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
@@ -46,6 +51,12 @@ def main(argv=None) -> int:
                    help="skip the near-dup stage (exact dedup only)")
     p.add_argument("--neardup-threshold", type=float, default=0.5,
                    help="exact-Jaccard verify threshold for near-dups")
+    p.add_argument("--line-dedup", action="store_true",
+                   help="strip cross-document boilerplate lines from the"
+                        " curated text (C4-style line dedup)")
+    p.add_argument("--line-dedup-min-docs", type=int, default=3,
+                   help="a line is boilerplate when it occurs in at least"
+                        " this many surviving documents")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -130,6 +141,18 @@ def main(argv=None) -> int:
     # expensive dedup plan is not re-executed for the second table
     curated = (docs.join(decisions.where(F.col("status") == "kept")
                          .select("doc_id", "split"), "doc_id"))
+    if args.line_dedup:
+        # census over the SURVIVORS only (dedup first, C4 ordering);
+        # n_chars re-derived from the cleaned text so the column keeps
+        # meaning what it says
+        cleaned = dedup.line_dedup(curated.select("doc_id", "text"),
+                                   min_docs=args.line_dedup_min_docs)
+        curated = (curated.drop("text", "n_chars")
+                   .join(cleaned.select(
+                       "doc_id", F.col("clean_text").alias("text"),
+                       F.col("n_removed").alias("n_boilerplate_lines")),
+                       "doc_id")
+                   .withColumn("n_chars", F.length("text").cast("long")))
     cat.write_snapshot(curated, "curated", args.snapshot_id)
 
     counts = {r["status"]: r["n"] for r in
@@ -147,6 +170,10 @@ def main(argv=None) -> int:
         "docs_out": counts.get("kept", 0),
         "splits": splits,
     }
+    if args.line_dedup:
+        cur = cat.read_snapshot(spark, "curated", args.snapshot_id)
+        stats["boilerplate_lines_removed"] = int(
+            cur.agg(F.sum("n_boilerplate_lines")).collect()[0][0] or 0)
     print(json.dumps(stats, sort_keys=True))
     if existing is None:
         spark.stop()

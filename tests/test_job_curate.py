@@ -103,3 +103,63 @@ def test_curate_no_neardup_flag(spark, tmp_path, capsys):
     assert stats["dropped_near_dup"] == 0
     assert (stats["docs_out"] + stats["dropped_quality"]
             + stats["dropped_exact_dup"]) == stats["docs_in"]
+
+
+def test_curate_job_line_dedup_stage(spark, tmp_path, capsys):
+    """--line-dedup strips cross-doc boilerplate from the curated text,
+    matches the standalone operator verbatim, and respects the C4
+    ordering (census over dedup SURVIVORS: a banner carried only by
+    dropped duplicate docs must not reach the threshold)."""
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.operators import dedup
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    banner = "Subscribe to our newsletter"
+    body = ("unique sentence with plenty of distinct words to pass the "
+            "quality gate number")
+    rows = []
+    for i in range(12):  # banner in 12 survivors -> boilerplate
+        rows.append((i, f"{banner}\n{body} {i} alpha beta gamma delta",
+                     "uk", "s0", 100))
+    for i in range(100, 104):  # exact dups of ONE doc, each carrying a
+        rows.append((i,        # banner that only this clone family has
+                     f"only dup family carries this line\n{body} clones",
+                     "uk", "s1", 100))
+    docs_path = str(tmp_path / "docs.parquet")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(docs_path))
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "ld1", "--line-dedup",
+                   "--no-neardup"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    cat = SnapshotCatalog(wh)
+    cur = cat.read_snapshot(spark, "curated", "ld1")
+    got = {r["doc_id"]: r for r in cur.collect()}
+
+    # the 12-doc banner is boilerplate: stripped from every survivor
+    assert stats["boilerplate_lines_removed"] == 12
+    for i in range(12):
+        assert got[i]["text"].startswith(body)
+        assert banner not in got[i]["text"]
+        assert got[i]["n_boilerplate_lines"] == 1
+        assert got[i]["n_chars"] == len(got[i]["text"])
+    # the clone family collapsed to ONE survivor before the census, so
+    # its banner occurs once — kept
+    clone_survivors = [i for i in range(100, 104) if i in got]
+    assert len(clone_survivors) == 1
+    assert "only dup family carries this line" in got[clone_survivors[0]]["text"]
+
+    # survivors' cleaned text matches the standalone operator run on the
+    # same survivor set
+    surv = spark.createDataFrame(
+        [(i, t) for i, t, *_ in rows if i in got], "doc_id long, text string")
+    want = {r["doc_id"]: r["clean_text"]
+            for r in dedup.line_dedup(surv).collect()}
+    assert {i: r["text"] for i, r in got.items()} == want
