@@ -62,6 +62,11 @@ def main(argv=None) -> int:
 
     import os
 
+    if args.line_dedup_min_docs < 2:
+        # at 1 every non-blank line "occurs in >= 1 document" and the
+        # census would strip ALL text — reject the footgun at parse time
+        p.error("--line-dedup-min-docs must be >= 2")
+
     from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
     if is_checkable_local_path(args.docs) and not os.path.exists(args.docs):
         # fail with a one-line message instead of a Java stack trace;
@@ -172,8 +177,15 @@ def main(argv=None) -> int:
     }
     if args.line_dedup:
         cur = cat.read_snapshot(spark, "curated", args.snapshot_id)
-        stats["boilerplate_lines_removed"] = int(
-            cur.agg(F.sum("n_boilerplate_lines")).collect()[0][0] or 0)
+        # the COMMITTED table may predate the flag (snapshot first
+        # written without --line-dedup, then idempotently re-run with
+        # it): report what was actually committed instead of crashing
+        # on the absent column
+        if "n_boilerplate_lines" in cur.columns:
+            stats["boilerplate_lines_removed"] = int(
+                cur.agg(F.sum("n_boilerplate_lines")).collect()[0][0] or 0)
+        else:
+            stats["boilerplate_lines_removed"] = None
     print(json.dumps(stats, sort_keys=True))
     if existing is None:
         spark.stop()

@@ -424,6 +424,15 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
     groupBy(doc_id) whose value payload is exactly the surviving lines.
     No Python, no window over unbounded partitions, no collect.
 
+    Skew: blank lines all trim to the same digest but can never match
+    the census (it excludes them), so they get a salted never-matching
+    join key instead — without this, every blank line in the corpus
+    hash-partitions into ONE task of the removal join.  The remaining
+    hot keys are the ubiquitous banners themselves (every occurrence of
+    one banner lands in one join partition); that is exactly the
+    shuffle-join skew AQE's skew-join split handles at runtime, and the
+    session config enables it.
+
     NULL text behaves like empty text (consistent with
     ``content_digest``): the document keeps its output row with
     clean_text = '' and one (empty) line counted."""
@@ -432,8 +441,16 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                      F.posexplode(F.split(F.coalesce(F.col(text_col),
                                                      F.lit("")), "\n", -1))
                      .alias("pos", "line"))
-             .withColumn("k", F.md5(F.trim(F.col("line")).cast("binary")))
-             .withColumn("is_blank", F.trim(F.col("line")) == ""))
+             .withColumn("is_blank", F.trim(F.col("line")) == "")
+             # census keys are 32-hex md5; the 'blank:' prefix can never
+             # collide, and the doc_id salt spreads blanks across the
+             # join exchange instead of one all-blanks partition
+             .withColumn("k", F.when(
+                 F.col("is_blank"),
+                 F.concat(F.lit("blank:"),
+                          F.pmod(F.col("doc_id"), F.lit(997))
+                          .cast("string")))
+                 .otherwise(F.md5(F.trim(F.col("line")).cast("binary")))))
     boiler = (lines.where(~F.col("is_blank"))
               .select("k", "doc_id").distinct()
               .groupBy("k").agg(F.count("*").alias("nd"))
