@@ -238,3 +238,46 @@ def test_pii_redaction_is_narrow_codegen(spark):
         spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_line_dedup_is_jvm_only_no_cartesian(spark):
+    """C4 line dedup: explode + digest census + removal join +
+    reassembly must stay in codegen — no Python workers, no nested-loop
+    join, and the scan reads only (doc_id, text)."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_line_dedup"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"}, plan
+
+
+def test_host_cap_sample_windows_are_salted_then_host(spark):
+    """The two-stage top-K: stage-1 window must partition by
+    (host, salt) — a single window partitioned by host alone is the
+    megahost-serializing shape the operator exists to avoid."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["host_cap_sample"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    # both windows present, and the salted one partitions by _salt
+    assert nodes(plan, r"Window\b(?!GroupLimit)") == 2, plan
+    assert "_salt" in plan, plan
+    # Spark pushes the rank<=cap limit below each window exchange
+    # (partial WindowGroupLimit) — the top-K never shuffles more than
+    # cap rows per group; losing this doubles the exchange payload
+    assert nodes(plan, "WindowGroupLimit") >= 2, plan
+
+
+def test_quantized_topk_broadcasts_and_stays_jvm(spark):
+    """Quantized ANN keeps the brute-force plan shape: query side
+    broadcast (no shuffle of the corpus), no SortMergeJoin, no
+    Python."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["embedding_topk_quantized"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
