@@ -281,3 +281,15 @@ def test_quantized_topk_broadcasts_and_stays_jvm(spark):
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_vocab_topv_is_take_ordered_not_global_window(spark):
+    """The vocabulary top-V cut must compile to TakeOrderedAndProject
+    (distributed per-partition top-V) — a global ROW_NUMBER window here
+    serializes the whole distinct-word table through one task, which is
+    billions of rows at web scale."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_vocab_oov"](
+        spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert nodes(plan, r"Window\b(?!GroupLimit)") == 0, plan

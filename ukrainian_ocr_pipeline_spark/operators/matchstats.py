@@ -47,12 +47,18 @@ def match_stats(matches: DataFrame,
 
 def match_top_terms(matches: DataFrame, n: int = 10) -> DataFrame:
     """Top-N matched terms by count (get_top_surnames twin).  Count desc
-    with term-asc tie-break so the ranking is deterministic."""
+    with term-asc tie-break so the ranking is deterministic.
+
+    The top-N cut is orderBy+limit (TakeOrderedAndProject — distributed
+    per-partition top-N, no single-partition window over the full
+    distinct-term table); the rank column is then numbered over the
+    n surviving rows only."""
     w = Window.orderBy(F.desc("n_matches"), F.col("matched_term"))
     return (matches.groupBy("matched_term")
             .agg(F.count("*").alias("n_matches"))
+            .orderBy(F.desc("n_matches"), F.col("matched_term"))
+            .limit(n)
             .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= n)
             .select("rank", "matched_term", "n_matches"))
 
 

@@ -350,18 +350,21 @@ def vocab_oov(docs: DataFrame, text_col: str = "text",
     encoding damage / language mismatch; the vocab table itself is the
     classical tokenizer-training input.
 
-    Scale shape: the count table is vocab-sized; the top_v cut is a
-    single ROW_NUMBER window over it (one shuffle of the SMALL table,
-    never the corpus); scoring joins token instances against the
-    bounded-size vocabulary — broadcast by construction.
+    Scale shape: the count table is distinct-word-sized — at web scale
+    that is still billions of rows, so the top_v cut is orderBy+limit
+    (Spark compiles it to TakeOrderedAndProject: per-partition top-V
+    merged on the driver, NO single-partition window — a global
+    ROW_NUMBER window here serializes the whole vocabulary through one
+    task); scoring then joins token instances against the bounded-size
+    vocabulary — broadcast by construction.  The (cnt desc, word)
+    ordering is total, so the selected set is deterministic and
+    engine-identical.
     """
     words = _doc_words(docs, text_col)
     freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
-    vocab = (freq.withColumn(
-        "rn", F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), F.col("word"))))
-        .where(F.col("rn") <= top_v)
-        .select("word", F.lit(True).alias("in_vocab")))
+    vocab = (freq.orderBy(F.col("cnt").desc(), F.col("word"))
+             .limit(top_v)
+             .select("word", F.lit(True).alias("in_vocab")))
     return (words.join(F.broadcast(vocab), "word", "left")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
