@@ -174,3 +174,21 @@ def test_charset_prune_preserves_best_match(word):
         assert pruned == ("Шевченко", 1.0)
     if word == "shevchenko":
         assert pruned is None
+
+
+@given(st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=400))
+@example("\xa0a\xa0 b\tc")
+@example("\x1c x \x1d\x85y")
+@example("  ")
+@settings(max_examples=400, deadline=None)
+def test_norm_ws_equals_regex_form(s):
+    """segment._norm_ws (join/split fast path) must be byte-identical to
+    the regex form it replaced — CPython's str \\s and str.split() share
+    the Py_UNICODE_ISSPACE predicate, and this pins it against any
+    future interpreter drift."""
+    import re
+
+    from ukrainian_ocr_pipeline_spark.spec import segment
+
+    assert segment._norm_ws(s) == re.sub(r"\s+", " ", s).strip()
