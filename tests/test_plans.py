@@ -249,9 +249,11 @@ def test_line_dedup_is_jvm_only_no_cartesian(spark):
         spark, "/root/testdata/sf0.001"))
     assert "EvalPython" not in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
-        "doc_id", "text"}, plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:  # EVERY scan (census + removal sides) stays pruned
+        assert set(c.split(":")[0] for c in s.split(",")) == {
+            "doc_id", "text"}, plan
 
 
 def test_host_cap_sample_windows_are_salted_then_host(spark):

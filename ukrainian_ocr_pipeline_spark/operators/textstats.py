@@ -12,7 +12,7 @@ correctness gate.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # simple cross-engine-safe character classes (identical semantics in Java
 # regex and RE2: no \b, no \w, no POSIX classes)
@@ -352,10 +352,10 @@ def vocab_oov(docs: DataFrame, text_col: str = "text",
 
     Scale shape: the count table is distinct-word-sized — at web scale
     that is still billions of rows, so the top_v cut is orderBy+limit
-    (Spark compiles it to TakeOrderedAndProject: per-partition top-V
-    merged on the driver, NO single-partition window — a global
-    ROW_NUMBER window here serializes the whole vocabulary through one
-    task); scoring then joins token instances against the bounded-size
+    (Spark compiles it to TakeOrderedAndProject: bounded per-partition
+    top-V heaps, then one merge of those top-V sets — a global
+    ROW_NUMBER window here instead serializes the whole vocabulary
+    through one task); scoring then joins token instances against the bounded-size
     vocabulary — broadcast by construction.  The (cnt desc, word)
     ordering is total, so the selected set is deterministic and
     engine-identical.

@@ -15,8 +15,10 @@ Fallback ladder mirrors core/segmentation.py:344-407 (kraken -> CPU retry
   level 2  fixed-size text chunking, sentinel 0.3     (core/segmentation.py:388)
   level 3  single placeholder block, sentinel 0.1     (core/segmentation.py:406)
 
-Determinism: block order is document order; whitespace is normalized with
-a single regex; no dict-iteration-order or locale dependence anywhere.
+Determinism: block order is document order; whitespace runs collapse to
+single spaces via _norm_ws (join/split — byte-identical to the regex
+form, property-pinned); no dict-iteration-order or locale dependence
+anywhere.
 """
 
 from __future__ import annotations
