@@ -7,21 +7,26 @@
 The training-data production pipeline as ONE deployable job: quality
 gate (Gopher/C4-style, deterministic first-fail reason) -> exact dedup
 (content-digest keeper) -> near-dup dedup (MinHash -> LSH -> exact
-Jaccard verify -> connected-component clusters) -> optional C4-style
-cross-document line dedup (--line-dedup: boilerplate lines occurring in
+Jaccard verify -> connected-component clusters) -> optional per-host
+cap (--host-cap N: at most N surviving docs per source host, salted
+two-stage deterministic sample) -> optional C4-style cross-document
+line dedup (--line-dedup: boilerplate lines occurring in
 >= --line-dedup-min-docs surviving docs are stripped and the cleaned
-text written) -> deterministic train/val/test split — committed
-atomically through the snapshot catalog, so re-running the same
---snapshot-id is an idempotent no-op and a crashed run resumes from
-nothing-committed.  Line dedup runs AFTER document dedup on purpose
-(the C4 ordering): duplicated documents must not inflate the
-boilerplate census.
+text written) -> optional PII redaction (--pii-redact: emails/IPs ->
+placeholders in the final text) -> deterministic train/val/test split —
+committed atomically through the snapshot catalog, so re-running the
+same --snapshot-id is an idempotent no-op and a crashed run resumes
+from nothing-committed.  Stage order is deliberate: the host cap and
+line-dedup census run AFTER document dedup (duplicates must not consume
+cap slots or inflate the boilerplate count — the C4 ordering), and PII
+redaction rewrites the FINAL text last.
 
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
                       ('kept' | 'quality:<reason>' | 'dup_exact' |
-                      'dup_near'), the keeper doc for dups, and the
-                      split for kept docs — the audit trail / drop list.
+                      'dup_near' | 'host_cap'), the keeper doc for
+                      dups, and the split for kept docs — the audit
+                      trail / drop list.
   curated             the surviving documents with their split column —
                       what a training run actually reads.
 
@@ -57,6 +62,13 @@ def main(argv=None) -> int:
     p.add_argument("--line-dedup-min-docs", type=int, default=3,
                    help="a line is boilerplate when it occurs in at least"
                         " this many surviving documents")
+    p.add_argument("--host-cap", type=int, default=0,
+                   help="keep at most N surviving documents per source"
+                        " host (0 = no cap); deterministic hash-order"
+                        " sample via the salted two-stage top-K")
+    p.add_argument("--pii-redact", action="store_true",
+                   help="replace emails/IPs in the curated text with"
+                        " <EMAIL>/<IP> placeholders")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -75,7 +87,7 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession, functions as F
 
-    from ukrainian_ocr_pipeline_spark.operators import dedup, textstats
+    from ukrainian_ocr_pipeline_spark.operators import dedup, textstats, webnorm
     from ukrainian_ocr_pipeline_spark.operators.dedup import content_digest
     from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
     from ukrainian_ocr_pipeline_spark.sources.session import get_spark
@@ -123,6 +135,21 @@ def main(argv=None) -> int:
         final_ids = surv_ids.join(dropped_n.select("doc_id"), "doc_id",
                                   "left_anti")
 
+        # per-host cap among the dedup survivors (cap AFTER dedup so
+        # dropped duplicates never consume a host's sample slots)
+        if args.host_cap:
+            in_cap = (webnorm.host_cap_sample(
+                docs.join(final_ids, "doc_id"), host_col="source",
+                cap=args.host_cap).select("doc_id"))
+            dropped_h = (final_ids.join(in_cap, "doc_id", "left_anti")
+                         .select("doc_id",
+                                 F.lit("host_cap").alias("status"),
+                                 F.lit(None).cast("long")
+                                 .alias("keeper_doc_id")))
+            final_ids = in_cap
+        else:
+            dropped_h = dropped_x.limit(0)
+
         # deterministic split: pure function of doc_id (no RNG state);
         # the ONE definition shared with the registry's split query
         split = dedup.train_val_test_split(F.col("doc_id"))
@@ -130,6 +157,7 @@ def main(argv=None) -> int:
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
         return (dropped_q.unionByName(dropped_x).unionByName(dropped_n)
+                .unionByName(dropped_h)
                 .withColumn("split", F.lit(None).cast("string"))
                 .unionByName(kept.withColumn("split", split)))
 
@@ -158,6 +186,13 @@ def main(argv=None) -> int:
                        F.col("n_removed").alias("n_boilerplate_lines")),
                        "doc_id")
                    .withColumn("n_chars", F.length("text").cast("long")))
+    if args.pii_redact:
+        # last text rewrite (after line dedup): redact the FINAL corpus,
+        # count with the same order-aware rule the report query uses
+        curated = (curated
+                   .withColumn("n_pii", webnorm.pii_count("text"))
+                   .withColumn("text", webnorm.redact_text("text"))
+                   .withColumn("n_chars", F.length("text").cast("long")))
     cat.write_snapshot(curated, "curated", args.snapshot_id)
 
     counts = {r["status"]: r["n"] for r in
@@ -172,11 +207,13 @@ def main(argv=None) -> int:
                                if k.startswith("quality:")),
         "dropped_exact_dup": counts.get("dup_exact", 0),
         "dropped_near_dup": counts.get("dup_near", 0),
+        "dropped_host_cap": counts.get("host_cap", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,
     }
-    if args.line_dedup:
+    if args.line_dedup or args.pii_redact:
         cur = cat.read_snapshot(spark, "curated", args.snapshot_id)
+    if args.line_dedup:
         # the COMMITTED table may predate the flag (snapshot first
         # written without --line-dedup, then idempotently re-run with
         # it): report what was actually committed instead of crashing
@@ -186,6 +223,12 @@ def main(argv=None) -> int:
                 cur.agg(F.sum("n_boilerplate_lines")).collect()[0][0] or 0)
         else:
             stats["boilerplate_lines_removed"] = None
+    if args.pii_redact:
+        if "n_pii" in cur.columns:
+            stats["pii_replacements"] = int(
+                cur.agg(F.sum("n_pii")).collect()[0][0] or 0)
+        else:
+            stats["pii_replacements"] = None
     print(json.dumps(stats, sort_keys=True))
     if existing is None:
         spark.stop()

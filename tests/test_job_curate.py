@@ -163,3 +163,66 @@ def test_curate_job_line_dedup_stage(spark, tmp_path, capsys):
     want = {r["doc_id"]: r["clean_text"]
             for r in dedup.line_dedup(surv).collect()}
     assert {i: r["text"] for i, r in got.items()} == want
+
+
+def test_curate_job_host_cap_and_pii(spark, tmp_path, capsys):
+    """--host-cap keeps at most N dedup SURVIVORS per source (exactly the
+    standalone host_cap_sample selection), --pii-redact rewrites the
+    final text with the shared redaction rule, and the stats line stays
+    additive (docs_out + all dropped_* == docs_in)."""
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.operators import webnorm
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    body = ("a perfectly reasonable sentence with enough distinct words "
+            "to clear the quality gate today")
+    rows = []
+    for i in range(30):            # 30 docs on one big host
+        rows.append((i, f"{body} alpha {i} mail user{i}@ex.example.org",
+                     "uk", "bighost", 100))
+    for i in range(100, 103):      # 3 docs on a small host
+        rows.append((i, f"{body} beta {i} from 10.1.2.{i - 100}",
+                     "uk", "smallhost", 100))
+    docs_path = str(tmp_path / "docs.parquet")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(docs_path))
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "hc1", "--no-neardup",
+                   "--host-cap", "5", "--pii-redact"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_exact_dup"] + stats["dropped_near_dup"]
+            + stats["dropped_host_cap"]) == stats["docs_in"] == 33
+    assert stats["dropped_host_cap"] == 25       # bighost 30->5, small 3->3
+    # every kept doc carried exactly one email or one ip
+    assert stats["pii_replacements"] == stats["docs_out"] == 8
+
+    cat = SnapshotCatalog(wh)
+    cur = cat.read_snapshot(spark, "curated", "hc1")
+    got = {r["doc_id"]: r for r in cur.collect()}
+    assert sum(1 for r in got.values() if r["source"] == "bighost") == 5
+    assert sum(1 for r in got.values() if r["source"] == "smallhost") == 3
+    for r in got.values():
+        assert "@" not in r["text"] and "10.1.2." not in r["text"]
+        assert ("<EMAIL>" in r["text"]) or ("<IP>" in r["text"])
+        assert r["n_pii"] == 1 and r["n_chars"] == len(r["text"])
+
+    # the capped set is exactly the standalone operator's selection
+    surv = spark.createDataFrame(
+        [(i, s) for i, _, _, s, _ in rows], "doc_id long, source string")
+    want = {r["doc_id"] for r in webnorm.host_cap_sample(
+        surv, host_col="source", cap=5).collect()}
+    dec = cat.read_snapshot(spark, "curation_decisions", "hc1")
+    kept_ids = {r["doc_id"] for r in
+                dec.where(F.col("status") == "kept").collect()}
+    assert kept_ids == (want & kept_ids) and len(kept_ids) == 8
+    capped = {r["doc_id"] for r in
+              dec.where(F.col("status") == "host_cap").collect()}
+    assert capped == set(range(30)) - want

@@ -84,6 +84,29 @@ def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
                  F.min("doc_id").alias("keeper_doc_id")))
 
 
+def redact_text(t) -> Column:
+    """The PII replacement chain alone (emails first, then IPs on the
+    email-redacted text): the ONE redaction definition shared by the
+    pii_redaction report query and the curation job's --pii-redact
+    stage — two copies would let the deployed corpus diverge from what
+    the report claims was scrubbed."""
+    t = F.col(t) if isinstance(t, str) else t
+    after_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(after_email, IPV4_PATTERN, "<IP>")
+
+
+def pii_count(t) -> Column:
+    """Total replacement count redact_text will make: emails counted on
+    the raw text, IPs on the email-redacted text (an IPv4-shaped
+    substring consumed by an email match is counted once as email,
+    never twice) — the same order-aware rule pii_redact reports."""
+    t = F.col(t) if isinstance(t, str) else t
+    after_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    return (F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+            + F.size(F.regexp_extract_all(after_email, F.lit(IPV4_PATTERN),
+                                          F.lit(0)))).cast("long")
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII scrub: replace every email address with
     ``<EMAIL>`` and every IPv4-shaped number run with ``<IP>``,
@@ -92,7 +115,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     feeds the training corpus."""
     t = F.col(text_col)
     after_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
-    redacted = F.regexp_replace(after_email, IPV4_PATTERN, "<IP>")
+    redacted = redact_text(t)
     # counts mirror the replacement order exactly: emails on the raw
     # text, IPs on the email-redacted text — an IPv4-shaped substring
     # consumed by an email match (digits/dots are legal in a local
