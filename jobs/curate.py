@@ -78,6 +78,11 @@ def main(argv=None) -> int:
         # at 1 every non-blank line "occurs in >= 1 document" and the
         # census would strip ALL text — reject the footgun at parse time
         p.error("--line-dedup-min-docs must be >= 2")
+    if args.host_cap < 0:
+        # a negative cap keeps nothing: every survivor would be dropped
+        # as host_cap and the empty snapshot committed (idempotency then
+        # makes it unfixable under the same id) — reject at parse time
+        p.error("--host-cap must be >= 0 (0 disables the cap)")
 
     from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
     if is_checkable_local_path(args.docs) and not os.path.exists(args.docs):
@@ -136,11 +141,18 @@ def main(argv=None) -> int:
                                   "left_anti")
 
         # per-host cap among the dedup survivors (cap AFTER dedup so
-        # dropped duplicates never consume a host's sample slots)
+        # dropped duplicates never consume a host's sample slots).
+        # NULL-source docs are NOT a host: they pass through uncapped
+        # rather than being collapsed into one all-NULLs pseudo-host
+        # (Window.partitionBy groups NULL keys together — capping them
+        # would silently mass-drop every unattributed document past N)
         if args.host_cap:
+            surv = docs.join(final_ids, "doc_id")
             in_cap = (webnorm.host_cap_sample(
-                docs.join(final_ids, "doc_id"), host_col="source",
-                cap=args.host_cap).select("doc_id"))
+                surv.where(F.col("source").isNotNull()),
+                host_col="source", cap=args.host_cap).select("doc_id")
+                .unionByName(surv.where(F.col("source").isNull())
+                             .select("doc_id")))
             dropped_h = (final_ids.join(in_cap, "doc_id", "left_anti")
                          .select("doc_id",
                                  F.lit("host_cap").alias("status"),

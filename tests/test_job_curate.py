@@ -226,3 +226,40 @@ def test_curate_job_host_cap_and_pii(spark, tmp_path, capsys):
     capped = {r["doc_id"] for r in
               dec.where(F.col("status") == "host_cap").collect()}
     assert capped == set(range(30)) - want
+
+
+def test_curate_job_host_cap_null_source_passthrough(spark, tmp_path,
+                                                     capsys):
+    """NULL-source docs are not a host: the cap must pass them through
+    instead of collapsing them into one all-NULLs pseudo-host (Spark
+    windows group NULL keys together).  And a negative --host-cap is
+    rejected at parse time — it would drop the whole corpus into an
+    unfixable committed snapshot."""
+    import pytest
+
+    import curate as job
+
+    body = ("a perfectly reasonable sentence with enough distinct words "
+            "to clear the quality gate today")
+    rows = ([(i, f"{body} gamma {i}", "uk", "onehost", 100)
+             for i in range(10)]
+            + [(100 + i, f"{body} delta {i}", "uk", None, 100)
+               for i in range(10)])
+    docs_path = str(tmp_path / "docs.parquet")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(docs_path))
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "n1", "--no-neardup",
+                   "--host-cap", "3"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # onehost capped 10 -> 3; all 10 NULL-source docs kept
+    assert stats["dropped_host_cap"] == 7 and stats["docs_out"] == 13
+
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "n2", "--host-cap", "-1"])

@@ -95,16 +95,29 @@ def redact_text(t) -> Column:
     return F.regexp_replace(after_email, IPV4_PATTERN, "<IP>")
 
 
-def pii_count(t) -> Column:
-    """Total replacement count redact_text will make: emails counted on
-    the raw text, IPs on the email-redacted text (an IPv4-shaped
-    substring consumed by an email match is counted once as email,
-    never twice) — the same order-aware rule pii_redact reports."""
+def email_count(t) -> Column:
+    """Email matches on the RAW text — the first half of the order-aware
+    count rule (see ip_count)."""
+    t = F.col(t) if isinstance(t, str) else t
+    return F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+
+
+def ip_count(t) -> Column:
+    """IPv4 matches on the EMAIL-REDACTED text: an IPv4-shaped substring
+    consumed by an email match (digits/dots are legal in a local part)
+    is counted once as email, never twice.  email_count/ip_count/
+    pii_count/redact_text all derive from the same two patterns and the
+    same replacement order, so the report query and the curation job can
+    never disagree about what was scrubbed."""
     t = F.col(t) if isinstance(t, str) else t
     after_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
-    return (F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
-            + F.size(F.regexp_extract_all(after_email, F.lit(IPV4_PATTERN),
-                                          F.lit(0)))).cast("long")
+    return F.size(F.regexp_extract_all(after_email, F.lit(IPV4_PATTERN),
+                                       F.lit(0)))
+
+
+def pii_count(t) -> Column:
+    """Total replacement count redact_text will make."""
+    return (email_count(t) + ip_count(t)).cast("long")
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -114,12 +127,9 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     speed; the counts feed the curation report, the redacted column
     feeds the training corpus."""
     t = F.col(text_col)
-    after_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
     redacted = redact_text(t)
-    # counts mirror the replacement order exactly: emails on the raw
-    # text, IPs on the email-redacted text — an IPv4-shaped substring
-    # consumed by an email match (digits/dots are legal in a local
-    # part) is counted once as email, never double-counted as IP.
+    # counts come from the shared order-aware helpers (email_count /
+    # ip_count) — the same definitions the curation job's stats use.
     # tail sample via explicit 1-based clamp, NOT substring(col, -48):
     # Spark's negative-pos substring returns '' when |pos| > length while
     # DuckDB's right() clamps — the clamp form is identical in both
@@ -127,11 +137,8 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("_pii_redacted", redacted)
             .select(
                 "doc_id",
-                F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
-                .alias("n_emails"),
-                F.size(F.regexp_extract_all(after_email,
-                                            F.lit(IPV4_PATTERN), F.lit(0)))
-                .alias("n_ips"),
+                email_count(t).alias("n_emails"),
+                ip_count(t).alias("n_ips"),
                 F.length("_pii_redacted").alias("redacted_len"),
                 F.expr("substring(_pii_redacted,"
                        " greatest(length(_pii_redacted) - 47, 1), 48)")
