@@ -1,0 +1,102 @@
+"""spark-submit entry point for the ANN index-build job.
+
+    spark-submit --py-files engine.zip jobs/index.py \
+        --embeddings /path/to/embeddings.parquet --warehouse /path/to/wh \
+        --snapshot-id idx-001 [--bands 8] [--band-planes 4] \
+        [--centroids 8] [--no-quantize]
+
+The write-once half of the ANN story: every per-vector quantity the
+similarity family needs is computed in ONE corpus pass each and
+committed through the snapshot catalog, so query-time work is join-only
+(no re-scoring, no re-assignment, no signature recomputation — the
+100 TB shape, where the corpus scan is the cost and the index tables
+are tiny beside it).
+
+Index tables (all under the catalog, all per-snapshot):
+  ann_signatures  banded hyperplane signatures + norms
+                  (vec_id, v, nrm, bands) — near-dup candidates come
+                  from equi-joins on (band, bucket); feed to
+                  similarity.cosine_near_dup_banded_materialized.
+  ann_ivf         IVF coarse-quantizer assignments
+                  (vec_id, embedding, nn, centroid_id) — top-k via
+                  similarity.ivf_topk_from_index probes inverted lists
+                  with no corpus re-scan.
+  ann_quantized   symmetric int8 vectors (vec_id, qvec) — 4-8x
+                  narrower scans/broadcasts for quantized search
+                  (similarity.quantized_topk's storage layout).
+
+Idempotent: re-running the same --snapshot-id is a no-op per table
+(is_committed short-circuit), so a crashed build resumes from the
+first uncommitted table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="ANN index build job")
+    p.add_argument("--embeddings", required=True,
+                   help="embeddings parquet path (vec_id, embedding)")
+    p.add_argument("--warehouse", required=True, help="output catalog root")
+    p.add_argument("--snapshot-id", required=True)
+    p.add_argument("--bands", type=int, default=8,
+                   help="banded-LSH bands for the signature table")
+    p.add_argument("--band-planes", type=int, default=4,
+                   help="hyperplanes (bits) per band")
+    p.add_argument("--centroids", type=int, default=8,
+                   help="IVF codebook size")
+    p.add_argument("--no-quantize", action="store_true",
+                   help="skip the int8 table")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    if args.bands < 1 or args.band_planes < 1 or args.centroids < 1:
+        p.error("--bands/--band-planes/--centroids must be >= 1")
+
+    import os
+
+    from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
+    if is_checkable_local_path(args.embeddings) \
+            and not os.path.exists(args.embeddings):
+        p.error(f"--embeddings path does not exist: {args.embeddings}")
+
+    from pyspark.sql import SparkSession
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(app=f"index-{args.snapshot_id}",
+                                  master=args.master)
+    cat = SnapshotCatalog(args.warehouse)
+    emb = spark.read.parquet(args.embeddings)
+
+    builders = {
+        "ann_signatures": lambda: similarity.banded_signature_table(
+            emb, n_bands=args.bands, band_planes=args.band_planes),
+        "ann_ivf": lambda: similarity.ivf_assignments(
+            emb, n_centroids=args.centroids),
+    }
+    if not args.no_quantize:
+        builders["ann_quantized"] = lambda: similarity.quantize_int8(emb)
+
+    stats = {"vectors": emb.count(), "bands": args.bands,
+             "band_planes": args.band_planes, "centroids": args.centroids}
+    for table, build in builders.items():
+        if not cat.is_committed(table, args.snapshot_id):
+            cat.write_snapshot(build(), table, args.snapshot_id)
+        stats[table] = cat.read_snapshot(spark, table,
+                                         args.snapshot_id).count()
+
+    print(json.dumps(stats, sort_keys=True))
+    if existing is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

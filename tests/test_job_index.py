@@ -1,0 +1,82 @@
+"""End-to-end test of the ANN index-build job (jobs/index.py): the
+committed index tables are complete, re-runs are idempotent, and the
+join-only query paths over the read-back tables are result-identical to
+the stateless operators on the same corpus."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_index_job_end_to_end(spark, tmp_path, capsys):
+    import index as job
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--embeddings", EMB, "--warehouse", wh,
+                   "--snapshot-id", "i1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    emb = spark.read.parquet(EMB)
+    n = emb.count()
+    cat = SnapshotCatalog(wh)
+    assert stats["vectors"] == n
+    assert stats["ann_ivf"] == n and stats["ann_quantized"] == n
+    assert stats["ann_signatures"] == n  # one row per vector (bands array)
+
+    # -- IVF read path: join-only top-k over the committed table equals
+    # the stateless ivf_topk on the raw corpus
+    index = cat.read_snapshot(spark, "ann_ivf", "i1")
+    qids = list(range(10))
+    got = {(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_r"])
+           for r in similarity.ivf_topk_from_index(
+               index, qids, k=5, n_centroids=8, nprobe=2).collect()}
+    want = {(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_r"])
+            for r in similarity.ivf_topk(
+                emb, qids, k=5, n_centroids=8, nprobe=2).collect()}
+    assert got == want and got
+
+    # and the join-only plan recomputes NO assignments (no crossJoin of
+    # the full corpus against centroids — only the |Q| x C query scoring)
+    plan = (similarity.ivf_topk_from_index(index, qids, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+
+    # -- signature read path: join-only banded near-dup over the
+    # committed table equals the stateless query (threshold tuned to the
+    # synthetic corpus like the registry query)
+    sigs = cat.read_snapshot(spark, "ann_signatures", "i1")
+    got_nd = {(r["doc_a"], r["doc_b"], r["cosine_r"]) for r in
+              similarity.cosine_near_dup_banded_materialized(
+                  emb, threshold=0.4, signatures=sigs).collect()}
+    want_nd = {(r["doc_a"], r["doc_b"], r["cosine_r"]) for r in
+               similarity.cosine_near_dup_banded(
+                   emb, threshold=0.4).collect()}
+    assert got_nd == want_nd
+
+    # -- quantized table: values match the operator output exactly
+    q = cat.read_snapshot(spark, "ann_quantized", "i1")
+    got_q = {r["vec_id"]: r["qvec"] for r in q.collect()}
+    want_q = {r["vec_id"]: r["qvec"] for r in
+              similarity.quantize_int8(emb).collect()}
+    assert got_q == want_q
+
+    # -- idempotent re-run: identical stats, one manifest per table
+    rc2 = job.main(["--embeddings", EMB, "--warehouse", wh,
+                    "--snapshot-id", "i1"])
+    assert rc2 == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+    import glob
+    for t in ("ann_signatures", "ann_ivf", "ann_quantized"):
+        assert len(glob.glob(f"{wh}/{t}/snapshots/*.json")) == 1

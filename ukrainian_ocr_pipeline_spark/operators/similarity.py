@@ -478,3 +478,49 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             .where(F.col("rank") <= k)
             .select("query_id", "rank", F.col(id_col).alias("neighbor_id"),
                     "cosine_q"))
+
+
+def ivf_topk_from_index(index: DataFrame, query_ids: list[int], k: int = 5,
+                        n_centroids: int = 8, nprobe: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k over a PREBUILT assignment table (the output of
+    ivf_assignments, typically written to storage by jobs/index.py):
+    join-only — no corpus re-scoring, no re-assignment.  The codebook is
+    recovered from the index itself (the deterministic lowest-id
+    convention `_ivf_scored` uses), queries are re-scored against the
+    C broadcast centroids only (|Q| x C work), and candidates come from
+    the equi-join on centroid_id.  Result-identical to ivf_topk on the
+    same corpus — pinned by test against the stateless path.
+
+    This is the production ANN read path at 100 TB: assignment costs
+    one N x C pass and is paid ONCE per corpus snapshot at index-build
+    time; every query run afterwards touches only its probed inverted
+    lists."""
+    cents = (index.where(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("cvec"), F.col("nn").alias("cn")))
+    qscored = (index.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"), F.col("nn").alias("qn"))
+               .crossJoin(F.broadcast(cents))
+               .withColumn("sim_r", F.round(_dot("qvec", "cvec")
+                                            / F.sqrt(F.col("qn") * F.col("cn")), 6)))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_r"),
+                                                F.col("centroid_id"))
+    qprobes = (qscored.withColumn("pr", F.row_number().over(wq))
+               .where(F.col("pr") <= nprobe)
+               .select("query_id", "qvec", "qn", "centroid_id"))
+    pairs = (index
+             .join(F.broadcast(qprobes),
+                   (index.centroid_id == qprobes.centroid_id)
+                   & (F.col(id_col) != F.col("query_id")))
+             .withColumn("dot", _dot("qvec", vec_col))
+             .withColumn("cosine_r",
+                         F.round(F.col("dot")
+                                 / F.sqrt(F.col("qn") * F.col("nn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", F.col(id_col).alias("neighbor_id"),
+                    "cosine_r"))
