@@ -13,6 +13,11 @@ committed through the snapshot catalog, so query-time work is join-only
 are tiny beside it).
 
 Index tables (all under the catalog, all per-snapshot):
+  ann_meta        one row of build parameters (bands, band_planes,
+                  centroids, vectors) — committed FIRST; re-runs under
+                  the same snapshot-id are validated against it, so a
+                  crash-resume with different flags or a different
+                  corpus cannot commit a mixed-parameter snapshot.
   ann_signatures  banded hyperplane signatures + norms
                   (vec_id, v, nrm, bands) — near-dup candidates come
                   from equi-joins on (band, bucket); feed to
@@ -24,6 +29,13 @@ Index tables (all under the catalog, all per-snapshot):
   ann_quantized   symmetric int8 vectors (vec_id, qvec) — 4-8x
                   narrower scans/broadcasts for quantized search
                   (similarity.quantized_topk's storage layout).
+
+Size honesty: ann_signatures and ann_ivf each carry the full vector
+column (so the verify/rerank steps are join-free) — together roughly
+2x the corpus's embedding bytes, NOT tiny; the truly-narrow tables are
+ann_quantized (4x under float32) and the signature/assignment columns
+themselves.  Trade vector-free index tables + a corpus join-back if
+storage dominates.
 
 Idempotent: re-running the same --snapshot-id is a no-op per table
 (is_committed short-circuit), so a crashed build resumes from the
@@ -75,6 +87,33 @@ def main(argv=None) -> int:
     cat = SnapshotCatalog(args.warehouse)
     emb = spark.read.parquet(args.embeddings)
 
+    # parameter manifest FIRST: a resume under the same snapshot-id with
+    # different flags (or a different-size corpus) must fail loudly, not
+    # mix tables built under different parameters into one snapshot
+    params = {"bands": args.bands, "band_planes": args.band_planes,
+              "centroids": args.centroids, "quantize": not args.no_quantize}
+    if cat.is_committed("ann_meta", args.snapshot_id):
+        meta = cat.read_snapshot(spark, "ann_meta",
+                                 args.snapshot_id).collect()[0].asDict()
+        committed = {k: meta[k] for k in params}
+        if committed != params:
+            print(json.dumps({"error": "parameter mismatch with committed "
+                              "snapshot", "committed": committed,
+                              "requested": params}, sort_keys=True),
+                  file=sys.stderr)
+            return 2
+        n_vectors = meta["vectors"]
+        if emb.count() != n_vectors:
+            print(json.dumps({"error": "corpus size differs from committed "
+                              "snapshot", "committed_vectors": n_vectors},
+                             sort_keys=True), file=sys.stderr)
+            return 2
+    else:
+        n_vectors = emb.count()
+        cat.write_snapshot(
+            spark.createDataFrame([{**params, "vectors": n_vectors}]),
+            "ann_meta", args.snapshot_id)
+
     builders = {
         "ann_signatures": lambda: similarity.banded_signature_table(
             emb, n_bands=args.bands, band_planes=args.band_planes),
@@ -84,7 +123,7 @@ def main(argv=None) -> int:
     if not args.no_quantize:
         builders["ann_quantized"] = lambda: similarity.quantize_int8(emb)
 
-    stats = {"vectors": emb.count(), "bands": args.bands,
+    stats = {"vectors": n_vectors, "bands": args.bands,
              "band_planes": args.band_planes, "centroids": args.centroids}
     for table, build in builders.items():
         if not cat.is_committed(table, args.snapshot_id):

@@ -40,17 +40,21 @@ def test_index_job_end_to_end(spark, tmp_path, capsys):
     qids = list(range(10))
     got = {(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_r"])
            for r in similarity.ivf_topk_from_index(
-               index, qids, k=5, n_centroids=8, nprobe=2).collect()}
+               index, qids, k=5, nprobe=2).collect()}
     want = {(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_r"])
             for r in similarity.ivf_topk(
                 emb, qids, k=5, n_centroids=8, nprobe=2).collect()}
     assert got == want and got
 
-    # and the join-only plan recomputes NO assignments (no crossJoin of
-    # the full corpus against centroids — only the |Q| x C query scoring)
+    # join-only means join-only: the plan must scan the WAREHOUSE table
+    # and never touch the raw embeddings corpus (re-deriving assignments
+    # from EMB is exactly the regression the index exists to prevent)
     plan = (similarity.ivf_topk_from_index(index, qids, k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
+    assert EMB not in plan, plan
+    # Spark elides long paths in plan strings — match the visible prefix
+    assert "/wh/ann_" in plan, plan
 
     # -- signature read path: join-only banded near-dup over the
     # committed table equals the stateless query (threshold tuned to the
@@ -62,7 +66,7 @@ def test_index_job_end_to_end(spark, tmp_path, capsys):
     want_nd = {(r["doc_a"], r["doc_b"], r["cosine_r"]) for r in
                similarity.cosine_near_dup_banded(
                    emb, threshold=0.4).collect()}
-    assert got_nd == want_nd
+    assert got_nd == want_nd and got_nd
 
     # -- quantized table: values match the operator output exactly
     q = cat.read_snapshot(spark, "ann_quantized", "i1")
@@ -80,3 +84,48 @@ def test_index_job_end_to_end(spark, tmp_path, capsys):
     import glob
     for t in ("ann_signatures", "ann_ivf", "ann_quantized"):
         assert len(glob.glob(f"{wh}/{t}/snapshots/*.json")) == 1
+
+
+def test_index_job_param_mismatch_rejected(spark, tmp_path, capsys):
+    """Resume under the same snapshot-id with different flags (or a
+    different corpus) must fail loudly — never mix tables built under
+    different parameters into one snapshot."""
+    import index as job
+
+    wh = str(tmp_path / "wh")
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "m1", "--centroids", "8"]) == 0
+    capsys.readouterr()
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "m1", "--centroids", "16"]) == 2
+    err = capsys.readouterr().err
+    assert "parameter mismatch" in err
+    # same flags still idempotent-OK
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "m1", "--centroids", "8"]) == 0
+
+
+def test_index_query_derives_codebook_at_any_size(spark, tmp_path, capsys):
+    """ivf_topk_from_index takes NO n_centroids parameter: the codebook
+    comes from the index itself, so a 16-centroid build queries
+    correctly with no caller-supplied size (a wrong caller value used
+    to silently drop inverted lists or probe phantom centroids)."""
+    import index as job
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "c16", "--centroids", "16"]) == 0
+    capsys.readouterr()
+    index = SnapshotCatalog(wh).read_snapshot(spark, "ann_ivf", "c16")
+    emb = spark.read.parquet(EMB)
+    qids = list(range(10))
+    got = {(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_r"])
+           for r in similarity.ivf_topk_from_index(
+               index, qids, k=5, nprobe=2).collect()}
+    want = {(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_r"])
+            for r in similarity.ivf_topk(
+                emb, qids, k=5, n_centroids=16, nprobe=2).collect()}
+    assert got == want and got

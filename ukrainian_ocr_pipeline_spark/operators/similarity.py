@@ -364,6 +364,17 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                .where(F.col("pr") <= nprobe)
                .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
                        F.col("nn").alias("qn"), "centroid_id"))
+    return _probe_and_rank(assigned, qprobes, k, id_col, vec_col)
+
+
+def _probe_and_rank(assigned: DataFrame, qprobes: DataFrame, k: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """The shared IVF candidate-join + exact-rerank tail: candidates
+    from the centroid_id equi-join against the broadcast probe set,
+    exact cosine (6 dp round, id tie-break), per-query top-k.  ONE
+    definition for the stateless path (ivf_topk) and the index read
+    path (ivf_topk_from_index) — their advertised result-parity holds
+    by construction instead of by two hand-synchronized copies."""
     pairs = (assigned
              .join(F.broadcast(qprobes),
                    (assigned.centroid_id == qprobes.centroid_id)
@@ -481,46 +492,45 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 
 def ivf_topk_from_index(index: DataFrame, query_ids: list[int], k: int = 5,
-                        n_centroids: int = 8, nprobe: int = 2,
-                        id_col: str = "vec_id",
+                        nprobe: int = 2, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """IVF top-k over a PREBUILT assignment table (the output of
     ivf_assignments, typically written to storage by jobs/index.py):
-    join-only — no corpus re-scoring, no re-assignment.  The codebook is
-    recovered from the index itself (the deterministic lowest-id
-    convention `_ivf_scored` uses), queries are re-scored against the
-    C broadcast centroids only (|Q| x C work), and candidates come from
-    the equi-join on centroid_id.  Result-identical to ivf_topk on the
-    same corpus — pinned by test against the stateless path.
+    join-only -- no corpus re-scoring, no re-assignment.
+
+    The codebook is recovered from the index itself: the distinct
+    centroid_id values joined back to their own rows.  With the
+    deterministic lowest-id codebook every centroid assigns to ITSELF
+    (it scores 1.0 against itself; ties break to the smaller id), so
+    the distinct assigned ids are exactly the build-time codebook --
+    there is deliberately NO n_centroids parameter here, because a
+    caller-supplied value that disagreed with the build would silently
+    drop inverted lists (too small) or probe phantom centroids (too
+    large).
+
+    Queries are re-scored against the C broadcast centroids only
+    (|Q| x C work); candidates and the exact rerank run through the
+    same _probe_and_rank tail as the stateless ivf_topk, so the two
+    paths are result-identical by construction (pinned by test).
 
     This is the production ANN read path at 100 TB: assignment costs
     one N x C pass and is paid ONCE per corpus snapshot at index-build
     time; every query run afterwards touches only its probed inverted
     lists."""
-    cents = (index.where(F.col(id_col) < n_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col(vec_col).alias("cvec"), F.col("nn").alias("cn")))
+    cent_ids = index.select(F.col("centroid_id").alias("cid")).distinct()
+    cents = (index.join(F.broadcast(cent_ids),
+                        index[id_col] == cent_ids.cid)
+             .select("cid", F.col(vec_col).alias("cvec"),
+                     F.col("nn").alias("cn")))
     qscored = (index.where(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"), F.col("nn").alias("qn"))
                .crossJoin(F.broadcast(cents))
                .withColumn("sim_r", F.round(_dot("qvec", "cvec")
                                             / F.sqrt(F.col("qn") * F.col("cn")), 6)))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_r"),
-                                                F.col("centroid_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.col("cid"))
     qprobes = (qscored.withColumn("pr", F.row_number().over(wq))
                .where(F.col("pr") <= nprobe)
-               .select("query_id", "qvec", "qn", "centroid_id"))
-    pairs = (index
-             .join(F.broadcast(qprobes),
-                   (index.centroid_id == qprobes.centroid_id)
-                   & (F.col(id_col) != F.col("query_id")))
-             .withColumn("dot", _dot("qvec", vec_col))
-             .withColumn("cosine_r",
-                         F.round(F.col("dot")
-                                 / F.sqrt(F.col("qn") * F.col("nn")), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", F.col(id_col).alias("neighbor_id"),
-                    "cosine_r"))
+               .select("query_id", "qvec", "qn",
+                       F.col("cid").alias("centroid_id")))
+    return _probe_and_rank(index, qprobes, k, id_col, vec_col)
