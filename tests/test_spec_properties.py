@@ -192,3 +192,38 @@ def test_norm_ws_equals_regex_form(s):
     from ukrainian_ocr_pipeline_spark.spec import segment
 
     assert segment._norm_ws(s) == re.sub(r"\s+", " ", s).strip()
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["boil", "uniq", "", "  x  "]), max_size=6),
+    min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_line_dedup_invariants(spark, docs_lines):
+    """Structural invariants of cross-doc line dedup on arbitrary small
+    corpora: every input doc keeps exactly one output row;
+    n_lines == (removed + kept); no kept clean_text contains a line
+    that >= 3 distinct docs share; line order is preserved."""
+    from pyspark.sql import Row
+
+    from ukrainian_ocr_pipeline_spark.operators import dedup
+
+    rows = [Row(doc_id=i, text="\n".join(ls) if ls else "")
+            for i, ls in enumerate(docs_lines)]
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup(spark.createDataFrame(rows)).collect()}
+    assert set(out) == set(range(len(rows)))
+    # oracle: count distinct docs per trimmed non-empty line
+    from collections import defaultdict
+    docs_per = defaultdict(set)
+    for i, ls in enumerate(docs_lines):
+        for ln in (ls if ls else [""]):
+            if ln.strip():
+                docs_per[ln.strip()].add(i)
+    boiler = {k for k, v in docs_per.items() if len(v) >= 3}
+    for i, ls in enumerate(docs_lines):
+        src = ls if ls else [""]
+        expect_kept = [ln for ln in src if ln.strip() not in boiler]
+        r = out[i]
+        assert r["n_lines"] == len(src)
+        assert r["n_removed"] == len(src) - len(expect_kept)
+        assert r["clean_text"] == "\n".join(expect_kept)
