@@ -167,6 +167,7 @@ def main() -> None:
     extraction = {}
     extraction_large = {}
     curation = {}
+    index_build = {}
     if not scaling_only:
         run_extraction(spark, EXTRACT_DOCS)
         wall = min(run_extraction(spark, EXTRACT_DOCS) for _ in range(4))
@@ -212,6 +213,23 @@ def main() -> None:
         wall_c = min(walls)
         curation = {"docs": n_docs, "wall_s": round(wall_c, 2),
                     "docs_per_sec": round(n_docs / wall_c, 1)}
+        # -- ANN index build end-to-end (jobs/index.py: signatures + IVF
+        # assignments + int8 table, incl. catalog commits) -----------------
+        import index as index_job
+        emb_path = f"{SF_DIR}/embeddings.parquet"
+        n_vecs = spark.read.parquet(emb_path).count()
+        walls_i = []
+        for i in range(2):
+            wh = tempfile.mkdtemp(prefix="bench_index_")
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(io.StringIO()):
+                index_job.main(["--embeddings", emb_path, "--warehouse", wh,
+                                "--snapshot-id", f"bench-{i}"])
+            walls_i.append(time.perf_counter() - t0)
+            shutil.rmtree(wh, ignore_errors=True)
+        wall_i = min(walls_i)
+        index_build = {"vectors": n_vecs, "wall_s": round(wall_i, 2),
+                       "vectors_per_sec": round(n_vecs / wall_i, 1)}
         spark.stop()
         time.sleep(3)  # let executors/python workers exit before probing
 
@@ -281,6 +299,7 @@ def main() -> None:
         "extraction": extraction,
         "extraction_large": extraction_large,
         "curation": curation,
+        "index_build": index_build,
         "scaling": scaling,
     })
     print(json.dumps(result))
