@@ -40,6 +40,12 @@ storage dominates.
 Idempotent: re-running the same --snapshot-id is a no-op per table
 (is_committed short-circuit), so a crashed build resumes from the
 first uncommitted table.
+
+Incremental: --base-snapshot carries the base tables forward and
+indexes ONLY the vectors not already present, assigning them against
+the base's frozen codebook (daily-crawl ingest: the N x C cost is paid
+on the delta, not the corpus).  With an unchanged codebook the result
+is row-identical to a from-scratch build — pinned by test.
 """
 
 from __future__ import annotations
@@ -63,6 +69,12 @@ def main(argv=None) -> int:
                    help="IVF codebook size")
     p.add_argument("--no-quantize", action="store_true",
                    help="skip the int8 table")
+    p.add_argument("--base-snapshot", default=None,
+                   help="incremental build: carry the base snapshot's"
+                        " tables forward and index only the vectors not"
+                        " already in it, assigning them against the"
+                        " base's FROZEN codebook (accepts the full"
+                        " corpus or just the delta as --embeddings)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if args.bands < 1 or args.band_planes < 1 or args.centroids < 1:
@@ -87,41 +99,83 @@ def main(argv=None) -> int:
     cat = SnapshotCatalog(args.warehouse)
     emb = spark.read.parquet(args.embeddings)
 
+    params = {"bands": args.bands, "band_planes": args.band_planes,
+              "centroids": args.centroids, "quantize": not args.no_quantize}
+
+    def _param_mismatch(tag, committed):
+        print(json.dumps({"error": f"parameter mismatch with {tag}",
+                          "committed": committed, "requested": params},
+                         sort_keys=True), file=sys.stderr)
+        return 2
+
+    if args.base_snapshot:
+        # -- incremental: carry the base forward, index only new vectors,
+        # assign them against the base's FROZEN codebook (increments must
+        # land in the same inverted lists the base corpus uses)
+        from pyspark.sql import functions as F
+        base = args.base_snapshot
+        for t in ("ann_meta", "ann_ivf", "ann_signatures"):
+            if not cat.is_committed(t, base):
+                p.error(f"--base-snapshot {base} has no committed {t}")
+        bmeta = cat.read_snapshot(spark, "ann_meta", base).collect()[0].asDict()
+        if {k: bmeta[k] for k in params} != params:
+            return _param_mismatch("base snapshot",
+                                   {k: bmeta[k] for k in params})
+        base_ivf = cat.read_snapshot(spark, "ann_ivf", base)
+        base_sigs = cat.read_snapshot(spark, "ann_signatures", base)
+        new_emb = emb.join(base_ivf.select("vec_id"), "vec_id", "left_anti")
+        cent_ids = base_ivf.select(F.col("centroid_id").alias("cid")).distinct()
+        cents = (base_ivf.join(F.broadcast(cent_ids),
+                               base_ivf.vec_id == cent_ids.cid)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("cvec"),
+                         F.col("nn").alias("cn")))
+        builders = {
+            "ann_signatures": lambda: base_sigs.unionByName(
+                similarity.banded_signature_table(
+                    new_emb, n_bands=args.bands,
+                    band_planes=args.band_planes)),
+            "ann_ivf": lambda: base_ivf.unionByName(
+                similarity.ivf_assign_to_codebook(new_emb, cents)),
+        }
+        if not args.no_quantize:
+            base_q = cat.read_snapshot(spark, "ann_quantized", base)
+            builders["ann_quantized"] = lambda: base_q.unionByName(
+                similarity.quantize_int8(new_emb))
+        fresh_vectors = bmeta["vectors"] + new_emb.count()
+    else:
+        builders = {
+            "ann_signatures": lambda: similarity.banded_signature_table(
+                emb, n_bands=args.bands, band_planes=args.band_planes),
+            "ann_ivf": lambda: similarity.ivf_assignments(
+                emb, n_centroids=args.centroids),
+        }
+        if not args.no_quantize:
+            builders["ann_quantized"] = lambda: similarity.quantize_int8(emb)
+        fresh_vectors = None  # computed lazily below (one footer count)
+
     # parameter manifest FIRST: a resume under the same snapshot-id with
     # different flags (or a different-size corpus) must fail loudly, not
     # mix tables built under different parameters into one snapshot
-    params = {"bands": args.bands, "band_planes": args.band_planes,
-              "centroids": args.centroids, "quantize": not args.no_quantize}
     if cat.is_committed("ann_meta", args.snapshot_id):
         meta = cat.read_snapshot(spark, "ann_meta",
                                  args.snapshot_id).collect()[0].asDict()
         committed = {k: meta[k] for k in params}
         if committed != params:
-            print(json.dumps({"error": "parameter mismatch with committed "
-                              "snapshot", "committed": committed,
-                              "requested": params}, sort_keys=True),
-                  file=sys.stderr)
-            return 2
+            return _param_mismatch("committed snapshot", committed)
         n_vectors = meta["vectors"]
-        if emb.count() != n_vectors:
+        got = fresh_vectors if fresh_vectors is not None else emb.count()
+        if got != n_vectors:
             print(json.dumps({"error": "corpus size differs from committed "
                               "snapshot", "committed_vectors": n_vectors},
                              sort_keys=True), file=sys.stderr)
             return 2
     else:
-        n_vectors = emb.count()
+        n_vectors = (fresh_vectors if fresh_vectors is not None
+                     else emb.count())
         cat.write_snapshot(
             spark.createDataFrame([{**params, "vectors": n_vectors}]),
             "ann_meta", args.snapshot_id)
-
-    builders = {
-        "ann_signatures": lambda: similarity.banded_signature_table(
-            emb, n_bands=args.bands, band_planes=args.band_planes),
-        "ann_ivf": lambda: similarity.ivf_assignments(
-            emb, n_centroids=args.centroids),
-    }
-    if not args.no_quantize:
-        builders["ann_quantized"] = lambda: similarity.quantize_int8(emb)
 
     stats = {"vectors": n_vectors, "bands": args.bands,
              "band_planes": args.band_planes, "centroids": args.centroids}

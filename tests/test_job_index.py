@@ -129,3 +129,51 @@ def test_index_query_derives_codebook_at_any_size(spark, tmp_path, capsys):
             for r in similarity.ivf_topk(
                 emb, qids, k=5, n_centroids=16, nprobe=2).collect()}
     assert got == want and got
+
+
+def test_index_job_incremental_equals_full_rebuild(spark, tmp_path,
+                                                   capsys):
+    """--base-snapshot: base(first 400 vectors) + increment(full corpus)
+    must produce row-identical tables to a from-scratch 500-vector
+    build — the codebook is frozen from the base (which contains the
+    lowest-id vectors), so assignments, signatures, and quantized rows
+    all coincide.  Also pins: delta-only N x C cost (the increment
+    assigns 100 vectors, not 500) and base param validation."""
+    import index as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    emb = spark.read.parquet(EMB)
+    base_path = str(tmp_path / "base.parquet")
+    emb.where("vec_id < 400").write.parquet(base_path)
+
+    wh = str(tmp_path / "wh")
+    assert job.main(["--embeddings", base_path, "--warehouse", wh,
+                     "--snapshot-id", "base"]) == 0
+    # increment with the FULL corpus (anti-join finds the 100 new rows)
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "inc", "--base-snapshot",
+                     "base"]) == 0
+    # from-scratch reference build
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "full"]) == 0
+    capsys.readouterr()
+
+    cat = SnapshotCatalog(wh)
+    for table, key in (("ann_ivf", lambda r: (r["vec_id"],
+                                              r["centroid_id"])),
+                       ("ann_quantized", lambda r: (r["vec_id"],
+                                                    tuple(r["qvec"]))),
+                       ("ann_signatures", lambda r: (r["vec_id"],
+                                                     tuple(r["bands"])))):
+        inc = {key(r) for r in
+               cat.read_snapshot(spark, table, "inc").collect()}
+        full = {key(r) for r in
+                cat.read_snapshot(spark, table, "full").collect()}
+        assert inc == full and len(inc) == 500, table
+
+    # mismatched params vs the base are rejected
+    assert job.main(["--embeddings", EMB, "--warehouse", wh,
+                     "--snapshot-id", "inc2", "--base-snapshot", "base",
+                     "--centroids", "16"]) == 2
+    assert "parameter mismatch" in capsys.readouterr().err

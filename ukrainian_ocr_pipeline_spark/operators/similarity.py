@@ -320,10 +320,39 @@ def _ivf_scored(emb: DataFrame, n_centroids: int,
     cents = (normed.where(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("centroid_id"),
                      F.col(vec_col).alias("cvec"), F.col("nn").alias("cn")))
+    return _score_against_codebook(normed, cents, vec_col)
+
+
+def _score_against_codebook(normed: DataFrame, cents: DataFrame,
+                            vec_col: str) -> DataFrame:
+    """Score every (vector, centroid) pair against an EXPLICIT broadcast
+    codebook (centroid_id, cvec, cn) — the shared kernel for the
+    first-build path (codebook = lowest-id vectors) and the incremental
+    path (codebook FROZEN from the base snapshot: increments must join
+    the same inverted lists the base corpus was assigned to, or the
+    index silently fragments across snapshots)."""
     return (normed.crossJoin(F.broadcast(cents))
             .withColumn("sim_r", F.round(_dot(vec_col, "cvec")
                                          / F.sqrt(F.col("nn") * F.col("cn")), 6))
             .drop("cvec", "cn"))
+
+
+def ivf_assign_to_codebook(emb: DataFrame, cents: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to their nearest centroid of an EXPLICIT codebook
+    (centroid_id, cvec, cn) — the incremental-ingest half of IVF: the
+    codebook was fixed at base-build time, new vectors slot into the
+    existing inverted lists.  Same max_by aggregation, rounding, and
+    smaller-centroid-id tie-break as ivf_assignments, so
+    base + increment equals a from-scratch build whenever the codebook
+    matches (pinned by test)."""
+    normed = emb.withColumn("nn", _dot(vec_col, vec_col))
+    scored = _score_against_codebook(normed, cents, vec_col)
+    best = F.max(F.struct(F.col("sim_r"), (-F.col("centroid_id")).alias("ncid"))).alias("best")
+    return (scored.groupBy(id_col)
+            .agg(best, F.first(vec_col).alias(vec_col), F.first("nn").alias("nn"))
+            .select(id_col, vec_col, "nn", (-F.col("best.ncid")).alias("centroid_id")))
 
 
 def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
