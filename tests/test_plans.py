@@ -295,3 +295,55 @@ def test_vocab_topv_is_take_ordered_not_global_window(spark):
         spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan, plan
     assert nodes(plan, r"Window\b(?!GroupLimit)") == 0, plan
+
+
+def test_simhash_hamming_is_banded_equijoin_no_python(spark):
+    """SimHash near-dup candidates must come from the (band, band_val)
+    equi-join — a nested-loop/cartesian here is the all-pairs scan the
+    pigeonhole banding exists to avoid — and the whole chain (signature,
+    banding, bit_count verify) stays in codegen."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["dedup_simhash_hamming"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert set(c.split(":")[0] for c in s.split(",")) == {
+            "doc_id", "text"}, plan
+
+
+def test_temperature_sample_broadcasts_rates_no_shuffle_of_docs(spark):
+    """The per-doc keep decision must be a broadcast join of the tiny
+    per-language rate table against the corpus — a SortMergeJoin here
+    shuffles the whole corpus on `lang` (5 skewed keys at web scale)."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["lang_temperature_sample"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_classifier_score_is_explode_partial_agg_jvm_only(spark):
+    """Hashing-trick classifier: no Python workers, no join at all (the
+    weights are derived in-expression), one partial-agg groupBy."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_classifier_score"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_sequence_pack_is_single_grouped_python_stage(spark):
+    """Packing is ONE grouped linear scan: exactly one
+    FlatMapGroupsInPandas over one shuffle on the group key; the token
+    counting upstream must stay JVM-side (no ArrowEvalPython)."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_sequence_pack"](
+        spark, "/root/testdata/sf0.001"))
+    assert nodes(plan, "FlatMapGroupsInPandas") == 1, plan
+    assert nodes(plan, "ArrowEvalPython") == 0, plan
+    assert nodes(plan, "Exchange") == 1, plan

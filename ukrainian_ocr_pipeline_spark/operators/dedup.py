@@ -162,6 +162,53 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
                        .otherwise(0)).alias("simhash")))
 
 
+def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
+                          max_hamming: int = 3, n_bands: int = 4,
+                          bits: int = 32) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs whose SimHash signatures
+    differ in at most `max_hamming` bits, found by pigeonhole banding.
+
+    The classical web-dedup shape (Manku/Jain/Sarma, WWW'07 — Google's
+    production SimHash dedup): split the `bits`-bit signature into
+    `n_bands` contiguous bands.  Any pair within Hamming distance
+    d < n_bands must agree EXACTLY on at least one band (pigeonhole),
+    so candidate generation is an equi-join on (band, band_value) —
+    never an all-pairs scan — with recall exactly 1.0 by construction
+    (requires max_hamming < n_bands; asserted).  Verification is one
+    bit_count(xor) per candidate pair.
+
+    Scale shape: signatures are a narrow per-row computation; the only
+    shuffle is the (band, band_value) equi-join, whose keys are uniform
+    md5-derived bits — the same bucketed-candidates discipline as
+    lsh_candidates above.  Empty/NULL-text documents have no words,
+    hence no signature, and are the exact-dedup path's job
+    (content_digest), not SimHash's.
+    """
+    assert max_hamming < n_bands, "pigeonhole recall needs max_hamming < n_bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(docs, text_col, bits)
+    banded = (sig
+              .select("doc_id", "simhash",
+                      F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
+              .withColumn("band_val",
+                          F.expr(f"(simhash >> (band * {width})) & {mask}")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # signatures ride along the join (functionally determined by doc_id),
+    # so the verify stage needs no re-join against `sig`
+    return (a.join(b, ["band", "band_val"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct()
+            .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("bigint"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def verified_near_dups(docs: DataFrame, text_col: str = "text",
                        num_hashes: int = 8, k: int = 3, band_size: int = 4,
                        threshold: float = 0.5) -> DataFrame:

@@ -1,0 +1,68 @@
+"""Training-sequence assembly: greedy token-budget packing of documents
+into fixed-capacity training sequences.
+
+The last mile of a pretraining data pipeline: after curation/dedup, docs
+are concatenated into sequences of at most `budget` tokens (T5/GPT-style
+example packing).  Packing is inherently sequential WITHIN a shard —
+each doc's placement depends on the running fill — but shards are
+independent, so the scale shape is a grouped linear scan:
+`applyInPandas` over the shard key, one sorted pass per group.
+
+At 100 TB the group key is (output_shard, lang) with shards sized by the
+writer (e.g. the md5-bucket split in dedup.train_val_test_split), so
+every group is bounded and the per-group scan is O(shard).  Here the
+fixture-scale group key is `lang` alone.  The greedy rule is the
+standard one: a doc opens a new sequence iff it does not fit in the
+current one; docs larger than the budget occupy a sequence of their own
+(callers chunk or drop oversized docs upstream — this operator never
+splits a document).
+
+Determinism: group order is irrelevant (each group packs independently),
+in-group order is pinned by doc_id, and the outputs are pure integers —
+the result is a function of the corpus alone, byte-stable under any
+partitioning, and exactly mirrored by a recursive-CTE SQL twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup
+
+PACK_SCHEMA = ("doc_id long, lang string, n_tokens long, "
+               "seq_id long, seq_offset long")
+
+
+def sequence_pack(docs: DataFrame, text_col: str = "text",
+                  budget: int = 128, group_col: str = "lang") -> DataFrame:
+    """(doc_id, lang, n_tokens, seq_id, seq_offset): greedy packing of
+    each `group_col` partition's docs (ordered by doc_id) into sequences
+    of <= `budget` canonical whitespace tokens."""
+    ws = F.filter(
+        F.split(F.trim(dedup._canon(text_col)), " "),
+        lambda w: F.length(w) > 0)
+    counted = docs.select(
+        "doc_id",
+        F.col(group_col).alias("lang"),
+        F.size(ws).cast("long").alias("n_tokens"))
+    # NULL text -> size(NULL) = -1; pack as an empty doc, same as ''
+    counted = counted.withColumn(
+        "n_tokens", F.greatest(F.col("n_tokens"), F.lit(0).cast("long")))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > budget:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += n
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    return counted.groupBy("lang").applyInPandas(_pack, PACK_SCHEMA)

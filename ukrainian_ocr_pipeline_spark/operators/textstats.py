@@ -372,3 +372,82 @@ def vocab_oov(docs: DataFrame, text_col: str = "text",
                        .otherwise(0)).cast("long").alias("n_oov"))
             .withColumn("oov_rate_r",
                         F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+def temperature_sample(docs: DataFrame, lang_col: str = "lang",
+                       alpha: float = 0.6, seed: str = "ts") -> DataFrame:
+    """(doc_id, lang, rate_millionths, kept): multilingual temperature
+    rebalancing — per-language keep-rates proportional to p_lang^(alpha-1),
+    normalized so the rarest language keeps everything (the mBERT/XLM-R
+    exponentiated-sampling recipe, recast as a deterministic per-doc
+    keep decision instead of an RNG draw).
+
+    With alpha < 1 the head languages are downsampled toward the tail;
+    alpha = 1 keeps everything.  The keep decision is a pure function of
+    (doc_id, corpus language histogram): a doc is kept iff its md5-bucket
+    in [0, 1e6) falls below the language's rate in millionths — stable
+    across runs, partitionings, and engines (no sample()/RNG state), and
+    re-runnable incrementally on new snapshots without reshuffling old
+    decisions as long as the histogram is pinned.
+
+    Scale shape: the language histogram is a partial-agg groupBy over a
+    handful of keys; total and max are one-row aggregates broadcast back
+    in-plan; the per-doc decision is a broadcast join + one md5 — scan
+    speed, no corpus-wide shuffle.
+    """
+    from . import dedup
+    counts = docs.groupBy(lang_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").cast("double").alias("total"))
+    rated = (counts.crossJoin(F.broadcast(total))
+             .withColumn("pw", F.pow(F.col("n_docs") / F.col("total"),
+                                     F.lit(alpha - 1.0))))
+    mx = rated.agg(F.max("pw").alias("max_pw"))
+    rates = (rated.crossJoin(F.broadcast(mx))
+             .withColumn("rate_millionths",
+                         F.floor(F.round(F.col("pw") / F.col("max_pw"), 6)
+                                 * 1000000 + 0.5).cast("bigint"))
+             .select(lang_col, "rate_millionths"))
+    bucket = (dedup._h32(F.concat(F.lit(f"{seed}:"),
+                                  F.col("doc_id").cast("string")))
+              % 1000000)
+    return (docs.join(F.broadcast(rates), lang_col)
+            .select("doc_id", F.col(lang_col).alias("lang"),
+                    "rate_millionths",
+                    (bucket < F.col("rate_millionths")).alias("kept")))
+
+
+def hashed_classifier_score(docs: DataFrame, text_col: str = "text",
+                            n_buckets: int = 256) -> DataFrame:
+    """(doc_id, n_tokens, wsum_milli, score_r, keep): fastText-style
+    model-based quality scoring via the hashing trick — each token is
+    hashed into one of `n_buckets` feature buckets, bucket weights are
+    summed exactly, and the mean margin goes through a sigmoid.
+
+    This is the CCNet/fastText classifier-gate SHAPE with a placeholder
+    model: bucket weights here are a deterministic affine scramble of
+    the bucket id (so both engines derive them in-expression — no weight
+    file), standing in for trained weights.  In production you'd
+    broadcast the real quantized weight table into the identical plan;
+    nothing else changes.  What this operator pins is the machinery that
+    matters at 100 TB: md5 feature hashing, EXACT integer accumulation
+    in milli-units (no float-sum order sensitivity across partitions —
+    the label is reproducible under any shuffle), and a narrow
+    explode+partial-agg plan with no Python and no weight shuffle.
+
+    `keep` is exact (wsum >= 0 <=> sigmoid(mean margin) >= 0.5);
+    `score_r` is the 6-dp sigmoid for ranking/threshold sweeps.
+    """
+    from . import dedup
+    words = _doc_words(docs, text_col)
+    bucket = dedup._h32(F.col("word")) % n_buckets
+    w_milli = ((bucket * 2654435761 + 975319753) % 4294967296) % 2001 - 1000
+    agg = (words
+           .select("doc_id", w_milli.alias("w_milli"))
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_tokens"),
+                F.sum("w_milli").cast("long").alias("wsum_milli")))
+    margin = (F.col("wsum_milli") / 1000.0) / F.col("n_tokens")
+    return (agg
+            .withColumn("score_r",
+                        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6))
+            .withColumn("keep", F.col("wsum_milli") >= 0))
