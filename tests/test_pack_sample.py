@@ -19,9 +19,12 @@ def packed(spark):
             .toPandas().sort_values(["lang", "doc_id"]).reset_index(drop=True))
 
 
-def test_pack_sequences_fit_budget_unless_single_doc(packed):
+def test_pack_sequences_fit_budget_unless_single_oversized_doc(packed):
+    """A sequence over budget must contain exactly one content-bearing
+    doc (zero-token docs are weightless and may share any sequence)."""
     for (_, seq), g in packed.groupby(["lang", "seq_id"]):
-        assert g["n_tokens"].sum() <= BUDGET or len(g) == 1, (seq, g)
+        assert (g["n_tokens"].sum() <= BUDGET
+                or (g["n_tokens"] > 0).sum() == 1), (seq, g)
 
 
 def test_pack_offsets_are_running_fill(packed):
@@ -49,6 +52,28 @@ def test_pack_seq_ids_dense_and_docs_complete(packed, spark):
     for _, g in packed.groupby("lang"):
         seqs = sorted(g["seq_id"].unique())
         assert seqs == list(range(len(seqs)))
+
+
+def test_pack_zero_token_and_oversized_docs(spark):
+    """The fixture corpus has no empty-text or over-budget docs, so pin
+    the edge semantics synthetically: NULL/empty docs are weightless
+    (fill stays 0, so a following oversized doc shares their sequence),
+    an oversized doc closes any non-empty sequence before it and the
+    next doc opens a fresh one after it."""
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    big = " ".join(["w"] * 200)          # > BUDGET tokens
+    docs = spark.createDataFrame(
+        [(1, None, "uk"), (2, "", "uk"), (3, big, "uk"),
+         (4, "a b c", "uk"), (5, big, "uk"), (6, "d e", "uk")],
+        "doc_id long, text string, lang string")
+    out = (packing.sequence_pack(docs, budget=BUDGET)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [0, 0, 200, 3, 200, 2]
+    # docs 1,2 weightless at fill 0 -> oversized doc 3 joins seq 0;
+    # doc 4 can't fit after 200 -> seq 1; oversized doc 5 -> seq 2;
+    # doc 6 can't fit after 200 -> seq 3
+    assert out["seq_id"].tolist() == [0, 0, 0, 1, 2, 3]
+    assert out["seq_offset"].tolist() == [0, 0, 0, 0, 0, 0]
 
 
 @pytest.fixture(scope="module")

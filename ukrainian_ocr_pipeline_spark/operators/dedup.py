@@ -41,6 +41,16 @@ def _canon(text_col: str):
     return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
+def word_array(text_col: str):
+    """THE canonical whitespace-token array (of the _canon
+    normalization, empties dropped) — the one token definition shared by
+    textstats scoring, sequence packing, and every oracle twin's
+    string_split/list_filter mirror.  NULL text yields NULL (callers
+    that must treat NULL as empty wrap with coalesce/greatest)."""
+    return F.filter(F.split(F.trim(_canon(text_col)), " "),
+                    lambda w: F.length(w) > 0)
+
+
 def content_digest(text_col: str):
     """The ONE content digest every hash-based dedup path shares.  NULL
     text hashes like EMPTY text: all empty/failed-extraction documents
@@ -196,17 +206,19 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
     a = banded.alias("a")
     b = banded.alias("b")
     # signatures ride along the join (functionally determined by doc_id),
-    # so the verify stage needs no re-join against `sig`
+    # so the verify stage needs no re-join against `sig`; the hamming
+    # filter runs BEFORE distinct so the dedup shuffle carries only
+    # surviving pairs, not every band collision (bit_count is evaluated
+    # once per candidate row — cheap codegen vs a several-times-larger
+    # exchange)
     return (a.join(b, ["band", "band_val"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("sig_a"),
-                    F.col("b.simhash").alias("sig_b"))
-            .distinct()
-            .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("bigint"))
+                    F.expr("bit_count(a.simhash ^ b.simhash)")
+                    .cast("bigint").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+            .distinct())
 
 
 def verified_near_dups(docs: DataFrame, text_col: str = "text",

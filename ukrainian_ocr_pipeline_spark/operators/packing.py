@@ -13,9 +13,11 @@ writer (e.g. the md5-bucket split in dedup.train_val_test_split), so
 every group is bounded and the per-group scan is O(shard).  Here the
 fixture-scale group key is `lang` alone.  The greedy rule is the
 standard one: a doc opens a new sequence iff it does not fit in the
-current one; docs larger than the budget occupy a sequence of their own
-(callers chunk or drop oversized docs upstream — this operator never
-splits a document).
+current NON-EMPTY one; docs larger than the budget therefore never
+share a sequence with other content-bearing docs (zero-token docs —
+NULL/empty text — are weightless and may precede any doc in its
+sequence).  Callers chunk or drop oversized docs upstream — this
+operator never splits a document.
 
 Determinism: group order is irrelevant (each group packs independently),
 in-group order is pinned by doc_id, and the outputs are pure integers —
@@ -39,13 +41,10 @@ def sequence_pack(docs: DataFrame, text_col: str = "text",
     """(doc_id, lang, n_tokens, seq_id, seq_offset): greedy packing of
     each `group_col` partition's docs (ordered by doc_id) into sequences
     of <= `budget` canonical whitespace tokens."""
-    ws = F.filter(
-        F.split(F.trim(dedup._canon(text_col)), " "),
-        lambda w: F.length(w) > 0)
     counted = docs.select(
         "doc_id",
         F.col(group_col).alias("lang"),
-        F.size(ws).cast("long").alias("n_tokens"))
+        F.size(dedup.word_array(text_col)).cast("long").alias("n_tokens"))
     # NULL text -> size(NULL) = -1; pack as an empty doc, same as ''
     counted = counted.withColumn(
         "n_tokens", F.greatest(F.col("n_tokens"), F.lit(0).cast("long")))

@@ -304,12 +304,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _doc_words(docs: DataFrame, text_col: str):
     """(doc_id, word) with one row per token instance — canonical
-    whitespace tokens of the shared dedup._canon normalization, empty
+    whitespace tokens of the shared dedup.word_array definition, empty
     docs excluded (no token instances to score)."""
     from . import dedup
-    ws = F.filter(F.split(F.trim(dedup._canon(text_col)), " "),
-                  lambda w: F.length(w) > 0)
-    return (docs.select("doc_id", ws.alias("ws"))
+    return (docs.select("doc_id", dedup.word_array(text_col).alias("ws"))
             .where(F.size("ws") > 0)
             .select("doc_id", F.explode("ws").alias("word")))
 
@@ -407,9 +405,7 @@ def temperature_sample(docs: DataFrame, lang_col: str = "lang",
                          F.floor(F.round(F.col("pw") / F.col("max_pw"), 6)
                                  * 1000000 + 0.5).cast("bigint"))
              .select(lang_col, "rate_millionths"))
-    bucket = (dedup._h32(F.concat(F.lit(f"{seed}:"),
-                                  F.col("doc_id").cast("string")))
-              % 1000000)
+    bucket = dedup._h32(F.col("doc_id").cast("string"), seed=seed) % 1000000
     return (docs.join(F.broadcast(rates), lang_col)
             .select("doc_id", F.col(lang_col).alias("lang"),
                     "rate_millionths",
