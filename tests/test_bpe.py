@@ -153,3 +153,31 @@ def test_real_merges_compress_fixture_text():
     n_chars = len(text.replace(" ", ""))
     n_words = len(text.split())
     assert n_words <= n < n_chars
+
+
+def test_merge_candidates_match_trainer_pair_counts(spark):
+    """The distributed pair-mining operator must agree with spec.bpe's
+    driver-side trainer arithmetic (round-1 pair counts + the
+    max((count, pair)) tie-break) on the same corpus.  Guards the
+    vocab-weighted counting and the orderBy tie direction; tolerated
+    divergence: none on this corpus (its text exercises no class where
+    the Python and Java pretoken regexes differ)."""
+    from collections import Counter
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    from ukrainian_ocr_pipeline_spark.spec import bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = textstats.bpe_merge_candidates(docs, top_k=20).toPandas()
+
+    pairs = Counter()
+    for (t,) in docs.select("text").collect():
+        for w in bpe.pretokenize(t or ""):
+            for a, b in zip(w, w[1:]):
+                pairs[a + b] += 1
+    want = sorted(pairs.items(), key=lambda kv: (kv[1], kv[0]),
+                  reverse=True)[:20]
+    assert list(zip(got["pair"], got["weight"])) == want
+    # the winning pair is what train_merges would merge in round 1
+    best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+    assert (got["pair"][0], got["weight"][0]) == best

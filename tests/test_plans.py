@@ -347,3 +347,20 @@ def test_sequence_pack_is_single_grouped_python_stage(spark):
     assert nodes(plan, "FlatMapGroupsInPandas") == 1, plan
     assert nodes(plan, "ArrowEvalPython") == 0, plan
     assert nodes(plan, "Exchange") == 1, plan
+
+
+def test_bpe_merge_candidates_is_vocab_then_pairs_takeordered(spark):
+    """BPE pair mining must count pairs over the distinct-pretoken vocab
+    (two partial-agg exchanges), cut top-k via TakeOrderedAndProject
+    (not a global window/sort), stay JVM-only, and prune the scan to
+    the text column."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["bpe_merge_candidates"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert nodes(plan, r"Window\b(?!GroupLimit)") == 0, plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        set(c.split(":")[0] for c in s.split(",")) == {"text"}
+        for s in schemas), plan

@@ -447,3 +447,45 @@ def hashed_classifier_score(docs: DataFrame, text_col: str = "text",
             .withColumn("score_r",
                         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6))
             .withColumn("keep", F.col("wsum_milli") >= 0))
+
+
+def bpe_merge_candidates(docs: DataFrame, text_col: str = "text",
+                         top_k: int = 20) -> DataFrame:
+    """(pair, weight): the map-reduce pair-counting step of distributed
+    BPE tokenizer TRAINING — the top-k most frequent adjacent symbol
+    pairs across the corpus, weighted by pretoken frequency.
+
+    spec/bpe.py's train_merges is the driver-side trainer (it runs each
+    merge round over an in-memory vocab Counter); this operator is what
+    round 1 of that loop looks like AT SCALE: one corpus pass builds the
+    pretoken vocabulary (Zipf-bounded — a fraction of the corpus), then
+    pair counting runs over the DISTINCT-pretoken table weighted by
+    frequency, never over raw text again.  Each further merge round
+    would rewrite the (bounded) vocab table and re-count — corpus reads
+    stay at one, which is why production BPE trainers (GPT-2,
+    SentencePiece's BPE mode) all reduce to exactly this
+    vocab-then-pairs shape.
+
+    Pairs here are adjacent CHARACTER pairs (round-1 symbols), emitted
+    as 2-char substrings; ties break to the lexicographically largest
+    pair, mirroring train_merges' max((count, pair)) rule.  The top-k
+    cut compiles to TakeOrderedAndProject (bounded per-partition heaps),
+    not a global window.
+    """
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
+        F.array().cast("array<string>"))
+    vocab = (docs
+             .select(F.explode(toks).alias("pretok"))
+             .groupBy("pretok").agg(F.count("*").alias("freq")))
+    return (vocab
+            .where(F.length("pretok") >= 2)
+            .select("freq", "pretok",
+                    F.explode(F.sequence(F.lit(1), F.length("pretok") - 1))
+                    .alias("i"))
+            .select(F.col("pretok").substr(F.col("i"), F.lit(2)).alias("pair"),
+                    "freq")
+            .groupBy("pair").agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), F.desc("pair"))
+            .limit(top_k))

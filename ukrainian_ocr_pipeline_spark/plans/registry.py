@@ -2475,6 +2475,31 @@ FROM agg
 """
 
 
+def q_bpe_merge_candidates(spark, sf_dir):
+    """Distributed BPE-training pair mining: top-20 adjacent character
+    pairs over the pretoken vocabulary, weighted by frequency — the
+    vocab-then-pairs shape every scale BPE trainer reduces to."""
+    return textstats.bpe_merge_candidates(_t(spark, sf_dir, "documents"),
+                                          top_k=20)
+
+
+SQL_BPE_MERGE_CANDIDATES = r"""
+WITH pretoks AS (
+  SELECT unnest(coalesce(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0),
+    [])) AS pretok
+  FROM documents),
+vocab AS (SELECT pretok, COUNT(*) AS freq FROM pretoks GROUP BY pretok),
+idx AS (
+  SELECT pretok, freq, unnest(generate_series(1, length(pretok) - 1)) AS i
+  FROM vocab WHERE length(pretok) >= 2),
+pairs AS (SELECT substr(pretok, i, 2) AS pair, freq FROM idx)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight
+FROM pairs GROUP BY pair
+ORDER BY weight DESC, pair DESC LIMIT 20
+"""
+
+
 def q_doc_sequence_pack(spark, sf_dir):
     """Greedy token-budget sequence packing (budget=128) per lang shard;
     grouped-linear-scan applyInPandas mirrored by a recursive-CTE twin."""
@@ -2549,6 +2574,7 @@ QUERIES = {
     "lang_temperature_sample": q_lang_temperature_sample,
     "doc_classifier_score": q_doc_classifier_score,
     "doc_sequence_pack": q_doc_sequence_pack,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2569,7 +2595,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_lsh_candidates": q_dedup_lsh_candidates,
     "contamination_check": q_contamination_check,
     "dedup_near_dup_verified": q_dedup_near_dup_verified,
@@ -2584,6 +2609,7 @@ QUERIES = {
     "multimodal_feature_extract": q_multimodal_feature_extract,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
     # -- doubly-stable queries rotated out of the 50-entry window --
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
@@ -2692,4 +2718,5 @@ ORACLE_SQL = {
     "lang_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "doc_classifier_score": SQL_CLASSIFIER_SCORE,
     "doc_sequence_pack": SQL_SEQUENCE_PACK,
+    "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
 }
