@@ -5,15 +5,20 @@
         --snapshot-id cur-001 [--no-neardup] [--min-words 5]
 
 The training-data production pipeline as ONE deployable job: quality
-gate (Gopher/C4-style, deterministic first-fail reason) -> exact dedup
-(content-digest keeper) -> near-dup dedup (MinHash -> LSH -> exact
-Jaccard verify -> connected-component clusters) -> optional per-host
-cap (--host-cap N: at most N surviving docs per source host, salted
-two-stage deterministic sample) -> optional C4-style cross-document
-line dedup (--line-dedup: boilerplate lines occurring in
->= --line-dedup-min-docs surviving docs are stripped and the cleaned
-text written) -> optional PII redaction (--pii-redact: emails/IPs ->
-placeholders in the final text) -> deterministic train/val/test split —
+gate (Gopher/C4-style, deterministic first-fail reason) -> optional
+model-based gate (--classifier-gate: fastText-style hashing-trick
+classifier, exact integer margins) -> exact dedup (content-digest
+keeper) -> near-dup dedup (MinHash -> LSH -> exact Jaccard verify ->
+connected-component clusters) -> optional per-host cap (--host-cap N:
+at most N surviving docs per source host, salted two-stage
+deterministic sample) -> optional temperature-based language
+rebalancing (--temperature-alpha A: deterministic md5-bucket
+downsampling of head languages over the FINAL survivor distribution)
+-> optional C4-style cross-document line dedup (--line-dedup:
+boilerplate lines occurring in >= --line-dedup-min-docs surviving docs
+are stripped and the cleaned text written) -> optional PII redaction
+(--pii-redact: emails/IPs -> placeholders in the final text) ->
+deterministic train/val/test split —
 committed atomically through the snapshot catalog, so re-running the
 same --snapshot-id is an idempotent no-op and a crashed run resumes
 from nothing-committed.  Stage order is deliberate: the host cap and
@@ -23,8 +28,9 @@ redaction rewrites the FINAL text last.
 
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
-                      ('kept' | 'quality:<reason>' | 'dup_exact' |
-                      'dup_near' | 'host_cap'), the keeper doc for
+                      ('kept' | 'quality:<reason>' | 'classifier' |
+                      'dup_exact' | 'dup_near' | 'host_cap' |
+                      'lang_sample'), the keeper doc for
                       dups, and the split for kept docs — the audit
                       trail / drop list.
   curated             the surviving documents with their split column —
@@ -69,6 +75,14 @@ def main(argv=None) -> int:
     p.add_argument("--pii-redact", action="store_true",
                    help="replace emails/IPs in the curated text with"
                         " <EMAIL>/<IP> placeholders")
+    p.add_argument("--classifier-gate", action="store_true",
+                   help="model-based quality gate (fastText-style"
+                        " hashing-trick classifier) after the heuristic"
+                        " gate")
+    p.add_argument("--temperature-alpha", type=float, default=0.0,
+                   help="rebalance languages among the final survivors"
+                        " by p^alpha temperature sampling (0 = off;"
+                        " 1.0 keeps everything)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -78,6 +92,10 @@ def main(argv=None) -> int:
         # at 1 every non-blank line "occurs in >= 1 document" and the
         # census would strip ALL text — reject the footgun at parse time
         p.error("--line-dedup-min-docs must be >= 2")
+    if args.temperature_alpha < 0 or args.temperature_alpha > 1:
+        # alpha > 1 inverts the rebalancing (upsamples head languages
+        # by DROPPING tail docs) — outside this job's remit; reject
+        p.error("--temperature-alpha must be in [0, 1] (0 disables)")
     if args.host_cap < 0:
         # a negative cap keeps nothing: every survivor would be dropped
         # as host_cap and the empty snapshot committed (idempotency then
@@ -112,6 +130,24 @@ def main(argv=None) -> int:
                                       F.col("drop_reason")).alias("status"),
                              F.lit(None).cast("long").alias("keeper_doc_id")))
         kept_q = qf.where(F.col("keep")).select("doc_id")
+
+        # model-based gate among heuristic survivors: same narrow
+        # explode + partial-agg shape as the heuristic gate, exact
+        # integer margin so the drop set is shuffle-order-reproducible
+        if args.classifier_gate:
+            cls = textstats.hashed_classifier_score(
+                docs.join(kept_q, "doc_id"))
+            dropped_c = (cls.where(~F.col("keep"))
+                         .select("doc_id",
+                                 F.lit("classifier").alias("status"),
+                                 F.lit(None).cast("long")
+                                 .alias("keeper_doc_id")))
+            kept_q = kept_q.join(dropped_c.select("doc_id"), "doc_id",
+                                 "left_anti")
+        else:
+            dropped_c = kept_q.limit(0).select(
+                "doc_id", F.lit("").alias("status"),
+                F.lit(None).cast("long").alias("keeper_doc_id"))
 
         # exact dedup among quality survivors: one digest shuffle
         hashed = (docs.join(kept_q, "doc_id")
@@ -162,14 +198,33 @@ def main(argv=None) -> int:
         else:
             dropped_h = dropped_x.limit(0)
 
+        # language rebalancing LAST (after all dedup/cap stages): the
+        # temperature rates must reflect the distribution a training
+        # run would actually read, not the pre-dedup histogram where
+        # duplicate-heavy languages look artificially large
+        if args.temperature_alpha:
+            surv = docs.join(final_ids, "doc_id")
+            samp = textstats.temperature_sample(
+                surv, alpha=args.temperature_alpha)
+            dropped_t = (samp.where(~F.col("kept"))
+                         .select("doc_id",
+                                 F.lit("lang_sample").alias("status"),
+                                 F.lit(None).cast("long")
+                                 .alias("keeper_doc_id")))
+            final_ids = final_ids.join(dropped_t.select("doc_id"),
+                                       "doc_id", "left_anti")
+        else:
+            dropped_t = dropped_h.limit(0)
+
         # deterministic split: pure function of doc_id (no RNG state);
         # the ONE definition shared with the registry's split query
         split = dedup.train_val_test_split(F.col("doc_id"))
         kept = final_ids.select(
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
-        return (dropped_q.unionByName(dropped_x).unionByName(dropped_n)
-                .unionByName(dropped_h)
+        return (dropped_q.unionByName(dropped_c).unionByName(dropped_x)
+                .unionByName(dropped_n).unionByName(dropped_h)
+                .unionByName(dropped_t)
                 .withColumn("split", F.lit(None).cast("string"))
                 .unionByName(kept.withColumn("split", split)))
 
@@ -220,6 +275,8 @@ def main(argv=None) -> int:
         "dropped_exact_dup": counts.get("dup_exact", 0),
         "dropped_near_dup": counts.get("dup_near", 0),
         "dropped_host_cap": counts.get("host_cap", 0),
+        "dropped_classifier": counts.get("classifier", 0),
+        "dropped_lang_sample": counts.get("lang_sample", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,
     }

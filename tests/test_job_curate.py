@@ -263,3 +263,75 @@ def test_curate_job_host_cap_null_source_passthrough(spark, tmp_path,
     with pytest.raises(SystemExit):
         job.main(["--docs", docs_path, "--warehouse", wh,
                   "--snapshot-id", "n2", "--host-cap", "-1"])
+
+
+def test_curate_job_classifier_and_temperature_stages(spark, tmp_path,
+                                                      capsys):
+    """--classifier-gate drops exactly the standalone operator's
+    keep=False set among heuristic-quality survivors; --temperature-alpha
+    drops exactly the standalone sampler's kept=False set over the FINAL
+    survivor distribution (not the raw input histogram); stats add up."""
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "c7", "--classifier-gate",
+                   "--temperature-alpha", "0.5"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_classifier"] > 0
+    assert stats["dropped_lang_sample"] > 0
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_classifier"] + stats["dropped_exact_dup"]
+            + stats["dropped_near_dup"]
+            + stats["dropped_lang_sample"]) == stats["docs_in"]
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    dec = SnapshotCatalog(wh).read_snapshot(
+        spark, "curation_decisions", "c7")
+    docs = spark.read.parquet(docs_path)
+
+    # classifier drops = operator keep=False among heuristic survivors
+    qual_surv = (dec.where(~F.col("status").startswith("quality:"))
+                 .select("doc_id"))
+    cls = textstats.hashed_classifier_score(docs.join(qual_surv, "doc_id"))
+    want_c = {r["doc_id"] for r in cls.where(~F.col("keep"))
+              .select("doc_id").collect()}
+    got_c = {r["doc_id"] for r in dec.where(F.col("status") == "classifier")
+             .select("doc_id").collect()}
+    assert got_c == want_c
+
+    # temperature drops = standalone sampler over (kept + lang_sample)
+    final_pool = (dec.where(F.col("status").isin("kept", "lang_sample"))
+                  .select("doc_id"))
+    samp = textstats.temperature_sample(docs.join(final_pool, "doc_id"),
+                                        alpha=0.5)
+    want_t = {r["doc_id"] for r in samp.where(~F.col("kept"))
+              .select("doc_id").collect()}
+    got_t = {r["doc_id"] for r in dec.where(F.col("status") == "lang_sample")
+             .select("doc_id").collect()}
+    assert got_t == want_t
+
+
+def test_curate_temperature_alpha_one_is_noop_and_bounds_rejected(
+        spark, tmp_path, capsys):
+    import pytest
+
+    import curate as job
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", f"{SF_DIR}/documents.parquet",
+                   "--warehouse", wh, "--snapshot-id", "c8",
+                   "--temperature-alpha", "1.0"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_lang_sample"] == 0
+
+    for bad in ("-0.1", "1.5"):
+        with pytest.raises(SystemExit):
+            job.main(["--docs", f"{SF_DIR}/documents.parquet",
+                      "--warehouse", wh, "--snapshot-id", "c9",
+                      "--temperature-alpha", bad])
