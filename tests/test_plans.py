@@ -364,3 +364,18 @@ def test_bpe_merge_candidates_is_vocab_then_pairs_takeordered(spark):
     assert schemas and all(
         set(c.split(":")[0] for c in s.split(",")) == {"text"}
         for s in schemas), plan
+
+
+def test_kmeans_assignment_is_projection_no_corpus_shuffle(spark):
+    """Lloyd k-means: assignment must be a broadcast-codebook projection
+    (BroadcastNestedLoopJoin against a ONE-ROW folded codebook — never a
+    SortMergeJoin of the corpus) and the only exchanges are the tiny
+    (centroid, pos) partial-agg updates: 8 for 3 iterations (2 per
+    intermediate codebook rebuild, 1 final, 3 one-row codebook folds).
+    A 9th exchange means someone re-introduced a corpus shuffle."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["embedding_kmeans"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert nodes(plan, "Exchange") == 8, plan

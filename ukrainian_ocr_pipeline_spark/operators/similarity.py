@@ -563,3 +563,84 @@ def ivf_topk_from_index(index: DataFrame, query_ids: list[int], k: int = 5,
                .select("query_id", "qvec", "qn",
                        F.col("cid").alias("centroid_id")))
     return _probe_and_rank(index, qprobes, k, id_col, vec_col)
+
+
+def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 3,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """(centroid_id, pos, coord_r, n_members): distributed Lloyd k-means
+    over the embedding corpus — the TRAINED codebook the IVF path's
+    lowest-id stand-in (`_ivf_scored` docstring) defers to, and the
+    clustering stage of SemDeDup-style semantic dedup / corpus topic
+    bucketing.
+
+    Scale shape, per iteration:
+      * assignment is a PROJECTION — the codebook is folded into one
+        broadcast row (collect_list of k (centroid_id, cvec) structs)
+        and each vector finds its argmin centroid via an in-row
+        aggregate over that array: NO corpus shuffle, no driver
+        round-trip, nothing leaves the scan stage.  (This one-row
+        codebook caps k*dim at broadcast size — beyond ~10^6 floats use
+        the IVF join+partial-agg shape instead.)
+      * the centroid update is the ONLY exchange: posexplode + map-side
+        partial avg on (centroid_id, pos) — k*dim rows per partition.
+    Total corpus reads grow linearly with n_iter (one chained plan, no
+    caching needed at fixed small n_iter; persist the scan for large
+    n_iter).
+
+    Determinism: init = the k lowest-id vectors (same convention as
+    _ivf_scored); argmin ties break to the lowest centroid_id via an
+    order-independent (dist, cid) min-fold (collect_list order cannot
+    matter); centroids are ROUNDED TO 6 DP BETWEEN ITERATIONS, so both
+    engines feed bit-identical codebooks into every round and
+    double-summation order can only flip an assignment on an exact
+    6-dp tie.  Fixed n_iter (not convergence) keeps the result a pure
+    function of the input, same as graphrank.pagerank.
+    """
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("vec"))
+    cents = (v.where(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("vec").alias("cvec")))
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        cb = cents_df.agg(
+            F.collect_list(F.struct("centroid_id", "cvec")).alias("cb"))
+        start = F.struct(
+            F.lit(float("inf")).alias("dist"),
+            F.lit(-1).cast("bigint").alias("cid"))
+
+        def step(acc, c):
+            d = F.aggregate(
+                F.zip_with(F.col("vec"), c["cvec"],
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, x: s + x)
+            better = (d < acc["dist"]) | (
+                (d == acc["dist"]) & (c["centroid_id"] < acc["cid"]))
+            return F.when(better,
+                          F.struct(d.alias("dist"),
+                                   c["centroid_id"].alias("cid"))
+                          ).otherwise(acc)
+
+        return (v.crossJoin(F.broadcast(cb))
+                .select("vec_id", "vec",
+                        F.aggregate("cb", start, step)["cid"]
+                        .alias("centroid_id")))
+
+    best = assign(cents)
+    for _ in range(n_iter - 1):
+        upd = (best
+               .select("centroid_id",
+                       F.posexplode("vec").alias("pos", "coord"))
+               .groupBy("centroid_id", "pos")
+               .agg(F.round(F.avg("coord"), 6).alias("coord")))
+        cents = (upd.groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "coord"))),
+                     lambda s: s["coord"]).alias("cvec")))
+        best = assign(cents)
+    return (best
+            .select("centroid_id", F.posexplode("vec").alias("pos", "coord"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("coord"), 6).alias("coord_r"),
+                 F.count("*").alias("n_members")))

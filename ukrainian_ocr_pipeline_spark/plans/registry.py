@@ -2475,6 +2475,48 @@ FROM agg
 """
 
 
+def q_embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 3 fixed iterations) over the
+    embedding corpus: shuffle-free broadcast-codebook assignment, one
+    tiny (centroid, pos) exchange per update, 6-dp centroid rounding
+    between rounds so both engines feed identical codebooks forward.
+    The DuckDB twin is an unrolled CTE chain (same fixed-budget recipe
+    as graph_pagerank)."""
+    return similarity.kmeans_lloyd(_t(spark, sf_dir, "embeddings"),
+                                   k=8, n_iter=3)
+
+
+_SQL_KM_ITER = """
+d{n} AS (
+  SELECT vp.vec_id, c.centroid_id,
+         SUM((vp.coord - c.coord) * (vp.coord - c.coord)) AS dist
+  FROM vp JOIN c{prev} c ON vp.pos = c.pos
+  GROUP BY 1, 2),
+m{n} AS (SELECT vec_id, MIN(dist) AS md FROM d{n} GROUP BY vec_id),
+a{n} AS (
+  SELECT d.vec_id, MIN(d.centroid_id) AS centroid_id
+  FROM d{n} d JOIN m{n} m ON d.vec_id = m.vec_id AND d.dist = m.md
+  GROUP BY d.vec_id),
+c{n} AS (
+  SELECT a.centroid_id, vp.pos, ROUND(AVG(vp.coord), 6) AS coord
+  FROM a{n} a JOIN vp ON vp.vec_id = a.vec_id
+  GROUP BY 1, 2),
+"""
+
+SQL_EMBEDDING_KMEANS = ("""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+vp AS (SELECT vec_id, t.i - 1 AS pos, vec[t.i] AS coord
+       FROM v, generate_series(1, 64) AS t(i)),
+c0 AS (SELECT vec_id AS centroid_id, pos, coord FROM vp WHERE vec_id < 8),
+""" + "".join(_SQL_KM_ITER.format(n=i, prev=i - 1) for i in range(1, 4)) +
+"""sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM a3 GROUP BY 1)
+SELECT c.centroid_id, CAST(c.pos AS INT) AS pos, c.coord AS coord_r,
+       s.n_members
+FROM c3 c JOIN sizes s USING (centroid_id)
+""")
+
+
 def q_bpe_merge_candidates(spark, sf_dir):
     """Distributed BPE-training pair mining: top-20 adjacent character
     pairs over the pretoken vocabulary, weighted by frequency — the
@@ -2575,6 +2617,7 @@ QUERIES = {
     "doc_classifier_score": q_doc_classifier_score,
     "doc_sequence_pack": q_doc_sequence_pack,
     "bpe_merge_candidates": q_bpe_merge_candidates,
+    "embedding_kmeans": q_embedding_kmeans,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2588,7 +2631,6 @@ QUERIES = {
     "nation_name_similarity": q_nation_name_similarity,
     "events_by_weekday": q_events_by_weekday,
     "order_value_ranks": q_order_value_ranks,
-    "session_window_rollup": q_session_window_rollup,
     "doc_subword_tokens": q_doc_subword_tokens,
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -2609,6 +2651,7 @@ QUERIES = {
     "multimodal_feature_extract": q_multimodal_feature_extract,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
     # -- doubly-stable queries rotated out of the 50-entry window --
+    "session_window_rollup": q_session_window_rollup,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality_scores": q_doc_quality_scores,
@@ -2719,4 +2762,5 @@ ORACLE_SQL = {
     "doc_classifier_score": SQL_CLASSIFIER_SCORE,
     "doc_sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
 }
