@@ -68,7 +68,7 @@ HEADLINE = [
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "doc_line_dedup", "host_cap_sample",
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",
-    "bpe_merge_candidates", "embedding_kmeans",
+    "bpe_merge_candidates", "embedding_kmeans", "semantic_dedup",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

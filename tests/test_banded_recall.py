@@ -170,3 +170,33 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
            similarity.quantize_int8(spark.createDataFrame(rows)).collect()}
     assert out[0] == [64, -127, 32, 0]   # floor(63.5+0.5), -127, floor(31.75+.5)
     assert out[1] == [0, 0, 0, 0]
+
+
+def test_semantic_dedup_is_exact_subset_of_bruteforce(spark):
+    """Every SemDeDup pair must appear in the all-pairs ground truth
+    with the identical rounded cosine (the cluster fence may lose
+    recall — the documented tradeoff — but must never invent pairs or
+    change scores)."""
+    from pyspark.sql import functions as F
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.semantic_dedup(emb, k=8, n_iter=3, threshold=0.4)
+    got_pairs = {(r["vec_a"], r["vec_b"]): r["cosine_r"]
+                 for r in got.collect()}
+    assert got_pairs, "fixture corpus should yield within-cluster pairs"
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = similarity._dot("va", "vb")
+    na = similarity._dot("va", "va")
+    nb = similarity._dot("vb", "vb")
+    truth = (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine_r", F.round(dot / F.sqrt(na * nb), 6))
+             .where(F.col("cosine_r") >= 0.4))
+    truth_pairs = {(r["vec_a"], r["vec_b"]): r["cosine_r"]
+                   for r in truth.collect()}
+    for pair, cos in got_pairs.items():
+        assert truth_pairs.get(pair) == cos, pair

@@ -379,3 +379,22 @@ def test_kmeans_assignment_is_projection_no_corpus_shuffle(spark):
     assert "EvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert nodes(plan, "Exchange") == 8, plan
+
+
+def test_semantic_dedup_pairs_via_cluster_equijoin(spark):
+    """SemDeDup's pairwise stage must be fenced inside clusters: an
+    equi-join on centroid_id (SortMergeJoin/ShuffledHashJoin are both
+    fine — the corpus self-join is legitimately shuffled on the cluster
+    key), never a cartesian/nested-loop over the corpus, and no
+    Python."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["semantic_dedup"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the assignment subtree is localCheckpoint-materialized, so the
+    # self-join reads the checkpointed table on both sides — NO nested
+    # loops survive into this plan (the codebook folds live behind the
+    # checkpoint boundary); one reappearing means k-means runs twice
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert nodes(plan, "Scan ExistingRDD") >= 1, plan

@@ -597,6 +597,20 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 3,
     6-dp tie.  Fixed n_iter (not convergence) keeps the result a pure
     function of the input, same as graphrank.pagerank.
     """
+    best = kmeans_assignments(emb, k, n_iter, vec_col, id_col)
+    return (best
+            .select("centroid_id", F.posexplode("vec").alias("pos", "coord"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("coord"), 6).alias("coord_r"),
+                 F.count("*").alias("n_members")))
+
+
+def kmeans_assignments(emb: DataFrame, k: int = 8, n_iter: int = 3,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, vec, centroid_id): the final-iteration Lloyd assignment
+    kmeans_lloyd summarizes — exposed for cluster-scoped consumers
+    (semantic_dedup's within-cluster candidate generation)."""
     v = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("vec"))
     cents = (v.where(F.col("vec_id") < k)
@@ -639,8 +653,50 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 3,
                      F.array_sort(F.collect_list(F.struct("pos", "coord"))),
                      lambda s: s["coord"]).alias("cvec")))
         best = assign(cents)
-    return (best
-            .select("centroid_id", F.posexplode("vec").alias("pos", "coord"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg("coord"), 6).alias("coord_r"),
-                 F.count("*").alias("n_members")))
+    return best
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, n_iter: int = 3,
+                   threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(vec_a, vec_b, centroid_id, cosine_r): SemDeDup (Abbas et al.,
+    2023) — cluster the corpus with k-means, then find near-duplicate
+    pairs ONLY within each cluster.
+
+    This is the published algorithm's actual scale argument: the
+    quadratic pairwise stage is fenced inside clusters (sum of c_i^2,
+    bounded by max cluster size — at web scale you raise k until
+    clusters fit), and candidate generation is an equi-join on the
+    cluster id, the same bucketed-candidates discipline as every other
+    dedup family here.  Known recall tradeoff, documented in the paper:
+    a near-dup pair split across a cluster boundary is missed — the
+    banded-LSH path (cosine_near_dup_banded) is the recall-first
+    alternative; this one is the throughput-first alternative.
+
+    Pairs are (lower_id, higher_id); the drop policy (keep lowest id
+    per component) is dedup.cluster_assign's job downstream, same as
+    the MinHash pipeline."""
+    # squared norms carried, divide by sqrt(na*nb) — the exact float
+    # expression the DuckDB twins compute (sqrt(na)*sqrt(nb) differs in
+    # the last ulp and would leak through the 6-dp round on ties).
+    # localCheckpoint materializes the 3-iteration assignment ONCE: both
+    # sides of the self-join read the checkpointed table instead of
+    # re-running k-means per side (the 2x-subtree trap the banded-cosine
+    # operator documents; in production this is the persisted
+    # cluster-assignment table an index build writes anyway)
+    assigned = (kmeans_assignments(emb, k, n_iter, vec_col, id_col)
+                .withColumn("nrm", _dot("vec", "vec"))
+                .localCheckpoint(eager=False))
+    a = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("vec").alias("va"), F.col("nrm").alias("na"),
+                        "centroid_id")
+    b = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+                        "centroid_id")
+    return (a.join(b, "centroid_id")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine_r",
+                        F.round(_dot("va", "vb")
+                                / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .where(F.col("cosine_r") >= threshold)
+            .select("vec_a", "vec_b", "centroid_id", "cosine_r"))

@@ -2517,6 +2517,41 @@ FROM c3 c JOIN sizes s USING (centroid_id)
 """)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means cluster (k=8, 3 iters), then near-dup pairs
+    ONLY within clusters — the quadratic verify fenced inside bounded
+    buckets, candidates via equi-join on centroid_id.  Threshold 0.4 is
+    the same synthetic-corpus tuning as dedup_embedding_cosine (max
+    pairwise cosine ~0.51, unclustered vectors); production uses
+    ~0.95."""
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                                     k=8, n_iter=3, threshold=0.4)
+
+
+SQL_SEMANTIC_DEDUP = ("""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+vp AS (SELECT vec_id, t.i - 1 AS pos, vec[t.i] AS coord
+       FROM v, generate_series(1, 64) AS t(i)),
+c0 AS (SELECT vec_id AS centroid_id, pos, coord FROM vp WHERE vec_id < 8),
+""" + "".join(_SQL_KM_ITER.format(n=i, prev=i - 1) for i in range(1, 4)) +
+"""cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
+         va.vec AS va, vb.vec AS vb
+  FROM a3 a JOIN a3 b ON a.centroid_id = b.centroid_id
+                     AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+scored AS (
+  SELECT vec_a, vec_b, centroid_id,
+         ROUND(SUM(va[i] * vb[i])
+               / SQRT(SUM(va[i]*va[i]) * SUM(vb[i]*vb[i])), 6) AS cosine_r
+  FROM cand, generate_series(1, 64) t(i)
+  GROUP BY 1, 2, 3)
+SELECT vec_a, vec_b, centroid_id, cosine_r
+FROM scored WHERE cosine_r >= 0.4
+""")
+
+
 def q_bpe_merge_candidates(spark, sf_dir):
     """Distributed BPE-training pair mining: top-20 adjacent character
     pairs over the pretoken vocabulary, weighted by frequency — the
@@ -2618,6 +2653,7 @@ QUERIES = {
     "doc_sequence_pack": q_doc_sequence_pack,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "embedding_kmeans": q_embedding_kmeans,
+    "semantic_dedup": q_semantic_dedup,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2763,4 +2799,5 @@ ORACLE_SQL = {
     "doc_sequence_pack": SQL_SEQUENCE_PACK,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }
