@@ -131,9 +131,10 @@ def main(argv=None) -> int:
                              F.lit(None).cast("long").alias("keeper_doc_id")))
         kept_q = qf.where(F.col("keep")).select("doc_id")
 
-        # model-based gate among heuristic survivors: same narrow
-        # explode + partial-agg shape as the heuristic gate, exact
-        # integer margin so the drop set is shuffle-order-reproducible
+        # model-based gate among heuristic survivors: a pure scan-speed
+        # projection (no shuffle), exact integer margin so the drop set
+        # is shuffle-order-reproducible; TOTAL over its input — every
+        # doc is scored, zero-token docs get the model prior and pass
         if args.classifier_gate:
             cls = textstats.hashed_classifier_score(
                 docs.join(kept_q, "doc_id"))

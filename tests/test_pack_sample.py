@@ -121,3 +121,21 @@ def test_simhash_hamming_rejects_lossy_band_config():
     from ukrainian_ocr_pipeline_spark.operators import dedup
     with pytest.raises(AssertionError):
         dedup.simhash_hamming_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_classifier_is_total_empty_docs_get_prior(spark):
+    """Zero-token docs (empty/whitespace/NULL text) must still be
+    scored: margin 0, score 0.5, keep=true — absent rows would let them
+    bypass the curate job's classifier gate unexamined."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here")],
+        "doc_id long, text string")
+    out = (textstats.hashed_classifier_score(docs)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 4
+    empty = out[out.doc_id != 4]
+    assert (empty["n_tokens"] == 0).all()
+    assert (empty["wsum_milli"] == 0).all()
+    assert (empty["score_r"] == 0.5).all()
+    assert empty["keep"].all()

@@ -326,15 +326,18 @@ def test_temperature_sample_broadcasts_rates_no_shuffle_of_docs(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_classifier_score_is_explode_partial_agg_jvm_only(spark):
-    """Hashing-trick classifier: no Python workers, no join at all (the
-    weights are derived in-expression), one partial-agg groupBy."""
+def test_classifier_score_is_pure_projection_no_shuffle(spark):
+    """Hashing-trick classifier: no Python workers, no join (weights
+    derived in-expression), and NO shuffle at all — the weight fold
+    runs over the in-row token array, so scoring is strictly
+    scan-speed.  An Exchange here means someone reintroduced the
+    explode+groupBy shape (which also silently drops zero-token
+    docs)."""
     from ukrainian_ocr_pipeline_spark.plans import registry
     plan = plan_of(registry.QUERIES["doc_classifier_score"](
         spark, "/root/testdata/sf0.001"))
     assert "EvalPython" not in plan, plan
-    assert nodes(plan, "Exchange") == 1, plan
-    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+    assert nodes(plan, "Exchange") == 0, plan
 
 
 def test_sequence_pack_is_single_grouped_python_stage(spark):

@@ -45,6 +45,14 @@ def _dot(a: str, b: str):
     return F.expr(_DOT.format(a=a, b=b))
 
 
+def _cosine_r(va: str, vb: str, na: str, nb: str):
+    """round(dot / sqrt(na * nb), 6) with SQUARED norms carried — the
+    ONE ulp-exact cosine expression the DuckDB twins mirror
+    (sqrt(na) * sqrt(nb) differs in the last ulp and would leak through
+    the 6-dp round on ties).  Shared by every pair-scoring tail."""
+    return F.round(_dot(va, vb) / F.sqrt(F.col(na) * F.col(nb)), 6)
+
+
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("norm", F.sqrt(_dot(vec_col, vec_col)))
 
@@ -112,8 +120,7 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     b = embs.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"),
                     F.col("lsh_bucket").alias("bb"), F.col("nrm").alias("nb"))
     return (a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
-            .withColumn("dot", _dot("va", "vb"))
-            .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .withColumn("cosine_r", _cosine_r("va", "vb", "na", "nb"))
             .where(F.col("cosine_r") >= threshold)
             .select("doc_a", "doc_b", "cosine_r"))
 
@@ -591,17 +598,31 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 3,
     Determinism: init = the k lowest-id vectors (same convention as
     _ivf_scored); argmin ties break to the lowest centroid_id via an
     order-independent (dist, cid) min-fold (collect_list order cannot
-    matter); centroids are ROUNDED TO 6 DP BETWEEN ITERATIONS, so both
-    engines feed bit-identical codebooks into every round and
-    double-summation order can only flip an assignment on an exact
-    6-dp tie.  Fixed n_iter (not convergence) keeps the result a pure
-    function of the input, same as graphrank.pagerank.
+    matter); BOTH the inter-round centroids AND the per-pair distances
+    are ROUNDED TO 6 DP (file convention, same as _ivf_scored's sim_r),
+    so both engines feed bit-identical codebooks forward and compare
+    bit-identical distances — double-summation order differences are
+    absorbed by the round, and a genuine 6-dp distance tie resolves by
+    the deterministic centroid_id tiebreak.  Fixed n_iter (not
+    convergence) keeps the result a pure function of the input, same as
+    graphrank.pagerank.
     """
     best = kmeans_assignments(emb, k, n_iter, vec_col, id_col)
+    return (_centroid_update(best)
+            .select("centroid_id", "pos",
+                    F.col("coord").alias("coord_r"), "n_members"))
+
+
+def _centroid_update(best: DataFrame) -> DataFrame:
+    """(centroid_id, pos, coord, n_members): 6-dp-rounded per-dimension
+    means of the current assignment — THE one centroid-update
+    definition for both the iteration loop and the final summary (the
+    rounding must stay identical in both or the between-round
+    bit-identity kmeans_lloyd promises silently breaks)."""
     return (best
             .select("centroid_id", F.posexplode("vec").alias("pos", "coord"))
             .groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg("coord"), 6).alias("coord_r"),
+            .agg(F.round(F.avg("coord"), 6).alias("coord"),
                  F.count("*").alias("n_members")))
 
 
@@ -625,10 +646,14 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, n_iter: int = 3,
             F.lit(-1).cast("bigint").alias("cid"))
 
         def step(acc, c):
-            d = F.aggregate(
+            # distance rounded to 6 dp BEFORE the argmin (file
+            # convention): cross-engine summation-order noise cannot
+            # reorder two centroids unless they tie at 6 dp, and that
+            # tie resolves by centroid_id below
+            d = F.round(F.aggregate(
                 F.zip_with(F.col("vec"), c["cvec"],
                            lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda s, x: s + x)
+                F.lit(0.0), lambda s, x: s + x), 6)
             better = (d < acc["dist"]) | (
                 (d == acc["dist"]) & (c["centroid_id"] < acc["cid"]))
             return F.when(better,
@@ -643,12 +668,8 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, n_iter: int = 3,
 
     best = assign(cents)
     for _ in range(n_iter - 1):
-        upd = (best
-               .select("centroid_id",
-                       F.posexplode("vec").alias("pos", "coord"))
-               .groupBy("centroid_id", "pos")
-               .agg(F.round(F.avg("coord"), 6).alias("coord")))
-        cents = (upd.groupBy("centroid_id")
+        cents = (_centroid_update(best)
+                 .groupBy("centroid_id")
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "coord"))),
                      lambda s: s["coord"]).alias("cvec")))
@@ -676,9 +697,6 @@ def semantic_dedup(emb: DataFrame, k: int = 8, n_iter: int = 3,
     Pairs are (lower_id, higher_id); the drop policy (keep lowest id
     per component) is dedup.cluster_assign's job downstream, same as
     the MinHash pipeline."""
-    # squared norms carried, divide by sqrt(na*nb) — the exact float
-    # expression the DuckDB twins compute (sqrt(na)*sqrt(nb) differs in
-    # the last ulp and would leak through the 6-dp round on ties).
     # localCheckpoint materializes the 3-iteration assignment ONCE: both
     # sides of the self-join read the checkpointed table instead of
     # re-running k-means per side (the 2x-subtree trap the banded-cosine
@@ -695,8 +713,6 @@ def semantic_dedup(emb: DataFrame, k: int = 8, n_iter: int = 3,
                         "centroid_id")
     return (a.join(b, "centroid_id")
             .where(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cosine_r",
-                        F.round(_dot("va", "vb")
-                                / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .withColumn("cosine_r", _cosine_r("va", "vb", "na", "nb"))
             .where(F.col("cosine_r") >= threshold)
             .select("vec_a", "vec_b", "centroid_id", "cosine_r"))

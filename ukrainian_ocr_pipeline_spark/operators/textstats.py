@@ -432,17 +432,30 @@ def hashed_classifier_score(docs: DataFrame, text_col: str = "text",
 
     `keep` is exact (wsum >= 0 <=> sigmoid(mean margin) >= 0.5);
     `score_r` is the 6-dp sigmoid for ranking/threshold sweeps.
+
+    TOTAL over the input: every doc gets a row, including zero-token
+    (empty/NULL-text) docs, which receive the model PRIOR (margin 0,
+    score 0.5, keep=true — the classifier abstains; dropping empties is
+    the heuristic gate's job).  Implemented as a pure PROJECTION — the
+    weight fold runs over the in-row token array, so there is no
+    explode, no groupBy, and NO shuffle at all: strictly scan-speed.
     """
     from . import dedup
-    words = _doc_words(docs, text_col)
-    bucket = dedup._h32(F.col("word")) % n_buckets
-    w_milli = ((bucket * 2654435761 + 975319753) % 4294967296) % 2001 - 1000
-    agg = (words
-           .select("doc_id", w_milli.alias("w_milli"))
-           .groupBy("doc_id")
-           .agg(F.count("*").cast("long").alias("n_tokens"),
-                F.sum("w_milli").cast("long").alias("wsum_milli")))
-    margin = (F.col("wsum_milli") / 1000.0) / F.col("n_tokens")
+    ws = dedup.word_array(text_col)
+
+    def w_milli(w):
+        bucket = dedup._h32(w) % n_buckets
+        return ((bucket * 2654435761 + 975319753) % 4294967296) % 2001 - 1000
+
+    wsum = F.coalesce(
+        F.aggregate(ws, F.lit(0).cast("long"),
+                    lambda acc, w: acc + w_milli(w)),
+        F.lit(0).cast("long"))
+    n_tokens = F.greatest(F.size(ws), F.lit(0)).cast("long")
+    agg = docs.select("doc_id", n_tokens.alias("n_tokens"),
+                      wsum.alias("wsum_milli"))
+    margin = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        (F.col("wsum_milli") / 1000.0) / F.col("n_tokens"))
     return (agg
             .withColumn("score_r",
                         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6))

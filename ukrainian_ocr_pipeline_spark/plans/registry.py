@@ -2458,18 +2458,23 @@ def q_doc_classifier_score(spark, sf_dir):
                                              n_buckets=256)
 
 
-SQL_CLASSIFIER_SCORE = f"""
-WITH {_SQL_WORDS},
-feats AS (
+SQL_CLASSIFIER_SCORE = r"""
+WITH w0 AS (
   SELECT doc_id,
-         ((CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256)
-           * 2654435761 + 975319753) % 4294967296 % 2001 - 1000 AS w_milli
-  FROM words),
+         list_filter(string_split(lower(regexp_replace(trim(coalesce(text, '')),
+                                                       '\s+', ' ', 'g')), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents),
 agg AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w_milli) AS BIGINT) AS wsum_milli
-  FROM feats GROUP BY doc_id)
+  SELECT doc_id, len(ws) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(ws, w ->
+             ((CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256)
+               * 2654435761 + 975319753) % 4294967296 % 2001 - 1000)), 0)
+           AS BIGINT) AS wsum_milli
+  FROM w0)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, wsum_milli,
-       ROUND(1.0 / (1.0 + exp(-(wsum_milli / 1000.0) / n_tokens)), 6) AS score_r,
+       ROUND(1.0 / (1.0 + exp(-(CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE (wsum_milli / 1000.0) / n_tokens END))), 6) AS score_r,
        wsum_milli >= 0 AS keep
 FROM agg
 """
@@ -2489,7 +2494,7 @@ def q_embedding_kmeans(spark, sf_dir):
 _SQL_KM_ITER = """
 d{n} AS (
   SELECT vp.vec_id, c.centroid_id,
-         SUM((vp.coord - c.coord) * (vp.coord - c.coord)) AS dist
+         ROUND(SUM((vp.coord - c.coord) * (vp.coord - c.coord)), 6) AS dist
   FROM vp JOIN c{prev} c ON vp.pos = c.pos
   GROUP BY 1, 2),
 m{n} AS (SELECT vec_id, MIN(dist) AS md FROM d{n} GROUP BY vec_id),
