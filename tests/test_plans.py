@@ -401,3 +401,43 @@ def test_semantic_dedup_pairs_via_cluster_equijoin(spark):
     # checkpoint boundary); one reappearing means k-means runs twice
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert nodes(plan, "Scan ExistingRDD") >= 1, plan
+
+
+def test_hll_sketch_is_jvm_partial_agg(spark):
+    """The HLL register build must stay JVM-side (md5/string codegen, no
+    Python) and aggregate with partial aggs: the register table shuffles
+    at most (groups x 256) combined rows, never raw input rows.  Plan
+    shape: HashAggregate pairs around each Exchange."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["hll_distinct_parts"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # partial+final agg: more HashAggregates than Exchanges feeding them
+    assert nodes(plan, "HashAggregate") >= 2 * 2, plan
+
+
+def test_cm_probe_join_is_broadcast(spark):
+    """The count-min probe joins candidate words against the sketch —
+    the sketch side is depth x width = 1024 cells max, so it MUST be a
+    broadcast join (a sort-merge here would shuffle the full word
+    stream against a 1 KB table)."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["heavy_hitter_terms"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # top-k is a TakeOrderedAndProject cut, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_windows_is_shuffle_free_narrow(spark):
+    """Context-window chunking is per-row HOF work: the plan must have
+    NO Exchange and NO Python — it chunks at scan speed."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_chunk_windows"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Generate") == 1, plan  # exactly the starts explode

@@ -1,0 +1,122 @@
+"""Unit tests for the sketch operators (operators/sketches.py) and
+context-window chunking (operators/packing.chunk_windows): algorithmic
+invariants a DuckDB twin cannot express — HLL error bounds, CM
+one-sided error, chunk coverage/overlap arithmetic."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ukrainian_ocr_pipeline_spark.operators import packing, sketches
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # 2000 distinct keys in one group: the m=256 sketch's standard
+    # error is 1.04/sqrt(256) ~ 6.5%; assert within 4 sigma (26%)
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit("g").alias("grp"))
+    row = sketches.hll_distinct(df, "k", "grp").collect()[0]
+    assert row["n_exact"] == 2000
+    assert abs(row["rel_err_r"]) < 0.26
+    assert row["hll_estimate_r"] == pytest.approx(
+        2000 * (1 + row["rel_err_r"]), rel=1e-3)
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 10 distinct keys << m: the small-range correction must kick in
+    # and linear counting is near-exact when almost all registers are 0
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                F.lit("g").alias("grp"))
+    row = sketches.hll_distinct(df, "k", "grp").collect()[0]
+    # with V = 256 - n_present and <= 10 registers occupied,
+    # m*ln(m/V) is within 1 of the truth unless register collisions eat
+    # keys — either way the estimate stays within 20% at n=10
+    assert abs(row["hll_estimate_r"] - 10) <= 2
+
+
+def test_hll_is_duplicate_insensitive(spark):
+    # the sketch sees only distinct hash values: feeding each key 50x
+    # must produce the IDENTICAL estimate (max() over equal rhos)
+    one = spark.range(500).select(F.col("id").alias("k"),
+                                  F.lit("g").alias("grp"))
+    dup = one.crossJoin(spark.range(50)).select("k", "grp")
+    e1 = sketches.hll_distinct(one, "k", "grp").collect()[0]
+    e2 = sketches.hll_distinct(dup, "k", "grp").collect()[0]
+    assert e1["hll_estimate_r"] == e2["hll_estimate_r"]
+    assert e1["n_exact"] == e2["n_exact"] == 500
+
+
+def test_hll_partitioning_invariant(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"),
+                                  (F.col("id") % 3).alias("grp"))
+    a = {r["grp"]: r["hll_estimate_r"]
+         for r in sketches.hll_distinct(df, "k", "grp").collect()}
+    b = {r["grp"]: r["hll_estimate_r"]
+         for r in sketches.hll_distinct(df.repartition(17), "k", "grp").collect()}
+    assert a == b and len(a) == 3
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_cm_never_undercounts(spark):
+    docs = _docs(spark, ["alpha beta beta gamma"] * 7 + ["delta alpha"] * 3)
+    rows = sketches.cm_heavy_hitters(docs, top_k=10).collect()
+    exact = {"alpha": 10, "beta": 14, "gamma": 7, "delta": 3}
+    got = {r["word"]: r for r in rows}
+    assert set(got) == set(exact)
+    for w, r in got.items():
+        assert r["exact_count"] == exact[w]
+        assert r["cm_estimate"] >= r["exact_count"]  # one-sided error
+        assert r["overcount"] == r["cm_estimate"] - r["exact_count"]
+
+
+def test_cm_top_k_order_and_cut(spark):
+    # 30 distinct words with distinct counts; sketch collisions can
+    # inflate estimates but with 30 words in 4x256 cells collisions are
+    # absent, so the top-10 must be the exact top-10 in exact order
+    texts = [f"w{i:02d} " * (i + 1) for i in range(30)]
+    rows = sketches.cm_heavy_hitters(_docs(spark, texts), top_k=10).collect()
+    assert [r["word"] for r in rows] == [f"w{29 - i:02d}" for i in range(10)]
+    assert all(r["overcount"] == 0 for r in rows)
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    # 150 tokens, chunk 64 / stride 48 -> starts 1, 49, 97, 145
+    docs = _docs(spark, [" ".join(f"t{i}" for i in range(150))])
+    rows = sorted(packing.chunk_windows(docs, chunk_len=64, stride=48)
+                  .collect(), key=lambda r: r["chunk_id"])
+    assert [r["start_token"] for r in rows] == [1, 49, 97, 145]
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [64, 64, 54, 6]
+    # every token covered: stride < chunk_len and last start <= n
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["start_token"],
+                             r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(1, 151))
+
+
+def test_chunk_windows_short_empty_null(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="only three tokens"),
+         Row(doc_id=1, text=""),
+         Row(doc_id=2, text=None)])
+    rows = packing.chunk_windows(docs, chunk_len=64, stride=48).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 3  # one chunk each — no doc dropped
+    assert by_doc[0]["n_tokens"] == 3
+    assert by_doc[1]["n_tokens"] == 0 and by_doc[2]["n_tokens"] == 0
+    # token-less docs share the md5('') sentinel hash
+    assert by_doc[1]["chunk_hash"] == by_doc[2]["chunk_hash"]
+    assert by_doc[0]["chunk_hash"] != by_doc[1]["chunk_hash"]
+
+
+def test_chunk_hash_matches_content(spark):
+    import hashlib
+    docs = _docs(spark, ["a b c d e"])
+    row = packing.chunk_windows(docs, chunk_len=64, stride=48).collect()[0]
+    assert row["chunk_hash"] == hashlib.md5(b"a b c d e").hexdigest()

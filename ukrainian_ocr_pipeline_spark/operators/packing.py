@@ -65,3 +65,39 @@ def sequence_pack(docs: DataFrame, text_col: str = "text",
         return pdf
 
     return counted.groupBy("lang").applyInPandas(_pack, PACK_SCHEMA)
+
+
+def chunk_windows(docs: DataFrame, text_col: str = "text",
+                  chunk_len: int = 64, stride: int = 48) -> DataFrame:
+    """The dual of :func:`sequence_pack`: split each document into
+    fixed-size overlapping context windows (chunk_len tokens, advancing
+    by stride — the standard long-document treatment when training
+    context is shorter than the document).
+
+    Returns (doc_id, chunk_id, start_token, n_tokens, chunk_hash) with
+    chunk_hash = md5 of the space-joined window — the downstream join
+    key for chunk-level dedup/embedding without re-shipping text.
+    Token-less documents (NULL/empty text) emit exactly one empty chunk
+    so every doc_id stays represented (extraction parity: a row per
+    input, errors never drop rows).
+
+    Scale shape: entirely narrow — per-row HOFs (split/sequence/slice)
+    with a bounded explode of ceil(n/stride) rows per doc; no shuffle,
+    no Python.  A 100 TB corpus chunks at scan speed and the output
+    partitioning inherits the input's url-hash buckets."""
+    words = F.coalesce(dedup.word_array(text_col), F.array())
+    wcol = F.col("__words")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(wcol), F.lit(1)),
+                        F.lit(stride))
+    chunk = F.slice(wcol, F.col("start_token"), chunk_len)
+    return (docs.select("doc_id", words.alias("__words"))
+            .select("doc_id", wcol,
+                    F.explode(starts).alias("start_token"))
+            .select("doc_id",
+                    ((F.col("start_token") - 1) / stride)
+                    .cast("long").alias("chunk_id"),
+                    F.col("start_token").cast("long"),
+                    F.size(chunk).cast("long").alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", chunk).cast("binary"))
+                    .alias("chunk_hash"))
+            )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import (dedup, graphrank, multimodal, packing, similarity,
-                         textstats, webnorm)
+                         sketches, textstats, webnorm)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -2614,6 +2614,63 @@ SELECT doc_id, lang, n_tokens, seq_id, seq_offset FROM walk
 """
 
 
+def q_hll_distinct_parts(spark, sf_dir):
+    """Per-returnflag HyperLogLog distinct-part estimate (m=256
+    registers) next to the exact distinct — the approximate sketch is
+    itself oracle-verified because both engines compute the identical
+    deterministic registers (operators/sketches.py docstring).  The
+    scale twin of the reference's exact distinct sets
+    (core/surname_matcher.py:80-88)."""
+    return sketches.hll_distinct(_t(spark, sf_dir, "lineitem"),
+                                 key_col="l_partkey",
+                                 group_col="l_returnflag")
+
+
+SQL_HLL_DISTINCT = sketches.hll_sql(
+    "lineitem", "l_partkey", "l_returnflag", "l_returnflag")
+
+
+def q_heavy_hitter_terms(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the document word stream
+    (depth 4 x width 256): top-20 words by sketch estimate with exact
+    count and one-sided overcount alongside — the bounded-memory twin
+    of the reference's exact Counter top-10
+    (core/surname_matcher.py:394-402)."""
+    return sketches.cm_heavy_hitters(_t(spark, sf_dir, "documents"),
+                                     top_k=20)
+
+
+SQL_HEAVY_HITTERS = sketches.cm_sql(_SQL_WORDS.strip(), top_k=20)
+
+
+def q_doc_chunk_windows(spark, sf_dir):
+    """Fixed-size overlapping context windows (64 tokens, stride 48)
+    per document — the dual of doc_sequence_pack for docs longer than
+    the training context; narrow HOF-only plan, no shuffle."""
+    return packing.chunk_windows(_t(spark, sf_dir, "documents"),
+                                 chunk_len=64, stride=48)
+
+
+SQL_CHUNK_WINDOWS = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(trim(coalesce(text, '')),
+                                                       '\s+', ' ', 'g')), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents),
+starts AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws), 1), 48)) AS s
+  FROM w0)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(len(ws[s:s+63]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ws[s:s+63], ' ')) AS chunk_hash
+FROM starts
+"""
+
+
 # --------------------------------------------------------------------------
 
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
@@ -2659,6 +2716,9 @@ QUERIES = {
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "embedding_kmeans": q_embedding_kmeans,
     "semantic_dedup": q_semantic_dedup,
+    "hll_distinct_parts": q_hll_distinct_parts,
+    "heavy_hitter_terms": q_heavy_hitter_terms,
+    "doc_chunk_windows": q_doc_chunk_windows,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2805,4 +2865,7 @@ ORACLE_SQL = {
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "hll_distinct_parts": SQL_HLL_DISTINCT,
+    "heavy_hitter_terms": SQL_HEAVY_HITTERS,
+    "doc_chunk_windows": SQL_CHUNK_WINDOWS,
 }
