@@ -441,3 +441,28 @@ def test_chunk_windows_is_shuffle_free_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert nodes(plan, "Generate") == 1, plan  # exactly the starts explode
+
+
+def test_inverted_index_is_two_partial_aggs_no_python(spark):
+    """The index build is tokenize -> (term,doc) tf -> term rollup: two
+    partial-agg shuffles, no Python, no join."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["inverted_text_index"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Exchange") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_pmi_pairs_narrow_generation_broadcast_margins(spark):
+    """PMI pair generation must be per-row HOF zips — NEVER a positions
+    self-join (the SQL twin's shape); unigram margins and the two scalar
+    totals rejoin by broadcast; top-k is a TakeOrderedAndProject."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["term_pmi_pairs"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert nodes(plan, "BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -120,3 +120,61 @@ def test_chunk_hash_matches_content(spark):
     docs = _docs(spark, ["a b c d e"])
     row = packing.chunk_windows(docs, chunk_len=64, stride=48).collect()[0]
     assert row["chunk_hash"] == hashlib.md5(b"a b c d e").hexdigest()
+
+
+def test_inverted_index_postings_and_hash(spark):
+    import hashlib
+    from ukrainian_ocr_pipeline_spark.operators import textindex
+    docs = _docs(spark, ["b a b", "a c", "b b"])
+    rows = {r["term"]: r for r in textindex.inverted_index(docs).collect()}
+    assert rows["a"]["df"] == 2 and rows["a"]["tf_total"] == 2
+    assert rows["b"]["df"] == 2 and rows["b"]["tf_total"] == 4
+    assert rows["b"]["top_postings"] == "0:2,2:2"
+    assert rows["c"]["top_postings"] == "1:1"
+    for t, full in [("a", "0:1,1:1"), ("b", "0:2,2:2"), ("c", "1:1")]:
+        assert rows[t]["postings_hash"] == hashlib.md5(
+            full.encode()).hexdigest(), t
+
+
+def test_inverted_index_top_slice_caps_but_hash_covers_all(spark):
+    from ukrainian_ocr_pipeline_spark.operators import textindex
+    docs = _docs(spark, ["x"] * 30)
+    row = textindex.inverted_index(docs, top_postings=5).collect()[0]
+    assert row["df"] == 30
+    assert row["top_postings"] == "0:1,1:1,2:1,3:1,4:1"  # bounded slice
+    # the hash still witnesses all 30 postings: change any -> different
+    import hashlib
+    full = ",".join(f"{i}:1" for i in range(30))
+    assert row["postings_hash"] == hashlib.md5(full.encode()).hexdigest()
+
+
+def test_pmi_hand_computed(spark):
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    # 6 copies of "a b": pairs (window 2, directional): only (a,b) x6
+    # unigrams: a=6, b=6, N_words=12, N_pairs=6
+    # PMI = ln((6/6) / ((6/12)*(6/12))) = ln(4)
+    docs = _docs(spark, ["a b"] * 6)
+    rows = textstats.cooccurrence_pmi(docs, window=2, min_count=5,
+                                      top_k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w_left"], r["w_right"], r["c_ab"]) == ("a", "b", 6)
+    assert r["pmi_r"] == pytest.approx(math.log(4.0), abs=1e-6)
+
+
+def test_pmi_min_count_gate_and_window(spark):
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    # "a b c" x5: window-2 pairs per doc: (a,b),(b,c),(a,c) — all x5;
+    # min_count=5 keeps all three; min_count=6 keeps none
+    docs = _docs(spark, ["a b c"] * 5)
+    got = textstats.cooccurrence_pmi(docs, window=2, min_count=5,
+                                     top_k=10).collect()
+    assert {(r["w_left"], r["w_right"]) for r in got} == {
+        ("a", "b"), ("b", "c"), ("a", "c")}
+    assert textstats.cooccurrence_pmi(docs, window=2, min_count=6,
+                                      top_k=10).count() == 0
+    # window=1 drops the skip pair (a,c)
+    got1 = textstats.cooccurrence_pmi(docs, window=1, min_count=5,
+                                      top_k=10).collect()
+    assert {(r["w_left"], r["w_right"]) for r in got1} == {
+        ("a", "b"), ("b", "c")}

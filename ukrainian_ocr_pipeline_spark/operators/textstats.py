@@ -502,3 +502,65 @@ def bpe_merge_candidates(docs: DataFrame, text_col: str = "text",
             .groupBy("pair").agg(F.sum("freq").alias("weight"))
             .orderBy(F.desc("weight"), F.desc("pair"))
             .limit(top_k))
+
+
+def cooccurrence_pmi(docs: DataFrame, text_col: str = "text",
+                     window: int = 2, min_count: int = 5,
+                     top_k: int = 20) -> DataFrame:
+    """Skip-gram collocation mining: top-k directional word pairs
+    (left word, right word within `window` tokens) ranked by pointwise
+    mutual information — the co-occurrence statistic behind word2vec /
+    GloVe preprocessing and collocation extraction, over the canonical
+    token stream.
+
+    PMI = ln( (c_ab / N_pairs) / ((c_a / N_words) * (c_b / N_words)) ),
+    gated by c_ab >= min_count so rare-pair noise cannot top the
+    ranking.  Everything is exact integer counts until the final ln —
+    rounded to 6 dp with deterministic (pmi, pair) tie-break.
+
+    Scale shape: pair generation is NARROW — for each offset d in
+    1..window, arrays_zip of the token array against itself shifted by
+    d (per-row HOFs, no self-join, no Python), then ONE partial-agg
+    shuffle on the pair key.  The unigram table and the two scalar
+    totals join back by broadcast: the corpus is never shuffled twice.
+    At 10^12 docs this is the standard one-pass co-occurrence count;
+    the window factor multiplies rows inside the map stage only."""
+    from .dedup import word_array
+    words = F.coalesce(word_array(text_col), F.array())
+    wcol = F.col("__words")
+    shifted = [
+        F.arrays_zip(F.slice(wcol, 1, F.greatest(F.size(wcol) - d, F.lit(0))),
+                     F.slice(wcol, d + 1, F.size(wcol) - d)).alias(f"__z{d}")
+        for d in range(1, window + 1)
+    ]
+    pair_rows = (
+        docs.select(words.alias("__words"))
+        .select(*shifted)
+        .select(F.explode(F.flatten(F.array(
+            *[F.col(f"__z{d}") for d in range(1, window + 1)]))).alias("p"))
+        .select(F.col("p")["0"].alias("w_left"),
+                F.col("p")["1"].alias("w_right")))
+
+    pair_counts = (pair_rows.groupBy("w_left", "w_right")
+                   .agg(F.count("*").alias("c_ab")))
+    uni = (docs.select(F.explode(words).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    n_words = uni.agg(F.sum("c").alias("n_words"))
+    n_pairs = pair_counts.agg(F.sum("c_ab").alias("n_pairs"))
+
+    scored = (pair_counts
+              .where(F.col("c_ab") >= min_count)
+              .join(F.broadcast(uni.withColumnRenamed("w", "w_left")
+                                .withColumnRenamed("c", "c_a")), "w_left")
+              .join(F.broadcast(uni.withColumnRenamed("w", "w_right")
+                                .withColumnRenamed("c", "c_b")), "w_right")
+              .crossJoin(F.broadcast(n_words))
+              .crossJoin(F.broadcast(n_pairs))
+              .select("w_left", "w_right", "c_ab",
+                      F.round(F.log(
+                          (F.col("c_ab") / F.col("n_pairs"))
+                          / ((F.col("c_a") / F.col("n_words"))
+                             * (F.col("c_b") / F.col("n_words")))), 6)
+                      .alias("pmi_r")))
+    return (scored.orderBy(F.desc("pmi_r"), "w_left", "w_right")
+            .limit(top_k))

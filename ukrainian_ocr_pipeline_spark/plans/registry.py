@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import (dedup, graphrank, multimodal, packing, similarity,
-                         sketches, textstats, webnorm)
+                         sketches, textindex, textstats, webnorm)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -2651,6 +2651,61 @@ def q_doc_chunk_windows(spark, sf_dir):
                                  chunk_len=64, stride=48)
 
 
+def q_inverted_text_index(spark, sf_dir):
+    """Inverted-index build: per-term df / total tf / doc_id-ordered
+    posting list (bounded top-20 slice + md5 witness over the COMPLETE
+    postings — the unbounded payload is verified by hash, never
+    shipped).  The distributed twin of the reference's exact per-term
+    Counters (core/surname_matcher.py:356-402)."""
+    return textindex.inverted_index(_t(spark, sf_dir, "documents"),
+                                    top_postings=20)
+
+
+SQL_INVERTED_INDEX = textindex.inverted_index_sql(_SQL_WORDS.strip(),
+                                                  top_postings=20)
+
+
+def q_term_pmi_pairs(spark, sf_dir):
+    """Skip-gram PMI collocations (window 2, min pair count 5, top-20):
+    word2vec/GloVe-style co-occurrence statistics; pair generation is
+    narrow HOF zips (no self-join), unigram margins rejoin by
+    broadcast."""
+    return textstats.cooccurrence_pmi(_t(spark, sf_dir, "documents"),
+                                      window=2, min_count=5, top_k=20)
+
+
+SQL_TERM_PMI = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+                                                       '\s+', ' ', 'g')), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents),
+posl AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+  FROM w0 WHERE len(ws) > 0),
+pos AS (SELECT doc_id, i, ws[i] AS w FROM posl),
+pairs AS (
+  SELECT a.w AS w_left, b.w AS w_right
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                       AND b.i - a.i BETWEEN 1 AND 2),
+pc AS (SELECT w_left, w_right, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+nw AS (SELECT SUM(c) AS n_words FROM uni),
+np AS (SELECT SUM(c_ab) AS n_pairs FROM pc),
+scored AS (
+  SELECT w_left, w_right, c_ab,
+         ROUND(ln((c_ab / (SELECT n_pairs FROM np))
+                  / ((a.c / (SELECT n_words FROM nw))
+                     * (b.c / (SELECT n_words FROM nw)))), 6) AS pmi_r
+  FROM pc JOIN uni a ON pc.w_left = a.w
+          JOIN uni b ON pc.w_right = b.w
+  WHERE c_ab >= 5)
+SELECT w_left, w_right, c_ab, pmi_r
+FROM scored ORDER BY pmi_r DESC, w_left, w_right LIMIT 20
+"""
+
+
 SQL_CHUNK_WINDOWS = r"""
 WITH w0 AS (
   SELECT doc_id,
@@ -2719,6 +2774,8 @@ QUERIES = {
     "hll_distinct_parts": q_hll_distinct_parts,
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "doc_chunk_windows": q_doc_chunk_windows,
+    "inverted_text_index": q_inverted_text_index,
+    "term_pmi_pairs": q_term_pmi_pairs,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2868,4 +2925,6 @@ ORACLE_SQL = {
     "hll_distinct_parts": SQL_HLL_DISTINCT,
     "heavy_hitter_terms": SQL_HEAVY_HITTERS,
     "doc_chunk_windows": SQL_CHUNK_WINDOWS,
+    "inverted_text_index": SQL_INVERTED_INDEX,
+    "term_pmi_pairs": SQL_TERM_PMI,
 }
