@@ -178,3 +178,31 @@ def test_pmi_min_count_gate_and_window(spark):
                                       top_k=10).collect()
     assert {(r["w_left"], r["w_right"]) for r in got1} == {
         ("a", "b"), ("b", "c")}
+
+
+def test_pmi_short_and_null_docs_do_not_crash(spark):
+    # regression: a doc with < window tokens (or NULL text) used to
+    # produce a negative-length slice and abort the job
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="solo"), Row(doc_id=1, text=None),
+         Row(doc_id=2, text="")] + [Row(doc_id=3 + i, text="a b")
+                                    for i in range(6)])
+    rows = textstats.cooccurrence_pmi(docs, window=2, min_count=5,
+                                      top_k=10).collect()
+    assert [(r["w_left"], r["w_right"], r["c_ab"])
+            for r in rows] == [("a", "b", 6)]
+
+
+def test_hll_null_keys_match_countdistinct_semantics(spark):
+    # regression: NULL keys occupied a phantom register, biasing the
+    # linear-counting estimate relative to n_exact (which skips NULLs)
+    base = spark.range(10).select(F.col("id").alias("k"),
+                                  F.lit("g").alias("grp"))
+    with_nulls = base.unionByName(
+        spark.range(5).select(F.lit(None).cast("long").alias("k"),
+                              F.lit("g").alias("grp")))
+    a = sketches.hll_distinct(base, "k", "grp").collect()[0]
+    b = sketches.hll_distinct(with_nulls, "k", "grp").collect()[0]
+    assert a["n_exact"] == b["n_exact"] == 10
+    assert a["hll_estimate_r"] == b["hll_estimate_r"]

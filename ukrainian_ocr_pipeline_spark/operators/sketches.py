@@ -99,8 +99,12 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
             + _nibble_clz_case(F.substring(stripped, 1, 1)) + 1),
         F.lit(52))
 
-    regs = (df.select(F.col(group_col).alias("grp"),
-                      reg.alias("reg"), rho.alias("rho"))
+    # NULL keys are excluded to match countDistinct's NULL semantics:
+    # md5(NULL) would otherwise occupy a phantom (reg=NULL) register that
+    # n_present counts but present_sum skips, biasing the estimate
+    regs = (df.where(F.col(key_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    reg.alias("reg"), rho.alias("rho"))
             .groupBy("grp", "reg")
             .agg(F.max("rho").alias("m_j")))
 
@@ -143,7 +147,7 @@ def hll_sql(table: str, key_sql: str, group_sql: str, group_name: str) -> str:
 WITH hashed AS (
   SELECT {group_sql} AS grp,
          md5(CAST({key_sql} AS VARCHAR)) AS h
-  FROM {table}),
+  FROM {table} WHERE {key_sql} IS NOT NULL),
 ranked AS (
   SELECT grp,
          CAST(concat('0x', substr(h, 1, {_HLL_P // 4})) AS BIGINT) AS reg,
@@ -194,6 +198,17 @@ _CM_DEPTH = 4
 _CM_WIDTH = 256
 
 
+def _cm_bucket(d_col, word_col):
+    """The ONE seeded bucket hash shared by the sketch build and the
+    probe sides — md5('d:word') folded to a width-bounded cell index.
+    Two inline copies would let the sides drift apart, silently hashing
+    probes into the wrong cells and breaking the CM one-sided-error
+    guarantee with no error raised."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(":", d_col, word_col)
+                                     .cast("binary")), 1, 8), 16, 10)
+            .cast("bigint") % _CM_WIDTH)
+
+
 def cm_heavy_hitters(docs: DataFrame, text_col: str = "text",
                      top_k: int = 20) -> DataFrame:
     """Count-min-sketch heavy hitters over the canonical word stream:
@@ -217,10 +232,7 @@ def cm_heavy_hitters(docs: DataFrame, text_col: str = "text",
         "word",
         F.explode(F.array(*[F.lit(d) for d in range(_CM_DEPTH)])).alias("d"))
     bucketed = seeded.select(
-        "word", "d",
-        (F.conv(F.substring(F.md5(F.concat_ws(":", F.col("d"), F.col("word"))
-                                  .cast("binary")), 1, 8), 16, 10)
-         .cast("bigint") % _CM_WIDTH).alias("bucket"))
+        "word", "d", _cm_bucket(F.col("d"), F.col("word")).alias("bucket"))
     sketch = (bucketed.groupBy("d", "bucket")
               .agg(F.count("*").alias("cell_total")))
 
@@ -229,10 +241,7 @@ def cm_heavy_hitters(docs: DataFrame, text_col: str = "text",
         "word", "exact_count",
         F.explode(F.array(*[F.lit(d) for d in range(_CM_DEPTH)])).alias("d"))
     probes = probes.withColumn(
-        "bucket",
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("d"), F.col("word"))
-                                 .cast("binary")), 1, 8), 16, 10)
-        .cast("bigint") % _CM_WIDTH)
+        "bucket", _cm_bucket(F.col("d"), F.col("word")))
     est = (probes.join(F.broadcast(sketch), ["d", "bucket"])
            .groupBy("word", "exact_count")
            .agg(F.min("cell_total").alias("cm_estimate")))

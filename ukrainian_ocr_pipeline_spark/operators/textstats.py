@@ -528,9 +528,14 @@ def cooccurrence_pmi(docs: DataFrame, text_col: str = "text",
     from .dedup import word_array
     words = F.coalesce(word_array(text_col), F.array())
     wcol = F.col("__words")
+    # both slice lengths clamped at 0: a doc with fewer than `window`
+    # tokens (or NULL text) must yield zero pairs, not a negative-length
+    # slice error that aborts the job
     shifted = [
         F.arrays_zip(F.slice(wcol, 1, F.greatest(F.size(wcol) - d, F.lit(0))),
-                     F.slice(wcol, d + 1, F.size(wcol) - d)).alias(f"__z{d}")
+                     F.slice(wcol, d + 1,
+                             F.greatest(F.size(wcol) - d, F.lit(0))))
+        .alias(f"__z{d}")
         for d in range(1, window + 1)
     ]
     pair_rows = (
