@@ -70,7 +70,7 @@ HEADLINE = [
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",
     "bpe_merge_candidates", "embedding_kmeans", "semantic_dedup",
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
-    "inverted_text_index", "term_pmi_pairs",
+    "inverted_text_index", "term_pmi_pairs", "bloom_seen_urls",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

@@ -466,3 +466,15 @@ def test_pmi_pairs_narrow_generation_broadcast_margins(spark):
     assert "CartesianProduct" not in plan, plan
     assert nodes(plan, "BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_probe_is_broadcast_semi_no_frontier_shuffle(spark):
+    """The bit table (<= m rows) must broadcast into a semi-join — the
+    frontier side is never sort-merge shuffled against the seen-list;
+    no Python anywhere."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["bloom_seen_urls"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan

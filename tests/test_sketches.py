@@ -206,3 +206,30 @@ def test_hll_null_keys_match_countdistinct_semantics(spark):
     b = sketches.hll_distinct(with_nulls, "k", "grp").collect()[0]
     assert a["n_exact"] == b["n_exact"] == 10
     assert a["hll_estimate_r"] == b["hll_estimate_r"]
+
+
+def test_bloom_one_sided_no_false_negatives(spark):
+    # every true member MUST be flagged; FP accounting is exact
+    existing = spark.range(50).select(F.col("id").alias("k"))
+    incoming = spark.range(100).select(F.col("id").alias("k"))
+    row = sketches.bloom_probe(existing, incoming, "k", "k").collect()[0]
+    assert row["n_probed"] == 100
+    assert row["n_true_members"] == 50
+    assert row["n_flagged"] >= 50  # one-sided: no false negatives
+    assert row["n_false_positives"] == row["n_flagged"] - 50
+    assert row["n_false_positives"] >= 0
+
+
+def test_bloom_null_keys_excluded_and_empty_seen_set(spark):
+    existing = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("k"))  # 5 real + NULLs
+    incoming = spark.range(8).select(
+        F.when(F.col("id") < 6, F.col("id")).alias("k"))  # 6 real + NULLs
+    row = sketches.bloom_probe(existing, incoming, "k", "k").collect()[0]
+    assert row["n_probed"] == 6
+    assert row["n_true_members"] == 5
+    # empty seen set: nothing flagged, nothing true, rate 0
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    row0 = sketches.bloom_probe(empty, incoming, "k", "k").collect()[0]
+    assert (row0["n_flagged"], row0["n_true_members"],
+            row0["fp_rate_r"]) == (0, 0, 0.0)

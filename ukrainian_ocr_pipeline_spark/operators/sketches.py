@@ -1,5 +1,5 @@
-"""Distributed sketch operators — HyperLogLog distinct-count and
-count-min heavy hitters.
+"""Distributed sketch operators — HyperLogLog distinct-count, count-min
+heavy hitters, and Bloom-filter membership.
 
 First-class training-data-pipeline components: at 100 TB you cannot
 afford exact countDistinct over raw token streams for monitoring, and
@@ -280,4 +280,117 @@ SELECT word, cm_estimate, exact_count,
 FROM est
 ORDER BY cm_estimate DESC, word
 LIMIT {top_k}
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 4      # hash functions
+
+
+def _bloom_bit(i_col, key_col):
+    """Seeded bit position i:key -> [0, m): one md5 per (seed, key),
+    the same shared-kernel discipline as _cm_bucket."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(":", i_col, key_col)
+                                     .cast("binary")), 1, 8), 16, 10)
+            .cast("bigint") % _BLOOM_M)
+
+
+def bloom_probe(existing: DataFrame, incoming: DataFrame,
+                existing_key: str, incoming_key: str) -> DataFrame:
+    """Bloom-filter membership probe of ``incoming`` keys against the
+    set of ``existing`` keys — the crawl-frontier seen-list shape: at
+    10^12 urls the seen-set cannot be joined exactly against every
+    frontier batch, but its Bloom bits fit in executor memory.
+
+    Returns ONE summary row (n_probed, n_flagged, n_true_members,
+    n_false_positives, fp_rate_r): the probe outcome AND its exact
+    error accounting, so the sketch's one-sided guarantee (no false
+    negatives — every true member is flagged) is part of the verified
+    output.
+
+    Scale shape: the filter is a distinct-bit TABLE (<= m rows — here
+    8192) built with one partial-agg pass over the seen keys, then
+    broadcast; probing shuffles NOTHING on the frontier side (k narrow
+    hash projections + a broadcast join + a per-key partial agg).  The
+    production variant packs the bits into m/64 longs and broadcasts
+    the bitmap itself; the bit-table form here is semantically
+    identical and keeps the exact SQL twin."""
+    seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    bits = (existing
+            .select(F.col(existing_key).alias("k"))
+            .where(F.col("k").isNotNull())
+            .select("k", F.explode(seeds).alias("i"))
+            .select(_bloom_bit(F.col("i"), F.col("k")).alias("bit"))
+            .distinct())
+    probes = (incoming
+              .select(F.col(incoming_key).alias("k"))
+              .where(F.col("k").isNotNull())
+              .select("k", F.explode(seeds).alias("i"))
+              .select("k", _bloom_bit(F.col("i"), F.col("k")).alias("bit")))
+    flagged = (probes
+               .join(F.broadcast(bits), "bit", "left_semi")
+               .groupBy("k")
+               .agg(F.count("*").alias("n_hit"))
+               .where(F.col("n_hit") == _BLOOM_K)
+               .select("k"))
+    truth = (incoming
+             .select(F.col(incoming_key).alias("k"))
+             .where(F.col("k").isNotNull())
+             .distinct()
+             .join(existing.select(F.col(existing_key).alias("k")).distinct(),
+                   "k", "left_semi"))
+    n_probed = (incoming.select(F.col(incoming_key).alias("k"))
+                .where(F.col("k").isNotNull()).distinct()
+                .agg(F.count("*").alias("n_probed")))
+    summary = (n_probed
+               .crossJoin(flagged.agg(F.count("*").alias("n_flagged")))
+               .crossJoin(truth.agg(F.count("*").alias("n_true_members"))))
+    return summary.select(
+        "n_probed", "n_flagged", "n_true_members",
+        (F.col("n_flagged") - F.col("n_true_members"))
+        .alias("n_false_positives"),
+        F.round((F.col("n_flagged") - F.col("n_true_members"))
+                / F.greatest(F.col("n_probed") - F.col("n_true_members"),
+                             F.lit(1)), 6).alias("fp_rate_r"))
+
+
+def bloom_sql(existing_table: str, existing_key: str,
+              incoming_table: str, incoming_key: str) -> str:
+    """DuckDB twin of :func:`bloom_probe` — identical bits, identical
+    accounting."""
+    def bit(seed_col: str, key_col: str) -> str:
+        return (f"CAST(concat('0x', substr(md5(concat(CAST({seed_col} AS "
+                f"VARCHAR), ':', CAST({key_col} AS VARCHAR))), 1, 8)) "
+                f"AS BIGINT) % {_BLOOM_M}")
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT {bit("s.i", "e." + existing_key)} AS bit
+  FROM {existing_table} e, generate_series(0, {_BLOOM_K - 1}) AS s(i)
+  WHERE e.{existing_key} IS NOT NULL),
+probes AS (
+  SELECT n.k, {bit("s.i", "n.k")} AS bit
+  FROM (SELECT DISTINCT {incoming_key} AS k FROM {incoming_table}
+        WHERE {incoming_key} IS NOT NULL) n,
+       generate_series(0, {_BLOOM_K - 1}) AS s(i)),
+flagged AS (
+  SELECT p.k FROM probes p JOIN bits b ON p.bit = b.bit
+  GROUP BY p.k HAVING COUNT(*) = {_BLOOM_K}),
+truth AS (
+  SELECT DISTINCT i.{incoming_key} AS k FROM {incoming_table} i
+  WHERE i.{incoming_key} IS NOT NULL
+    AND EXISTS (SELECT 1 FROM {existing_table} e
+                WHERE e.{existing_key} = i.{incoming_key})),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT {incoming_key} FROM
+            {incoming_table} WHERE {incoming_key} IS NOT NULL)) AS n_probed,
+         (SELECT COUNT(*) FROM flagged) AS n_flagged,
+         (SELECT COUNT(*) FROM truth) AS n_true_members)
+SELECT n_probed, n_flagged, n_true_members,
+       n_flagged - n_true_members AS n_false_positives,
+       ROUND((n_flagged - n_true_members) * 1.0
+             / GREATEST(n_probed - n_true_members, 1), 6) AS fp_rate_r
+FROM counts
 """

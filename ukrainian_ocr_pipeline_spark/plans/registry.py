@@ -2651,6 +2651,25 @@ def q_doc_chunk_windows(spark, sf_dir):
                                  chunk_len=64, stride=48)
 
 
+def q_bloom_seen_urls(spark, sf_dir):
+    """Bloom-filter seen-list probe (m=64Ki bits, k=4): large parts
+    (p_size > 40, ~20% of the key space) are the 'seen' set, the full
+    part table is the incoming frontier batch — a sparse-membership
+    probe where the false-positive accounting actually exercises as the
+    filter fills with scale.  The one summary row carries the flagged
+    count AND the exact FP count (no false negatives by construction —
+    the sketch's one-sided guarantee is verified output, the same
+    discipline as hll/cm)."""
+    part = _t(spark, sf_dir, "part")
+    return sketches.bloom_probe(part.where(F.col("p_size") > 40), part,
+                                existing_key="p_partkey",
+                                incoming_key="p_partkey")
+
+
+SQL_BLOOM_SEEN = sketches.bloom_sql("(SELECT * FROM part WHERE p_size > 40)",
+                                    "p_partkey", "part", "p_partkey")
+
+
 def q_inverted_text_index(spark, sf_dir):
     """Inverted-index build: per-term df / total tf / doc_id-ordered
     posting list (bounded top-20 slice + md5 witness over the COMPLETE
@@ -2776,6 +2795,7 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "inverted_text_index": q_inverted_text_index,
     "term_pmi_pairs": q_term_pmi_pairs,
+    "bloom_seen_urls": q_bloom_seen_urls,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2927,4 +2947,5 @@ ORACLE_SQL = {
     "doc_chunk_windows": SQL_CHUNK_WINDOWS,
     "inverted_text_index": SQL_INVERTED_INDEX,
     "term_pmi_pairs": SQL_TERM_PMI,
+    "bloom_seen_urls": SQL_BLOOM_SEEN,
 }
