@@ -55,7 +55,8 @@ HEADLINE = [
     "pricing_summary", "revenue_by_nation", "top_parts",
     "latest_order_per_customer", "user_sessionization",
     "session_window_rollup", "hourly_event_rollup",
-    "event_context_window", "event_asof_join", "corpus_split_assign",
+    "event_context_window", "event_asof_join", "event_pairs_60s_bucketed",
+    "corpus_split_assign",
     "doc_zscore_by_lang",
     "doc_quality_scores", "doc_language_id", "doc_fingerprints",
     "doc_subword_tokens", "doc_quality_filter", "corpus_curation",

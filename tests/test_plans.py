@@ -478,3 +478,19 @@ def test_bloom_probe_is_broadcast_semi_no_frontier_shuffle(spark):
     assert "EvalPython" not in plan, plan
     assert nodes(plan, "BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_event_pairs_bucketed_is_composite_key_equijoin(spark):
+    """The bucketed interval join must join on (user, bucket) — a real
+    equi-join with the range predicate as a post-join filter on a
+    bounded candidate set — with exactly one explode (delta 0/1) and
+    no nested-loop anywhere."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["event_pairs_60s_bucketed"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert nodes(plan, "Generate") == 1, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan), plan

@@ -346,6 +346,38 @@ GROUP BY a.user_id
 """
 
 
+def q_event_pairs_60s_bucketed(spark, sf_dir):
+    """The SCALE form of the J6 interval join: candidates via an
+    equi-join on (user, 60s time bucket) instead of a per-user
+    cross-filter.  ts_b in [ts_a, ts_a+60] implies bucket_b is
+    bucket_a or bucket_a+1, so the left side probes exactly those two
+    buckets (one explode, delta in {0,1}) and every qualifying pair
+    matches on exactly ONE delta — no dedup pass needed.  A hot key
+    (celebrity user) stays bounded: candidate fan-out per event is its
+    two buckets' populations, not the whole user group.  Results are
+    identical to q_event_pairs_60s (same oracle SQL verifies both)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 60)
+    a = (e.select(F.col("user_id").alias("u"),
+                  F.col("event_id").alias("eid_a"),
+                  F.col("ts").alias("ts_a"),
+                  bucket.alias("bkt_a"),
+                  F.explode(F.array(F.lit(0), F.lit(1))).alias("delta"))
+         .select("u", "eid_a", "ts_a",
+                 (F.col("bkt_a") + F.col("delta")).alias("bkt")))
+    b = e.select(F.col("user_id").alias("u"),
+                 F.col("event_id").alias("eid_b"),
+                 F.col("ts").alias("ts_b"),
+                 bucket.alias("bkt"))
+    return (a.join(b, ["u", "bkt"])
+            .where((F.col("eid_a") < F.col("eid_b"))
+                   & (F.col("ts_b") >= F.col("ts_a"))
+                   & (F.col("ts_b") <= F.col("ts_a")
+                      + F.expr("INTERVAL 60 SECONDS")))
+            .groupBy(F.col("u").alias("user_id"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
 def q_event_category_rollup(spark, sf_dir):
     """Small lookup-map join as CASE expression (J5)."""
     e = _t(spark, sf_dir, "events")
@@ -2796,6 +2828,7 @@ QUERIES = {
     "inverted_text_index": q_inverted_text_index,
     "term_pmi_pairs": q_term_pmi_pairs,
     "bloom_seen_urls": q_bloom_seen_urls,
+    "event_pairs_60s_bucketed": q_event_pairs_60s_bucketed,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2948,4 +2981,7 @@ ORACLE_SQL = {
     "inverted_text_index": SQL_INVERTED_INDEX,
     "term_pmi_pairs": SQL_TERM_PMI,
     "bloom_seen_urls": SQL_BLOOM_SEEN,
+    # deliberately the SAME oracle as event_pairs_60s: the bucketed
+    # rewrite must be result-identical to the direct interval join
+    "event_pairs_60s_bucketed": SQL_EVENT_PAIRS,
 }
