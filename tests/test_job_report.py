@@ -1,0 +1,73 @@
+"""End-to-end smoke of the corpus health-report job (jobs/report.py):
+the three committed tables cross-check against the standalone operators,
+and re-runs are idempotent no-ops."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "jobs"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_report_job_end_to_end(spark, tmp_path, capsys):
+    import report as job
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "r1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from ukrainian_ocr_pipeline_spark.operators import dedup, sketches, textstats
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    for t in ["report_lang", "report_terms", "report_summary"]:
+        assert cat.is_committed(t, "r1")
+
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    assert stats["n_docs"] == n_docs
+    assert stats["langs"] == docs.select("lang").distinct().count()
+    assert stats["terms"] == 20
+
+    # summary cross-checks vs standalone operators
+    assert stats["n_distinct_content"] == dedup.exact_duplicates(docs).count()
+    n_pass = (textstats.quality_filter(docs)
+              .where(F.col("keep")).count())
+    assert stats["n_quality_pass"] == n_pass
+    assert stats["quality_pass_rate_r"] == round(n_pass / n_docs, 6)
+
+    # per-lang table: doc counts exact, HLL estimate sits next to the
+    # exact distinct with the recorded rel_err
+    lang = cat.read_snapshot(spark, "report_lang", "r1")
+    want = {r["lang"]: r["cnt"] for r in docs.groupBy("lang")
+            .agg(F.count("*").alias("cnt")).collect()}
+    got = {r["lang"]: r for r in lang.collect()}
+    assert {k: v["n_docs"] for k, v in got.items()} == want
+    for r in got.values():
+        assert r["distinct_tokens_hll_r"] is not None
+        assert abs(r["rel_err_r"]) < 0.30  # 4-sigma HLL bound at m=256
+
+    # terms table == the standalone CM heavy hitters verbatim
+    terms = cat.read_snapshot(spark, "report_terms", "r1")
+    want_terms = sketches.cm_heavy_hitters(docs, top_k=20).collect()
+    got_terms = terms.orderBy(F.desc("cm_estimate"), "word").collect()
+    assert [(r["word"], r["cm_estimate"], r["exact_count"])
+            for r in got_terms] == \
+        [(r["word"], r["cm_estimate"], r["exact_count"]) for r in want_terms]
+
+    # idempotent re-run: same stats, still exactly one manifest per table
+    rc2 = job.main(["--docs", docs_path, "--warehouse", wh,
+                    "--snapshot-id", "r1"])
+    assert rc2 == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+    for t in ["report_lang", "report_terms", "report_summary"]:
+        snapdir = os.path.join(wh, t, "snapshots")
+        assert len(os.listdir(snapdir)) == 1
