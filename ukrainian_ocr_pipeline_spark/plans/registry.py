@@ -2833,10 +2833,13 @@ QUERIES = {
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
     # docs_lang_by_source_pivot, displaced past the driver's 50-entry
-    # window by the six new round-3 queries: all six displaced entries
-    # hash-green in BOTH prior rounds, ceding their slots to the
-    # never-witnessed new queries while the once-witnessed banded/centroid
-    # entries stay inside) --
+    # window by the round-3 additions; the late-round sketch/index/PMI/
+    # bloom/bucketed-join queries push a further block of multi-round
+    # hash-green dedup/embedding entries (dedup_minhash_signatures ..
+    # dedup_embedding_cosine_banded) past the window.  Policy: every
+    # displaced entry is hash-green in MULTIPLE prior driver rounds and
+    # stays covered by the local all-query mirror at three scales;
+    # never-witnessed queries always take window priority) --
     "high_volume_customers": q_high_volume_customers,
     "nation_set_ops": q_nation_set_ops,
     "nation_name_similarity": q_nation_name_similarity,
