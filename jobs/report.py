@@ -78,13 +78,18 @@ def main(argv=None) -> int:
                   .agg(F.count("*").alias("n_tokens")))
         ndocs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
         hll = sketches.hll_distinct(words, key_col="word", group_col="lang")
+        # a lang whose docs are ALL NULL/empty text has zero word rows:
+        # the left joins would leave NULLs exactly on the partition the
+        # drift alarm exists to catch — report zeros, not NULLs
         return (ndocs.join(counts, "lang", "left")
                 .join(hll, "lang", "left")
                 .select("lang", "n_docs",
                         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                        F.col("n_exact").alias("distinct_tokens_exact"),
-                        F.col("hll_estimate_r").alias("distinct_tokens_hll_r"),
-                        "rel_err_r"))
+                        F.coalesce("n_exact", F.lit(0))
+                        .alias("distinct_tokens_exact"),
+                        F.coalesce("hll_estimate_r", F.lit(0.0))
+                        .alias("distinct_tokens_hll_r"),
+                        F.coalesce("rel_err_r", F.lit(0.0)).alias("rel_err_r")))
 
     # -- heavy-hitter terms -------------------------------------------------
     def build_terms():
@@ -132,8 +137,7 @@ def main(argv=None) -> int:
     n_langs = cat.read_snapshot(spark, "report_lang", args.snapshot_id).count()
     n_terms = cat.read_snapshot(spark, "report_terms", args.snapshot_id).count()
     stats = {"snapshot_id": args.snapshot_id, "langs": n_langs,
-             "terms": n_terms, **{k: (float(v) if isinstance(v, float)
-                                      else v) for k, v in summary.items()}}
+             "terms": n_terms, **summary}
     print(json.dumps(stats))
 
     if existing is None:

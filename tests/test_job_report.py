@@ -71,3 +71,29 @@ def test_report_job_end_to_end(spark, tmp_path, capsys):
     for t in ["report_lang", "report_terms", "report_summary"]:
         snapdir = os.path.join(wh, t, "snapshots")
         assert len(os.listdir(snapdir)) == 1
+
+
+def test_report_lang_zeroes_for_all_null_text_lang(spark, tmp_path, capsys):
+    # regression: a lang whose docs ALL have NULL/empty text must get
+    # 0 / 0.0 in report_lang, not NULLs (the drift-alarm partition)
+    import report as job
+    from pyspark.sql import Row
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="real words here for quality", lang="en",
+             source="a"),
+         Row(doc_id=1, text=None, lang="xx", source="b"),
+         Row(doc_id=2, text="", lang="xx", source="b")])
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    wh = str(tmp_path / "wh")
+    assert job.main(["--docs", path, "--warehouse", wh,
+                     "--snapshot-id", "rz"]) == 0
+    capsys.readouterr()
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    lang = {r["lang"]: r for r in SnapshotCatalog(wh)
+            .read_snapshot(spark, "report_lang", "rz").collect()}
+    assert lang["xx"]["n_docs"] == 2
+    assert lang["xx"]["n_tokens"] == 0
+    assert lang["xx"]["distinct_tokens_exact"] == 0
+    assert lang["xx"]["distinct_tokens_hll_r"] == 0.0
+    assert lang["xx"]["rel_err_r"] == 0.0

@@ -85,19 +85,39 @@ def test_cm_top_k_order_and_cut(spark):
 
 
 def test_chunk_windows_coverage_and_overlap(spark):
-    # 150 tokens, chunk 64 / stride 48 -> starts 1, 49, 97, 145
+    # 150 tokens, chunk 64 / stride 48 -> starts 1, 49, 97: the window
+    # at 97 reaches the doc end, so NO trailing contained chunk (a
+    # start at 145 would emit tokens 145-150, a strict subset of 97-150)
     docs = _docs(spark, [" ".join(f"t{i}" for i in range(150))])
     rows = sorted(packing.chunk_windows(docs, chunk_len=64, stride=48)
                   .collect(), key=lambda r: r["chunk_id"])
-    assert [r["start_token"] for r in rows] == [1, 49, 97, 145]
-    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
-    assert [r["n_tokens"] for r in rows] == [64, 64, 54, 6]
-    # every token covered: stride < chunk_len and last start <= n
+    assert [r["start_token"] for r in rows] == [1, 49, 97]
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [64, 64, 54]
+    # every token covered: stride < chunk_len and last window hits n
     covered = set()
     for r in rows:
         covered |= set(range(r["start_token"],
                              r["start_token"] + r["n_tokens"]))
     assert covered == set(range(1, 151))
+
+
+def test_chunk_windows_no_contained_trailing_window(spark):
+    # exact-fit and one-past-fit boundaries: n=64 -> one chunk;
+    # n=65 -> two (the second needed for token 65); n=112 -> two
+    # (window 49-112 reaches the end); n=113 -> three
+    for n, want_starts in [(64, [1]), (65, [1, 49]),
+                           (112, [1, 49]), (113, [1, 49, 97])]:
+        docs = _docs(spark, [" ".join(f"t{i}" for i in range(n))])
+        rows = sorted(packing.chunk_windows(docs, chunk_len=64, stride=48)
+                      .collect(), key=lambda r: r["chunk_id"])
+        assert [r["start_token"] for r in rows] == want_starts, n
+        # full coverage always
+        covered = set()
+        for r in rows:
+            covered |= set(range(r["start_token"],
+                                 r["start_token"] + r["n_tokens"]))
+        assert covered == set(range(1, n + 1)), n
 
 
 def test_chunk_windows_short_empty_null(spark):

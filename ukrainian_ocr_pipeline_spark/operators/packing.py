@@ -87,8 +87,14 @@ def chunk_windows(docs: DataFrame, text_col: str = "text",
     partitioning inherits the input's url-hash buckets."""
     words = F.coalesce(dedup.word_array(text_col), F.array())
     wcol = F.col("__words")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(wcol), F.lit(1)),
-                        F.lit(stride))
+    # last start = the first one whose window reaches the doc end: a
+    # start past that would emit a window fully CONTAINED in its
+    # predecessor (a redundant degenerate chunk that downstream
+    # chunk-level dedup/embedding would process as a near-duplicate)
+    last_start = F.lit(1) + F.lit(stride) * F.greatest(
+        F.ceil((F.size(wcol) - F.lit(chunk_len)) / F.lit(float(stride)))
+        .cast("int"), F.lit(0))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
     chunk = F.slice(wcol, F.col("start_token"), chunk_len)
     return (docs.select("doc_id", words.alias("__words"))
             .select("doc_id", wcol,

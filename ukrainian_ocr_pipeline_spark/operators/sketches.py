@@ -41,7 +41,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import word_array
+from .dedup import _h32, word_array
+
+
+def _seeded_mod(seed_col, key_col, modulus: int):
+    """THE seeded hash-to-cell kernel shared by every sketch here:
+    dedup._h32 of 'seed:key', folded to [0, modulus).  One definition —
+    a drifting copy on one side of a build/probe pair would silently
+    hash probes into the wrong cells with no error raised."""
+    return _h32(F.concat_ws(":", seed_col, key_col)) % modulus
 
 # --------------------------------------------------------------------------
 # HyperLogLog
@@ -199,14 +207,9 @@ _CM_WIDTH = 256
 
 
 def _cm_bucket(d_col, word_col):
-    """The ONE seeded bucket hash shared by the sketch build and the
-    probe sides — md5('d:word') folded to a width-bounded cell index.
-    Two inline copies would let the sides drift apart, silently hashing
-    probes into the wrong cells and breaking the CM one-sided-error
-    guarantee with no error raised."""
-    return (F.conv(F.substring(F.md5(F.concat_ws(":", d_col, word_col)
-                                     .cast("binary")), 1, 8), 16, 10)
-            .cast("bigint") % _CM_WIDTH)
+    """Seeded CM cell index — the shared _seeded_mod kernel at the
+    sketch's width."""
+    return _seeded_mod(d_col, word_col, _CM_WIDTH)
 
 
 def cm_heavy_hitters(docs: DataFrame, text_col: str = "text",
@@ -291,11 +294,9 @@ _BLOOM_K = 4      # hash functions
 
 
 def _bloom_bit(i_col, key_col):
-    """Seeded bit position i:key -> [0, m): one md5 per (seed, key),
-    the same shared-kernel discipline as _cm_bucket."""
-    return (F.conv(F.substring(F.md5(F.concat_ws(":", i_col, key_col)
-                                     .cast("binary")), 1, 8), 16, 10)
-            .cast("bigint") % _BLOOM_M)
+    """Seeded bit position i:key -> [0, m) — the shared _seeded_mod
+    kernel at the filter's bit width."""
+    return _seeded_mod(i_col, key_col, _BLOOM_M)
 
 
 def bloom_probe(existing: DataFrame, incoming: DataFrame,

@@ -2766,7 +2766,10 @@ WITH w0 AS (
   FROM documents),
 starts AS (
   SELECT doc_id, ws,
-         unnest(generate_series(1, greatest(len(ws), 1), 48)) AS s
+         unnest(generate_series(
+             1,
+             1 + 48 * greatest(CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT), 0),
+             48)) AS s
   FROM w0)
 SELECT doc_id,
        CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
