@@ -109,7 +109,7 @@ def run_extraction(spark, n_docs: int) -> float:
     from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, extracted_table
     from ukrainian_ocr_pipeline_spark.sources.pages import read_pages
     pages = read_pages(spark, _pages_parquet(spark, n_docs))
-    enriched = extract_pages(pages, mode="packed")
+    enriched = extract_pages(pages, mode="arrow")  # the job default (config.extraction.mode)
     t0 = time.perf_counter()
     _materialize(extracted_table(enriched))
     return time.perf_counter() - t0

@@ -21,7 +21,7 @@ class TestJobConfig:
     def test_defaults(self):
         cfg = JobConfig()
         assert cfg.buckets == 64
-        assert cfg.extraction.mode == "packed"
+        assert cfg.extraction.mode == "arrow"
         assert cfg.matching.threshold == 0.8
         assert cfg.ner.backend == "rule"
 

@@ -161,9 +161,10 @@ def test_pipeline_stats(spark, enriched, oracle_golden):
 def test_arrow_mode_byte_identical(spark, t2_rows):
     """mode='arrow' (mapInArrow, flat child-array construction) must equal
     the golden corpus byte-for-byte — same spec, third physical plan.
-    Kept as a variant: measured slower than packed on this host (it ships
-    warc_ts through Python both ways), but the construction pattern is the
-    scale path if nested outputs ever dominate."""
+    Promoted to the throughput default in round 3: interleaved A/B pairs
+    read ~1.1x over packed at pinned 8 cores and ~2x at 32 (where the box
+    is memory-bandwidth bound — exactly what skipping the pandas
+    nested-struct conversion saves; bench_out/mode_ab_r3.json)."""
     from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
     from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages, metrics_table
     pdf = pd.DataFrame(t2_rows[:120])

@@ -50,7 +50,13 @@ VALID_MODES = ("staged", "packed", "arrow")
 @dataclass
 class ExtractionConfig:
     """Pipeline shape knobs (operators/extract.py)."""
-    mode: str = "packed"           # staged | packed | arrow
+    # arrow (mapInArrow) is the throughput default: byte-identical to
+    # packed (golden-pinned), but skips the pandas<->Arrow nested-struct
+    # conversion both ways, which wins ~2x when the box is
+    # memory-bandwidth bound (bench_out/mode_ab_r3.json) and ties
+    # otherwise.  packed/staged stay as variants (staged exposes the
+    # per-block `seg` struct for blocks_table).
+    mode: str = "arrow"            # staged | packed | arrow
     with_regions: bool = True
     salt_buckets: int | None = None
 

@@ -62,9 +62,14 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
     the block array.  Exposes the `seg` struct, so blocks_table works.
 
     mode="packed": ONE Python exchange calling spec.extract_page per row
-    (the oracle's own function) — the throughput mode; the blocks array
-    never crosses Arrow.  Byte-identical output (asserted in golden
-    tests), no per-block table.
+    (the oracle's own function); the blocks array never crosses Arrow.
+    Byte-identical output (asserted in golden tests), no per-block table.
+
+    mode="arrow": the THROUGHPUT default (config.extraction.mode) — same
+    single exchange as packed but via mapInArrow, building the nested
+    output as flat Arrow child arrays and skipping the pandas conversion
+    both ways.  Byte-identical (golden tests); ties packed when CPU-bound
+    and wins ~2x when memory-bandwidth bound (bench_out/mode_ab_r3.json).
 
     Keeping Python stage count minimal is a deliberate scale decision —
     each extra chained pandas-UDF column is another worker process per

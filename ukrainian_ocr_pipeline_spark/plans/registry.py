@@ -2004,7 +2004,7 @@ def _fixture_enriched(spark, n_pages: int) -> DataFrame:
         from ..operators.extract import extract_pages
         from ..sources.pages import pages_from_fixtures
         df = extract_pages(pages_from_fixtures(spark, n_pages),
-                           mode="packed").cache()
+                           mode="arrow").cache()
         _FIXTURE_ENRICHED[key] = df
     return df
 
