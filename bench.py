@@ -69,6 +69,7 @@ HEADLINE = [
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "doc_line_dedup", "host_cap_sample",
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",
+    "corpus_mixture_weights", "dsir_importance_weights",
     "bpe_merge_candidates", "embedding_kmeans", "semantic_dedup",
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bloom_seen_urls",

@@ -494,3 +494,28 @@ def test_event_pairs_bucketed_is_composite_key_equijoin(spark):
     assert nodes(plan, "Generate") == 1, plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan), plan
+
+
+def test_mixture_weights_single_scan(spark):
+    """The mixture table's normalizer must come from a window over the
+    already-aggregated domain rows — ONE corpus scan, not a second pass
+    for a broadcast scalar; no Python anywhere."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["corpus_mixture_weights"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_dsir_two_scans_broadcast_probe(spark):
+    """DSIR: raw+target distributions from ONE aggregation over the
+    (doc, bucket) table (no semi-join second pass), bucket table
+    broadcast into the probe join; exactly the build+probe pair of
+    corpus scans, no Python."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["dsir_importance_weights"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Scan parquet") == 2, plan
+    assert nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan

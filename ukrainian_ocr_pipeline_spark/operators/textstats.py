@@ -569,3 +569,131 @@ def cooccurrence_pmi(docs: DataFrame, text_col: str = "text",
                       .alias("pmi_r")))
     return (scored.orderBy(F.desc("pmi_r"), "w_left", "w_right")
             .limit(top_k))
+
+
+def mixture_weights(docs: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang", source_col: str = "source",
+                    alpha: float = 0.7,
+                    budget_tokens: int = 10_000_000) -> DataFrame:
+    """Training-mixture table: per (lang, source) domain, the
+    temperature-weighted sampling weight w_d = tokens_d^alpha /
+    sum(tokens^alpha), the expected token draw at a fixed training
+    budget, and the implied epochs (upsampling factor) — the
+    GPT-3-style "Weight in training mix / Epochs" table computed from
+    the corpus itself.  alpha < 1 flattens the mixture toward small
+    domains (the same exponentiated-sampling family as
+    temperature_sample, at the domain level); alpha = 1 is
+    proportional sampling (all epochs equal).
+
+    Scale shape: one partial-agg groupBy over (lang, source) — a
+    handful of rows at any corpus size — in ONE corpus scan; the
+    normalizer is a global window over that already-aggregated
+    domain table (bounded rows by construction, so the single-window
+    partition is fine here — this is NOT the global-top-K-over-raw-rows
+    anti-pattern), which keeps the plan at one scan instead of
+    re-reading the corpus for a broadcast scalar.  Token counts use
+    the canonical dedup.word_array definition, so the same number the
+    dedup/packing/BPE paths see is what the mixture is weighted by.
+    """
+    from pyspark.sql import Window
+
+    from . import dedup
+    toks = F.coalesce(F.size(dedup.word_array(text_col)), F.lit(0))
+    domains = (docs
+               .select(F.col(lang_col).alias("lang"),
+                       F.col(source_col).alias("source"),
+                       toks.alias("n_toks"))
+               .groupBy("lang", "source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_toks").cast("bigint").alias("n_tokens")))
+    powed = (domains
+             .withColumn("pw", F.pow(F.col("n_tokens").cast("double"),
+                                     F.lit(alpha)))
+             .withColumn("denom", F.sum("pw").over(Window.partitionBy())))
+    return (powed
+            .select("lang", "source", "n_docs", "n_tokens",
+                    F.round(F.col("pw") / F.col("denom"), 6).alias("weight_r"),
+                    F.floor(F.col("pw") / F.col("denom")
+                            * F.lit(float(budget_tokens)) + 0.5)
+                    .cast("bigint").alias("expected_tokens"),
+                    F.round(F.col("pw") / F.col("denom")
+                            * F.lit(float(budget_tokens))
+                            / F.col("n_tokens"), 6).alias("epochs_r")))
+
+
+def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
+                            text_col: str = "text",
+                            n_buckets: int = 256) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): model the raw
+    corpus and a target domain (here: the documents of ``target_lang``)
+    as bags of hashed unigram features, then score every document by
+    its log importance ratio
+
+        log w(doc) = sum_tokens log( p_target(bucket) / p_raw(bucket) )
+
+    with add-one smoothing on the bucket counts.  High-weight documents
+    "look like" the target domain under the hashed-feature model; the
+    selection step (top-k or Gumbel resampling) composes downstream
+    exactly like host_cap_sample / corpus_split_assign.
+
+    Scale shape: token instances collapse FIRST to per-(doc, bucket)
+    counts — one partial-agg shuffle keyed exactly like the final
+    per-doc agg — with the target-membership flag riding along from the
+    same scan, so the raw AND target distributions fall out of ONE
+    aggregation over that collapsed table (no second corpus pass, no
+    semi-join).  The feature space is fixed at ``n_buckets`` rows, so
+    the distribution table is broadcast-sized no matter the corpus
+    size; the smoothing totals are global windows over that
+    already-collapsed 256-row table (bounded by construction — not the
+    global-window-over-raw-rows anti-pattern).  The (doc, bucket)
+    subtree is evaluated twice (distribution build + probe) — the same
+    acknowledged shape as the banded-cosine signature build; production
+    materializes it once as a feature table (the
+    write_banded_signatures pattern in operators/similarity.py).
+    Deterministic: md5 buckets, no RNG; ln in IEEE double on identical
+    rationals in both engines, rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    from . import dedup
+    # (doc_id, bucket, n, is_tgt): lang rides along from the same scan,
+    # so the raw AND target distributions fall out of ONE aggregation
+    # over this table instead of a second corpus pass + semi-join
+    dbc = (docs
+           .where(F.col(text_col).isNotNull())
+           .select("doc_id",
+                   (F.col("lang") == target_lang).alias("is_tgt"),
+                   F.explode(dedup.word_array(text_col)).alias("word"))
+           .select("doc_id", "is_tgt",
+                   (dedup._h32(F.col("word"), seed="dsir") % n_buckets)
+                   .alias("bucket"))
+           .groupBy("doc_id", "is_tgt", "bucket")
+           .agg(F.count("*").alias("n")))
+
+    buckets = (dbc.groupBy("bucket")
+               .agg(F.sum("n").alias("c_raw"),
+                    F.sum(F.when(F.col("is_tgt"), F.col("n"))
+                          .otherwise(F.lit(0))).alias("c_tgt0")))
+
+    # every probed bucket exists in raw by construction (the probes ARE
+    # corpus tokens); the smoothing totals are windows over the
+    # <= n_buckets rows
+    w = Window.partitionBy()
+    table = (buckets
+             .withColumn("tot_raw", F.sum("c_raw").over(w).cast("double"))
+             .withColumn("tot_tgt", F.sum("c_tgt0").over(w).cast("double"))
+             .select("bucket",
+                     (F.log((F.col("c_tgt0") + 1)
+                            / (F.col("tot_tgt") + n_buckets))
+                      - F.log((F.col("c_raw") + 1)
+                              / (F.col("tot_raw") + n_buckets)))
+                     .alias("log_ratio")))
+
+    return (dbc.join(F.broadcast(table), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("n").cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.col("n") * F.col("log_ratio")), 6)
+                 .alias("log_weight_r"),
+                 F.round(F.sum(F.col("n") * F.col("log_ratio"))
+                         / F.sum("n"), 6).alias("avg_logratio_r")))

@@ -2782,6 +2782,83 @@ FROM starts
 
 # --------------------------------------------------------------------------
 
+
+def q_corpus_mixture_weights(spark, sf_dir):
+    """Training-mixture table per (lang, source) domain: temperature-
+    weighted sampling weight tokens^0.7 / sum, expected token draw at a
+    10M-token budget, and the implied epochs (upsampling factor) — the
+    GPT-3-style mixture table, computed from the corpus itself."""
+    return textstats.mixture_weights(_t(spark, sf_dir, "documents"),
+                                     alpha=0.7, budget_tokens=10_000_000)
+
+
+SQL_MIXTURE_WEIGHTS = r"""
+WITH toks AS (
+  SELECT lang, source,
+         len(list_filter(string_split(lower(regexp_replace(trim(coalesce(text, '')),
+                                                           '\s+', ' ', 'g')), ' '),
+                         w -> len(w) > 0)) AS n_toks
+  FROM documents),
+domains AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY lang, source),
+powed AS (SELECT *, POWER(CAST(n_tokens AS DOUBLE), 0.7) AS pw FROM domains),
+denom AS (SELECT SUM(pw) AS denom FROM powed)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(pw / (SELECT denom FROM denom), 6) AS weight_r,
+       CAST(FLOOR(pw / (SELECT denom FROM denom) * 10000000.0 + 0.5) AS BIGINT)
+         AS expected_tokens,
+       ROUND(pw / (SELECT denom FROM denom) * 10000000.0 / n_tokens, 6)
+         AS epochs_r
+FROM powed
+"""
+
+
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (hashed-unigram bag model, add-one
+    smoothing) of every document against the lang='uk' target domain —
+    the published importance-resampling recipe for picking
+    domain-relevant pretraining data out of a raw crawl."""
+    return textstats.dsir_importance_weights(
+        _t(spark, sf_dir, "documents"), target_lang="uk", n_buckets=256)
+
+
+SQL_DSIR = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(regexp_replace(trim(text),
+                                                              '\s+', ' ', 'g')), ' '),
+                            w -> len(w) > 0)) AS word
+  FROM documents WHERE text IS NOT NULL),
+dbc AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('dsir:' || word), 1, 8)) AS BIGINT) % 256
+           AS bucket,
+         COUNT(*) AS n
+  FROM words GROUP BY 1, 2),
+raw AS (SELECT bucket, SUM(n) AS c_raw FROM dbc GROUP BY bucket),
+tgt AS (
+  SELECT b.bucket, SUM(b.n) AS c_tgt
+  FROM dbc b JOIN documents d USING (doc_id)
+  WHERE d.lang = 'uk' GROUP BY b.bucket),
+tot AS (
+  SELECT (SELECT CAST(SUM(c_raw) AS DOUBLE) FROM raw) AS tot_raw,
+         (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS DOUBLE) FROM tgt) AS tot_tgt),
+ratio AS (
+  SELECT r.bucket,
+         ln((COALESCE(t.c_tgt, 0) + 1) / ((SELECT tot_tgt FROM tot) + 256))
+           - ln((r.c_raw + 1) / ((SELECT tot_raw FROM tot) + 256)) AS log_ratio
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket)
+SELECT b.doc_id,
+       CAST(SUM(b.n) AS BIGINT) AS n_tokens,
+       ROUND(SUM(b.n * x.log_ratio), 6) AS log_weight_r,
+       ROUND(SUM(b.n * x.log_ratio) / SUM(b.n), 6) AS avg_logratio_r
+FROM dbc b JOIN ratio x ON b.bucket = x.bucket
+GROUP BY b.doc_id
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Queries that have never (or only once) had a driver
 # row are placed at the front; queries that were hash-green in BOTH round-1
@@ -2832,6 +2909,8 @@ QUERIES = {
     "term_pmi_pairs": q_term_pmi_pairs,
     "bloom_seen_urls": q_bloom_seen_urls,
     "event_pairs_60s_bucketed": q_event_pairs_60s_bucketed,
+    "corpus_mixture_weights": q_corpus_mixture_weights,
+    "dsir_importance_weights": q_dsir_importance_weights,
     # -- the rest, relative order preserved (except embedding_label_stats,
     # dedup_embedding_cosine, multimodal_media_meta, and the three TPC
     # twins orders_price_percentiles / lineitem_rollup /
@@ -2990,4 +3069,6 @@ ORACLE_SQL = {
     # deliberately the SAME oracle as event_pairs_60s: the bucketed
     # rewrite must be result-identical to the direct interval join
     "event_pairs_60s_bucketed": SQL_EVENT_PAIRS,
+    "corpus_mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "dsir_importance_weights": SQL_DSIR,
 }
