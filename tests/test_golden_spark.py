@@ -177,6 +177,13 @@ def test_arrow_mode_byte_identical(spark, t2_rows):
     assert (got.extracted_text.values == want.extracted_text.values).all()
     m = metrics_table(arrow).toPandas()
     assert m.success.all() and len(m) == 120
+    # non-payload input columns must pass through (same committed
+    # snapshot schema as packed mode minus html/text — a silent `lang`
+    # drop on the mode switch was a review finding)
+    assert "lang" in arrow.columns and "html" not in arrow.columns
+    lang_got = arrow.select("url", "lang").orderBy("url").toPandas()
+    lang_want = pdf[["url", "lang"]].sort_values("url").reset_index(drop=True)
+    assert (lang_got.lang.values == lang_want.lang.values).all()
 
 
 def test_edge_pages_spark_matches_oracle_inline(spark):

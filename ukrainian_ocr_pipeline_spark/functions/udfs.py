@@ -304,11 +304,22 @@ PACKED_ARROW_SCHEMA = T.StructType([
 ])
 
 
+def packed_arrow_schema(passthrough_fields: list) -> T.StructType:
+    """Output schema of the mapInArrow extractor for an arbitrary list
+    of passthrough input StructFields (url must be among them) — the
+    generalization of PACKED_ARROW_SCHEMA that lets arrow mode preserve
+    every non-payload input column (lang, crawl metadata, ...) so its
+    committed snapshot schema matches packed mode's instead of silently
+    dropping columns on a mode switch."""
+    return T.StructType([*passthrough_fields, *PACKED_FIELDS])
+
+
 def make_packed_extract_arrow(terms: list[str] | None,
                               threshold: float = 0.8,
                               with_matches: bool = True,
                               with_regions: bool = True,
-                              ner_backend=None, min_length: int = 3):
+                              ner_backend=None, min_length: int = 3,
+                              passthrough: tuple[str, ...] = ("url", "warc_ts")):
     """mapInArrow twin of make_packed_extract_udf: same spec calls, same
     output values, but the nested span/match/region columns are built as
     flat Arrow child arrays + offsets (StructArray/ListArray.from_arrays)
@@ -317,7 +328,9 @@ def make_packed_extract_arrow(terms: list[str] | None,
     Python-side cost the spec work doesn't amortize.
 
     Returns a generator function for DataFrame.mapInArrow with
-    PACKED_ARROW_SCHEMA; input must be (url, warc_ts, html).
+    packed_arrow_schema(passthrough fields); input batches must carry
+    every ``passthrough`` column plus html, and the passthrough columns
+    (url, warc_ts, lang, ...) are echoed zero-copy from the input batch.
     """
     import pyarrow as pa
 
@@ -400,14 +413,14 @@ def make_packed_extract_arrow(terms: list[str] | None,
                      pa.array(rg[2], pa.int32()), pa.array(rg[3], pa.string())],
                     names=["start", "end", "n_entities", "label"]))
             yield pa.RecordBatch.from_arrays(
-                [batch.column("url"), batch.column("warc_ts"),
+                [*[batch.column(c) for c in passthrough],
                  pa.array(texts, pa.string()), spans_arr, matches_arr,
                  regions_arr, pa.array(kinds, pa.string()),
                  pa.array(charsets, pa.string()), pa.array(levels, pa.int32()),
                  pa.array(oks, pa.bool_()), pa.array(errs, pa.string()),
                  pa.array(n_det, pa.int32()), pa.array(n_kept, pa.int32()),
                  pa.array(tms, pa.float64())],
-                names=[f.name for f in PACKED_ARROW_SCHEMA.fields])
+                names=[*passthrough, *[f.name for f in PACKED_FIELDS]])
 
     return fn
 

@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.udfs import (
-    PACKED_ARROW_SCHEMA, make_enrich_udf, make_packed_extract_arrow,
-    make_packed_extract_udf, segment_pages_udf,
+    make_enrich_udf, make_packed_extract_arrow, make_packed_extract_udf,
+    packed_arrow_schema, segment_pages_udf,
 )
 from ..spec import default_lexicon
 
@@ -88,14 +88,22 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
 
     if mode == "arrow":
         # mapInArrow twin of packed: identical values, nested output
-        # columns built as flat Arrow child arrays (~3x faster conversion).
-        # Keeps only (url, warc_ts) of the input columns.
+        # columns built as flat Arrow child arrays (~3x faster
+        # conversion).  Every input column EXCEPT the two heavyweight
+        # payloads (html, text) passes through — same committed snapshot
+        # schema as packed mode modulo those payloads (which jobs drop
+        # before the write anyway); in mapInArrow the passthrough rides
+        # the Arrow batch, so shipping multi-MB payload columns back out
+        # of Python would erase the mode's conversion win.
+        passthrough = [c for c in df.columns if c not in ("html", "text")]
         fn = make_packed_extract_arrow(lex, threshold=match_threshold,
                                        with_matches=with_matches,
                                        with_regions=with_regions,
                                        ner_backend=ner_backend,
-                                       min_length=match_min_length)
-        return df.select("url", "warc_ts", "html").mapInArrow(fn, PACKED_ARROW_SCHEMA)
+                                       min_length=match_min_length,
+                                       passthrough=tuple(passthrough))
+        schema = packed_arrow_schema([df.schema[c] for c in passthrough])
+        return df.select(*passthrough, "html").mapInArrow(fn, schema)
 
     if mode == "packed":
         packed = make_packed_extract_udf(lex, threshold=match_threshold,

@@ -598,7 +598,10 @@ def mixture_weights(docs: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     from . import dedup
-    toks = F.coalesce(F.size(dedup.word_array(text_col)), F.lit(0))
+    # greatest-guard, not coalesce: legacy (non-ANSI) sessions return -1
+    # for size(NULL) instead of NULL (word_array docstring; same idiom
+    # as hashed_classifier_score / packing)
+    toks = F.greatest(F.size(dedup.word_array(text_col)), F.lit(0))
     domains = (docs
                .select(F.col(lang_col).alias("lang"),
                        F.col(source_col).alias("source"),
@@ -616,9 +619,14 @@ def mixture_weights(docs: DataFrame, text_col: str = "text",
                     F.floor(F.col("pw") / F.col("denom")
                             * F.lit(float(budget_tokens)) + 0.5)
                     .cast("bigint").alias("expected_tokens"),
+                    # greatest-guard: a domain of only empty/NULL-text
+                    # docs has n_tokens = 0 (weight 0 — pw = 0^alpha);
+                    # ANSI sessions would otherwise abort the job on
+                    # DIVIDE_BY_ZERO instead of reporting the 0-row
                     F.round(F.col("pw") / F.col("denom")
                             * F.lit(float(budget_tokens))
-                            / F.col("n_tokens"), 6).alias("epochs_r")))
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("epochs_r")))
 
 
 def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
@@ -651,8 +659,11 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
     acknowledged shape as the banded-cosine signature build; production
     materializes it once as a feature table (the
     write_banded_signatures pattern in operators/similarity.py).
-    Deterministic: md5 buckets, no RNG; ln in IEEE double on identical
-    rationals in both engines, rounded to 6 dp.
+    Deterministic: md5 buckets, no RNG; the per-bucket log ratio (ln in
+    IEEE double on identical rationals in both engines) is fixed to
+    micro precision as a BIGINT before the per-doc accumulation, so the
+    weighted sum is exact integer arithmetic — immune to FP addition
+    order across partitionings and engines.
     """
     from pyspark.sql import Window
 
@@ -680,20 +691,26 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
     # corpus tokens); the smoothing totals are windows over the
     # <= n_buckets rows
     w = Window.partitionBy()
+    # per-bucket log ratio fixed to MICRO precision (bigint) before the
+    # per-doc sum: the weighted accumulation is then EXACT integer
+    # arithmetic — reproducible across partitionings, aggregation
+    # orders, and engines (the hashed_classifier_score idiom); the only
+    # float op per bucket is a pure function of the bucket table
     table = (buckets
              .withColumn("tot_raw", F.sum("c_raw").over(w).cast("double"))
              .withColumn("tot_tgt", F.sum("c_tgt0").over(w).cast("double"))
              .select("bucket",
-                     (F.log((F.col("c_tgt0") + 1)
-                            / (F.col("tot_tgt") + n_buckets))
-                      - F.log((F.col("c_raw") + 1)
-                              / (F.col("tot_raw") + n_buckets)))
-                     .alias("log_ratio")))
+                     F.floor((F.log((F.col("c_tgt0") + 1)
+                                    / (F.col("tot_tgt") + n_buckets))
+                              - F.log((F.col("c_raw") + 1)
+                                      / (F.col("tot_raw") + n_buckets)))
+                             * 1000000 + 0.5).cast("bigint")
+                     .alias("lr_micro")))
 
     return (dbc.join(F.broadcast(table), "bucket")
             .groupBy("doc_id")
             .agg(F.sum("n").cast("long").alias("n_tokens"),
-                 F.round(F.sum(F.col("n") * F.col("log_ratio")), 6)
+                 F.round(F.sum(F.col("n") * F.col("lr_micro")) / 1e6, 6)
                  .alias("log_weight_r"),
-                 F.round(F.sum(F.col("n") * F.col("log_ratio"))
+                 F.round(F.sum(F.col("n") * F.col("lr_micro")) / 1e6
                          / F.sum("n"), 6).alias("avg_logratio_r")))

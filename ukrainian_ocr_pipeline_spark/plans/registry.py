@@ -2809,8 +2809,8 @@ SELECT lang, source, n_docs, n_tokens,
        ROUND(pw / (SELECT denom FROM denom), 6) AS weight_r,
        CAST(FLOOR(pw / (SELECT denom FROM denom) * 10000000.0 + 0.5) AS BIGINT)
          AS expected_tokens,
-       ROUND(pw / (SELECT denom FROM denom) * 10000000.0 / n_tokens, 6)
-         AS epochs_r
+       ROUND(pw / (SELECT denom FROM denom) * 10000000.0
+             / GREATEST(n_tokens, 1), 6) AS epochs_r
 FROM powed
 """
 
@@ -2847,13 +2847,15 @@ tot AS (
          (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS DOUBLE) FROM tgt) AS tot_tgt),
 ratio AS (
   SELECT r.bucket,
-         ln((COALESCE(t.c_tgt, 0) + 1) / ((SELECT tot_tgt FROM tot) + 256))
-           - ln((r.c_raw + 1) / ((SELECT tot_raw FROM tot) + 256)) AS log_ratio
+         CAST(FLOOR((ln((COALESCE(t.c_tgt, 0) + 1)
+                        / ((SELECT tot_tgt FROM tot) + 256))
+                     - ln((r.c_raw + 1) / ((SELECT tot_raw FROM tot) + 256)))
+                    * 1000000 + 0.5) AS BIGINT) AS lr_micro
   FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket)
 SELECT b.doc_id,
        CAST(SUM(b.n) AS BIGINT) AS n_tokens,
-       ROUND(SUM(b.n * x.log_ratio), 6) AS log_weight_r,
-       ROUND(SUM(b.n * x.log_ratio) / SUM(b.n), 6) AS avg_logratio_r
+       ROUND(SUM(b.n * x.lr_micro) / 1e6, 6) AS log_weight_r,
+       ROUND(SUM(b.n * x.lr_micro) / 1e6 / SUM(b.n), 6) AS avg_logratio_r
 FROM dbc b JOIN ratio x ON b.bucket = x.bucket
 GROUP BY b.doc_id
 """
@@ -2918,10 +2920,13 @@ QUERIES = {
     # window by the round-3 additions; the late-round sketch/index/PMI/
     # bloom/bucketed-join queries push a further block of multi-round
     # hash-green dedup/embedding entries (dedup_minhash_signatures ..
-    # dedup_embedding_cosine_banded) past the window.  Policy: every
-    # displaced entry is hash-green in MULTIPLE prior driver rounds and
-    # stays covered by the local all-query mirror at three scales;
-    # never-witnessed queries always take window priority) --
+    # dedup_embedding_cosine_banded) past the window, and the final
+    # mixture/DSIR additions displace corpus_curation (hash-green in
+    # the r2 driver artifact) and dedup_exact (hash-green in r1 AND
+    # r2).  Policy: every NEVER-witnessed query sits inside the
+    # window; displaced entries have at least one prior hash-green
+    # driver row and stay covered by the local all-query mirror at
+    # three scales) --
     "high_volume_customers": q_high_volume_customers,
     "nation_set_ops": q_nation_set_ops,
     "nation_name_similarity": q_nation_name_similarity,
