@@ -9,7 +9,11 @@ gate (Gopher/C4-style, deterministic first-fail reason) -> optional
 model-based gate (--classifier-gate: fastText-style hashing-trick
 classifier, exact integer margins) -> exact dedup (content-digest
 keeper) -> near-dup dedup (MinHash -> LSH -> exact Jaccard verify ->
-connected-component clusters) -> optional per-host cap (--host-cap N:
+connected-component clusters) -> optional DSIR domain selection
+(--dsir-select N: keep the N survivors most like the
+--dsir-target-lang domain by hashed-ngram importance weight, the
+Xie et al. 2023 recipe as a deterministic top-N) -> optional per-host
+cap (--host-cap N:
 at most N surviving docs per source host, salted two-stage
 deterministic sample) -> optional temperature-based language
 rebalancing (--temperature-alpha A: deterministic md5-bucket
@@ -29,7 +33,7 @@ redaction rewrites the FINAL text last.
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
                       ('kept' | 'quality:<reason>' | 'classifier' |
-                      'dup_exact' | 'dup_near' | 'host_cap' |
+                      'dup_exact' | 'dup_near' | 'dsir' | 'host_cap' |
                       'lang_sample'), the keeper doc for
                       dups, and the split for kept docs — the audit
                       trail / drop list.
@@ -83,6 +87,15 @@ def main(argv=None) -> int:
                    help="rebalance languages among the final survivors"
                         " by p^alpha temperature sampling (0 = off;"
                         " 1.0 keeps everything)")
+    p.add_argument("--dsir-select", type=int, default=0,
+                   help="keep only the N dedup survivors most like the"
+                        " target domain by DSIR importance weight"
+                        " (0 = off); deterministic top-N by"
+                        " (log_weight desc, doc_id)")
+    p.add_argument("--dsir-target-lang", default="uk",
+                   help="target domain for --dsir-select: documents of"
+                        " this language define the target hashed-ngram"
+                        " distribution")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -96,6 +109,10 @@ def main(argv=None) -> int:
         # alpha > 1 inverts the rebalancing (upsamples head languages
         # by DROPPING tail docs) — outside this job's remit; reject
         p.error("--temperature-alpha must be in [0, 1] (0 disables)")
+    if args.dsir_select < 0:
+        # negative N would read as "drop everything" through the top-N
+        # cut — same footgun class as a negative host cap; reject
+        p.error("--dsir-select must be >= 0 (0 disables the stage)")
     if args.host_cap < 0:
         # a negative cap keeps nothing: every survivor would be dropped
         # as host_cap and the empty snapshot committed (idempotency then
@@ -177,6 +194,28 @@ def main(argv=None) -> int:
         final_ids = surv_ids.join(dropped_n.select("doc_id"), "doc_id",
                                   "left_anti")
 
+        # DSIR domain selection among the dedup survivors (select AFTER
+        # dedup so duplicates never consume selection budget — the same
+        # ordering argument as the host cap): keep the N docs most like
+        # the target domain by importance weight, deterministic top-N
+        # via TakeOrderedAndProject (bounded heap per partition — the
+        # registry's established top-k shape, never a global window).
+        # Docs with no tokens have no weight row and are never selected
+        # — a no-signal document cannot "look like" the target.
+        if args.dsir_select:
+            surv = docs.join(final_ids, "doc_id")
+            wts = textstats.dsir_importance_weights(
+                surv, target_lang=args.dsir_target_lang)
+            chosen = (wts.orderBy(F.desc("log_weight_r"), "doc_id")
+                      .limit(args.dsir_select).select("doc_id"))
+            dropped_d = (final_ids.join(chosen, "doc_id", "left_anti")
+                         .select("doc_id", F.lit("dsir").alias("status"),
+                                 F.lit(None).cast("long")
+                                 .alias("keeper_doc_id")))
+            final_ids = chosen
+        else:
+            dropped_d = dropped_x.limit(0)
+
         # per-host cap among the dedup survivors (cap AFTER dedup so
         # dropped duplicates never consume a host's sample slots).
         # NULL-source docs are NOT a host: they pass through uncapped
@@ -224,8 +263,8 @@ def main(argv=None) -> int:
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
         return (dropped_q.unionByName(dropped_c).unionByName(dropped_x)
-                .unionByName(dropped_n).unionByName(dropped_h)
-                .unionByName(dropped_t)
+                .unionByName(dropped_n).unionByName(dropped_d)
+                .unionByName(dropped_h).unionByName(dropped_t)
                 .withColumn("split", F.lit(None).cast("string"))
                 .unionByName(kept.withColumn("split", split)))
 
@@ -277,6 +316,7 @@ def main(argv=None) -> int:
         "dropped_near_dup": counts.get("dup_near", 0),
         "dropped_host_cap": counts.get("host_cap", 0),
         "dropped_classifier": counts.get("classifier", 0),
+        "dropped_dsir": counts.get("dsir", 0),
         "dropped_lang_sample": counts.get("lang_sample", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,

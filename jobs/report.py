@@ -20,6 +20,12 @@ option).  Every statistic is an already-verified registry operator:
                   (sketches.cm_heavy_hitters) with exact counts and
                   overcounts — boilerplate/spam phrase drift shows up
                   here first.
+  report_mixture  one row per (lang, source) domain: the
+                  temperature-weighted training-mixture table
+                  (textstats.mixture_weights) — sampling weight,
+                  expected token draw at --budget-tokens, implied
+                  epochs; the table a training run's data loader is
+                  configured from.
   report_summary  ONE row: doc counts, NULL/empty-text count, exact
                   content-duplicate rate (dedup.exact_duplicates),
                   mean quality-gate pass rate (textstats.quality_filter)
@@ -50,6 +56,12 @@ def main(argv=None) -> int:
     p.add_argument("--snapshot-id", required=True)
     p.add_argument("--top-terms", type=int, default=20,
                    help="heavy-hitter terms to report")
+    p.add_argument("--mixture-alpha", type=float, default=0.7,
+                   help="temperature exponent for the report_mixture"
+                        " training-mixture table")
+    p.add_argument("--budget-tokens", type=int, default=10_000_000,
+                   help="training token budget the report_mixture"
+                        " expected-draw/epochs columns are computed at")
     p.add_argument("--min-words", type=int, default=5,
                    help="quality-gate minimum word count (summary rate)")
     p.add_argument("--master", default=None,
@@ -95,6 +107,11 @@ def main(argv=None) -> int:
     def build_terms():
         return sketches.cm_heavy_hitters(docs, top_k=args.top_terms)
 
+    # -- training-mixture table ----------------------------------------------
+    def build_mixture():
+        return textstats.mixture_weights(docs, alpha=args.mixture_alpha,
+                                         budget_tokens=args.budget_tokens)
+
     # -- one-row summary ----------------------------------------------------
     def build_summary():
         dups = dedup.exact_duplicates(docs)
@@ -128,6 +145,7 @@ def main(argv=None) -> int:
 
     for table, build in [("report_lang", build_lang),
                          ("report_terms", build_terms),
+                         ("report_mixture", build_mixture),
                          ("report_summary", build_summary)]:
         if not cat.is_committed(table, args.snapshot_id):
             cat.write_snapshot(build(), table, args.snapshot_id)
@@ -136,8 +154,10 @@ def main(argv=None) -> int:
                                 args.snapshot_id).collect()[0].asDict()
     n_langs = cat.read_snapshot(spark, "report_lang", args.snapshot_id).count()
     n_terms = cat.read_snapshot(spark, "report_terms", args.snapshot_id).count()
+    n_domains = cat.read_snapshot(spark, "report_mixture",
+                                  args.snapshot_id).count()
     stats = {"snapshot_id": args.snapshot_id, "langs": n_langs,
-             "terms": n_terms, **summary}
+             "terms": n_terms, "mixture_domains": n_domains, **summary}
     print(json.dumps(stats))
 
     if existing is None:

@@ -335,3 +335,48 @@ def test_curate_temperature_alpha_one_is_noop_and_bounds_rejected(
             job.main(["--docs", f"{SF_DIR}/documents.parquet",
                       "--warehouse", wh, "--snapshot-id", "c9",
                       "--temperature-alpha", bad])
+
+
+def test_curate_job_dsir_selection_stage(spark, tmp_path, capsys):
+    """--dsir-select N keeps exactly the standalone operator's top-N by
+    (log_weight desc, doc_id) among dedup survivors; the rest of the
+    survivors are status='dsir'; stats add up; negative N rejected."""
+    import pytest
+
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "c9", "--dsir-select", "100",
+                   "--dsir-target-lang", "uk"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_out"] == 100
+    assert stats["dropped_dsir"] > 0
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_exact_dup"] + stats["dropped_near_dup"]
+            + stats["dropped_dsir"]) == stats["docs_in"]
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    dec = SnapshotCatalog(wh).read_snapshot(
+        spark, "curation_decisions", "c9")
+    docs = spark.read.parquet(docs_path)
+
+    # kept set = standalone DSIR top-100 over the dedup-survivor pool
+    pool = (dec.where(F.col("status").isin("kept", "dsir"))
+            .select("doc_id"))
+    wts = textstats.dsir_importance_weights(docs.join(pool, "doc_id"),
+                                            target_lang="uk")
+    want = {r["doc_id"] for r in
+            wts.orderBy(F.desc("log_weight_r"), "doc_id").limit(100)
+            .select("doc_id").collect()}
+    got = {r["doc_id"] for r in dec.where(F.col("status") == "kept")
+           .select("doc_id").collect()}
+    assert got == want
+
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "c9b", "--dsir-select", "-1"])

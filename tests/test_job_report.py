@@ -97,3 +97,28 @@ def test_report_lang_zeroes_for_all_null_text_lang(spark, tmp_path, capsys):
     assert lang["xx"]["distinct_tokens_exact"] == 0
     assert lang["xx"]["distinct_tokens_hll_r"] == 0.0
     assert lang["xx"]["rel_err_r"] == 0.0
+
+
+def test_report_mixture_table_matches_operator(spark, tmp_path, capsys):
+    """report_mixture must equal the standalone mixture_weights operator
+    cell-for-cell at the job's flag values."""
+    import report as job
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "rmix", "--mixture-alpha", "0.5",
+                   "--budget-tokens", "1000000"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    got = (SnapshotCatalog(wh).read_snapshot(spark, "report_mixture", "rmix")
+           .orderBy("lang", "source").collect())
+    want = (textstats.mixture_weights(spark.read.parquet(docs_path),
+                                      alpha=0.5, budget_tokens=1000000)
+            .orderBy("lang", "source").collect())
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert stats["mixture_domains"] == len(want) > 0
