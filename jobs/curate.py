@@ -204,6 +204,18 @@ def main(argv=None) -> int:
         # — a no-signal document cannot "look like" the target.
         if args.dsir_select:
             surv = docs.join(final_ids, "doc_id")
+            if surv.where(F.col("lang")
+                          == args.dsir_target_lang).limit(1).count() == 0:
+                # a typo'd target lang would silently degrade selection
+                # into rank-by-token-rarity (tot_tgt = 0 makes every
+                # bucket's target term the same smoothing constant) and
+                # idempotency would pin the wrong corpus to this
+                # snapshot-id — fail loudly before anything commits
+                raise SystemExit(json.dumps(
+                    {"error": "dsir_target_lang_empty",
+                     "detail": f"no surviving documents have lang="
+                               f"{args.dsir_target_lang!r}; check"
+                               f" --dsir-target-lang"}, sort_keys=True))
             wts = textstats.dsir_importance_weights(
                 surv, target_lang=args.dsir_target_lang)
             chosen = (wts.orderBy(F.desc("log_weight_r"), "doc_id")

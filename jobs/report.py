@@ -31,15 +31,16 @@ option).  Every statistic is an already-verified registry operator:
                   mean quality-gate pass rate (textstats.quality_filter)
                   and mean doc length — the headline numbers.
 
-All three tables commit atomically through the snapshot catalog:
+All four tables commit atomically through the snapshot catalog:
 re-running the same --snapshot-id is an idempotent no-op, a crashed run
 resumes from nothing-committed (the same contract as jobs/curate.py and
 jobs/index.py).
 
 Scale shape: the corpus is scanned a bounded number of times, each pass
 ending in a partial-agg whose shuffle is sketch-sized (registers /
-sketch cells / digest groups), never row-sized; no Python workers, no
-collect — the only driver-side rows are the final tiny stats line.
+sketch cells / digest groups) or domain-sized (the mixture table's
+(lang, source) rows), never row-sized; no Python workers, no collect —
+the only driver-side rows are the final tiny stats line.
 """
 
 from __future__ import annotations
@@ -67,6 +68,16 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None,
                    help="override spark master (default from session)")
     args = p.parse_args(argv)
+
+    if not (0 <= args.mixture_alpha <= 1):
+        # alpha > 1 overweights head domains and a NEGATIVE alpha turns
+        # an all-empty-text domain into pow(0, a<0) = Infinity, zeroing
+        # every real domain's weight; idempotent commits would then pin
+        # the garbage table to the snapshot-id — reject at parse time
+        # (same footgun contract as curate.py's --temperature-alpha)
+        p.error("--mixture-alpha must be in [0, 1]")
+    if args.budget_tokens <= 0:
+        p.error("--budget-tokens must be > 0")
 
     from pyspark.sql import SparkSession, functions as F
 

@@ -380,3 +380,21 @@ def test_curate_job_dsir_selection_stage(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         job.main(["--docs", docs_path, "--warehouse", wh,
                   "--snapshot-id", "c9b", "--dsir-select", "-1"])
+
+
+def test_curate_dsir_typod_target_lang_fails_loudly(spark, tmp_path,
+                                                    capsys):
+    """A --dsir-target-lang with zero surviving docs must abort before
+    anything commits (typo guard), not silently rank by token rarity."""
+    import pytest
+
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    with pytest.raises(SystemExit, match="dsir_target_lang_empty"):
+        job.main(["--docs", f"{SF_DIR}/documents.parquet",
+                  "--warehouse", wh, "--snapshot-id", "c10",
+                  "--dsir-select", "50", "--dsir-target-lang", "ukr"])
+    assert not SnapshotCatalog(wh).is_committed("curation_decisions", "c10")

@@ -122,3 +122,16 @@ def test_report_mixture_table_matches_operator(spark, tmp_path, capsys):
             .orderBy("lang", "source").collect())
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
     assert stats["mixture_domains"] == len(want) > 0
+
+
+def test_report_mixture_flag_bounds_rejected(tmp_path):
+    import pytest
+
+    import report as job
+
+    for bad in (["--mixture-alpha", "-1"], ["--mixture-alpha", "1.5"],
+                ["--budget-tokens", "0"]):
+        with pytest.raises(SystemExit):
+            job.main(["--docs", f"{SF_DIR}/documents.parquet",
+                      "--warehouse", str(tmp_path / "wh"),
+                      "--snapshot-id", "rbad", *bad])
