@@ -92,10 +92,10 @@ def main(argv=None) -> int:
                         " target domain by DSIR importance weight"
                         " (0 = off); deterministic top-N by"
                         " (log_weight desc, doc_id)")
-    p.add_argument("--dsir-target-lang", default="uk",
-                   help="target domain for --dsir-select: documents of"
-                        " this language define the target hashed-ngram"
-                        " distribution")
+    p.add_argument("--dsir-target-lang", default=None,
+                   help="target domain for --dsir-select (required with"
+                        " it): documents of this language define the"
+                        " target hashed-ngram distribution")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -113,6 +113,11 @@ def main(argv=None) -> int:
         # negative N would read as "drop everything" through the top-N
         # cut — same footgun class as a negative host cap; reject
         p.error("--dsir-select must be >= 0 (0 disables the stage)")
+    if args.dsir_select and not args.dsir_target_lang:
+        # no sane universal default exists (a wrong one is caught only
+        # after the full dedup pipeline has run) — make the target an
+        # explicit decision
+        p.error("--dsir-select requires --dsir-target-lang")
     if args.host_cap < 0:
         # a negative cap keeps nothing: every survivor would be dropped
         # as host_cap and the empty snapshot committed (idempotency then

@@ -351,7 +351,7 @@ def test_curate_job_dsir_selection_stage(spark, tmp_path, capsys):
     docs_path = f"{SF_DIR}/documents.parquet"
     rc = job.main(["--docs", docs_path, "--warehouse", wh,
                    "--snapshot-id", "c9", "--dsir-select", "100",
-                   "--dsir-target-lang", "uk"])
+                   "--dsir-target-lang", "fr"])
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["docs_out"] == 100
@@ -369,7 +369,7 @@ def test_curate_job_dsir_selection_stage(spark, tmp_path, capsys):
     pool = (dec.where(F.col("status").isin("kept", "dsir"))
             .select("doc_id"))
     wts = textstats.dsir_importance_weights(docs.join(pool, "doc_id"),
-                                            target_lang="uk")
+                                            target_lang="fr")
     want = {r["doc_id"] for r in
             wts.orderBy(F.desc("log_weight_r"), "doc_id").limit(100)
             .select("doc_id").collect()}
@@ -379,7 +379,11 @@ def test_curate_job_dsir_selection_stage(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         job.main(["--docs", docs_path, "--warehouse", wh,
-                  "--snapshot-id", "c9b", "--dsir-select", "-1"])
+                  "--snapshot-id", "c9b", "--dsir-select", "-1",
+                  "--dsir-target-lang", "fr"])
+    with pytest.raises(SystemExit):  # target lang required with the stage
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "c9c", "--dsir-select", "10"])
 
 
 def test_curate_dsir_typod_target_lang_fails_loudly(spark, tmp_path,

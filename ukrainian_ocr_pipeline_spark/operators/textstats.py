@@ -707,10 +707,19 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
                              * 1000000 + 0.5).cast("bigint")
                      .alias("lr_micro")))
 
+    # the average is half-up-rounded AT MICRO PRECISION on the exact
+    # integer sum (floor(sum/n + 0.5) — one IEEE division of exact
+    # integers, identical in both engines) instead of rounding the
+    # sum/1e6/n double to 6 dp: that division lands exactly BETWEEN
+    # 6-dp grid points whenever n divides 2*sum, and Spark (BigDecimal
+    # of the double's exact binary value) and DuckDB (multiply-then-
+    # round) resolve such ties through different float paths — a real
+    # sf0.1 flake, not a theoretical one
+    sum_micro = F.sum(F.col("n") * F.col("lr_micro"))
+    n_sum = F.sum("n")
     return (dbc.join(F.broadcast(table), "bucket")
             .groupBy("doc_id")
-            .agg(F.sum("n").cast("long").alias("n_tokens"),
-                 F.round(F.sum(F.col("n") * F.col("lr_micro")) / 1e6, 6)
-                 .alias("log_weight_r"),
-                 F.round(F.sum(F.col("n") * F.col("lr_micro")) / 1e6
-                         / F.sum("n"), 6).alias("avg_logratio_r")))
+            .agg(n_sum.cast("long").alias("n_tokens"),
+                 F.round(sum_micro / 1e6, 6).alias("log_weight_r"),
+                 (F.floor(sum_micro / n_sum + F.lit(0.5)).cast("bigint")
+                  / F.lit(1e6)).alias("avg_logratio_r")))

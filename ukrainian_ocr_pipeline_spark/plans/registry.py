@@ -2817,11 +2817,13 @@ FROM powed
 
 def q_dsir_importance_weights(spark, sf_dir):
     """DSIR importance weights (hashed-unigram bag model, add-one
-    smoothing) of every document against the lang='uk' target domain —
-    the published importance-resampling recipe for picking
+    smoothing) of every document against the lang='fr' target domain
+    (a real minority slice of the corpus, so the target distribution is
+    nonempty and the ranking exercises the genuine importance-ratio
+    path) — the published importance-resampling recipe for picking
     domain-relevant pretraining data out of a raw crawl."""
     return textstats.dsir_importance_weights(
-        _t(spark, sf_dir, "documents"), target_lang="uk", n_buckets=256)
+        _t(spark, sf_dir, "documents"), target_lang="fr", n_buckets=256)
 
 
 SQL_DSIR = r"""
@@ -2841,7 +2843,7 @@ raw AS (SELECT bucket, SUM(n) AS c_raw FROM dbc GROUP BY bucket),
 tgt AS (
   SELECT b.bucket, SUM(b.n) AS c_tgt
   FROM dbc b JOIN documents d USING (doc_id)
-  WHERE d.lang = 'uk' GROUP BY b.bucket),
+  WHERE d.lang = 'fr' GROUP BY b.bucket),
 tot AS (
   SELECT (SELECT CAST(SUM(c_raw) AS DOUBLE) FROM raw) AS tot_raw,
          (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS DOUBLE) FROM tgt) AS tot_tgt),
@@ -2855,7 +2857,11 @@ ratio AS (
 SELECT b.doc_id,
        CAST(SUM(b.n) AS BIGINT) AS n_tokens,
        ROUND(SUM(b.n * x.lr_micro) / 1e6, 6) AS log_weight_r,
-       ROUND(SUM(b.n * x.lr_micro) / 1e6 / SUM(b.n), 6) AS avg_logratio_r
+       -- half-up at micro precision on the exact integer sum (see the
+       -- operator docstring: rounding the double quotient to 6 dp ties
+       -- between grid points and the engines resolve ties differently)
+       CAST(FLOOR(SUM(b.n * x.lr_micro) * 1.0 / SUM(b.n) + 0.5) AS BIGINT)
+         / 1e6 AS avg_logratio_r
 FROM dbc b JOIN ratio x ON b.bucket = x.bucket
 GROUP BY b.doc_id
 """
