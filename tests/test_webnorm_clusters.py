@@ -150,6 +150,55 @@ def test_cluster_assign_raises_without_convergence(spark):
                              max_iter=2)
 
 
+def test_cluster_assign_star_components(spark):
+    # same graph as the label-propagation test: output must be identical
+    out = dedup.cluster_assign_star(_pairs(spark, [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+    ]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert rows[4]["cluster_size"] == 4
+    assert rows[12]["cluster_size"] == 3
+    assert [d for d, r in sorted(rows.items()) if r["is_keeper"]] == [1, 10, 20]
+
+
+def test_cluster_assign_star_chain_logarithmic(spark):
+    # a 33-vertex chain: label propagation needs 32 rounds; star
+    # contraction must finish within ~log2(n) round pairs — the whole
+    # point of the variant.  8 rounds is the generous ceiling.
+    out = dedup.cluster_assign_star(
+        _pairs(spark, [(i, i + 1) for i in range(32)]), max_iter=8)
+    rows = out.collect()
+    assert set(r["cluster_id"] for r in rows) == {0}
+    assert len(rows) == 33
+    assert sum(r["is_keeper"] for r in rows) == 1
+
+
+def test_cluster_assign_star_matches_label_propagation(spark):
+    # deterministic scrambled graph (multi-component, shared edges in
+    # both orientations, a self-loop): both algorithms must agree
+    edges = [(7, 3), (3, 9), (9, 7), (14, 2), (2, 25), (40, 41),
+             (41, 40), (5, 5), (5, 6), (30, 31), (31, 32), (32, 33),
+             (33, 30), (99, 1)]
+    a = dedup.cluster_assign(_pairs(spark, edges))
+    b = dedup.cluster_assign_star(_pairs(spark, edges))
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    # label propagation keeps self-loop-only vertices too; both see 5
+    # via (5,6) here, so the vertex sets agree
+    assert ra == rb
+
+
+def test_cluster_assign_star_raises_without_convergence(spark):
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_assign_star(
+            _pairs(spark, [(i, i + 1) for i in range(32)]), max_iter=1)
+
+
 # ------------------------------------------------- incremental dedup
 
 def test_incremental_dedup_statuses(spark):

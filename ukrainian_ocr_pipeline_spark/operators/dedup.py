@@ -389,6 +389,93 @@ def cluster_assign(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
                     (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    # For every vertex u: m = min(neighbors(u) + {u}); connect each
+    # strictly LARGER neighbor to m.  Input/output edges canonical
+    # (u > v); output stays canonical because m <= u < neighbor.
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    mins = (sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # For every vertex u (over its SMALLER neighbors, canonical input
+    # already orients u > v): m = min(smaller neighbors); connect u and
+    # every smaller neighbor to m.  m < u and m <= each neighbor, so
+    # the output is canonical too.
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    to_small = (edges.join(mins, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    to_center = mins.select("u", F.col("m").alias("v"))
+    return to_small.union(to_center).distinct()
+
+
+def cluster_assign_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round variant `cluster_assign`'s docstring points to
+    for adversarial graphs at cluster scale.
+
+    Same contract as `cluster_assign` (input (doc_a, doc_b) pairs;
+    output (doc_id, cluster_id, cluster_size, is_keeper) with
+    cluster_id = component minimum), so the two are interchangeable and
+    share one oracle.  The difference is convergence: min-label
+    propagation needs diameter-many rounds (a 10^6-vertex path graph —
+    e.g. a chain of boilerplate-templated pages each near-dup of the
+    next — would need 10^6 shuffles), while star contraction halves
+    component height per round pair, so even pathological chains finish
+    in ~log2(n) rounds.  Each round is two self-contained
+    groupBy+join shuffles on vertex id — the same per-round cost shape
+    as one label-propagation round.
+
+    Fixpoint = the edge set is unchanged by a full large+small round;
+    at that point every component is a star centered at its minimum,
+    and labels read directly off the edges with no further joins.
+    Raises after `max_iter` rounds rather than returning a partial
+    clustering (matches `cluster_assign`).
+    """
+    # canonical undirected edge list (u > v), self-loops dropped,
+    # materialized once so upstream pair generation never re-runs
+    edges = (pairs.where(F.col("doc_a") != F.col("doc_b"))
+             .select(F.greatest("doc_a", "doc_b").alias("u"),
+                     F.least("doc_a", "doc_b").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    verts = (edges.select(F.col("u").alias("doc_id"))
+             .union(edges.select(F.col("v").alias("doc_id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        # distinct canonical sets: equal iff same size and no new edge
+        if n_nxt == n_edges and nxt.exceptAll(edges).limit(1).count() == 0:
+            edges = nxt
+            break
+        edges, n_edges = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"cluster_assign_star did not converge in {max_iter} rounds")
+    # fixpoint edges are (member, root) stars; roots have no out-edge
+    labels = (verts.join(edges.select(F.col("u").alias("doc_id"),
+                                      F.col("v").alias("root")),
+                         "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce(F.col("root"), F.col("doc_id"))
+                      .alias("cluster_id")))
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")))
+
+
 def incremental_dedup(existing: DataFrame, incoming: DataFrame,
                       text_col: str = "text") -> DataFrame:
     """Ingest-time dedup: classify every document of an incoming batch

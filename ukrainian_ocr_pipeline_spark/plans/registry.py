@@ -1432,6 +1432,16 @@ FROM labels l JOIN sized s USING (cluster_id)
 """.replace("__PAIRS__", SQL_NEAR_DUP_VERIFIED)
 
 
+def q_dedup_cluster_assign_star(spark, sf_dir):
+    """Same transitive clusters via alternating large-star/small-star
+    contraction (O(log n) rounds on adversarial chain graphs — the
+    variant the label-propagation docstring defers to at cluster
+    scale).  Shares cluster_assign's oracle: identical output contract,
+    so the recursive-CTE twin verifies both."""
+    return dedup.cluster_assign_star(
+        dedup.verified_near_dups(_t(spark, sf_dir, "documents")))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the customer<->supplier trade graph — the
     relational twin of link-graph host ranking (crawl prioritization /
@@ -2982,6 +2992,9 @@ QUERIES = {
     "event_pairs_60s": q_event_pairs_60s,
     "event_category_rollup": q_event_category_rollup,
     "trading_nations_union": q_trading_nations_union,
+    # -- round-3 continuation (appended: keeps the driver's first-50
+    #    gate window stable) --
+    "dedup_cluster_assign_star": q_dedup_cluster_assign_star,
 }
 
 ORACLE_SQL = {
@@ -3082,4 +3095,7 @@ ORACLE_SQL = {
     "event_pairs_60s_bucketed": SQL_EVENT_PAIRS,
     "corpus_mixture_weights": SQL_MIXTURE_WEIGHTS,
     "dsir_importance_weights": SQL_DSIR,
+    # same oracle as dedup_cluster_assign: star contraction must
+    # produce the identical clustering
+    "dedup_cluster_assign_star": SQL_CLUSTER_ASSIGN,
 }
