@@ -64,6 +64,13 @@ def main(argv=None) -> int:
                    help="quality gate: minimum word count")
     p.add_argument("--no-neardup", action="store_true",
                    help="skip the near-dup stage (exact dedup only)")
+    p.add_argument("--cluster-algo", choices=["star", "label"],
+                   default="star",
+                   help="near-dup connected-components algorithm: 'star' "
+                        "(large-star/small-star contraction, O(log n) "
+                        "rounds on any graph — the scale default) or "
+                        "'label' (min-label propagation, diameter-bound "
+                        "rounds; identical output)")
     p.add_argument("--neardup-threshold", type=float, default=0.5,
                    help="exact-Jaccard verify threshold for near-dups")
     p.add_argument("--line-dedup", action="store_true",
@@ -191,7 +198,14 @@ def main(argv=None) -> int:
             dropped_n = dropped_x.limit(0)
         else:
             surv_docs = docs.join(surv_ids, "doc_id")
-            clusters = dedup.cluster_assign(dedup.verified_near_dups(
+            # star contraction converges in O(log n) shuffle rounds on
+            # ANY pair graph (label propagation needs diameter rounds —
+            # a chain of boilerplate-templated near-dup pages could need
+            # thousands); identical clustering, pinned by tests
+            assign = (dedup.cluster_assign_star
+                      if args.cluster_algo == "star"
+                      else dedup.cluster_assign)
+            clusters = assign(dedup.verified_near_dups(
                 surv_docs, threshold=args.neardup_threshold))
             dropped_n = (clusters.where(~F.col("is_keeper"))
                          .select("doc_id", F.lit("dup_near").alias("status"),

@@ -402,3 +402,28 @@ def test_curate_dsir_typod_target_lang_fails_loudly(spark, tmp_path,
                   "--warehouse", wh, "--snapshot-id", "c10",
                   "--dsir-select", "50", "--dsir-target-lang", "ukr"])
     assert not SnapshotCatalog(wh).is_committed("curation_decisions", "c10")
+
+
+def test_curate_cluster_algo_star_and_label_identical(spark, tmp_path,
+                                                      capsys):
+    """--cluster-algo star (default) and label must produce identical
+    decisions — same drop set, same keeper assignment per dropped doc
+    (both algorithms label clusters with the component-minimum)."""
+    import curate as job
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    out = {}
+    for algo in ("star", "label"):
+        wh = str(tmp_path / f"wh_{algo}")
+        rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                       "--snapshot-id", "ca1", "--cluster-algo", algo])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+        dec = (SnapshotCatalog(wh).read_snapshot(
+            spark, "curation_decisions", "ca1")
+            .select("doc_id", "status", "keeper_doc_id"))
+        out[algo] = (stats["dropped_near_dup"],
+                     sorted(map(tuple, dec.collect())))
+    assert out["star"][0] > 0  # the stage actually exercised
+    assert out["star"] == out["label"]

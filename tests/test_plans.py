@@ -519,3 +519,18 @@ def test_dsir_two_scans_broadcast_probe(spark):
     assert nodes(plan, "Scan parquet") == 2, plan
     assert nodes(plan, "BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_filter_before_shuffle_broadcast_stats(spark):
+    """The query-term isin filter must run before the first exchange
+    (shuffled volume ~ posting lists, not corpus); df and corpus stats
+    rejoin by broadcast; the k cut is TakeOrderedAndProject; no Python."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["bm25_search"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # no corpus-sized dl join
+    assert "TakeOrderedAndProject" in plan, plan
+    assert nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan  # 1-row stats

@@ -253,3 +253,42 @@ def test_bloom_null_keys_excluded_and_empty_seen_set(spark):
     row0 = sketches.bloom_probe(empty, incoming, "k", "k").collect()[0]
     assert (row0["n_flagged"], row0["n_true_members"],
             row0["fp_rate_r"]) == (0, 0, 0.0)
+
+
+def test_bm25_hand_computed(spark):
+    import math
+    from pyspark.sql import Row
+    from ukrainian_ocr_pipeline_spark.operators import textindex
+    # NULL-text doc must count in N and sum_dl (dl=0) but never score
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="spark spark merge"),
+         Row(doc_id=1, text="merge alpha beta"),
+         Row(doc_id=2, text="gamma delta"),
+         Row(doc_id=3, text=None)])
+    rows = {r["doc_id"]: r for r in textindex.bm25_topk(
+        docs, ("spark", "merge"), k=10).collect()}
+    n, sum_dl = 4, 8.0
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dl, df):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / (sum_dl / n)))
+        return math.floor(idf * sat * 1e6)
+
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_terms_hit"] == 2
+    assert rows[0]["bm25_micro"] == contrib(2, 3, 1) + contrib(1, 3, 2)
+    assert rows[1]["n_terms_hit"] == 1
+    assert rows[1]["bm25_micro"] == contrib(1, 3, 2)
+    assert rows[0]["bm25_micro"] > rows[1]["bm25_micro"]
+
+
+def test_bm25_k_cut_and_order(spark):
+    from ukrainian_ocr_pipeline_spark.operators import textindex
+    # 6 docs with strictly decreasing tf of the query term: k=3 keeps
+    # the three highest scores in desc order
+    docs = _docs(spark, ["q " * tf + "pad" for tf in (6, 5, 4, 3, 2, 1)])
+    out = textindex.bm25_topk(docs, ("q",), k=3).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
+    scores = [r["bm25_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)

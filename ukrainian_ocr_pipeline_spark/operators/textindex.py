@@ -79,3 +79,101 @@ SELECT term, df, tf_total,
        md5(array_to_string(postings, ',')) AS postings_hash
 FROM agg
 """
+
+
+def bm25_topk(docs: DataFrame, query_terms, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 ranked retrieval: the top-`k` documents for a small
+    bag-of-terms query, scored with the Lucene-smoothed idf
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` and the standard
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` saturation.  The
+    retrieval staple one step past tf-idf (q_doc_tfidf_top_terms) —
+    what a corpus platform runs to spot-check its inverted index.
+
+    Scale shape (10^12 docs): one narrow projection computes each doc's
+    length AND its query-term hits (an array_filter HOF on a literal
+    set), so docs with no hit are dropped before the explode and the
+    only rows that ever shuffle are query matches — shuffled volume is
+    proportional to the query's posting lists, not the corpus; dl rides
+    the (doc, term) rows as a grouping key (functionally dependent on
+    doc_id), so there is NO corpus-sized doc-length join; df and the
+    corpus stats (N, sum dl) are one-row broadcasts; the final cut is a
+    TakeOrderedAndProject, never a global sort.
+
+    Determinism: every per-row contribution is a pure double function
+    of (tf, dl, df, N, sum_dl) — identical rationals in both engines —
+    fixed to MICRO precision as BIGINT before the per-doc sum, so the
+    accumulation is exact integer arithmetic, immune to FP addition
+    order across partitionings and engines (the dsir/classifier idiom).
+    Output: (doc_id, n_terms_hit, bm25_micro), ordered desc/asc.
+    """
+    qt = sorted({t.lower() for t in query_terms})
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(word_array(text_col), F.array()).alias("__ws")) \
+        .select("doc_id", F.size("__ws").alias("dl"),
+                F.filter("__ws", lambda w: w.isin(qt)).alias("__hits"))
+    corpus = base.agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").cast("double").alias("sum_dl"))
+    tf = (base.where(F.size("__hits") > 0)
+          .select("doc_id", "dl", F.explode("__hits").alias("term"))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * (k1 + 1.0)
+           / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(corpus))
+            .withColumn("contrib_u", F.floor(idf * sat * 1e6).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_terms_hit"),
+                 F.sum("contrib_u").alias("bm25_micro"))
+            .orderBy(F.desc("bm25_micro"), "doc_id")
+            .limit(k))
+
+
+def bm25_sql(table: str, query_terms, k: int = 10,
+             k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_topk` — arithmetic written in the
+    same textual order so every IEEE double matches bit-for-bit before
+    the micro fixing."""
+    qt = sorted({t.lower() for t in query_terms})
+    terms = ", ".join(f"'{t}'" for t in qt)
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+                                                       '\\s+', ' ', 'g')), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM {table}),
+dl AS (SELECT doc_id, COALESCE(len(ws), 0) AS dl FROM ws),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM ws, unnest(ws) AS t(w)
+  WHERE w IN ({terms})
+  GROUP BY doc_id, w),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b}
+                                 + {b} * dl.dl / (corpus.sum_dl / corpus.n_docs))))
+           * 1e6) AS BIGINT) AS contrib_u
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       CAST(SUM(contrib_u) AS BIGINT) AS bm25_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {k}
+"""

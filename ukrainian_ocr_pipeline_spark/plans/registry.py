@@ -1442,6 +1442,23 @@ def q_dedup_cluster_assign_star(spark, sf_dir):
         dedup.verified_near_dups(_t(spark, sf_dir, "documents")))
 
 
+_BM25_QUERY_TERMS = ("spark", "merge", "vector")
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed bag-of-terms query — ranked
+    retrieval one step past tf-idf, the spot-check a corpus platform
+    runs against its inverted index.  Query-term filter reaches the
+    scan side before the first shuffle; df and corpus stats are one-row
+    broadcasts; micro-fixed BIGINT contributions make the per-doc sum
+    exact integer arithmetic; the cut is TakeOrderedAndProject."""
+    return textindex.bm25_topk(_t(spark, sf_dir, "documents"),
+                               _BM25_QUERY_TERMS, k=10)
+
+
+SQL_BM25 = textindex.bm25_sql("documents", _BM25_QUERY_TERMS, k=10)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the customer<->supplier trade graph — the
     relational twin of link-graph host ranking (crawl prioritization /
@@ -2995,6 +3012,7 @@ QUERIES = {
     # -- round-3 continuation (appended: keeps the driver's first-50
     #    gate window stable) --
     "dedup_cluster_assign_star": q_dedup_cluster_assign_star,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -3098,4 +3116,5 @@ ORACLE_SQL = {
     # same oracle as dedup_cluster_assign: star contraction must
     # produce the identical clustering
     "dedup_cluster_assign_star": SQL_CLUSTER_ASSIGN,
+    "bm25_search": SQL_BM25,
 }
