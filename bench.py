@@ -73,7 +73,7 @@ HEADLINE = [
     "bpe_merge_candidates", "embedding_kmeans", "semantic_dedup",
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",
-    "bloom_seen_urls", "dedup_cluster_assign_star",
+    "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

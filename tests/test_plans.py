@@ -534,3 +534,16 @@ def test_bm25_filter_before_shuffle_broadcast_stats(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert nodes(plan, "BroadcastHashJoin") >= 1, plan
     assert nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan  # 1-row stats
+
+
+def test_dup_passages_one_generate_no_python(spark):
+    """Gram generation is ONE in-row posexplode (no join to build
+    grams); candidate detection and the hit join key on the gram hash;
+    nothing Python, nothing cartesian."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["dup_passage_ranges"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert nodes(plan, "Generate") == 2, plan  # grams built twice (agg+hits)

@@ -318,3 +318,44 @@ def test_host_cap_sample_two_stage_equals_naive_window(spark):
     # tiny host keeps all 3 rows; mega host exactly cap rows
     assert sum(1 for t in got if t[0] == "tiny.example.org") == 3
     assert sum(1 for t in got if t[0] == "mega.example.org") == 4
+
+
+# ------------------------------------------- duplicated passages
+
+def test_duplicated_passages_crafted(spark):
+    """Overlapping dup grams merge into one maximal range per doc; a
+    doc with no cross-doc gram yields nothing; within-doc-only repeats
+    are NOT flagged (distinct-doc threshold)."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e f g x"),
+        Row(doc_id=1, text="z a b c d e f g"),
+        Row(doc_id=2, text="q r s t u v"),
+        # within-doc repeat only: gram appears twice in doc 3, nowhere else
+        Row(doc_id=3, text="p1 p2 p3 p4 p5 w p1 p2 p3 p4 p5"),
+        Row(doc_id=4, text=None),
+    ])
+    rows = sorted(map(tuple, dedup.duplicated_passages(docs).collect()))
+    assert rows == [(0, 0, 6, 7),   # starts {0,1,2} merge -> words 0..6
+                    (1, 1, 7, 7)]   # starts {1,2,3} merge -> words 1..7
+
+
+def test_duplicated_passages_disjoint_ranges(spark):
+    """Two shared passages separated by uncovered words stay two
+    ranges; adjacent-but-distinct covered runs merge."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e gap1 gap2 m n o p q"),
+        Row(doc_id=1, text="a b c d e xx yy m n o p q"),
+    ])
+    rows = sorted(map(tuple, dedup.duplicated_passages(docs).collect()))
+    assert rows == [(0, 0, 4, 5), (0, 7, 11, 5),
+                    (1, 0, 4, 5), (1, 7, 11, 5)]
+
+
+def test_duplicated_passages_min_docs_threshold(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=i, text="common one two three four tail%d" % i)
+        for i in range(3)
+    ])
+    # the shared 5-gram sits in 3 docs: min_docs=3 keeps it, 4 drops it
+    assert dedup.duplicated_passages(docs, min_docs=3).count() == 3
+    assert dedup.duplicated_passages(docs, min_docs=4).count() == 0

@@ -614,3 +614,110 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                          F.filter(ordered, lambda x: ~x.is_dup),
                          lambda x: x.line),
                      "\n").alias("clean_text")))
+
+
+def duplicated_passages(docs: DataFrame, k: int = 5, min_docs: int = 2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicated-passage detection — the k-gram
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal run of
+    words covered by some `k`-gram that occurs in >= `min_docs` DISTINCT
+    documents, reported per document as word-position ranges.  The
+    passage-granular complement to line_dedup (exact repeated lines)
+    and cross_doc_shingle_dup (per-doc copied-text fraction): this one
+    says WHERE the copied text sits, so a curation pass can excise the
+    span instead of dropping the document.
+
+    Scale shape (10^12 docs): the gram table is one row per corpus
+    token (narrow: doc_id, start, md5) built by a posexplode over an
+    in-row transform — no join; duplicated grams come from two
+    partial-agg shuffles on the gram hash ((gram, doc) dedup, then the
+    distinct-doc count), and the hit join is equi on that same hash, so
+    AQE reuses the co-partitioning; the only other exchange is one
+    shuffle on doc_id for the per-doc interval merge, whose windows are
+    bounded by document length.  Integer arithmetic only — no
+    cross-engine float risk.  Stateless form re-derives the gram
+    projection on the hit side (two Generates, pinned by plan test) —
+    linear map work, no extra shuffle; a production run over 10^12 docs
+    would materialize the gram table once (the banded_mat discipline).
+    Within-doc-only repeats are deliberately NOT flagged (distinct-doc
+    count, not occurrence count); per-doc repetition is
+    doc_repetition_signals' job.
+
+    Output: (doc_id, range_start, range_end, n_words) — 0-based
+    inclusive word positions of each maximal covered run (every run is
+    >= k words by construction).
+    """
+    ws = docs.select(F.col(id_col).alias("doc_id"),
+                     F.coalesce(word_array(text_col), F.array()).alias("ws"))
+    grams = (ws.where(F.size("ws") >= k)
+             .select("doc_id", F.posexplode(F.transform(
+                 F.sequence(F.lit(0), F.size("ws") - k),
+                 lambda i: F.md5(F.array_join(F.slice("ws", i + 1, k), " ")
+                                 .cast("binary"))))
+                 .alias("start", "gram"))
+             .withColumn("start", F.col("start").cast("long")))
+    dup_grams = (grams.select("gram", "doc_id").distinct()
+                 .groupBy("gram").agg(F.count("*").alias("nd"))
+                 .where(F.col("nd") >= min_docs)
+                 .select("gram"))
+    hits = grams.join(dup_grams, "gram").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    flagged = (hits
+               .withColumn("prev_max_end",
+                           F.max(F.col("start") + (k - 1))
+                           .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+               .withColumn("new_island",
+                           (F.col("prev_max_end").isNull()
+                            | (F.col("start") > F.col("prev_max_end") + 1))
+                           .cast("long"))
+               .withColumn("island", F.sum("new_island").over(w)))
+    return (flagged.groupBy("doc_id", "island")
+            .agg(F.min("start").alias("range_start"),
+                 (F.max("start") + (k - 1)).alias("range_end"))
+            .select("doc_id", "range_start", "range_end",
+                    (F.col("range_end") - F.col("range_start") + 1)
+                    .alias("n_words")))
+
+
+def duplicated_passages_sql(table: str, k: int = 5,
+                            min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`duplicated_passages` (same 0-based
+    inclusive ranges, same distinct-doc gram threshold)."""
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+                                                       '\\s+', ' ', 'g')), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM {table}),
+g AS (
+  SELECT doc_id, i - 1 AS start,
+         md5(array_to_string(ws[i:i + {k} - 1], ' ')) AS gram
+  FROM ws, unnest(generate_series(1, len(ws) - {k} + 1)) AS t(i)
+  WHERE len(ws) >= {k}),
+dup AS (
+  SELECT gram
+  FROM (SELECT DISTINCT gram, doc_id FROM g)
+  GROUP BY gram HAVING COUNT(*) >= {min_docs}),
+hits AS (SELECT doc_id, start FROM g JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, start,
+         MAX(start + {k} - 1) OVER (
+             PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, start,
+         SUM(CASE WHEN prev_max_end IS NULL OR start > prev_max_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM flagged)
+SELECT doc_id,
+       MIN(start) AS range_start,
+       MAX(start) + {k} - 1 AS range_end,
+       MAX(start) + {k} - 1 - MIN(start) + 1 AS n_words
+FROM isl GROUP BY doc_id, island
+"""

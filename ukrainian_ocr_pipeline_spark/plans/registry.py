@@ -1442,6 +1442,21 @@ def q_dedup_cluster_assign_star(spark, sf_dir):
         dedup.verified_near_dups(_t(spark, sf_dir, "documents")))
 
 
+def q_dup_passage_ranges(spark, sf_dir):
+    """Cross-doc duplicated passages (ExactSubstr k-gram variant, Lee
+    et al. 2022): maximal word-position runs covered by a 5-gram
+    occurring in >= 2 distinct documents — WHERE the copied text sits,
+    per doc, so curation can excise spans instead of dropping docs.
+    Two partial-agg shuffles on the gram hash + a co-partitioned hit
+    join + one doc_id shuffle for the interval merge; integers only."""
+    return dedup.duplicated_passages(_t(spark, sf_dir, "documents"),
+                                     k=5, min_docs=2)
+
+
+SQL_DUP_PASSAGES = dedup.duplicated_passages_sql("documents", k=5,
+                                                 min_docs=2)
+
+
 _BM25_QUERY_TERMS = ("spark", "merge", "vector")
 
 
@@ -3013,6 +3028,7 @@ QUERIES = {
     #    gate window stable) --
     "dedup_cluster_assign_star": q_dedup_cluster_assign_star,
     "bm25_search": q_bm25_search,
+    "dup_passage_ranges": q_dup_passage_ranges,
 }
 
 ORACLE_SQL = {
@@ -3117,4 +3133,5 @@ ORACLE_SQL = {
     # produce the identical clustering
     "dedup_cluster_assign_star": SQL_CLUSTER_ASSIGN,
     "bm25_search": SQL_BM25,
+    "dup_passage_ranges": SQL_DUP_PASSAGES,
 }
