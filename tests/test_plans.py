@@ -526,14 +526,21 @@ def test_bm25_filter_before_shuffle_broadcast_stats(spark):
     (shuffled volume ~ posting lists, not corpus); df and corpus stats
     rejoin by broadcast; the k cut is TakeOrderedAndProject; no Python."""
     from ukrainian_ocr_pipeline_spark.plans import registry
-    plan = plan_of(registry.QUERIES["bm25_search"](
-        spark, "/root/testdata/sf0.001"))
+    df = registry.QUERIES["bm25_search"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan  # no corpus-sized dl join
     assert "TakeOrderedAndProject" in plan, plan
     assert nodes(plan, "BroadcastHashJoin") >= 1, plan
     assert nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan  # 1-row stats
+    # POSITIONAL pin of the docstring's claim: the has-a-query-term
+    # Filter must sit DIRECTLY on the parquet scan (its child line), i.e.
+    # before any Exchange — a regression that filters after the explode
+    # would shuffle one row per corpus token and still pass the above
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Filter \(size\(filter\(.* IN \(.*\n.*FileScan parquet",
+                     simple), simple
 
 
 def test_dup_passages_one_generate_no_python(spark):

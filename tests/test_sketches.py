@@ -292,3 +292,20 @@ def test_bm25_k_cut_and_order(spark):
     assert [r["doc_id"] for r in out] == [0, 1, 2]
     scores = [r["bm25_micro"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_sql_escapes_apostrophe_terms(spark):
+    """Apostrophe words are legitimate whitespace tokens; the twin must
+    quote them safely and agree with the Spark side."""
+    import duckdb
+    from pyspark.sql import Row
+    from ukrainian_ocr_pipeline_spark.operators import textindex
+    rows = [(0, "o'brien wrote this"), (1, "nothing here")]
+    got = textindex.bm25_topk(
+        spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows]),
+        ("o'brien",), k=5).collect()
+    con = duckdb.connect()
+    con.execute("create table t(doc_id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    want = con.execute(textindex.bm25_sql("t", ("o'brien",), k=5)).fetchall()
+    assert [tuple(r) for r in got] == want == [(0, 1, want[0][2])]

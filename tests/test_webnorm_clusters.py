@@ -187,9 +187,17 @@ def test_cluster_assign_star_matches_label_propagation(spark):
     b = dedup.cluster_assign_star(_pairs(spark, edges))
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
-    # label propagation keeps self-loop-only vertices too; both see 5
-    # via (5,6) here, so the vertex sets agree
     assert ra == rb
+
+
+def test_cluster_assign_star_self_loop_only_vertex_kept(spark):
+    # contract parity with cluster_assign: a vertex whose ONLY pair is
+    # a self-loop still gets its singleton-keeper row
+    for fn in (dedup.cluster_assign, dedup.cluster_assign_star):
+        rows = sorted(map(tuple, fn(_pairs(spark, [(7, 7), (1, 2)]))
+                          .collect()))
+        assert rows == [(1, 1, 2, True), (2, 1, 2, False),
+                        (7, 7, 1, True)], fn.__name__
 
 
 def test_cluster_assign_star_raises_without_convergence(spark):

@@ -51,6 +51,14 @@ def word_array(text_col: str):
                     lambda w: F.length(w) > 0)
 
 
+# the DuckDB rendering of word_array — THE one SQL tokenizer every
+# oracle twin that needs the array form must interpolate (format with
+# col=...), so a change to word_array/_canon has a single SQL mirror
+WORD_ARRAY_SQL = (r"list_filter(string_split(lower(regexp_replace("
+                  r"trim({col}), '\s+', ' ', 'g')), ' '),"
+                  r" w -> len(w) > 0)")
+
+
 def content_digest(text_col: str):
     """The ONE content digest every hash-based dedup path shares.  NULL
     text hashes like EMPTY text: all empty/failed-extraction documents
@@ -416,7 +424,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return to_small.union(to_center).distinct()
 
 
-def cluster_assign_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def cluster_assign_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the O(log n)-round variant `cluster_assign`'s docstring points to
@@ -438,17 +446,23 @@ def cluster_assign_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     at that point every component is a star centered at its minimum,
     and labels read directly off the edges with no further joins.
     Raises after `max_iter` rounds rather than returning a partial
-    clustering (matches `cluster_assign`).
+    clustering (matches `cluster_assign`); convergence + the fixpoint
+    check need ~log2(n)+1 rounds on an n-vertex path, so the default 40
+    covers chains past 10^11 vertices (the loop breaks early on every
+    real graph — a bigger default costs nothing).
     """
-    # canonical undirected edge list (u > v), self-loops dropped,
-    # materialized once so upstream pair generation never re-runs
+    # canonical undirected edge list (u > v) with self-loops dropped,
+    # materialized once so upstream pair generation never re-runs; the
+    # vertex set comes from the RAW pairs so a vertex whose only pair
+    # is a self-loop still gets its singleton-keeper row (contract
+    # parity with cluster_assign)
     edges = (pairs.where(F.col("doc_a") != F.col("doc_b"))
              .select(F.greatest("doc_a", "doc_b").alias("u"),
                      F.least("doc_a", "doc_b").alias("v"))
              .distinct()
              .localCheckpoint(eager=True))
-    verts = (edges.select(F.col("u").alias("doc_id"))
-             .union(edges.select(F.col("v").alias("doc_id")))
+    verts = (pairs.select(F.col("doc_a").alias("doc_id"))
+             .union(pairs.select(F.col("doc_b").alias("doc_id")))
              .distinct()
              .localCheckpoint(eager=True))
     n_edges = edges.count()
@@ -687,10 +701,7 @@ def duplicated_passages_sql(table: str, k: int = 5,
     inclusive ranges, same distinct-doc gram threshold)."""
     return f"""
 WITH ws AS (
-  SELECT doc_id,
-         list_filter(string_split(lower(regexp_replace(trim(text),
-                                                       '\\s+', ' ', 'g')), ' '),
-                     w -> len(w) > 0) AS ws
+  SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws
   FROM {table}),
 g AS (
   SELECT doc_id, i - 1 AS start,

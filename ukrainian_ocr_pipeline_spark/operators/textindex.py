@@ -140,14 +140,12 @@ def bm25_sql(table: str, query_terms, k: int = 10,
     """DuckDB twin of :func:`bm25_topk` — arithmetic written in the
     same textual order so every IEEE double matches bit-for-bit before
     the micro fixing."""
+    from .dedup import WORD_ARRAY_SQL
     qt = sorted({t.lower() for t in query_terms})
-    terms = ", ".join(f"'{t}'" for t in qt)
+    terms = ", ".join("'{}'".format(t.replace("'", "''")) for t in qt)
     return f"""
 WITH ws AS (
-  SELECT doc_id,
-         list_filter(string_split(lower(regexp_replace(trim(text),
-                                                       '\\s+', ' ', 'g')), ' '),
-                     w -> len(w) > 0) AS ws
+  SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws
   FROM {table}),
 dl AS (SELECT doc_id, COALESCE(len(ws), 0) AS dl FROM ws),
 corpus AS (
