@@ -74,6 +74,7 @@ HEADLINE = [
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",
     "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",
+    "dup_passage_excise",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

@@ -367,3 +367,51 @@ def test_duplicated_passages_min_docs_threshold(spark):
     # the shared 5-gram sits in 3 docs: min_docs=3 keeps it, 4 drops it
     assert dedup.duplicated_passages(docs, min_docs=3).count() == 3
     assert dedup.duplicated_passages(docs, min_docs=4).count() == 0
+
+
+def test_dup_passage_excise_owner_keeps_copy(spark):
+    """The min-doc_id owner keeps the passage; every other doc loses
+    exactly the covered words; untouched docs pass through canonical."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e tail0"),
+        Row(doc_id=1, text="head1  A B c d E  tail1"),  # canon-equal gram
+        Row(doc_id=2, text="solo words only here now"),
+        Row(doc_id=3, text=None),
+    ])
+    rows = {r["doc_id"]: r for r in dedup.dup_passage_excise(docs).collect()}
+    assert (rows[0]["n_removed_words"], rows[0]["clean_text"]) == \
+        (0, "a b c d e tail0")
+    assert (rows[1]["n_removed_words"], rows[1]["clean_text"]) == \
+        (5, "head1 tail1")
+    assert (rows[2]["n_removed_words"], rows[2]["clean_text"]) == \
+        (0, "solo words only here now")
+    assert (rows[3]["n_removed_words"], rows[3]["clean_text"]) == (0, "")
+
+
+def test_dup_passage_excise_full_removal_and_counts(spark):
+    """A non-owner doc that is ONE shared passage end-to-end empties;
+    n_removed_words counts distinct covered positions, not gram hits."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="w1 w2 w3 w4 w5 w6"),
+        Row(doc_id=1, text="w1 w2 w3 w4 w5 w6"),
+    ])
+    rows = {r["doc_id"]: r for r in dedup.dup_passage_excise(docs).collect()}
+    assert (rows[0]["n_removed_words"], rows[0]["clean_text"]) == \
+        (0, "w1 w2 w3 w4 w5 w6")
+    assert (rows[1]["n_removed_words"], rows[1]["clean_text"]) == (6, "")
+
+
+def test_dup_passage_excise_mixed_ownership(spark):
+    """Two passages with different owners: each doc keeps what it owns
+    and loses what it doesn't."""
+    docs = spark.createDataFrame([
+        # doc 0 owns p-gram (both contain it; 0 is min); doc 1 owns
+        # nothing it shares with 2... construct: p shared 0&2, q shared 1&2
+        Row(doc_id=0, text="p1 p2 p3 p4 p5"),
+        Row(doc_id=1, text="q1 q2 q3 q4 q5"),
+        Row(doc_id=2, text="p1 p2 p3 p4 p5 mid q1 q2 q3 q4 q5"),
+    ])
+    rows = {r["doc_id"]: r for r in dedup.dup_passage_excise(docs).collect()}
+    assert rows[0]["clean_text"] == "p1 p2 p3 p4 p5"   # owner of p
+    assert rows[1]["clean_text"] == "q1 q2 q3 q4 q5"   # owner of q
+    assert (rows[2]["n_removed_words"], rows[2]["clean_text"]) == (10, "mid")

@@ -732,3 +732,91 @@ SELECT doc_id,
        MAX(start) + {k} - 1 - MIN(start) + 1 AS n_words
 FROM isl GROUP BY doc_id, island
 """
+
+
+def dup_passage_excise(docs: DataFrame, k: int = 5, min_docs: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The APPLY step of cross-doc passage dedup: excise every
+    duplicated passage from every document except the passage's owner
+    (the minimum doc_id among the documents sharing the gram), and
+    reassemble the surviving words.  ExactSubstr's "keep one copy"
+    semantics (Lee et al. 2022) made deterministic without any notion
+    of corpus order: ownership is a pure min-aggregate per gram, so the
+    result is identical under any partitioning and both engines.
+
+    A document keeps its own copy of a passage it owns; every other
+    document loses exactly the word positions covered by dup grams it
+    does not own.  Docs with nothing to excise pass through with
+    n_removed_words = 0 and their canonical (single-spaced) text —
+    the same normalization contract as line_dedup's clean_text.
+
+    Scale shape: same gram table + two partial-agg shuffles as
+    duplicated_passages (the min(doc_id)/distinct-count rollup is one
+    agg), one co-partitioned hit join, one doc_id shuffle to collect
+    each doc's covered positions (bounded by doc length), and a final
+    broadcast-free equi-join back to the words table.  The per-doc
+    position filter is an in-row HOF; integers and strings only.
+
+    Output: (doc_id, n_removed_words, clean_text).
+    """
+    ws = docs.select(F.col(id_col).alias("doc_id"),
+                     F.coalesce(word_array(text_col), F.array()).alias("ws"))
+    grams = (ws.where(F.size("ws") >= k)
+             .select("doc_id", F.posexplode(F.transform(
+                 F.sequence(F.lit(0), F.size("ws") - k),
+                 lambda i: F.md5(F.array_join(F.slice("ws", i + 1, k), " ")
+                                 .cast("binary"))))
+                 .alias("start", "gram"))
+             .withColumn("start", F.col("start").cast("long")))
+    owners = (grams.groupBy("gram")
+              .agg(F.min("doc_id").alias("owner"),
+                   F.count_distinct("doc_id").alias("nd"))
+              .where(F.col("nd") >= min_docs)
+              .select("gram", "owner"))
+    covered = (grams.join(owners, "gram")
+               .where(F.col("doc_id") != F.col("owner"))
+               .select("doc_id", F.explode(
+                   F.sequence("start", F.col("start") + (k - 1))).alias("p"))
+               .groupBy("doc_id")
+               .agg(F.collect_set("p").alias("covered")))
+    clean = F.filter("ws", lambda w, i: ~F.array_contains(
+        F.coalesce(F.col("covered"), F.array().cast("array<bigint>")),
+        i.cast("long")))
+    return (ws.join(covered, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.size("covered"), F.lit(0)).cast("long")
+                    .alias("n_removed_words"),
+                    F.array_join(clean, " ").alias("clean_text")))
+
+
+def dup_passage_excise_sql(table: str, k: int = 5,
+                           min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`dup_passage_excise` (1-based lambda index
+    shifted to the Spark side's 0-based positions)."""
+    return f"""
+WITH ws AS (
+  SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws
+  FROM {table}),
+g AS (
+  SELECT doc_id, i - 1 AS start,
+         md5(array_to_string(ws[i:i + {k} - 1], ' ')) AS gram
+  FROM ws, unnest(generate_series(1, len(ws) - {k} + 1)) AS t(i)
+  WHERE len(ws) >= {k}),
+own AS (
+  SELECT gram, MIN(doc_id) AS owner
+  FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+cov AS (
+  SELECT doc_id, list(DISTINCT p) AS covered
+  FROM (SELECT g.doc_id,
+               unnest(generate_series(g.start, g.start + {k} - 1)) AS p
+        FROM g JOIN own USING (gram)
+        WHERE g.doc_id != own.owner)
+  GROUP BY doc_id)
+SELECT ws.doc_id,
+       CAST(COALESCE(len(covered), 0) AS BIGINT) AS n_removed_words,
+       COALESCE(array_to_string(
+         list_filter(ws, (w, i) -> NOT list_contains(
+           COALESCE(covered, []), i - 1)), ' '), '') AS clean_text
+FROM ws LEFT JOIN cov USING (doc_id)
+"""

@@ -1457,6 +1457,21 @@ SQL_DUP_PASSAGES = dedup.duplicated_passages_sql("documents", k=5,
                                                  min_docs=2)
 
 
+def q_dup_passage_excise(spark, sf_dir):
+    """The APPLY step of passage dedup: every duplicated passage is
+    excised from every doc except the gram's owner (min doc_id — a pure
+    aggregate, so 'keep one copy' is deterministic under any
+    partitioning), and the surviving words are reassembled.  Integers
+    and strings only; same gram/agg shape as dup_passage_ranges plus
+    one doc_id rollup and the words rejoin."""
+    return dedup.dup_passage_excise(_t(spark, sf_dir, "documents"),
+                                    k=5, min_docs=2)
+
+
+SQL_DUP_EXCISE = dedup.dup_passage_excise_sql("documents", k=5,
+                                              min_docs=2)
+
+
 _BM25_QUERY_TERMS = ("spark", "merge", "vector")
 
 
@@ -3029,6 +3044,7 @@ QUERIES = {
     "dedup_cluster_assign_star": q_dedup_cluster_assign_star,
     "bm25_search": q_bm25_search,
     "dup_passage_ranges": q_dup_passage_ranges,
+    "dup_passage_excise": q_dup_passage_excise,
 }
 
 ORACLE_SQL = {
@@ -3134,4 +3150,5 @@ ORACLE_SQL = {
     "dedup_cluster_assign_star": SQL_CLUSTER_ASSIGN,
     "bm25_search": SQL_BM25,
     "dup_passage_ranges": SQL_DUP_PASSAGES,
+    "dup_passage_excise": SQL_DUP_EXCISE,
 }
