@@ -20,7 +20,11 @@ rebalancing (--temperature-alpha A: deterministic md5-bucket
 downsampling of head languages over the FINAL survivor distribution)
 -> optional C4-style cross-document line dedup (--line-dedup:
 boilerplate lines occurring in >= --line-dedup-min-docs surviving docs
-are stripped and the cleaned text written) -> optional PII redaction
+are stripped and the cleaned text written) -> optional ExactSubstr-style
+passage excision (--passage-dedup: duplicated >=5-word passages removed
+from every doc except the min-doc_id owner; runs AFTER line dedup
+because it canonicalizes whitespace — a word-level rewrite that erases
+line structure) -> optional PII redaction
 (--pii-redact: emails/IPs -> placeholders in the final text) ->
 deterministic train/val/test split —
 committed atomically through the snapshot catalog, so re-running the
@@ -79,6 +83,15 @@ def main(argv=None) -> int:
     p.add_argument("--line-dedup-min-docs", type=int, default=3,
                    help="a line is boilerplate when it occurs in at least"
                         " this many surviving documents")
+    p.add_argument("--passage-dedup", action="store_true",
+                   help="excise duplicated >=5-word passages from every"
+                        " surviving doc except each passage's min-doc_id"
+                        " owner (ExactSubstr-style keep-one-copy);"
+                        " canonicalizes whitespace in the curated text")
+    p.add_argument("--passage-min-docs", type=int, default=2,
+                   help="a 5-gram is duplicated when it occurs in at"
+                        " least this many distinct surviving docs"
+                        " (default 2)")
     p.add_argument("--host-cap", type=int, default=0,
                    help="keep at most N surviving documents per source"
                         " host (0 = no cap); deterministic hash-order"
@@ -112,6 +125,11 @@ def main(argv=None) -> int:
         # at 1 every non-blank line "occurs in >= 1 document" and the
         # census would strip ALL text — reject the footgun at parse time
         p.error("--line-dedup-min-docs must be >= 2")
+    if args.passage_min_docs < 2:
+        # at 1 every 5-gram "occurs in >= 1 document" and the excision
+        # would strip every word from every doc but the global gram
+        # owners — same footgun class as line-dedup-min-docs; reject
+        p.error("--passage-min-docs must be >= 2")
     if args.temperature_alpha < 0 or args.temperature_alpha > 1:
         # alpha > 1 inverts the rebalancing (upsamples head languages
         # by DROPPING tail docs) — outside this job's remit; reject
@@ -324,9 +342,24 @@ def main(argv=None) -> int:
                        F.col("n_removed").alias("n_boilerplate_lines")),
                        "doc_id")
                    .withColumn("n_chars", F.length("text").cast("long")))
+    if args.passage_dedup:
+        # after line dedup (this rewrite canonicalizes whitespace and
+        # erases line structure), before PII (<EMAIL>/<IP> placeholders
+        # must never be counted as shared passages)
+        excised = dedup.dup_passage_excise(
+            curated.select("doc_id", "text"),
+            min_docs=args.passage_min_docs)
+        curated = (curated.drop("text", "n_chars")
+                   .join(excised.select(
+                       "doc_id", F.col("clean_text").alias("text"),
+                       F.col("n_removed_words")
+                       .alias("n_passage_words_removed")),
+                       "doc_id")
+                   .withColumn("n_chars", F.length("text").cast("long")))
     if args.pii_redact:
-        # last text rewrite (after line dedup): redact the FINAL corpus,
-        # count with the same order-aware rule the report query uses
+        # last text rewrite (after line + passage dedup): redact the
+        # FINAL corpus, count with the same order-aware rule the report
+        # query uses
         curated = (curated
                    .withColumn("n_pii", webnorm.pii_count("text"))
                    .withColumn("text", webnorm.redact_text("text"))
@@ -352,7 +385,7 @@ def main(argv=None) -> int:
         "docs_out": counts.get("kept", 0),
         "splits": splits,
     }
-    if args.line_dedup or args.pii_redact:
+    if args.line_dedup or args.passage_dedup or args.pii_redact:
         cur = cat.read_snapshot(spark, "curated", args.snapshot_id)
     if args.line_dedup:
         # the COMMITTED table may predate the flag (snapshot first
@@ -364,6 +397,14 @@ def main(argv=None) -> int:
                 cur.agg(F.sum("n_boilerplate_lines")).collect()[0][0] or 0)
         else:
             stats["boilerplate_lines_removed"] = None
+    if args.passage_dedup:
+        # same committed-table-predates-flag tolerance as line dedup
+        if "n_passage_words_removed" in cur.columns:
+            stats["passage_words_removed"] = int(
+                cur.agg(F.sum("n_passage_words_removed"))
+                .collect()[0][0] or 0)
+        else:
+            stats["passage_words_removed"] = None
     if args.pii_redact:
         if "n_pii" in cur.columns:
             stats["pii_replacements"] = int(

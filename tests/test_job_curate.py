@@ -427,3 +427,61 @@ def test_curate_cluster_algo_star_and_label_identical(spark, tmp_path,
                      sorted(map(tuple, dec.collect())))
     assert out["star"][0] > 0  # the stage actually exercised
     assert out["star"] == out["label"]
+
+
+def test_curate_job_passage_dedup_stage(spark, tmp_path, capsys):
+    """--passage-dedup excises the shared passage from every survivor
+    except the min-doc_id owner, matches the standalone operator
+    verbatim, and the guard rejects --passage-min-docs < 2."""
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.operators import dedup
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    passage = "shared passage words one two three four"
+    rows = []
+    for i in range(3):  # passage in 3 docs; doc 0 owns it; tails are
+        rows.append((i,  # fully per-doc so ONLY the passage is shared
+                     f"{passage} tail{i} the body{i} text{i} alpha{i} "
+                     f"beta{i} gamma{i} delta{i} epsilon{i}",
+                     "uk", "s0", 120))
+    rows.append((10, "a completely different document with plenty of "
+                     "distinct vocabulary to pass the quality gate",
+                 "uk", "s1", 90))
+    docs_path = str(tmp_path / "docs.parquet")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(docs_path))
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "pd1", "--passage-dedup",
+                   "--no-neardup"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    got = {r["doc_id"]: r for r in SnapshotCatalog(wh).read_snapshot(
+        spark, "curated", "pd1").collect()}
+    # owner keeps the passage; docs 1 and 2 lose its 7 words each
+    assert got[0]["text"].startswith(passage)
+    assert got[0]["n_passage_words_removed"] == 0
+    for i in (1, 2):
+        assert passage not in got[i]["text"]
+        assert got[i]["n_passage_words_removed"] == 7
+        assert got[i]["n_chars"] == len(got[i]["text"])
+    assert got[10]["n_passage_words_removed"] == 0
+    assert stats["passage_words_removed"] == 14
+
+    # matches the standalone operator on the survivor set
+    surv = spark.createDataFrame(
+        [(i, t) for i, t, *_ in rows], "doc_id long, text string")
+    want = {r["doc_id"]: r["clean_text"]
+            for r in dedup.dup_passage_excise(surv).collect()}
+    assert {i: r["text"] for i, r in got.items()} == want
+
+    import pytest
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "pd2", "--passage-dedup",
+                  "--passage-min-docs", "1"])
