@@ -23,8 +23,9 @@ boilerplate lines occurring in >= --line-dedup-min-docs surviving docs
 are stripped and the cleaned text written) -> optional ExactSubstr-style
 passage excision (--passage-dedup: duplicated >=5-word passages removed
 from every doc except the min-doc_id owner; runs AFTER line dedup
-because it canonicalizes whitespace — a word-level rewrite that erases
-line structure) -> optional PII redaction
+because docs that lose words are rejoined word-level — whitespace
+canonicalized, case preserved; untouched docs stay verbatim) ->
+optional PII redaction
 (--pii-redact: emails/IPs -> placeholders in the final text) ->
 deterministic train/val/test split —
 committed atomically through the snapshot catalog, so re-running the
@@ -87,7 +88,9 @@ def main(argv=None) -> int:
                    help="excise duplicated >=5-word passages from every"
                         " surviving doc except each passage's min-doc_id"
                         " owner (ExactSubstr-style keep-one-copy);"
-                        " canonicalizes whitespace in the curated text")
+                        " untouched docs pass through verbatim, docs"
+                        " that lose words get whitespace-canonicalized"
+                        " (case preserved)")
     p.add_argument("--passage-min-docs", type=int, default=2,
                    help="a 5-gram is duplicated when it occurs in at"
                         " least this many distinct surviving docs"
@@ -343,9 +346,9 @@ def main(argv=None) -> int:
                        "doc_id")
                    .withColumn("n_chars", F.length("text").cast("long")))
     if args.passage_dedup:
-        # after line dedup (this rewrite canonicalizes whitespace and
-        # erases line structure), before PII (<EMAIL>/<IP> placeholders
-        # must never be counted as shared passages)
+        # after line dedup (excised docs are rejoined word-level, which
+        # erases their line structure), before PII (<EMAIL>/<IP>
+        # placeholders must never be counted as shared passages)
         excised = dedup.dup_passage_excise(
             curated.select("doc_id", "text"),
             min_docs=args.passage_min_docs)

@@ -415,3 +415,43 @@ def test_dup_passage_excise_mixed_ownership(spark):
     assert rows[0]["clean_text"] == "p1 p2 p3 p4 p5"   # owner of p
     assert rows[1]["clean_text"] == "q1 q2 q3 q4 q5"   # owner of q
     assert (rows[2]["n_removed_words"], rows[2]["clean_text"]) == (10, "mid")
+
+
+def test_dup_passage_excise_overlap_chain_passage_survives(spark):
+    """Overlapping dup grams with DIFFERENT owners must not cascade a
+    passage out of the corpus: a position is excised only when every
+    covering dup gram is foreign, so each owner keeps its passage."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="x a b c d e"),
+        Row(doc_id=1, text="a b c d e f"),
+        Row(doc_id=2, text="b c d e f g"),
+    ])
+    rows = {r["doc_id"]: r for r in dedup.dup_passage_excise(docs).collect()}
+    assert (rows[0]["n_removed_words"], rows[0]["clean_text"]) == \
+        (0, "x a b c d e")
+    # doc 1 owns 'b c d e f': it loses only position 0 ('a', covered
+    # solely by doc 0's gram) and its owned passage survives contiguous
+    assert (rows[1]["n_removed_words"], rows[1]["clean_text"]) == \
+        (1, "b c d e f")
+    assert (rows[2]["n_removed_words"], rows[2]["clean_text"]) == (5, "g")
+
+
+def test_dup_passage_excise_preserves_case_and_untouched_text(spark):
+    """Matching is case-insensitive but rewriting must keep source
+    casing, and untouched docs pass through VERBATIM (newlines and
+    original spacing intact)."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="Shared Words One Two Three tail0 the body0"),
+        Row(doc_id=1, text="shared words ONE two THREE tail1 the body1"),
+        Row(doc_id=2, text="Untouched Doc\nWith Newlines  and   Spacing"),
+    ])
+    rows = {r["doc_id"]: r for r in dedup.dup_passage_excise(docs).collect()}
+    # doc 0 owns the gram: verbatim pass-through, original casing
+    assert rows[0]["clean_text"] == \
+        "Shared Words One Two Three tail0 the body0"
+    # doc 1 is excised; the surviving words keep THEIR original case
+    assert (rows[1]["n_removed_words"], rows[1]["clean_text"]) == \
+        (5, "tail1 the body1")
+    # untouched doc: byte-identical, newlines and double spaces intact
+    assert rows[2]["clean_text"] == \
+        "Untouched Doc\nWith Newlines  and   Spacing"

@@ -59,6 +59,22 @@ WORD_ARRAY_SQL = (r"list_filter(string_split(lower(regexp_replace("
                   r" w -> len(w) > 0)")
 
 
+def word_array_keepcase(text_col: str):
+    """word_array WITHOUT the lowercase fold: identical token
+    boundaries (case folding never changes whitespace), so positions
+    align 1:1 with word_array — used where rewritten text must keep the
+    source casing while matching stays case-insensitive."""
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.trim(F.col(text_col)),
+                                        r"\s+", " ")), " "),
+        lambda w: F.length(w) > 0)
+
+
+WORD_ARRAY_KEEPCASE_SQL = (r"list_filter(string_split(regexp_replace("
+                           r"trim({col}), '\s+', ' ', 'g'), ' '),"
+                           r" w -> len(w) > 0)")
+
+
 def content_digest(text_col: str):
     """The ONE content digest every hash-based dedup path shares.  NULL
     text hashes like EMPTY text: all empty/failed-extraction documents
@@ -630,6 +646,31 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                      "\n").alias("clean_text")))
 
 
+def _gram_table(ws_df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, start, gram) over a (doc_id, ws) frame: md5 of every
+    k-word window, 0-based start.  THE gram definition shared by the
+    detect (duplicated_passages) and apply (dup_passage_excise) steps —
+    two copies would let them silently drift apart; _GRAM_CTE_SQL is
+    its one DuckDB mirror."""
+    return (ws_df.where(F.size("ws") >= k)
+            .select("doc_id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("ws") - k),
+                lambda i: F.md5(F.array_join(F.slice("ws", i + 1, k), " ")
+                                .cast("binary"))))
+                .alias("start", "gram"))
+            .withColumn("start", F.col("start").cast("long")))
+
+
+def _gram_cte_sql(k: int) -> str:
+    """DuckDB mirror of :func:`_gram_table` — a CTE body named ``g``
+    reading from a CTE named ``ws`` with (doc_id, ws)."""
+    return f"""g AS (
+  SELECT doc_id, i - 1 AS start,
+         md5(array_to_string(ws[i:i + {k} - 1], ' ')) AS gram
+  FROM ws, unnest(generate_series(1, len(ws) - {k} + 1)) AS t(i)
+  WHERE len(ws) >= {k})"""
+
+
 def duplicated_passages(docs: DataFrame, k: int = 5, min_docs: int = 2,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
@@ -663,15 +704,9 @@ def duplicated_passages(docs: DataFrame, k: int = 5, min_docs: int = 2,
     inclusive word positions of each maximal covered run (every run is
     >= k words by construction).
     """
-    ws = docs.select(F.col(id_col).alias("doc_id"),
-                     F.coalesce(word_array(text_col), F.array()).alias("ws"))
-    grams = (ws.where(F.size("ws") >= k)
-             .select("doc_id", F.posexplode(F.transform(
-                 F.sequence(F.lit(0), F.size("ws") - k),
-                 lambda i: F.md5(F.array_join(F.slice("ws", i + 1, k), " ")
-                                 .cast("binary"))))
-                 .alias("start", "gram"))
-             .withColumn("start", F.col("start").cast("long")))
+    grams = _gram_table(docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(word_array(text_col), F.array()).alias("ws")), k)
     dup_grams = (grams.select("gram", "doc_id").distinct()
                  .groupBy("gram").agg(F.count("*").alias("nd"))
                  .where(F.col("nd") >= min_docs)
@@ -703,11 +738,7 @@ def duplicated_passages_sql(table: str, k: int = 5,
 WITH ws AS (
   SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws
   FROM {table}),
-g AS (
-  SELECT doc_id, i - 1 AS start,
-         md5(array_to_string(ws[i:i + {k} - 1], ' ')) AS gram
-  FROM ws, unnest(generate_series(1, len(ws) - {k} + 1)) AS t(i)
-  WHERE len(ws) >= {k}),
+{_gram_cte_sql(k)},
 dup AS (
   SELECT gram
   FROM (SELECT DISTINCT gram, doc_id FROM g)
@@ -745,49 +776,60 @@ def dup_passage_excise(docs: DataFrame, k: int = 5, min_docs: int = 2,
     of corpus order: ownership is a pure min-aggregate per gram, so the
     result is identical under any partitioning and both engines.
 
-    A document keeps its own copy of a passage it owns; every other
-    document loses exactly the word positions covered by dup grams it
-    does not own.  Docs with nothing to excise pass through with
-    n_removed_words = 0 and their canonical (single-spaced) text —
-    the same normalization contract as line_dedup's clean_text.
+    A word position is excised only when EVERY duplicated gram covering
+    it is owned elsewhere — a doc keeps every word of every passage it
+    owns, so each duplicated passage provably survives, contiguous, in
+    at least its owner (overlapping grams with different owners cannot
+    cascade a passage out of the whole corpus).  Matching is
+    case-insensitive (the word_array canon, like every dedup operator),
+    but rewritten text is reassembled from the case-preserving token
+    split, and a document with nothing to excise passes through with
+    its text VERBATIM (original casing, newlines, spacing) — only docs
+    that actually lose words get whitespace-canonicalized by the
+    word-level rejoin.
 
-    Scale shape: same gram table + two partial-agg shuffles as
-    duplicated_passages (the min(doc_id)/distinct-count rollup is one
-    agg), one co-partitioned hit join, one doc_id shuffle to collect
-    each doc's covered positions (bounded by doc length), and a final
-    broadcast-free equi-join back to the words table.  The per-doc
-    position filter is an in-row HOF; integers and strings only.
+    Scale shape: same shared gram table (_gram_table) + two partial-agg
+    shuffles as duplicated_passages (the min(doc_id)/distinct-count
+    rollup is one agg), one co-partitioned hit join, one (doc,
+    position) partial-agg for the owned-anywhere-here test, one doc_id
+    rollup of removal positions (bounded by doc length), and a final
+    equi-join back to the tokens.  The per-doc position filter is an
+    in-row HOF; integers and strings only.
 
     Output: (doc_id, n_removed_words, clean_text).
     """
-    ws = docs.select(F.col(id_col).alias("doc_id"),
-                     F.coalesce(word_array(text_col), F.array()).alias("ws"))
-    grams = (ws.where(F.size("ws") >= k)
-             .select("doc_id", F.posexplode(F.transform(
-                 F.sequence(F.lit(0), F.size("ws") - k),
-                 lambda i: F.md5(F.array_join(F.slice("ws", i + 1, k), " ")
-                                 .cast("binary"))))
-                 .alias("start", "gram"))
-             .withColumn("start", F.col("start").cast("long")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(word_array(text_col), F.array()).alias("ws"),
+        F.coalesce(word_array_keepcase(text_col), F.array())
+        .alias("ws_orig"),
+        F.col(text_col).alias("__text"))
+    grams = _gram_table(base.select("doc_id", "ws"), k)
     owners = (grams.groupBy("gram")
               .agg(F.min("doc_id").alias("owner"),
                    F.count_distinct("doc_id").alias("nd"))
               .where(F.col("nd") >= min_docs)
               .select("gram", "owner"))
-    covered = (grams.join(owners, "gram")
-               .where(F.col("doc_id") != F.col("owner"))
-               .select("doc_id", F.explode(
-                   F.sequence("start", F.col("start") + (k - 1))).alias("p"))
+    pos = (grams.join(owners, "gram")
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       "start", F.col("start") + (k - 1))).alias("p"),
+                   (F.col("doc_id") == F.col("owner")).alias("own")))
+    removal = (pos.groupBy("doc_id", "p")
+               .agg(F.max(F.col("own").cast("int")).alias("any_own"))
+               .where(F.col("any_own") == 0)
                .groupBy("doc_id")
                .agg(F.collect_set("p").alias("covered")))
-    clean = F.filter("ws", lambda w, i: ~F.array_contains(
-        F.coalesce(F.col("covered"), F.array().cast("array<bigint>")),
-        i.cast("long")))
-    return (ws.join(covered, "doc_id", "left")
+    clean = F.filter("ws_orig", lambda w, i: ~F.array_contains(
+        F.col("covered"), i.cast("long")))
+    return (base.join(removal, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.size("covered"), F.lit(0)).cast("long")
                     .alias("n_removed_words"),
-                    F.array_join(clean, " ").alias("clean_text")))
+                    F.when(F.col("covered").isNull(),
+                           F.coalesce(F.col("__text"), F.lit("")))
+                    .otherwise(F.array_join(clean, " "))
+                    .alias("clean_text")))
 
 
 def dup_passage_excise_sql(table: str, k: int = 5,
@@ -796,27 +838,31 @@ def dup_passage_excise_sql(table: str, k: int = 5,
     shifted to the Spark side's 0-based positions)."""
     return f"""
 WITH ws AS (
-  SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws
+  SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws,
+         {WORD_ARRAY_KEEPCASE_SQL.format(col="text")} AS ws_orig,
+         text AS orig_text
   FROM {table}),
-g AS (
-  SELECT doc_id, i - 1 AS start,
-         md5(array_to_string(ws[i:i + {k} - 1], ' ')) AS gram
-  FROM ws, unnest(generate_series(1, len(ws) - {k} + 1)) AS t(i)
-  WHERE len(ws) >= {k}),
+{_gram_cte_sql(k)},
 own AS (
   SELECT gram, MIN(doc_id) AS owner
   FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+pos AS (
+  SELECT g.doc_id,
+         unnest(generate_series(g.start, g.start + {k} - 1)) AS p,
+         (g.doc_id = own.owner) AS own
+  FROM g JOIN own USING (gram)),
 cov AS (
-  SELECT doc_id, list(DISTINCT p) AS covered
-  FROM (SELECT g.doc_id,
-               unnest(generate_series(g.start, g.start + {k} - 1)) AS p
-        FROM g JOIN own USING (gram)
-        WHERE g.doc_id != own.owner)
+  SELECT doc_id, list(p) AS covered
+  FROM (SELECT doc_id, p FROM pos
+        GROUP BY doc_id, p
+        HAVING MAX(CASE WHEN own THEN 1 ELSE 0 END) = 0)
   GROUP BY doc_id)
 SELECT ws.doc_id,
        CAST(COALESCE(len(covered), 0) AS BIGINT) AS n_removed_words,
-       COALESCE(array_to_string(
-         list_filter(ws, (w, i) -> NOT list_contains(
-           COALESCE(covered, []), i - 1)), ' '), '') AS clean_text
+       CASE WHEN covered IS NULL THEN COALESCE(orig_text, '')
+            ELSE COALESCE(array_to_string(
+              list_filter(ws_orig, (w, i) -> NOT list_contains(
+                covered, i - 1)), ' '), '')
+       END AS clean_text
 FROM ws LEFT JOIN cov USING (doc_id)
 """
