@@ -65,7 +65,7 @@ HEADLINE = [
     "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
     "dedup_near_dup_verified", "dedup_cluster_assign",
     "dedup_incremental", "cross_doc_shingle_dup", "graph_pagerank",
-    "doc_unigram_logprob", "doc_vocab_oov",
+    "doc_unigram_logprob", "doc_bigram_domain_logprob", "doc_vocab_oov",
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "doc_line_dedup", "host_cap_sample",
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",

@@ -554,3 +554,15 @@ def test_dup_passages_one_generate_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert nodes(plan, "Generate") == 2, plan  # grams built twice (agg+hits)
+
+
+def test_bigram_domain_lm_no_python_no_cartesian(spark):
+    """Domain-LM scoring: reference counts partial-agg, scoring via
+    left equi-joins (no SortMergeJoin required — but no cartesian, no
+    Python, and the one-row stats side stays a broadcast)."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_bigram_domain_logprob"](
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan  # 1-row stats

@@ -309,3 +309,32 @@ def test_bm25_sql_escapes_apostrophe_terms(spark):
     con.executemany("insert into t values (?, ?)", rows)
     want = con.execute(textindex.bm25_sql("t", ("o'brien",), k=5)).fetchall()
     assert [tuple(r) for r in got] == want == [(0, 1, want[0][2])]
+
+
+def test_bigram_domain_logprob_hand_computed(spark):
+    import math
+    from pyspark.sql import Row
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b a c", lang="en"),     # the reference
+        Row(doc_id=1, text="a b x", lang="fr"),       # partly OOV
+        Row(doc_id=2, text="solo", lang="fr"),        # <2 tokens: absent
+    ])
+    rows = {r["doc_id"]: r for r in textstats.bigram_domain_logprob(
+        docs, target_lang="en", lam=0.7).collect()}
+    # reference model: U = {a:2, b:1, c:1}, T=4, V=3; B = {(a,b):1,
+    # (b,a):1, (a,c):1}
+    lam, T, V = 0.7, 4, 3
+
+    def m(b_over_u1, u2):
+        p = lam * b_over_u1 + (1.0 - lam) * ((u2 + 1) / (T + V + 1))
+        return math.floor(math.log(p) * 1e6)
+
+    assert set(rows) == {0, 1}
+    assert rows[1]["n_transitions"] == 2
+    assert rows[1]["logprob_micro"] == m(1 / 2, 1) + m(0.0, 0)
+    assert rows[0]["n_transitions"] == 3
+    assert rows[0]["logprob_micro"] == \
+        m(1 / 2, 1) + m(1 / 1, 2) + m(1 / 2, 1)
+    # the in-domain doc outscores the partly-OOV one per transition
+    assert rows[0]["mean_logprob_r"] > rows[1]["mean_logprob_r"]

@@ -723,3 +723,122 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
                  F.round(sum_micro / 1e6, 6).alias("log_weight_r"),
                  (F.floor(sum_micro / n_sum + F.lit(0.5)).cast("bigint")
                   / F.lit(1e6)).alias("avg_logratio_r")))
+
+
+def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
+                          lam: float = 0.7, text_col: str = "text",
+                          lang_col: str = "lang") -> DataFrame:
+    """CCNet-proper domain-LM scoring (Wenzek et al. 2020): train an
+    interpolated bigram language model on the TARGET-domain documents
+    (`lang == target_lang` — the wiki-reference stand-in) and score
+    every document's transitions against it:
+
+        p(w2|w1) = lam * B(w1,w2)/U(w1)  +  (1-lam) * (U(w2)+1)/(T+V+1)
+
+    (maximum-likelihood bigram backed off to an add-one unigram; OOV
+    transitions fall through to the smoothed unigram floor).  This is
+    the step `unigram_logprob`'s docstring defers to: scoring against a
+    REFERENCE domain rather than the corpus itself, so fluent-but-
+    off-domain text scores low too — the actual CCNet gate semantics.
+
+    Scale shape: the reference model is two partial-agg shuffles over
+    the target slice only (unigram + bigram counts, vocab/bigram-table
+    sized); U(w1) is denormalized INTO the bigram table once
+    (vocab-sized join at build); scoring is one left equi-join of
+    corpus transitions against that table plus one against the unigram
+    table, corpus stats are a one-row broadcast.  Every per-transition
+    contribution is a pure double function of integer counts, fixed to
+    MICRO precision as BIGINT before the per-doc sum (the dsir/bm25
+    idiom) — exact integer accumulation, engine- and partition-order
+    independent.  The transition projection is re-derived on the
+    reference branch (stateless twin discipline).
+
+    Output: (doc_id, n_transitions, logprob_micro, mean_logprob_r) for
+    every doc with >= 2 tokens.  A target_lang absent from the corpus
+    yields NULL scores — callers must pass a real domain (the curate
+    job's DSIR stage enforces the same loudly).
+    """
+    from .dedup import word_array
+    base = docs.select("doc_id", F.col(lang_col).alias("__lang"),
+                       F.coalesce(word_array(text_col), F.array())
+                       .alias("ws"))
+    pairs = (base.where(F.size("ws") >= 2)
+             .select("doc_id", "__lang", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("ws") - 1),
+                 lambda i: F.struct(
+                     F.element_at(F.col("ws"), i).alias("w1"),
+                     F.element_at(F.col("ws"), i + 1).alias("w2"))))
+                 .alias("t"))
+             .select("doc_id", "__lang", "t.w1", "t.w2"))
+    ref_uni = (base.where(F.col("__lang") == target_lang)
+               .select(F.explode("ws").alias("w"))
+               .groupBy("w").agg(F.count("*").alias("u_cnt")))
+    tot = ref_uni.agg(F.sum("u_cnt").alias("t_tokens"),
+                      F.count("*").alias("v_size"))
+    big = (pairs.where(F.col("__lang") == target_lang)
+           .groupBy("w1", "w2").agg(F.count("*").alias("b_cnt"))
+           .join(ref_uni.select(F.col("w").alias("w1"),
+                                F.col("u_cnt").alias("u1_cnt")), "w1"))
+    p_bi = F.when(F.col("b_cnt").isNotNull(),
+                  F.col("b_cnt").cast("double") / F.col("u1_cnt")) \
+            .otherwise(F.lit(0.0))
+    p_uni = ((F.coalesce(F.col("u2_cnt"), F.lit(0)) + 1).cast("double")
+             / (F.col("t_tokens") + F.col("v_size") + 1))
+    contrib = F.floor(F.log(lam * p_bi + (1.0 - lam) * p_uni) * 1e6) \
+        .cast("long")
+    return (pairs
+            .join(big, ["w1", "w2"], "left")
+            .join(ref_uni.select(F.col("w").alias("w2"),
+                                 F.col("u_cnt").alias("u2_cnt")),
+                  "w2", "left")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("m", contrib)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_transitions"),
+                 F.sum("m").alias("logprob_micro"))
+            .select("doc_id", "n_transitions", "logprob_micro",
+                    F.round(F.col("logprob_micro") / 1e6
+                            / F.col("n_transitions"), 6)
+                    .alias("mean_logprob_r")))
+
+
+def bigram_domain_logprob_sql(table: str, target_lang: str = "en",
+                              lam: float = 0.7) -> str:
+    """DuckDB twin of :func:`bigram_domain_logprob` — identical
+    arithmetic order, counts-only inputs, micro-fixed accumulation."""
+    from .dedup import WORD_ARRAY_SQL
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, lang, {WORD_ARRAY_SQL.format(col="text")} AS ws
+  FROM {table}),
+pairs AS (
+  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w0, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+refw AS (SELECT unnest(ws) AS w FROM w0 WHERE lang = '{target_lang}'),
+uni AS (SELECT w, COUNT(*) AS u_cnt FROM refw GROUP BY w),
+tot AS (SELECT CAST(SUM(u_cnt) AS BIGINT) AS t_tokens,
+               COUNT(*) AS v_size FROM uni),
+big AS (
+  SELECT w1, w2, COUNT(*) AS b_cnt
+  FROM pairs WHERE lang = '{target_lang}' GROUP BY w1, w2),
+big2 AS (
+  SELECT big.w1, big.w2, big.b_cnt, uni.u_cnt AS u1_cnt
+  FROM big JOIN uni ON big.w1 = uni.w),
+contrib AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(ln({lam} * (CASE WHEN b.b_cnt IS NOT NULL
+                    THEN CAST(b.b_cnt AS DOUBLE) / b.u1_cnt
+                    ELSE 0.0 END)
+             + {1.0 - lam!r} * (CAST(COALESCE(u2.u_cnt, 0) + 1 AS DOUBLE)
+                                / (tot.t_tokens + tot.v_size + 1)))
+           * 1e6) AS BIGINT) AS m
+  FROM pairs p
+  LEFT JOIN big2 b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u2 ON p.w2 = u2.w
+  CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_transitions,
+       CAST(SUM(m) AS BIGINT) AS logprob_micro,
+       ROUND(SUM(m) / 1e6 / COUNT(*), 6) AS mean_logprob_r
+FROM contrib GROUP BY doc_id
+"""

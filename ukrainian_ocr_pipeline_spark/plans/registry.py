@@ -1457,6 +1457,22 @@ SQL_DUP_PASSAGES = dedup.duplicated_passages_sql("documents", k=5,
                                                  min_docs=2)
 
 
+def q_doc_bigram_domain_logprob(spark, sf_dir):
+    """CCNet-proper domain-LM gate (Wenzek et al. 2020): interpolated
+    bigram LM trained on the lang='en' reference slice, every doc's
+    transitions scored against it — fluent-but-off-domain text scores
+    low, unlike the corpus-self unigram stand-in.  Counts-only doubles
+    micro-fixed before the per-doc sum; reference model two partial
+    aggs over the target slice; scoring two left equi-joins + a one-row
+    broadcast."""
+    return textstats.bigram_domain_logprob(
+        _t(spark, sf_dir, "documents"), target_lang="en", lam=0.7)
+
+
+SQL_BIGRAM_DOMAIN = textstats.bigram_domain_logprob_sql(
+    "documents", target_lang="en", lam=0.7)
+
+
 def q_dup_passage_excise(spark, sf_dir):
     """The APPLY step of passage dedup: every duplicated passage is
     excised from every doc except the gram's owner (min doc_id — a pure
@@ -3045,6 +3061,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "dup_passage_ranges": q_dup_passage_ranges,
     "dup_passage_excise": q_dup_passage_excise,
+    "doc_bigram_domain_logprob": q_doc_bigram_domain_logprob,
 }
 
 ORACLE_SQL = {
@@ -3151,4 +3168,5 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25,
     "dup_passage_ranges": SQL_DUP_PASSAGES,
     "dup_passage_excise": SQL_DUP_EXCISE,
+    "doc_bigram_domain_logprob": SQL_BIGRAM_DOMAIN,
 }
