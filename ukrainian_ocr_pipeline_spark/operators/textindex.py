@@ -175,3 +175,72 @@ GROUP BY doc_id
 ORDER BY bm25_micro DESC, doc_id
 LIMIT {k}
 """
+
+
+def postings_table(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf) — the full inverted-index postings as a TABLE
+    (the write-once artifact jobs/textindex.py commits; the bounded
+    `inverted_index` view hash-witnesses the same content).  One
+    explode + one partial-agg shuffle on (term, doc_id)."""
+    from .dedup import word_array
+    return (docs.select(F.col(id_col).alias("doc_id"), F.explode(
+        F.coalesce(word_array(text_col), F.array())).alias("term"))
+        .groupBy("term", "doc_id").agg(F.count("*").alias("tf")))
+
+
+def doc_length_table(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl) — per-doc token counts, INCLUDING zero-token docs
+    (corpus stats must count every document)."""
+    from .dedup import word_array
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.coalesce(word_array(text_col), F.array())).alias("dl"))
+
+
+def term_stats_table(postings: DataFrame) -> DataFrame:
+    """(term, df, tf_total) from a committed postings table — one
+    partial-agg shuffle on term."""
+    return (postings.groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.sum("tf").alias("tf_total")))
+
+
+def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
+                         terms: DataFrame, stats: DataFrame,
+                         query_terms, k: int = 10,
+                         k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Join-only BM25 over the committed text-index tables
+    (jobs/textindex.py) — identical output to the stateless
+    :func:`bm25_topk`, but the corpus is never re-tokenized: the
+    query-term IN filter lands on the postings PARQUET SCAN (real
+    predicate pushdown — the reason the index exists), df comes from
+    the committed term table, and (n_docs, sum_dl) from the one-row
+    stats table.  The 100 TB query path: cost ~ the query's posting
+    lists, zero corpus scan."""
+    qt = sorted({t.lower() for t in query_terms})
+    tf = postings.where(F.col("term").isin(qt))
+    dfreq = terms.where(F.col("term").isin(qt)).select("term", "df")
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * (k1 + 1.0)
+           / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .join(doclens, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("contrib_u", F.floor(idf * sat * 1e6).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_terms_hit"),
+                 F.sum("contrib_u").alias("bm25_micro"))
+            .orderBy(F.desc("bm25_micro"), "doc_id")
+            .limit(k))
+
+
+def corpus_stats_table(doclens: DataFrame) -> DataFrame:
+    """One-row (n_docs, sum_dl) over the doc-length table — sum_dl cast
+    to double HERE so the committed value feeds bm25_topk_from_index
+    with bit-identical arithmetic to the stateless bm25_topk."""
+    return doclens.agg(F.count("*").alias("n_docs"),
+                       F.sum("dl").cast("double").alias("sum_dl"))
