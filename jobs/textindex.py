@@ -13,9 +13,12 @@ proportional to the query's posting lists with zero corpus re-scan
 (the 100 TB shape; pinned by tests/test_job_textindex.py).
 
 Index tables (all under the catalog, all per-snapshot):
-  text_stats     one row (n_docs, sum_dl) — committed FIRST; a resume
-                 under the same snapshot-id with a different corpus
-                 size fails loudly instead of mixing tables.
+  text_stats     one row (n_docs, sum_dl, corpus_fp) — committed
+                 FIRST; a resume under the same snapshot-id against a
+                 different corpus fails loudly instead of mixing
+                 tables (corpus_fp fingerprints the (doc_id, dl)
+                 pairs, so even a same-size reshuffled-id corpus is
+                 rejected).
   text_postings  (term, doc_id, tf) — the full inverted index.
   doc_lengths    (doc_id, dl) including zero-token docs.
   text_terms     (term, df, tf_total) — per-term stats (BM25's df).

@@ -113,3 +113,26 @@ def test_textindex_query_term_filter_reaches_postings_scan(spark,
     assert "PushedFilters" in plan
     assert "In(term, [merge,spark,vector])" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_textindex_job_rejects_reshuffled_ids_same_totals(spark, tmp_path,
+                                                          capsys):
+    """Aggregate totals alone can't catch a resume against a corpus
+    with identical (n_docs, sum_dl) but reassigned doc_ids — the
+    corpus_fp fingerprint must."""
+    import textindex as job
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1, "w1 w2 w3"), (2, "v1 v2 v3 v4 v5")],
+                          "doc_id long, text string").write.parquet(a)
+    # same doc count, same total tokens — ids swapped across lengths
+    spark.createDataFrame([(2, "w1 w2 w3"), (1, "v1 v2 v3 v4 v5")],
+                          "doc_id long, text string").write.parquet(b)
+    wh = str(tmp_path / "wh")
+    assert job.main(["--docs", a, "--warehouse", wh,
+                     "--snapshot-id", "t4"]) == 0
+    capsys.readouterr()
+    assert job.main(["--docs", b, "--warehouse", wh,
+                     "--snapshot-id", "t4"]) == 2
+    assert "corpus differs" in capsys.readouterr().err

@@ -39,11 +39,7 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
     `top_postings` entries of the doc_id-ordered posting list rendered
     as "doc:tf,...", and the md5 of the COMPLETE rendered posting list
     (the bounded witness for the unbounded payload)."""
-    tf = (docs
-          .select("doc_id", F.explode(
-              F.coalesce(word_array(text_col), F.array())).alias("term"))
-          .groupBy("term", "doc_id")
-          .agg(F.count("*").alias("tf")))
+    tf = postings_table(docs, text_col)
     postings = F.transform(
         F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
         lambda s: F.concat_ws(":", s["doc_id"], s["tf"]))
@@ -81,6 +77,33 @@ FROM agg
 """
 
 
+def _norm_query_terms(query_terms):
+    return sorted({t.lower() for t in query_terms})
+
+
+def _bm25_rank(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+               k: int, k1: float, b: float) -> DataFrame:
+    """THE BM25 scoring tail — the one expression both entry points
+    (stateless bm25_topk, join-only bm25_topk_from_index) share, so
+    their row-identical guarantee holds by construction.  `tf` carries
+    (doc_id, dl, term, tf); `dfreq` (term, df); `stats` one row with
+    (n_docs, sum_dl DOUBLE).  Contributions micro-fixed to BIGINT
+    before the per-doc sum; cut via TakeOrderedAndProject."""
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * (k1 + 1.0)
+           / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("contrib_u", F.floor(idf * sat * 1e6).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_terms_hit"),
+                 F.sum("contrib_u").alias("bm25_micro"))
+            .orderBy(F.desc("bm25_micro"), "doc_id")
+            .limit(k))
+
+
 def bm25_topk(docs: DataFrame, query_terms, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -108,7 +131,7 @@ def bm25_topk(docs: DataFrame, query_terms, k: int = 10,
     order across partitionings and engines (the dsir/classifier idiom).
     Output: (doc_id, n_terms_hit, bm25_micro), ordered desc/asc.
     """
-    qt = sorted({t.lower() for t in query_terms})
+    qt = _norm_query_terms(query_terms)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(word_array(text_col), F.array()).alias("__ws")) \
@@ -120,19 +143,7 @@ def bm25_topk(docs: DataFrame, query_terms, k: int = 10,
           .select("doc_id", "dl", F.explode("__hits").alias("term"))
           .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    avgdl = F.col("sum_dl") / F.col("n_docs")
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)
-    sat = (F.col("tf") * (k1 + 1.0)
-           / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
-    return (tf.join(F.broadcast(dfreq), "term")
-            .crossJoin(F.broadcast(corpus))
-            .withColumn("contrib_u", F.floor(idf * sat * 1e6).cast("long"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_terms_hit"),
-                 F.sum("contrib_u").alias("bm25_micro"))
-            .orderBy(F.desc("bm25_micro"), "doc_id")
-            .limit(k))
+    return _bm25_rank(tf, dfreq, corpus, k, k1, b)
 
 
 def bm25_sql(table: str, query_terms, k: int = 10,
@@ -219,28 +230,25 @@ def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
     the committed term table, and (n_docs, sum_dl) from the one-row
     stats table.  The 100 TB query path: cost ~ the query's posting
     lists, zero corpus scan."""
-    qt = sorted({t.lower() for t in query_terms})
-    tf = postings.where(F.col("term").isin(qt))
+    qt = _norm_query_terms(query_terms)
+    tf = postings.where(F.col("term").isin(qt)).join(doclens, "doc_id")
     dfreq = terms.where(F.col("term").isin(qt)).select("term", "df")
-    avgdl = F.col("sum_dl") / F.col("n_docs")
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)
-    sat = (F.col("tf") * (k1 + 1.0)
-           / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
-    return (tf.join(F.broadcast(dfreq), "term")
-            .join(doclens, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .withColumn("contrib_u", F.floor(idf * sat * 1e6).cast("long"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_terms_hit"),
-                 F.sum("contrib_u").alias("bm25_micro"))
-            .orderBy(F.desc("bm25_micro"), "doc_id")
-            .limit(k))
+    return _bm25_rank(tf, dfreq,
+                      stats.select("n_docs", "sum_dl"), k, k1, b)
 
 
 def corpus_stats_table(doclens: DataFrame) -> DataFrame:
-    """One-row (n_docs, sum_dl) over the doc-length table — sum_dl cast
-    to double HERE so the committed value feeds bm25_topk_from_index
-    with bit-identical arithmetic to the stateless bm25_topk."""
-    return doclens.agg(F.count("*").alias("n_docs"),
-                       F.sum("dl").cast("double").alias("sum_dl"))
+    """One-row (n_docs, sum_dl, corpus_fp) over the doc-length table —
+    sum_dl cast to double HERE so the committed value feeds
+    bm25_topk_from_index with bit-identical arithmetic to the stateless
+    bm25_topk.  corpus_fp is an order-insensitive fingerprint over the
+    (doc_id, dl) pairs: aggregate totals alone cannot distinguish two
+    corpora with the same size but reshuffled doc_ids, and the resume
+    guard in jobs/textindex.py must (it only ever compares Spark to
+    Spark, so engine-native xxhash64 is fine here; XOR-folded because
+    (doc_id, dl) pairs are unique and a 64-bit SUM would overflow under
+    ANSI)."""
+    return doclens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        F.bit_xor(F.xxhash64("doc_id", "dl")).alias("corpus_fp"))

@@ -797,8 +797,12 @@ def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
             .agg(F.count("*").alias("n_transitions"),
                  F.sum("m").alias("logprob_micro"))
             .select("doc_id", "n_transitions", "logprob_micro",
-                    F.round(F.col("logprob_micro") / 1e6
-                            / F.col("n_transitions"), 6)
+                    # dsir tie idiom (see avg_logratio_r above): round
+                    # half-up AT micro precision — ROUND(x, 6) differs
+                    # between engines on .5-micro double ties
+                    (F.floor(F.col("logprob_micro")
+                             / F.col("n_transitions") + F.lit(0.5))
+                     .cast("bigint") / F.lit(1e6))
                     .alias("mean_logprob_r")))
 
 
@@ -839,6 +843,7 @@ contrib AS (
   CROSS JOIN tot)
 SELECT doc_id, COUNT(*) AS n_transitions,
        CAST(SUM(m) AS BIGINT) AS logprob_micro,
-       ROUND(SUM(m) / 1e6 / COUNT(*), 6) AS mean_logprob_r
+       CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         / 1e6 AS mean_logprob_r
 FROM contrib GROUP BY doc_id
 """
