@@ -12,8 +12,11 @@ keeper) -> near-dup dedup (MinHash -> LSH -> exact Jaccard verify ->
 connected-component clusters) -> optional DSIR domain selection
 (--dsir-select N: keep the N survivors most like the
 --dsir-target-lang domain by hashed-ngram importance weight, the
-Xie et al. 2023 recipe as a deterministic top-N) -> optional per-host
-cap (--host-cap N:
+Xie et al. 2023 recipe as a deterministic top-N) -> optional CCNet LM
+gate (--lm-gate-lang L --lm-gate-min-logprob X: interpolated bigram LM
+trained on the surviving L-lang slice; survivors scoring below X drop
+as 'lm_gate'; no-signal docs with < 2 tokens are kept) -> optional
+per-host cap (--host-cap N:
 at most N surviving docs per source host, salted two-stage
 deterministic sample) -> optional temperature-based language
 rebalancing (--temperature-alpha A: deterministic md5-bucket
@@ -38,7 +41,8 @@ redaction rewrites the FINAL text last.
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
                       ('kept' | 'quality:<reason>' | 'classifier' |
-                      'dup_exact' | 'dup_near' | 'dsir' | 'host_cap' |
+                      'dup_exact' | 'dup_near' | 'dsir' | 'lm_gate' |
+                      'host_cap' |
                       'lang_sample'), the keeper doc for
                       dups, and the split for kept docs — the audit
                       trail / drop list.
@@ -119,6 +123,15 @@ def main(argv=None) -> int:
                    help="target domain for --dsir-select (required with"
                         " it): documents of this language define the"
                         " target hashed-ngram distribution")
+    p.add_argument("--lm-gate-lang", default=None,
+                   help="CCNet-style LM gate: train an interpolated"
+                        " bigram LM on the surviving docs of this lang"
+                        " and drop survivors scoring below"
+                        " --lm-gate-min-logprob (off when unset)")
+    p.add_argument("--lm-gate-min-logprob", type=float, default=None,
+                   help="mean token log-prob floor for --lm-gate-lang"
+                        " (required with it; scores are negative, e.g."
+                        " -8.0)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -146,6 +159,10 @@ def main(argv=None) -> int:
         # after the full dedup pipeline has run) — make the target an
         # explicit decision
         p.error("--dsir-select requires --dsir-target-lang")
+    if (args.lm_gate_lang is None) != (args.lm_gate_min_logprob is None):
+        # a lang without a floor silently gates nothing; a floor
+        # without a lang has no reference model — both are config bugs
+        p.error("--lm-gate-lang and --lm-gate-min-logprob go together")
     if args.host_cap < 0:
         # a negative cap keeps nothing: every survivor would be dropped
         # as host_cap and the empty snapshot committed (idempotency then
@@ -268,6 +285,36 @@ def main(argv=None) -> int:
         else:
             dropped_d = dropped_x.limit(0)
 
+        # CCNet LM gate among the dedup survivors (after dedup so the
+        # reference model is not skewed by duplicated text; before the
+        # host cap so gated docs never consume sample slots): train the
+        # interpolated bigram LM on the surviving target-lang slice and
+        # drop docs whose mean token log-prob falls below the floor.
+        # Docs with < 2 tokens have no transitions to score -> no
+        # signal -> KEPT (a drop gate must not fire without evidence)
+        if args.lm_gate_lang is not None:
+            surv = docs.join(final_ids, "doc_id")
+            if surv.where(F.col("lang")
+                          == args.lm_gate_lang).limit(1).count() == 0:
+                # an empty reference would make every score NULL and
+                # silently disable the gate under a committed snapshot
+                raise SystemExit(json.dumps(
+                    {"error": "lm_gate_lang_empty",
+                     "detail": f"no surviving documents have lang="
+                               f"{args.lm_gate_lang!r}; check"
+                               f" --lm-gate-lang"}, sort_keys=True))
+            lm = textstats.bigram_domain_logprob(
+                surv, target_lang=args.lm_gate_lang)
+            dropped_l = (lm.where(F.col("mean_logprob_r")
+                                  < args.lm_gate_min_logprob)
+                         .select("doc_id", F.lit("lm_gate").alias("status"),
+                                 F.lit(None).cast("long")
+                                 .alias("keeper_doc_id")))
+            final_ids = final_ids.join(dropped_l.select("doc_id"),
+                                       "doc_id", "left_anti")
+        else:
+            dropped_l = dropped_x.limit(0)
+
         # per-host cap among the dedup survivors (cap AFTER dedup so
         # dropped duplicates never consume a host's sample slots).
         # NULL-source docs are NOT a host: they pass through uncapped
@@ -316,6 +363,7 @@ def main(argv=None) -> int:
             F.lit(None).cast("long").alias("keeper_doc_id"))
         return (dropped_q.unionByName(dropped_c).unionByName(dropped_x)
                 .unionByName(dropped_n).unionByName(dropped_d)
+                .unionByName(dropped_l)
                 .unionByName(dropped_h).unionByName(dropped_t)
                 .withColumn("split", F.lit(None).cast("string"))
                 .unionByName(kept.withColumn("split", split)))
@@ -384,6 +432,7 @@ def main(argv=None) -> int:
         "dropped_host_cap": counts.get("host_cap", 0),
         "dropped_classifier": counts.get("classifier", 0),
         "dropped_dsir": counts.get("dsir", 0),
+        "dropped_lm": counts.get("lm_gate", 0),
         "dropped_lang_sample": counts.get("lang_sample", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,

@@ -485,3 +485,51 @@ def test_curate_job_passage_dedup_stage(spark, tmp_path, capsys):
         job.main(["--docs", docs_path, "--warehouse", wh,
                   "--snapshot-id", "pd2", "--passage-dedup",
                   "--passage-min-docs", "1"])
+
+
+def test_curate_job_lm_gate_stage(spark, tmp_path, capsys):
+    """--lm-gate-lang/--lm-gate-min-logprob drops exactly the dedup
+    survivors scoring below the floor under the survivor-trained bigram
+    LM; flags must come together; an empty reference lang aborts before
+    commit."""
+    import pytest
+
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "lm1", "--lm-gate-lang", "en",
+                   "--lm-gate-min-logprob", "-3.47"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_lm"] > 0
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_exact_dup"] + stats["dropped_near_dup"]
+            + stats["dropped_lm"]) == stats["docs_in"]
+
+    # parity with the standalone operator over the pre-gate survivors
+    dec = SnapshotCatalog(wh).read_snapshot(spark, "curation_decisions",
+                                            "lm1")
+    gated = {r["doc_id"] for r in
+             dec.where(F.col("status") == "lm_gate").collect()}
+    pre_gate = dec.where(F.col("status").isin("kept", "lm_gate")) \
+        .select("doc_id")
+    surv = spark.read.parquet(docs_path).join(pre_gate, "doc_id")
+    lm = textstats.bigram_domain_logprob(surv, target_lang="en")
+    want = {r["doc_id"] for r in
+            lm.where(F.col("mean_logprob_r") < -3.47).collect()}
+    assert gated == want
+
+    # flags must come together
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "lm2", "--lm-gate-lang", "en"])
+    # a reference lang with no survivors aborts loudly before commit
+    with pytest.raises(SystemExit, match="lm_gate_lang_empty"):
+        job.main(["--docs", docs_path, "--warehouse", str(tmp_path / "w2"),
+                  "--snapshot-id", "lm3", "--lm-gate-lang", "xx",
+                  "--lm-gate-min-logprob", "-3.47"])
