@@ -163,6 +163,13 @@ def main(argv=None) -> int:
         # a lang without a floor silently gates nothing; a floor
         # without a lang has no reference model — both are config bugs
         p.error("--lm-gate-lang and --lm-gate-min-logprob go together")
+    if args.lm_gate_min_logprob is not None \
+            and args.lm_gate_min_logprob >= 0:
+        # mean token log-prob is strictly negative (p < 1 always), so a
+        # non-negative floor drops EVERY scored survivor and idempotency
+        # pins the gutted corpus to this snapshot-id — the same footgun
+        # class as a negative host cap; reject at parse time
+        p.error("--lm-gate-min-logprob must be negative (log-probs are)")
     if args.host_cap < 0:
         # a negative cap keeps nothing: every survivor would be dropped
         # as host_cap and the empty snapshot committed (idempotency then
@@ -187,6 +194,17 @@ def main(argv=None) -> int:
                                   master=args.master)
     cat = SnapshotCatalog(args.warehouse)
     docs = spark.read.parquet(args.docs)
+
+    def require_lang_survivors(surv, lang, flag, error_key):
+        # a typo'd/empty reference lang would silently degrade the
+        # stage (DSIR: rank-by-rarity; LM gate: all-NULL scores) and
+        # idempotency would pin the wrong corpus to this snapshot-id —
+        # fail loudly before anything commits
+        if surv.where(F.col("lang") == lang).limit(1).count() == 0:
+            raise SystemExit(json.dumps(
+                {"error": error_key,
+                 "detail": f"no surviving documents have lang={lang!r};"
+                           f" check {flag}"}, sort_keys=True))
 
     def build_decisions():
         # quality gate: codegen predicates, no shuffle
@@ -261,18 +279,9 @@ def main(argv=None) -> int:
         # — a no-signal document cannot "look like" the target.
         if args.dsir_select:
             surv = docs.join(final_ids, "doc_id")
-            if surv.where(F.col("lang")
-                          == args.dsir_target_lang).limit(1).count() == 0:
-                # a typo'd target lang would silently degrade selection
-                # into rank-by-token-rarity (tot_tgt = 0 makes every
-                # bucket's target term the same smoothing constant) and
-                # idempotency would pin the wrong corpus to this
-                # snapshot-id — fail loudly before anything commits
-                raise SystemExit(json.dumps(
-                    {"error": "dsir_target_lang_empty",
-                     "detail": f"no surviving documents have lang="
-                               f"{args.dsir_target_lang!r}; check"
-                               f" --dsir-target-lang"}, sort_keys=True))
+            require_lang_survivors(surv, args.dsir_target_lang,
+                                   "--dsir-target-lang",
+                                   "dsir_target_lang_empty")
             wts = textstats.dsir_importance_weights(
                 surv, target_lang=args.dsir_target_lang)
             chosen = (wts.orderBy(F.desc("log_weight_r"), "doc_id")
@@ -294,15 +303,9 @@ def main(argv=None) -> int:
         # signal -> KEPT (a drop gate must not fire without evidence)
         if args.lm_gate_lang is not None:
             surv = docs.join(final_ids, "doc_id")
-            if surv.where(F.col("lang")
-                          == args.lm_gate_lang).limit(1).count() == 0:
-                # an empty reference would make every score NULL and
-                # silently disable the gate under a committed snapshot
-                raise SystemExit(json.dumps(
-                    {"error": "lm_gate_lang_empty",
-                     "detail": f"no surviving documents have lang="
-                               f"{args.lm_gate_lang!r}; check"
-                               f" --lm-gate-lang"}, sort_keys=True))
+            require_lang_survivors(surv, args.lm_gate_lang,
+                                   "--lm-gate-lang",
+                                   "lm_gate_lang_empty")
             lm = textstats.bigram_domain_logprob(
                 surv, target_lang=args.lm_gate_lang)
             dropped_l = (lm.where(F.col("mean_logprob_r")

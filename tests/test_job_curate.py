@@ -533,3 +533,46 @@ def test_curate_job_lm_gate_stage(spark, tmp_path, capsys):
         job.main(["--docs", docs_path, "--warehouse", str(tmp_path / "w2"),
                   "--snapshot-id", "lm3", "--lm-gate-lang", "xx",
                   "--lm-gate-min-logprob", "-3.47"])
+
+
+def test_curate_lm_gate_keeps_no_signal_docs_and_rejects_bad_floor(
+        spark, tmp_path, capsys):
+    """A doc with < 2 tokens has no transitions to score and must be
+    KEPT (a drop gate needs evidence); a non-negative floor is rejected
+    at parse time (it would gut the corpus)."""
+    import pytest
+
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    rows = [(i, "the quick brown fox jumps over a lazy dog number "
+                f"tail{i}", "en", "s0", 60) for i in range(6)]
+    # non-latin single token: passes the quality gate at --min-words 1
+    # (the English stopword rule applies only to latin-majority docs)
+    # but has no bigram transitions -> no LM signal
+    rows.append((900, "你好", "zh", "s1", 2))
+    docs_path = str(tmp_path / "docs.parquet")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(docs_path))
+
+    wh = str(tmp_path / "wh")
+    # an absurdly high (still negative) floor: every SCORED doc drops,
+    # the no-signal doc must survive
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "lmns", "--min-words", "1",
+                   "--no-neardup", "--lm-gate-lang", "en",
+                   "--lm-gate-min-logprob", "-0.000001"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    dec = {r["doc_id"]: r["status"] for r in SnapshotCatalog(wh)
+           .read_snapshot(spark, "curation_decisions", "lmns").collect()}
+    assert dec[900] == "kept"
+    assert stats["dropped_lm"] == 6  # every scored survivor dropped
+    assert stats["docs_out"] == 1
+
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "lmbad", "--lm-gate-lang", "en",
+                  "--lm-gate-min-logprob", "0.5"])
