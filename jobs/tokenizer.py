@@ -1,0 +1,111 @@
+"""spark-submit entry point for the distributed tokenizer-training job.
+
+    spark-submit --py-files engine.zip jobs/tokenizer.py \
+        --docs /path/to/documents.parquet --warehouse /path/to/wh \
+        --snapshot-id tok-001 [--merges 50]
+
+Trains a BPE merges table ON the corpus (textstats.bpe_train_merges —
+the corpus is read once for the pretoken vocabulary; every merge round
+runs over that Zipf-bounded vocab table only) and commits it together
+with per-document token counts ENCODED WITH the freshly trained table —
+the tokenizer-then-count step of a training-data pipeline, as one
+idempotent deployable job.
+
+Output tables (all under the catalog, all per-snapshot):
+  bpe_merges        (rank, a, b) — the trained merge table in training
+                    order (rank = priority, lower merges first).
+                    Committed FIRST; a resume under the same
+                    snapshot-id skips retraining and a different
+                    --merges than committed fails loudly (rc 2).
+  bpe_token_counts  (doc_id, n_bpe_tokens) under the committed table.
+
+Determinism: bpe_train_merges reproduces spec/bpe.py train_merges
+bit-for-bit (tie-break max((count, pair)); pinned by tests), so the
+committed table is a pure function of the corpus — re-training under a
+new snapshot-id yields the identical table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="BPE tokenizer training job")
+    p.add_argument("--docs", required=True,
+                   help="documents parquet path (doc_id, text, ...)")
+    p.add_argument("--warehouse", required=True, help="output catalog root")
+    p.add_argument("--snapshot-id", required=True)
+    p.add_argument("--merges", type=int, default=50,
+                   help="number of merge rounds to train (default 50)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    if args.merges < 1:
+        p.error("--merges must be >= 1")
+
+    import os
+
+    from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
+    if is_checkable_local_path(args.docs) and not os.path.exists(args.docs):
+        p.error(f"--docs path does not exist: {args.docs}")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(app=f"tokenizer-{args.snapshot_id}",
+                                  master=args.master)
+    cat = SnapshotCatalog(args.warehouse)
+    docs = spark.read.parquet(args.docs)
+
+    if cat.is_committed("bpe_merges", args.snapshot_id):
+        committed = (cat.read_snapshot(spark, "bpe_merges",
+                                       args.snapshot_id)
+                     .orderBy("rank").collect())
+        # a shorter table than requested is legitimate (vocab ran out
+        # of pairs); a LONGER one means the resume asked for fewer
+        # merges than were committed — a parameter mismatch
+        if len(committed) > args.merges:
+            print(json.dumps({"error": "merges mismatch with committed "
+                              "snapshot", "committed": len(committed),
+                              "requested": args.merges}, sort_keys=True),
+                  file=sys.stderr)
+            if existing is None:
+                spark.stop()
+            return 2
+        merges = [(r["a"], r["b"]) for r in committed]
+    else:
+        merges = textstats.bpe_train_merges(docs, n_merges=args.merges)
+        cat.write_snapshot(
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "rank long, a string, b string"),
+            "bpe_merges", args.snapshot_id)
+        merges = [(r["a"], r["b"]) for r in
+                  cat.read_snapshot(spark, "bpe_merges", args.snapshot_id)
+                  .orderBy("rank").collect()]
+
+    if not cat.is_committed("bpe_token_counts", args.snapshot_id):
+        cat.write_snapshot(
+            textstats.bpe_token_counts(docs, merges=merges),
+            "bpe_token_counts", args.snapshot_id)
+    counts = cat.read_snapshot(spark, "bpe_token_counts", args.snapshot_id)
+    agg = counts.agg(F.count("*").alias("docs"),
+                     F.sum("n_bpe_tokens").alias("tokens")).collect()[0]
+
+    print(json.dumps({"merges_trained": len(merges),
+                      "docs": agg["docs"],
+                      "total_bpe_tokens": int(agg["tokens"] or 0)},
+                     sort_keys=True))
+    if existing is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -181,3 +181,37 @@ def test_merge_candidates_match_trainer_pair_counts(spark):
     # the winning pair is what train_merges would merge in round 1
     best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
     assert (got["pair"][0], got["weight"][0]) == best
+
+
+def test_distributed_trainer_matches_spec_trainer(spark):
+    """bpe_train_merges (distributed rounds over the vocab table) must
+    reproduce spec/bpe.py train_merges bit-for-bit — merge order, ties,
+    early exhaustion — on both a crafted corpus and real fixture text."""
+    from pyspark.sql import Row
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    from ukrainian_ocr_pipeline_spark.spec import bpe
+
+    crafted = ["low lower lowest", "new newer newest",
+               "low low low", "ab ab ab cd cd", None, ""]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(crafted)])
+    got = textstats.bpe_train_merges(docs, n_merges=12)
+    want = bpe.train_merges([t for t in crafted if t], n_merges=12)
+    assert got == want
+
+    # early exhaustion: a corpus whose vocab runs out of pairs
+    tiny = spark.createDataFrame([Row(doc_id=0, text="aa b")])
+    got_tiny = textstats.bpe_train_merges(tiny, n_merges=10)
+    want_tiny = bpe.train_merges(["aa b"], n_merges=10)
+    assert got_tiny == want_tiny
+    assert len(got_tiny) < 10  # genuinely exhausted, not truncated
+
+    # real corpus slice (multilingual text incl. Cyrillic/CJK: pins the
+    # UTF8-binary vs code-point tie-break equivalence)
+    rows = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(40))
+    got_fx = textstats.bpe_train_merges(rows, n_merges=8)
+    want_fx = bpe.train_merges(
+        [r["text"] for r in rows.collect() if r["text"]], n_merges=8)
+    assert got_fx == want_fx

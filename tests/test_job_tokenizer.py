@@ -1,0 +1,64 @@
+"""End-to-end tests of the tokenizer-training job (jobs/tokenizer.py):
+trained-table parity with the pure-Python trainer, counts parity with
+the spec encoder under the trained table, idempotent re-runs, and the
+merges-mismatch resume guard."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "jobs"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tokenizer_job_train_and_count(spark, tmp_path, capsys):
+    import tokenizer as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.spec import bpe
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "tok1", "--merges", "10"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["merges_trained"] == 10
+    assert stats["docs"] == 500
+    assert stats["total_bpe_tokens"] > 0
+
+    cat = SnapshotCatalog(wh)
+    got_merges = [(r["a"], r["b"]) for r in
+                  cat.read_snapshot(spark, "bpe_merges", "tok1")
+                  .orderBy("rank").collect()]
+    texts = [r["text"] for r in
+             spark.read.parquet(docs_path).collect() if r["text"]]
+    want_merges = bpe.train_merges(texts, n_merges=10)
+    assert got_merges == want_merges
+
+    # counts match the spec encoder under the SAME trained table
+    ranks = bpe.merge_ranks(got_merges)
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in
+              cat.read_snapshot(spark, "bpe_token_counts", "tok1")
+              .collect()}
+    for r in spark.read.parquet(docs_path).limit(25).collect():
+        want = sum(len(bpe.encode(p, ranks))
+                   for p in bpe.pretokenize(r["text"] or ""))
+        assert counts[r["doc_id"]] == want, r["doc_id"]
+
+    # idempotent re-run: no retraining, identical stats, one manifest
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "tok1", "--merges", "10"])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+    for t in ("bpe_merges", "bpe_token_counts"):
+        assert len(os.listdir(os.path.join(wh, t, "snapshots"))) == 1
+
+    # resume asking for FEWER merges than committed -> rc 2
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "tok1", "--merges", "5"])
+    assert rc == 2
+    assert "merges mismatch" in capsys.readouterr().err

@@ -80,7 +80,7 @@ def subword_token_counts(docs: DataFrame, text_col: str = "text",
 
 
 def bpe_token_counts(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", merges=None) -> DataFrame:
     """REAL merges-table BPE token counting (vs subword_token_counts'
     ceil(len/4) estimator): GPT-2-style pretokenize, then the standard
     rank-ordered pair-merge encode against the committed 500-merge table
@@ -101,7 +101,7 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text",
 
     from ..spec import bpe
 
-    ranks = bpe.merge_ranks()
+    ranks = bpe.merge_ranks(merges)
     cache: dict = {}
 
     @pandas_udf("long")
@@ -847,3 +847,81 @@ SELECT doc_id, COUNT(*) AS n_transitions,
          / 1e6 AS mean_logprob_r
 FROM contrib GROUP BY doc_id
 """
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 50,
+                     text_col: str = "text") -> list:
+    """DISTRIBUTED BPE tokenizer training — the full multi-round loop
+    whose single round `bpe_merge_candidates` demonstrates, producing
+    the same merges list as the driver-side reference trainer
+    (spec/bpe.py train_merges) bit-for-bit.
+
+    Shape per round (the production BPE reduction, GPT-2/SentencePiece
+    style): the corpus is read ONCE to build the pretoken vocabulary
+    (Zipf-bounded — a fraction of corpus size); every round then runs
+    over that bounded vocab table only — one pair-count partial-agg
+    shuffle + a 1-row argmax to the driver (the merges list is a
+    driver-side artifact by definition) + one in-row HOF rewrite of the
+    symbol arrays + a regroup shuffle (merged words can collide).
+    localCheckpoint truncates lineage so plan depth stays constant
+    across rounds (the cluster_assign discipline).
+
+    Determinism: ties break to the lexicographically LARGEST pair via
+    orderBy(weight desc, a desc, b desc) — Spark's UTF8-binary string
+    order equals Python's code-point order on valid UTF-8, so the rule
+    is exactly train_merges' max((count, pair)).  Returns list[(a, b)]
+    (may be shorter than n_merges if the vocab runs out of pairs).
+    """
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
+        F.array().cast("array<string>"))
+    vocab = (docs.select(F.explode(toks).alias("pretok"))
+             .groupBy("pretok").agg(F.count("*").alias("freq"))
+             .select(F.filter(F.split("pretok", ""),
+                              lambda c: c != "").alias("sym"), "freq")
+             .localCheckpoint(eager=True))
+    merges: list = []
+    for _ in range(n_merges):
+        best = (vocab.where(F.size("sym") >= 2)
+                .select("freq",
+                        F.explode(F.sequence(F.lit(1),
+                                             F.size("sym") - 1)).alias("i"),
+                        "sym")
+                .select(F.element_at("sym", F.col("i")).alias("a"),
+                        F.element_at("sym", F.col("i") + 1).alias("b"),
+                        "freq")
+                .groupBy("a", "b").agg(F.sum("freq").alias("w"))
+                .orderBy(F.desc("w"), F.desc("a"), F.desc("b"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        # left-to-right non-overlapping merge of (a, b) in every symbol
+        # array — the skip flag consumes the position after a merge,
+        # exactly spec/bpe.py _merge_word
+        merged = F.aggregate(
+            F.sequence(F.lit(1), F.size("sym")),
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(False).alias("skip")),
+            lambda acc, i: (
+                F.when(acc["skip"],
+                       F.struct(acc["out"].alias("out"),
+                                F.lit(False).alias("skip")))
+                .when((i < F.size(F.col("sym")))
+                      & (F.element_at(F.col("sym"), i) == F.lit(a))
+                      & (F.element_at(F.col("sym"), i + 1) == F.lit(b)),
+                      F.struct(F.concat(acc["out"],
+                                        F.array(F.lit(a + b))).alias("out"),
+                               F.lit(True).alias("skip")))
+                .otherwise(F.struct(
+                    F.concat(acc["out"],
+                             F.array(F.element_at(F.col("sym"), i)))
+                    .alias("out"),
+                    F.lit(False).alias("skip")))),
+            lambda acc: acc["out"])
+        vocab = (vocab.select(merged.alias("sym"), "freq")
+                 .groupBy("sym").agg(F.sum("freq").alias("freq"))
+                 .localCheckpoint(eager=True))
+    return merges
