@@ -12,11 +12,14 @@ the tokenizer-then-count step of a training-data pipeline, as one
 idempotent deployable job.
 
 Output tables (all under the catalog, all per-snapshot):
+  tok_meta          (n_docs, corpus_fp, merges_requested) — committed
+                    FIRST; a resume under the same snapshot-id against
+                    a different corpus (fingerprinted over (doc_id,
+                    text), so even same-size reshuffles are caught) or
+                    a different --merges fails loudly (rc 2).
   bpe_merges        (rank, a, b) — the trained merge table in training
-                    order (rank = priority, lower merges first).
-                    Committed FIRST; a resume under the same
-                    snapshot-id skips retraining and a different
-                    --merges than committed fails loudly (rc 2).
+                    order (rank = priority, lower merges first); a
+                    resume skips retraining.
   bpe_token_counts  (doc_id, n_bpe_tokens) under the committed table.
 
 Determinism: bpe_train_merges reproduces spec/bpe.py train_merges
@@ -63,22 +66,37 @@ def main(argv=None) -> int:
     cat = SnapshotCatalog(args.warehouse)
     docs = spark.read.parquet(args.docs)
 
-    if cat.is_committed("bpe_merges", args.snapshot_id):
-        committed = (cat.read_snapshot(spark, "bpe_merges",
-                                       args.snapshot_id)
-                     .orderBy("rank").collect())
-        # a shorter table than requested is legitimate (vocab ran out
-        # of pairs); a LONGER one means the resume asked for fewer
-        # merges than were committed — a parameter mismatch
-        if len(committed) > args.merges:
-            print(json.dumps({"error": "merges mismatch with committed "
-                              "snapshot", "committed": len(committed),
-                              "requested": args.merges}, sort_keys=True),
+    # manifest FIRST (the textindex.py discipline): requested merge
+    # count + an order-insensitive corpus fingerprint, so a resume under
+    # the same snapshot-id with a different corpus OR a different
+    # --merges fails loudly instead of mixing provenance (aggregate
+    # totals alone cannot distinguish reshuffled-id corpora; "trained
+    # with fewer --merges" is indistinguishable from "vocab exhausted"
+    # without the recorded request)
+    manifest = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.bit_xor(F.xxhash64("doc_id", F.coalesce("text", F.lit(""))))
+        .alias("corpus_fp"),
+        F.lit(args.merges).alias("merges_requested"))
+    if cat.is_committed("tok_meta", args.snapshot_id):
+        meta = cat.read_snapshot(spark, "tok_meta",
+                                 args.snapshot_id).collect()[0].asDict()
+        got = manifest.collect()[0].asDict()
+        if got != meta:
+            print(json.dumps({"error": "corpus or merges mismatch with "
+                              "committed snapshot", "committed": meta,
+                              "requested": got}, sort_keys=True),
                   file=sys.stderr)
             if existing is None:
                 spark.stop()
             return 2
-        merges = [(r["a"], r["b"]) for r in committed]
+    else:
+        cat.write_snapshot(manifest, "tok_meta", args.snapshot_id)
+
+    if cat.is_committed("bpe_merges", args.snapshot_id):
+        merges = [(r["a"], r["b"]) for r in
+                  cat.read_snapshot(spark, "bpe_merges", args.snapshot_id)
+                  .orderBy("rank").collect()]
     else:
         merges = textstats.bpe_train_merges(docs, n_merges=args.merges)
         cat.write_snapshot(

@@ -215,3 +215,22 @@ def test_distributed_trainer_matches_spec_trainer(spark):
     want_fx = bpe.train_merges(
         [r["text"] for r in rows.collect() if r["text"]], n_merges=8)
     assert got_fx == want_fx
+
+
+def test_distributed_trainer_spec_boundaries_on_numeric_divergence(spark):
+    """The trainer must pretokenize with the SPEC regex, not the
+    RE2-safe Java approximation: the two disagree on non-decimal
+    numerics (x², ½ — Python's letter class absorbs them, \\p{L} does
+    not), and the trained table feeds the spec encoder."""
+    from pyspark.sql import Row
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    from ukrainian_ocr_pipeline_spark.spec import bpe
+
+    texts = ["mc² mc² mc² emc emc", "x² x² y² y²"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = textstats.bpe_train_merges(docs, n_merges=6)
+    assert got == bpe.train_merges(texts, n_merges=6)
+    # the divergence is real: the spec pretokenizer keeps 'mc²' whole
+    assert bpe.pretokenize("mc²") == ["mc²"]

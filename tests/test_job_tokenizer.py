@@ -54,11 +54,21 @@ def test_tokenizer_job_train_and_count(spark, tmp_path, capsys):
     assert rc == 0
     stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats2 == stats
-    for t in ("bpe_merges", "bpe_token_counts"):
+    for t in ("tok_meta", "bpe_merges", "bpe_token_counts"):
         assert len(os.listdir(os.path.join(wh, t, "snapshots"))) == 1
 
-    # resume asking for FEWER merges than committed -> rc 2
-    rc = job.main(["--docs", docs_path, "--warehouse", wh,
-                   "--snapshot-id", "tok1", "--merges", "5"])
+    # resume with a DIFFERENT --merges (fewer OR more) -> rc 2 — "more"
+    # matters: without the recorded request, a 10-merge table is
+    # indistinguishable from an exhausted 50-merge run
+    for m in ("5", "50"):
+        rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                       "--snapshot-id", "tok1", "--merges", m])
+        assert rc == 2, m
+        assert "mismatch" in capsys.readouterr().err
+
+    # resume against a different corpus -> rc 2
+    rc = job.main(["--docs", "/root/testdata/sf0.01/documents.parquet",
+                   "--warehouse", wh, "--snapshot-id", "tok1",
+                   "--merges", "10"])
     assert rc == 2
-    assert "merges mismatch" in capsys.readouterr().err
+    assert "mismatch" in capsys.readouterr().err

@@ -53,6 +53,17 @@ BPE_PRETOKEN_PATTERN = (
 )
 
 
+def java_pretokens(text_col: str):
+    """The RE2-safe Java-regex pretoken array (NULL text -> empty) —
+    THE one expression shared by every JVM-side consumer of
+    BPE_PRETOKEN_PATTERN.  NOT boundary-identical to the spec
+    pretokenizer on non-decimal numerics (see bpe_train_merges)."""
+    return F.coalesce(
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
+        F.array().cast("array<string>"))
+
+
 def subword_token_counts(docs: DataFrame, text_col: str = "text",
                          piece_chars: int = 4) -> DataFrame:
     """BPE-ish token counting: GPT-2-style pre-tokenization (regex
@@ -65,10 +76,7 @@ def subword_token_counts(docs: DataFrame, text_col: str = "text",
     # NULL text -> empty token array (counts 0/0), matching the DuckDB
     # twin's coalesce — without this Spark yields NULL and the parity
     # gate would break on the first NULL-text document
-    toks = F.coalesce(
-        F.regexp_extract_all(F.col(text_col),
-                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
-        F.array().cast("array<string>"))
+    toks = java_pretokens(text_col)
     pieces = F.aggregate(
         toks, F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / piece_chars).cast("long"))
@@ -485,12 +493,8 @@ def bpe_merge_candidates(docs: DataFrame, text_col: str = "text",
     cut compiles to TakeOrderedAndProject (bounded per-partition heaps),
     not a global window.
     """
-    toks = F.coalesce(
-        F.regexp_extract_all(F.col(text_col),
-                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
-        F.array().cast("array<string>"))
     vocab = (docs
-             .select(F.explode(toks).alias("pretok"))
+             .select(F.explode(java_pretokens(text_col)).alias("pretok"))
              .groupBy("pretok").agg(F.count("*").alias("freq")))
     return (vocab
             .where(F.length("pretok") >= 2)
@@ -871,12 +875,28 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 50,
     order equals Python's code-point order on valid UTF-8, so the rule
     is exactly train_merges' max((count, pair)).  Returns list[(a, b)]
     (may be shorter than n_merges if the vocab runs out of pairs).
+
+    Boundary discipline: the vocab pass pretokenizes with the SPEC
+    pretokenizer in an Arrow-batched pandas UDF (the bpe_token_counts
+    slow-path shape) — NOT the RE2-safe Java approximation
+    BPE_PRETOKEN_PATTERN — because the trained table is consumed by the
+    spec encoder and the two regex dialects disagree on non-decimal
+    numerics (x², ½: Python's [^\\W\\d_] absorbs them into the letter
+    run, \\p{L} does not; spec/bpe.py documents the divergence).  One
+    Python pass over the corpus buys exact train/encode boundary
+    parity; every merge ROUND stays pure JVM.  bpe_merge_candidates
+    deliberately keeps the Java pattern — it is the JVM/oracle-twinned
+    scale demonstration, not the encoder's trainer.
     """
-    toks = F.coalesce(
-        F.regexp_extract_all(F.col(text_col),
-                             F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
-        F.array().cast("array<string>"))
-    vocab = (docs.select(F.explode(toks).alias("pretok"))
+    from pyspark.sql.functions import pandas_udf
+
+    from ..spec import bpe
+
+    @pandas_udf("array<string>")
+    def pretok(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: bpe.pretokenize(t or ""))
+
+    vocab = (docs.select(F.explode(pretok(F.col(text_col))).alias("pretok"))
              .groupBy("pretok").agg(F.count("*").alias("freq"))
              .select(F.filter(F.split("pretok", ""),
                               lambda c: c != "").alias("sym"), "freq")
