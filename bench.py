@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_near_dup_verified", "dedup_cluster_assign",
     "dedup_incremental", "cross_doc_shingle_dup", "graph_pagerank",
     "doc_unigram_logprob", "doc_bigram_domain_logprob", "doc_vocab_oov",
+    "doc_badword_filter",
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",
     "doc_line_dedup", "host_cap_sample",
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",

@@ -338,3 +338,21 @@ def test_bigram_domain_logprob_hand_computed(spark):
         m(1 / 2, 1) + m(1 / 1, 2) + m(1 / 2, 1)
     # the in-domain doc outscores the partly-OOV one per transition
     assert rows[0]["mean_logprob_r"] > rows[1]["mean_logprob_r"]
+
+
+def test_badword_filter_whole_token_and_case(spark):
+    from pyspark.sql import Row
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a clean document here"),
+        Row(doc_id=1, text="contains SPAM twice spam yes"),   # case-fold
+        Row(doc_id=2, text="spammy is not spam-free either"), # substrings
+        Row(doc_id=3, text=None),                             # no evidence
+    ])
+    rows = {r["doc_id"]: (r["n_badwords"], r["keep"]) for r in
+            textstats.badword_filter(docs, ["spam", "junk"]).collect()}
+    assert rows[0] == (0, True)
+    assert rows[1] == (2, False)
+    # 'spammy' is not a whole token; 'spam-free' is one token != 'spam'
+    assert rows[2] == (0, True)
+    assert rows[3] == (0, True)

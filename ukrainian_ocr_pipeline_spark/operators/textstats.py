@@ -945,3 +945,48 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 50,
                  .groupBy("sym").agg(F.sum("freq").alias("freq"))
                  .localCheckpoint(eager=True))
     return merges
+
+
+def badword_filter(docs: DataFrame, badwords, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """C4-style blocklist gate: (doc_id, n_badwords, keep) — a document
+    is dropped when ANY of the `badwords` occurs as a whole canonical
+    token (word_array boundaries, so 'class' never matches inside
+    'classification'; matching is case-insensitive like every token
+    operator here).  The list-based counterpart of the statistical
+    quality_filter — C4 applies exactly this as its first text gate.
+
+    Scale shape: the list ships as an array literal folded into the
+    plan (a few hundred terms — never a join), counting is one in-row
+    HOF pass over the token array, the whole thing is codegen at scan
+    speed and composes with pushdown.  NULL text -> zero hits, kept
+    (no evidence, no drop — the LM-gate discipline).
+    """
+    from .dedup import word_array
+    bw = F.array(*[F.lit(w.lower()) for w in sorted(set(badwords))])
+    n_bad = F.size(F.filter(
+        F.coalesce(word_array(text_col), F.array()),
+        lambda w: F.array_contains(bw, w)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_bad.cast("long").alias("n_badwords"),
+        (n_bad == 0).alias("keep"))
+
+
+def badword_filter_sql(table: str, badwords) -> str:
+    """DuckDB twin of :func:`badword_filter`."""
+    from .dedup import WORD_ARRAY_SQL
+    terms = ", ".join(
+        "'{}'".format(w.lower().replace("'", "''"))
+        for w in sorted(set(badwords)))
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         COALESCE({WORD_ARRAY_SQL.format(col="text")}, []) AS ws
+  FROM {table})
+SELECT doc_id,
+       CAST(len(list_filter(ws, w -> w IN ({terms}))) AS BIGINT)
+         AS n_badwords,
+       len(list_filter(ws, w -> w IN ({terms}))) = 0 AS keep
+FROM ws
+"""

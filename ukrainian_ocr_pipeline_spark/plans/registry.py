@@ -1473,6 +1473,20 @@ SQL_BIGRAM_DOMAIN = textstats.bigram_domain_logprob_sql(
     "documents", target_lang="en", lam=0.7)
 
 
+_BADWORDS = ("casino", "slow", "vector")
+
+
+def q_doc_badword_filter(spark, sf_dir):
+    """C4-style blocklist gate: drop any doc containing a blocklisted
+    whole token.  List folds into the plan as an array literal (never a
+    join); one in-row HOF count; codegen at scan speed."""
+    return textstats.badword_filter(_t(spark, sf_dir, "documents"),
+                                    _BADWORDS)
+
+
+SQL_BADWORDS = textstats.badword_filter_sql("documents", _BADWORDS)
+
+
 def q_dup_passage_excise(spark, sf_dir):
     """The APPLY step of passage dedup: every duplicated passage is
     excised from every doc except the gram's owner (min doc_id — a pure
@@ -3062,6 +3076,7 @@ QUERIES = {
     "dup_passage_ranges": q_dup_passage_ranges,
     "dup_passage_excise": q_dup_passage_excise,
     "doc_bigram_domain_logprob": q_doc_bigram_domain_logprob,
+    "doc_badword_filter": q_doc_badword_filter,
 }
 
 ORACLE_SQL = {
@@ -3169,4 +3184,5 @@ ORACLE_SQL = {
     "dup_passage_ranges": SQL_DUP_PASSAGES,
     "dup_passage_excise": SQL_DUP_EXCISE,
     "doc_bigram_domain_logprob": SQL_BIGRAM_DOMAIN,
+    "doc_badword_filter": SQL_BADWORDS,
 }
