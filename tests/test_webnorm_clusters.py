@@ -455,3 +455,101 @@ def test_dup_passage_excise_preserves_case_and_untouched_text(spark):
     # untouched doc: byte-identical, newlines and double spaces intact
     assert rows[2]["clean_text"] == \
         "Untouched Doc\nWith Newlines  and   Spacing"
+
+
+def test_dup_passage_excise_randomized_invariants(spark):
+    """Randomized micro-corpora (tiny vocab -> heavy gram collisions,
+    isolated per corpus by token prefixes so ONE Spark run covers all):
+    the invariants that must hold under ANY input —
+      (1) every cross-doc duplicated 5-gram survives contiguously in at
+          least one document's clean_text (the keep-one-copy guarantee
+          whose violation a review round actually caught),
+      (2) n_removed_words == token count lost between original and
+          clean_text,
+      (3) a doc owning every gram that covers it passes through
+          verbatim."""
+    import random
+
+    rng = random.Random(20260818)
+    corpora = {}
+    rows = []
+    doc_id = 0
+    for k in range(12):
+        vocab = [f"c{k}w{i}" for i in range(rng.randint(3, 6))]
+        docs = []
+        for _ in range(rng.randint(2, 5)):
+            n = rng.randint(0, 14)
+            docs.append((doc_id,
+                         " ".join(rng.choice(vocab) for _ in range(n))))
+            doc_id += 1
+        corpora[k] = docs
+        rows.extend(docs)
+    out = {r["doc_id"]: r for r in dedup.dup_passage_excise(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+
+    K = 5
+    for k, docs in corpora.items():
+        toks = {d: t.split() if t else [] for d, t in docs}
+        grams = {}
+        for d, ws in toks.items():
+            for i in range(len(ws) - K + 1):
+                grams.setdefault(tuple(ws[i:i + K]), set()).add(d)
+        dup_grams = {g: ds for g, ds in grams.items() if len(ds) >= 2}
+        clean_toks = {d: out[d]["clean_text"].split() if out[d]["clean_text"]
+                      else [] for d, _ in docs}
+        for d, ws in toks.items():
+            # (2) removal accounting
+            assert out[d]["n_removed_words"] == len(ws) - len(clean_toks[d])
+            # (3) untouched docs verbatim
+            if out[d]["n_removed_words"] == 0:
+                assert out[d]["clean_text"] == dict(docs)[d]
+        for g in dup_grams:
+            # (1) the passage survives contiguously somewhere
+            joined = " ".join(g)
+            assert any(joined in " ".join(clean_toks[d])
+                       for d in dup_grams[g]), (k, g)
+
+
+def test_cluster_assign_star_randomized_equivalence(spark):
+    """Random multigraphs (self-loops, duplicate and reversed edges,
+    skewed components): star contraction and label propagation must
+    emit identical (doc_id, cluster_id, cluster_size, is_keeper) rows,
+    and the clustering must equal a pure-Python union-find."""
+    import random
+
+    rng = random.Random(73)
+    for trial in range(4):
+        n = rng.randint(6, 18)
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randint(n // 2, 2 * n))]
+        a = sorted(map(tuple,
+                       dedup.cluster_assign(_pairs(spark, edges),
+                                            max_iter=40).collect()))
+        b = sorted(map(tuple,
+                       dedup.cluster_assign_star(
+                           _pairs(spark, edges)).collect()))
+        assert a == b, (trial, edges)
+
+        # pure-Python union-find oracle
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {}
+        for x in parent:
+            want.setdefault(find(x), set()).add(x)
+        got = {}
+        for doc, cid, size, keeper in b:
+            got.setdefault(cid, set()).add(doc)
+            assert keeper == (doc == cid)
+            assert size == len(want[find(doc)])
+        assert got == {min(m): m for m in want.values()}, (trial, edges)
