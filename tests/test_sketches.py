@@ -356,3 +356,14 @@ def test_badword_filter_whole_token_and_case(spark):
     # 'spammy' is not a whole token; 'spam-free' is one token != 'spam'
     assert rows[2] == (0, True)
     assert rows[3] == (0, True)
+
+
+def test_badword_list_validation():
+    import pytest
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    for bad in ([], ["ok", "two words"], ["ok", ""], ["tab\tted"]):
+        with pytest.raises(ValueError):
+            textstats._validated_badwords(bad)
+        with pytest.raises(ValueError):
+            textstats.badword_filter_sql("documents", bad)
+    assert textstats._validated_badwords(["B", "a", "b"]) == ["a", "b"]

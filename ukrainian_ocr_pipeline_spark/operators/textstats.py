@@ -961,9 +961,16 @@ def badword_filter(docs: DataFrame, badwords, text_col: str = "text",
     HOF pass over the token array, the whole thing is codegen at scan
     speed and composes with pushdown.  NULL text -> zero hits, kept
     (no evidence, no drop — the LM-gate discipline).
+
+    The list is validated (non-empty, no whitespace inside entries):
+    canonical tokens never contain whitespace, so a multi-word phrase
+    entry (C4's raw LDNOOBW list has them — split those into per-word
+    entries or use duplicated_passages for phrase-level policy) would
+    silently never match; an empty list would also desync the twins
+    (Spark keep-all vs DuckDB ``IN ()`` parse error).
     """
     from .dedup import word_array
-    bw = F.array(*[F.lit(w.lower()) for w in sorted(set(badwords))])
+    bw = F.array(*[F.lit(w) for w in _validated_badwords(badwords)])
     n_bad = F.size(F.filter(
         F.coalesce(word_array(text_col), F.array()),
         lambda w: F.array_contains(bw, w)))
@@ -973,12 +980,25 @@ def badword_filter(docs: DataFrame, badwords, text_col: str = "text",
         (n_bad == 0).alias("keep"))
 
 
+def _validated_badwords(badwords) -> list:
+    out = sorted({w.lower() for w in badwords})
+    if not out:
+        raise ValueError("badwords list must be non-empty")
+    bad = [w for w in out if not w or any(c.isspace() for c in w)]
+    if bad:
+        raise ValueError(
+            f"badword entries must be single whitespace-free tokens "
+            f"(canonical tokens never contain whitespace — these would "
+            f"silently never match): {bad!r}")
+    return out
+
+
 def badword_filter_sql(table: str, badwords) -> str:
-    """DuckDB twin of :func:`badword_filter`."""
+    """DuckDB twin of :func:`badword_filter` (same list validation)."""
     from .dedup import WORD_ARRAY_SQL
     terms = ", ".join(
-        "'{}'".format(w.lower().replace("'", "''"))
-        for w in sorted(set(badwords)))
+        "'{}'".format(w.replace("'", "''"))
+        for w in _validated_badwords(badwords))
     return f"""
 WITH ws AS (
   SELECT doc_id,
