@@ -7,7 +7,9 @@
 The training-data production pipeline as ONE deployable job: quality
 gate (Gopher/C4-style, deterministic first-fail reason) -> optional
 model-based gate (--classifier-gate: fastText-style hashing-trick
-classifier, exact integer margins) -> exact dedup (content-digest
+classifier, exact integer margins) -> optional C4 blocklist gate
+(--badwords FILE: whole-token match against an in-plan literal list;
+malformed entries rejected at startup) -> exact dedup (content-digest
 keeper) -> near-dup dedup (MinHash -> LSH -> exact Jaccard verify ->
 connected-component clusters) -> optional DSIR domain selection
 (--dsir-select N: keep the N survivors most like the
@@ -41,6 +43,7 @@ redaction rewrites the FINAL text last.
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
                       ('kept' | 'quality:<reason>' | 'classifier' |
+                      'badwords' |
                       'dup_exact' | 'dup_near' | 'dsir' | 'lm_gate' |
                       'host_cap' |
                       'lang_sample'), the keeper doc for
@@ -123,6 +126,12 @@ def main(argv=None) -> int:
                    help="target domain for --dsir-select (required with"
                         " it): documents of this language define the"
                         " target hashed-ngram distribution")
+    p.add_argument("--badwords", default=None,
+                   help="C4-style blocklist file (one whitespace-free"
+                        " term per line, '#' comments allowed): any doc"
+                        " containing a listed whole token drops as"
+                        " 'badwords'; empty/phrase entries rejected at"
+                        " startup")
     p.add_argument("--lm-gate-lang", default=None,
                    help="CCNet-style LM gate: train an interpolated"
                         " bigram LM on the surviving docs of this lang"
@@ -189,6 +198,19 @@ def main(argv=None) -> int:
     from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
     from ukrainian_ocr_pipeline_spark.sources.session import get_spark
 
+    badwords = None
+    if args.badwords:
+        if not os.path.exists(args.badwords):
+            p.error(f"--badwords path does not exist: {args.badwords}")
+        with open(args.badwords, encoding="utf-8") as fh:
+            raw = [ln.strip() for ln in fh
+                   if ln.strip() and not ln.lstrip().startswith("#")]
+        try:
+            badwords = textstats._validated_badwords(raw)
+        except ValueError as e:
+            # bad entries must fail BEFORE any expensive work or commit
+            p.error(f"--badwords: {e}")
+
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark(app=f"curate-{args.snapshot_id}",
                                   master=args.master)
@@ -234,6 +256,23 @@ def main(argv=None) -> int:
             dropped_c = kept_q.limit(0).select(
                 "doc_id", F.lit("").alias("status"),
                 F.lit(None).cast("long").alias("keeper_doc_id"))
+
+        # C4 blocklist gate among the survivors so far: the list folds
+        # into the plan as an array literal, the count is one in-row
+        # HOF — runs with the other scan-speed gates, before any
+        # dedup shuffle touches blocked docs
+        if badwords:
+            bw = textstats.badword_filter(docs.join(kept_q, "doc_id"),
+                                          badwords)
+            dropped_b = (bw.where(~F.col("keep"))
+                         .select("doc_id",
+                                 F.lit("badwords").alias("status"),
+                                 F.lit(None).cast("long")
+                                 .alias("keeper_doc_id")))
+            kept_q = kept_q.join(dropped_b.select("doc_id"), "doc_id",
+                                 "left_anti")
+        else:
+            dropped_b = dropped_c.limit(0)
 
         # exact dedup among quality survivors: one digest shuffle
         hashed = (docs.join(kept_q, "doc_id")
@@ -364,7 +403,8 @@ def main(argv=None) -> int:
         kept = final_ids.select(
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
-        return (dropped_q.unionByName(dropped_c).unionByName(dropped_x)
+        return (dropped_q.unionByName(dropped_c).unionByName(dropped_b)
+                .unionByName(dropped_x)
                 .unionByName(dropped_n).unionByName(dropped_d)
                 .unionByName(dropped_l)
                 .unionByName(dropped_h).unionByName(dropped_t)
@@ -436,6 +476,7 @@ def main(argv=None) -> int:
         "dropped_classifier": counts.get("classifier", 0),
         "dropped_dsir": counts.get("dsir", 0),
         "dropped_lm": counts.get("lm_gate", 0),
+        "dropped_badwords": counts.get("badwords", 0),
         "dropped_lang_sample": counts.get("lang_sample", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,
