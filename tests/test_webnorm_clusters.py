@@ -553,3 +553,21 @@ def test_cluster_assign_star_randomized_equivalence(spark):
             assert keeper == (doc == cid)
             assert size == len(want[find(doc)])
         assert got == {min(m): m for m in want.values()}, (trial, edges)
+
+
+def test_cluster_keepers_by_quality(spark):
+    """The keeper moves to the longest-text member (ties -> min
+    doc_id); cluster names/sizes stay the component minimum; exactly
+    one keeper per cluster."""
+    clusters = dedup.cluster_assign_star(_pairs(spark, [(1, 2), (2, 3),
+                                                        (10, 11)]))
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text in cluster one"),
+         (3, "mid length"), (10, "same"), (11, "sama")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup.cluster_keepers_by_quality(clusters, docs).collect()}
+    assert [d for d, r in sorted(rows.items()) if r["is_keeper"]] == [2, 10]
+    assert rows[2]["cluster_id"] == 1 and rows[2]["cluster_size"] == 3
+    assert rows[10]["is_keeper"] and not rows[11]["is_keeper"]  # tie->min
+    assert rows[1]["n_chars"] == 5

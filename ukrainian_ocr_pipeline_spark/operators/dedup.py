@@ -866,3 +866,30 @@ SELECT ws.doc_id,
        END AS clean_text
 FROM ws LEFT JOIN cov USING (doc_id)
 """
+
+
+def cluster_keepers_by_quality(clusters: DataFrame, docs: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Re-elect each near-dup cluster's keeper as the HIGHEST-QUALITY
+    member (longest text as the quality proxy, ties to the smaller
+    doc_id) — the RefinedWeb-style policy: production dedup keeps the
+    best copy, not the arbitrarily-min-id copy, because near-dups are
+    often truncated/boilerplate-padded variants of one page.
+
+    Takes any (doc_id, cluster_id, cluster_size, is_keeper) clustering
+    (cluster_assign or cluster_assign_star — cluster_id stays the
+    component minimum as the stable cluster NAME; only is_keeper moves)
+    and the docs table for the quality column.  One broadcast-free
+    equi-join on doc_id plus a per-cluster window bounded by cluster
+    size.  Output adds the deciding quality score (n_chars)."""
+    scored = clusters.drop("is_keeper").join(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.length(F.coalesce(F.col(text_col), F.lit("")))
+                    .alias("n_chars")),
+        "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"),
+                                                 "doc_id")
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .select("doc_id", "cluster_id", "cluster_size", "n_chars",
+                    (F.col("__rn") == 1).alias("is_keeper")))

@@ -1519,6 +1519,29 @@ def q_bm25_search(spark, sf_dir):
 SQL_BM25 = textindex.bm25_sql("documents", _BM25_QUERY_TERMS, k=10)
 
 
+def q_dedup_cluster_best_keeper(spark, sf_dir):
+    """RefinedWeb-style keeper election: same star-contraction clusters,
+    but the keeper is each cluster's HIGHEST-QUALITY member (longest
+    text, ties to min doc_id) — production dedup keeps the best copy,
+    not the min-id copy, because near-dups are often truncated variants
+    of one page.  One doc_id equi-join + a per-cluster window bounded
+    by cluster size on top of the clustering."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cluster_keepers_by_quality(
+        dedup.cluster_assign_star(dedup.verified_near_dups(docs)), docs)
+
+
+SQL_BEST_KEEPER = """
+SELECT ca.doc_id, ca.cluster_id, ca.cluster_size,
+       LENGTH(COALESCE(d.text, '')) AS n_chars,
+       ROW_NUMBER() OVER (
+           PARTITION BY ca.cluster_id
+           ORDER BY LENGTH(COALESCE(d.text, '')) DESC, ca.doc_id) = 1
+         AS is_keeper
+FROM (__CLUSTERS__) ca JOIN documents d USING (doc_id)
+""".replace("__CLUSTERS__", SQL_CLUSTER_ASSIGN)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the customer<->supplier trade graph — the
     relational twin of link-graph host ranking (crawl prioritization /
@@ -3077,6 +3100,7 @@ QUERIES = {
     "dup_passage_excise": q_dup_passage_excise,
     "doc_bigram_domain_logprob": q_doc_bigram_domain_logprob,
     "doc_badword_filter": q_doc_badword_filter,
+    "dedup_cluster_best_keeper": q_dedup_cluster_best_keeper,
 }
 
 ORACLE_SQL = {
@@ -3185,4 +3209,5 @@ ORACLE_SQL = {
     "dup_passage_excise": SQL_DUP_EXCISE,
     "doc_bigram_domain_logprob": SQL_BIGRAM_DOMAIN,
     "doc_badword_filter": SQL_BADWORDS,
+    "dedup_cluster_best_keeper": SQL_BEST_KEEPER,
 }
