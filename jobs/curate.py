@@ -4,7 +4,12 @@
         --docs /path/to/documents.parquet --warehouse /path/to/warehouse \
         --snapshot-id cur-001 [--no-neardup] [--min-words 5]
 
-The training-data production pipeline as ONE deployable job: quality
+The training-data production pipeline as ONE deployable job: optional
+UT1-style domain blocklist gate (--host-blocklist FILE: one domain per
+line; a doc drops as 'host_blocklist' when its source host equals or
+sits under a listed domain — bounded suffix explode + broadcast
+equi-join, the metadata-only gate that runs before any text is read;
+NULL-source docs pass) -> quality
 gate (Gopher/C4-style, deterministic first-fail reason) -> optional
 model-based gate (--classifier-gate: fastText-style hashing-trick
 classifier, exact integer margins) -> optional C4 blocklist gate
@@ -42,7 +47,8 @@ redaction rewrites the FINAL text last.
 
 Output tables (all under the catalog, all per-snapshot):
   curation_decisions  one row PER INPUT DOC: status
-                      ('kept' | 'quality:<reason>' | 'classifier' |
+                      ('kept' | 'host_blocklist' |
+                      'quality:<reason>' | 'classifier' |
                       'badwords' |
                       'dup_exact' | 'dup_near' | 'dsir' | 'lm_gate' |
                       'host_cap' |
@@ -132,6 +138,12 @@ def main(argv=None) -> int:
                         " containing a listed whole token drops as"
                         " 'badwords'; empty/phrase entries rejected at"
                         " startup")
+    p.add_argument("--host-blocklist", default=None,
+                   help="UT1-style domain blocklist file (one domain"
+                        " per line, '#' comments allowed): any doc"
+                        " whose source host equals or sits under a"
+                        " listed domain drops as 'host_blocklist';"
+                        " malformed entries rejected at startup")
     p.add_argument("--lm-gate-lang", default=None,
                    help="CCNet-style LM gate: train an interpolated"
                         " bigram LM on the surviving docs of this lang"
@@ -211,6 +223,20 @@ def main(argv=None) -> int:
             # bad entries must fail BEFORE any expensive work or commit
             p.error(f"--badwords: {e}")
 
+    host_blocklist = None
+    if args.host_blocklist:
+        if not os.path.exists(args.host_blocklist):
+            p.error(f"--host-blocklist path does not exist:"
+                    f" {args.host_blocklist}")
+        with open(args.host_blocklist, encoding="utf-8") as fh:
+            raw = [ln.strip() for ln in fh
+                   if ln.strip() and not ln.lstrip().startswith("#")]
+        try:
+            host_blocklist = webnorm.validated_blocklist(raw)
+        except ValueError as e:
+            # same fail-before-work contract as --badwords
+            p.error(f"--host-blocklist: {e}")
+
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark(app=f"curate-{args.snapshot_id}",
                                   master=args.master)
@@ -229,8 +255,30 @@ def main(argv=None) -> int:
                            f" check {flag}"}, sort_keys=True))
 
     def build_decisions():
+        # domain blocklist gate FIRST: metadata-only (host column, no
+        # text bytes), so blocked docs never reach any content stage.
+        # NULL-source docs have no host and pass through (same rule as
+        # the host cap — an unattributed doc must not be mass-dropped)
+        if host_blocklist:
+            pages = (docs.where(F.col("source").isNotNull())
+                     .select("doc_id", F.col("source").alias("host")))
+            bl_df = spark.createDataFrame(
+                [(e,) for e in host_blocklist], "entry string")
+            blocked_ids = (webnorm.host_blocklist_filter(pages, bl_df)
+                           .where(F.col("blocked")).select("doc_id"))
+            dropped_hb = blocked_ids.select(
+                "doc_id", F.lit("host_blocklist").alias("status"),
+                F.lit(None).cast("long").alias("keeper_doc_id"))
+            docs_gated = docs.join(blocked_ids, "doc_id", "left_anti")
+        else:
+            dropped_hb = docs.limit(0).select(
+                "doc_id", F.lit("").alias("status"),
+                F.lit(None).cast("long").alias("keeper_doc_id"))
+            docs_gated = docs
+
         # quality gate: codegen predicates, no shuffle
-        qf = textstats.quality_filter(docs, min_words=args.min_words)
+        qf = textstats.quality_filter(docs_gated,
+                                      min_words=args.min_words)
         dropped_q = (qf.where(~F.col("keep"))
                      .select("doc_id",
                              F.concat(F.lit("quality:"),
@@ -403,7 +451,9 @@ def main(argv=None) -> int:
         kept = final_ids.select(
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
-        return (dropped_q.unionByName(dropped_c).unionByName(dropped_b)
+        return (dropped_hb
+                .unionByName(dropped_q)
+                .unionByName(dropped_c).unionByName(dropped_b)
                 .unionByName(dropped_x)
                 .unionByName(dropped_n).unionByName(dropped_d)
                 .unionByName(dropped_l)
@@ -477,6 +527,7 @@ def main(argv=None) -> int:
         "dropped_dsir": counts.get("dsir", 0),
         "dropped_lm": counts.get("lm_gate", 0),
         "dropped_badwords": counts.get("badwords", 0),
+        "dropped_host_blocklist": counts.get("host_blocklist", 0),
         "dropped_lang_sample": counts.get("lang_sample", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,

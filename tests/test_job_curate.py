@@ -625,3 +625,47 @@ def test_curate_job_badwords_stage(spark, tmp_path, capsys):
         bad.write_text("two words\n")
         job.main(["--docs", docs_path, "--warehouse", wh,
                   "--snapshot-id", "bw2", "--badwords", str(bad)])
+
+
+def test_curate_job_host_blocklist_stage(spark, tmp_path, capsys):
+    """--host-blocklist drops exactly the docs whose source host is
+    listed, BEFORE any content stage (blocked docs never appear under
+    any other status); malformed entries fail at startup."""
+    import pytest
+
+    import curate as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    bl_file = tmp_path / "hosts.txt"
+    bl_file.write_text("# crafted domain blocklist\n\nsrc3\nSRC7\n")
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "hb1", "--no-neardup",
+                   "--host-blocklist", str(bl_file)])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_host_blocklist"] > 0
+    assert (stats["docs_out"] + stats["dropped_quality"]
+            + stats["dropped_exact_dup"]
+            + stats["dropped_host_blocklist"]) == stats["docs_in"]
+
+    dec = SnapshotCatalog(wh).read_snapshot(spark, "curation_decisions",
+                                            "hb1")
+    got = {r["doc_id"] for r in
+           dec.where(F.col("status") == "host_blocklist").collect()}
+    want = {r["doc_id"] for r in
+            spark.read.parquet(docs_path)
+            .where(F.col("source").isin("src3", "src7")).collect()}
+    assert got == want
+    # gate runs first: no blocked doc carries any other status
+    assert dec.where(F.col("doc_id").isin(list(got))
+                     & (F.col("status") != "host_blocklist")).count() == 0
+
+    with pytest.raises(SystemExit):  # whitespace entry rejected at startup
+        bad = tmp_path / "badhosts.txt"
+        bad.write_text("two words\n")
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "hb2", "--no-neardup",
+                  "--host-blocklist", str(bad)])

@@ -571,3 +571,64 @@ def test_cluster_keepers_by_quality(spark):
     assert rows[2]["cluster_id"] == 1 and rows[2]["cluster_size"] == 3
     assert rows[10]["is_keeper"] and not rows[11]["is_keeper"]  # tie->min
     assert rows[1]["n_chars"] == 5
+
+
+# ------------------------------------------------- host blocklist gate
+
+def test_host_suffixes_shapes(spark):
+    rows = [Row(doc_id=1, host="a.b.c"), Row(doc_id=2, host="solo"),
+            Row(doc_id=3, host="cdn.ads.example")]
+    got = {r["doc_id"]: r["s"] for r in
+           spark.createDataFrame(rows)
+           .select("doc_id", webnorm.host_suffixes("host").alias("s"))
+           .collect()}
+    assert got[1] == ["a.b.c", "b.c", "c"]
+    assert got[2] == ["solo"]
+    assert got[3] == ["cdn.ads.example", "ads.example", "example"]
+
+
+def test_validated_blocklist_folds_and_rejects():
+    import pytest
+    assert webnorm.validated_blocklist(["Ads.Example", "ads.example",
+                                        "x.y"]) == ["ads.example", "x.y"]
+    for bad in [[], ["two words"], [".leading.dot"], ["trailing.dot."],
+                ["inner..empty"], [""], ["http://x.com"], ["x.com/path"]]:
+        with pytest.raises(ValueError):
+            webnorm.validated_blocklist(bad)
+
+
+def test_host_blocklist_filter_semantics(spark):
+    pages = spark.createDataFrame(
+        [(1, "shop.ads.example"),       # parent-domain block
+         (2, "ads.example"),            # exact block
+         (3, "notads.example"),         # 'ads.example' is NOT a suffix
+         (4, "safe.example.net"),       # miss
+         (5, "a.b.tracker.io")],        # deep parent block
+        ["doc_id", "host"])
+    bl = spark.createDataFrame([("ads.example",), ("tracker.io",)],
+                               ["entry"])
+    got = {r["doc_id"]: (r["blocked"], r["matched_suffix"]) for r in
+           webnorm.host_blocklist_filter(pages, bl).collect()}
+    assert got == {1: (True, "ads.example"), 2: (True, "ads.example"),
+                   3: (False, None), 4: (False, None),
+                   5: (True, "tracker.io")}
+    # every input page comes back exactly once (explode_outer keeps
+    # pages whose suffix set matches nothing)
+    assert len(got) == 5
+
+
+def test_host_diversity_stats_values(spark):
+    import math
+    pages = spark.createDataFrame(
+        [("en", "h1"), ("en", "h1"), ("en", "h2"), ("de", "h3")],
+        ["lang", "host"])
+    got = {r["lang"]: r.asDict() for r in
+           webnorm.host_diversity_stats(pages).collect()}
+    assert got["de"] == {"lang": "de", "n_docs": 1, "n_hosts": 1,
+                         "top_host_share_micro": 1000000,
+                         "host_entropy_micro": 0}
+    want_ent = (math.floor(-(2 / 3) * math.log(2 / 3) * 1e6)
+                + math.floor(-(1 / 3) * math.log(1 / 3) * 1e6))
+    assert got["en"] == {"lang": "en", "n_docs": 3, "n_hosts": 2,
+                         "top_host_share_micro": 666666,
+                         "host_entropy_micro": want_ent}

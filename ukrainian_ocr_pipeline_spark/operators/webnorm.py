@@ -186,3 +186,108 @@ def host_cap_sample(pages: DataFrame, host_col: str = "host",
             .withColumn("sample_rank", F.row_number().over(w_host))
             .where(F.col("sample_rank") <= cap)
             .select("host", id_col, "sample_rank"))
+
+
+def host_suffixes(host) -> Column:
+    """All dot-suffixes of a host, most-specific first: ``a.b.c`` ->
+    ``['a.b.c', 'b.c', 'c']``.  Bounded by the label count (public
+    hostnames rarely exceed ~6 labels), so the downstream explode is a
+    constant-factor expansion, never data-dependent blowup.  Pure array
+    HOFs — codegen, no Python."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + F.lit(1)), "."))
+
+
+def validated_blocklist(entries) -> list:
+    """Normalize + validate a domain blocklist: lowercase-fold, dedup,
+    reject empties / whitespace / leading-or-trailing dots.  Shared by
+    the registry query and the curation job's --host-blocklist stage so
+    a malformed list fails loudly at parse time, not silently at scan
+    time."""
+    out = sorted({e.lower() for e in entries})
+    if not out:
+        raise ValueError("host blocklist must be non-empty")
+    for e in out:
+        if (not e) or any(c.isspace() for c in e) or e != e.strip(".")\
+                or ".." in e or "/" in e:
+            # a pasted URL ('http://x', 'x.com/path') would silently
+            # never match any host suffix — reject it loudly instead
+            raise ValueError(
+                f"blocklist entries must be bare whitespace-free domains "
+                f"(no scheme/path, no leading/trailing/empty labels) — "
+                f"got {e!r}")
+    return out
+
+
+def host_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
+                          host_col: str = "host",
+                          id_col: str = "doc_id") -> DataFrame:
+    """UT1-style domain blocklist gate: a page is blocked when its host
+    equals a blocklist entry OR sits under one (``ads.example`` blocks
+    ``cdn.ads.example``).  Returns one row per page:
+    (id, host, matched_suffix or NULL, blocked).
+
+    Scale shape — the naive form regex-scans the blocklist per row
+    (O(rows x entries)); real lists (UT1) hold millions of domains, so
+    this instead EQUI-JOINS: explode each host into its bounded
+    dot-suffix set (<= label count, ~4-6 rows per page) and hash-join
+    the suffixes against the blocklist.  The blocklist side is
+    broadcast here (fits executor memory even at millions of entries);
+    drop the hint and the same plan shuffle-joins if a list ever
+    outgrows that.  One bounded explode + one partial-agg shuffle on
+    (id, host) — no per-row list scan anywhere."""
+    suf = pages.select(
+        F.col(id_col), F.col(host_col),
+        F.explode_outer(host_suffixes(host_col)).alias("_suffix"))
+    marks = blocklist.select(F.col("entry").alias("_suffix"),
+                             F.lit(True).alias("_hit"))
+    agg = (suf.join(F.broadcast(marks), "_suffix", "left")
+           .groupBy(id_col, host_col)
+           .agg(F.min(F.when(F.col("_hit"), F.col("_suffix")))
+                .alias("matched_suffix")))
+    return agg.select(
+        id_col, host_col, "matched_suffix",
+        F.col("matched_suffix").isNotNull().alias("blocked"))
+
+
+def host_diversity_stats(pages: DataFrame, group_col: str = "lang",
+                         host_col: str = "host") -> DataFrame:
+    """Corpus-health concentration metrics per group: document count,
+    distinct-host count, the top host's share, and the Shannon entropy
+    of the host distribution — the numbers a curation run reports to
+    show one megahost is not secretly most of the corpus (C4/RefinedWeb
+    both cap and report per-site concentration).
+
+    Share and entropy are emitted micro-fixed (floor(x * 1e6) as
+    BIGINT) per the repo's cross-engine idiom: share via pure integer
+    division, entropy by flooring each host's -(c/n)*ln(c/n) term
+    BEFORE the sum so engines never disagree in late bits.
+
+    Scale shape: one partial-agg shuffle on (group, host) collapses the
+    page table to <= |groups| x |hosts| rows; everything after runs on
+    that aggregated table (window partitions = one group's hosts), so
+    the heavy exchange is the first groupBy only."""
+    counts = (pages.groupBy(group_col, host_col)
+              .agg(F.count("*").alias("_c")))
+    w = Window.partitionBy(group_col)
+    n = F.sum("_c").over(w)
+    p = F.col("_c").cast("double") / n.cast("double")
+    term = F.floor(-(p * F.log(p)) * F.lit(1000000.0)).cast("long")
+    enriched = counts.select(
+        F.col(group_col), F.col("_c"), n.alias("_n"), term.alias("_term"))
+    return (enriched.groupBy(group_col)
+            .agg(F.max("_n").alias("_nd"),
+                 F.count("*").alias("n_hosts"),
+                 F.expr("CAST(max(_c) * 1000000 DIV max(_n) AS BIGINT)")
+                 .alias("top_host_share_micro"),
+                 F.sum("_term").alias("host_entropy_micro"))
+            .select(F.col(group_col),
+                    F.col("_nd").cast("long").alias("n_docs"),
+                    F.col("n_hosts").cast("long").alias("n_hosts"),
+                    "top_host_share_micro",
+                    F.col("host_entropy_micro").cast("long")
+                    .alias("host_entropy_micro")))

@@ -2354,6 +2354,111 @@ _SQL_DIRTY_URL = """
 """
 
 
+def _blocklist_host_col():
+    """Deterministic multi-parent host for the blocklist fixture: four
+    parent-domain families by doc_id%4 so suffix matching exercises
+    parent-domain blocks, exact-host blocks, and misses at every sf
+    (the canonical-dedup dirty host has ONE parent, .example.org, which
+    a suffix list could only block all-or-nothing)."""
+    d, s = F.col("doc_id"), F.col("source")
+    return (F.when(d % 4 == 0, F.concat(s, F.lit(".ads.example")))
+            .when(d % 4 == 1, F.concat(s, F.lit(".example.net")))
+            .when(d % 4 == 2, F.concat(F.lit("cdn."), s,
+                                       F.lit(".pages.dev")))
+            .otherwise(F.concat(s, F.lit(".blog.example.net"))))
+
+
+_SQL_BLOCKLIST_HOST = """
+    CASE WHEN doc_id % 4 = 0 THEN source || '.ads.example'
+         WHEN doc_id % 4 = 1 THEN source || '.example.net'
+         WHEN doc_id % 4 = 2 THEN 'cdn.' || source || '.pages.dev'
+         ELSE source || '.blog.example.net' END
+"""
+
+# parent-domain block (all of d%4==0), exact-host blocks (one source
+# each), and a never-matching entry — covers every suffix-match case
+_HOST_BLOCKLIST = ("ads.example", "src3.example.net",
+                   "cdn.src5.pages.dev", "blog.example.net", "tracker.io")
+
+
+def q_url_host_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist gate (webnorm.host_blocklist_filter):
+    host equals OR sits under a blocklisted domain.  Scale shape is an
+    equi-join, never a per-row list scan: bounded dot-suffix explode
+    (<= label count) + broadcast join on the suffix + one partial-agg
+    shuffle back to (doc_id, host).  Real lists (UT1) hold millions of
+    entries — the join survives that; an in-plan literal would not."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select("doc_id", _blocklist_host_col().alias("host")))
+    bl = spark.createDataFrame(
+        [(e,) for e in webnorm.validated_blocklist(_HOST_BLOCKLIST)],
+        "entry string")
+    return webnorm.host_blocklist_filter(pages, bl)
+
+
+SQL_URL_HOST_BLOCKLIST = """
+WITH hosts AS (
+  SELECT doc_id, __HOST__ AS host FROM documents),
+suf AS (
+  SELECT doc_id, host, u.s AS suffix
+  FROM hosts, UNNEST(list_transform(
+      generate_series(1, len(string_split(host, '.'))),
+      i -> array_to_string(list_slice(string_split(host, '.'), i,
+                                      len(string_split(host, '.'))), '.')
+  )) AS u(s)),
+bl(entry) AS (SELECT * FROM (VALUES __ENTRIES__)),
+agg AS (
+  SELECT doc_id, host,
+         MIN(CASE WHEN b.entry IS NOT NULL THEN suffix END)
+           AS matched_suffix
+  FROM suf LEFT JOIN bl b ON suf.suffix = b.entry
+  GROUP BY doc_id, host)
+SELECT doc_id, host, matched_suffix,
+       matched_suffix IS NOT NULL AS blocked
+FROM agg
+""".replace("__HOST__", _SQL_BLOCKLIST_HOST).replace(
+    "__ENTRIES__", ", ".join(f"('{e}')" for e in sorted(_HOST_BLOCKLIST)))
+
+
+def q_host_diversity_stats(spark, sf_dir):
+    """Corpus-concentration report (webnorm.host_diversity_stats): per
+    lang, the doc count, distinct-host count, top-host share, and host
+    Shannon entropy — the health numbers that prove a curated corpus is
+    not secretly one megahost.  Share is pure integer division; entropy
+    micro-fixes each host's -(p)ln(p) term before summing (the repo's
+    cross-engine float idiom).  One partial-agg shuffle on (lang, host);
+    the window + final agg run on the collapsed <= |langs|x|hosts|
+    table."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select("lang",
+                     webnorm.canonical_host(_dirty_url_col()).alias("host")))
+    return webnorm.host_diversity_stats(pages)
+
+
+SQL_HOST_DIVERSITY = """
+WITH hosts AS (
+  SELECT lang,
+         regexp_replace(lower(regexp_extract(__DIRTY__,
+             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host
+  FROM documents),
+counts AS (
+  SELECT lang, host, COUNT(*) AS c FROM hosts GROUP BY lang, host),
+tot AS (
+  SELECT lang, SUM(c) AS n, COUNT(*) AS n_hosts, MAX(c) AS max_c
+  FROM counts GROUP BY lang),
+ent AS (
+  SELECT counts.lang,
+         SUM(CAST(floor(-((c * 1.0 / n) * ln(c * 1.0 / n)) * 1000000)
+                  AS BIGINT)) AS e
+  FROM counts JOIN tot USING (lang) GROUP BY counts.lang)
+SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs,
+       CAST(t.n_hosts AS BIGINT) AS n_hosts,
+       CAST(t.max_c * 1000000 // t.n AS BIGINT) AS top_host_share_micro,
+       CAST(e.e AS BIGINT) AS host_entropy_micro
+FROM tot t JOIN ent e USING (lang)
+""".replace("__DIRTY__", "(" + _SQL_DIRTY_URL + ")")
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """Crawl URL canonicalization + dedup: strip tracking params /
     fragments / host case / www / trailing slash, then group by the
@@ -3101,6 +3206,8 @@ QUERIES = {
     "doc_bigram_domain_logprob": q_doc_bigram_domain_logprob,
     "doc_badword_filter": q_doc_badword_filter,
     "dedup_cluster_best_keeper": q_dedup_cluster_best_keeper,
+    "url_host_blocklist": q_url_host_blocklist,
+    "host_diversity_stats": q_host_diversity_stats,
 }
 
 ORACLE_SQL = {
@@ -3210,4 +3317,6 @@ ORACLE_SQL = {
     "doc_bigram_domain_logprob": SQL_BIGRAM_DOMAIN,
     "doc_badword_filter": SQL_BADWORDS,
     "dedup_cluster_best_keeper": SQL_BEST_KEEPER,
+    "url_host_blocklist": SQL_URL_HOST_BLOCKLIST,
+    "host_diversity_stats": SQL_HOST_DIVERSITY,
 }
