@@ -264,8 +264,13 @@ def main(argv=None) -> int:
                      .select("doc_id", F.col("source").alias("host")))
             bl_df = spark.createDataFrame(
                 [(e,) for e in host_blocklist], "entry string")
-            blocked_ids = (webnorm.host_blocklist_filter(pages, bl_df)
-                           .where(F.col("blocked")).select("doc_id"))
+            # gate form: semi-join of the suffix explode against the
+            # broadcast list — no full-corpus groupBy; the only
+            # exchange is the distinct over the (tiny) matched set.
+            # blocked_ids is consumed twice (dropped rows + anti-join)
+            # but each pass is a two-column metadata-only scan.
+            blocked_ids = webnorm.host_blocklist_blocked_ids(
+                pages, bl_df)
             dropped_hb = blocked_ids.select(
                 "doc_id", F.lit("host_blocklist").alias("status"),
                 F.lit(None).cast("long").alias("keeper_doc_id"))

@@ -592,7 +592,12 @@ def test_validated_blocklist_folds_and_rejects():
     assert webnorm.validated_blocklist(["Ads.Example", "ads.example",
                                         "x.y"]) == ["ads.example", "x.y"]
     for bad in [[], ["two words"], [".leading.dot"], ["trailing.dot."],
-                ["inner..empty"], [""], ["http://x.com"], ["x.com/path"]]:
+                ["inner..empty"], [""], ["http://x.com"], ["x.com/path"],
+                # no port / query / fragment / creds: these can never
+                # equal a host suffix, so accepting them would make the
+                # entry silently block nothing
+                ["x.com:443"], ["x.com?utm=1"], ["x.com#frag"],
+                ["user@x.com"]]:
         with pytest.raises(ValueError):
             webnorm.validated_blocklist(bad)
 
@@ -603,7 +608,10 @@ def test_host_blocklist_filter_semantics(spark):
          (2, "ads.example"),            # exact block
          (3, "notads.example"),         # 'ads.example' is NOT a suffix
          (4, "safe.example.net"),       # miss
-         (5, "a.b.tracker.io")],        # deep parent block
+         (5, "a.b.tracker.io"),         # deep parent block
+         (6, "Shop.Ads.Example"),       # mixed case must still match
+         (7, "ads.example:8443"),       # port must not defeat the match
+         (8, "ads.example.")],          # trailing dot (FQDN form)
         ["doc_id", "host"])
     bl = spark.createDataFrame([("ads.example",), ("tracker.io",)],
                                ["entry"])
@@ -611,10 +619,17 @@ def test_host_blocklist_filter_semantics(spark):
            webnorm.host_blocklist_filter(pages, bl).collect()}
     assert got == {1: (True, "ads.example"), 2: (True, "ads.example"),
                    3: (False, None), 4: (False, None),
-                   5: (True, "tracker.io")}
+                   5: (True, "tracker.io"),
+                   6: (True, "ads.example"), 7: (True, "ads.example"),
+                   8: (True, "ads.example")}
     # every input page comes back exactly once (explode_outer keeps
     # pages whose suffix set matches nothing)
-    assert len(got) == 5
+    assert len(got) == 8
+    # the gate form agrees with the filter form on the blocked set and
+    # carries no full-corpus groupBy (it only distincts matched rows)
+    gate = {r["doc_id"] for r in
+            webnorm.host_blocklist_blocked_ids(pages, bl).collect()}
+    assert gate == {k for k, (b, _) in got.items() if b}
 
 
 def test_host_diversity_stats_values(spark):

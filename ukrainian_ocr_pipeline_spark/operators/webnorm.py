@@ -213,14 +213,27 @@ def validated_blocklist(entries) -> list:
         raise ValueError("host blocklist must be non-empty")
     for e in out:
         if (not e) or any(c.isspace() for c in e) or e != e.strip(".")\
-                or ".." in e or "/" in e:
-            # a pasted URL ('http://x', 'x.com/path') would silently
-            # never match any host suffix — reject it loudly instead
+                or ".." in e or any(c in e for c in "/?#:@"):
+            # a pasted URL or URL fragment ('http://x', 'x.com/path',
+            # 'x.com:443', 'x.com?utm=1') would silently never match
+            # any host suffix — reject it loudly instead
             raise ValueError(
                 f"blocklist entries must be bare whitespace-free domains "
-                f"(no scheme/path, no leading/trailing/empty labels) — "
-                f"got {e!r}")
+                f"(no scheme/path/port/query, no leading/trailing/empty "
+                f"labels) — got {e!r}")
     return out
+
+
+def folded_host(host) -> Column:
+    """Matching form of a host for blocklist comparison: lowercased,
+    ``:port`` stripped, trailing dots stripped.  validated_blocklist
+    lowercase-folds the entry side; this folds the host side so
+    ``Ads.Example``, ``ads.example:8443`` and ``ads.example.`` all
+    match the entry ``ads.example`` (case/port asymmetry would
+    silently pass listed domains through the gate)."""
+    h = F.col(host) if isinstance(host, str) else host
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(h), ":[0-9]+$", ""), "\\.+$", "")
 
 
 def host_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
@@ -239,10 +252,15 @@ def host_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
     broadcast here (fits executor memory even at millions of entries);
     drop the hint and the same plan shuffle-joins if a list ever
     outgrows that.  One bounded explode + one partial-agg shuffle on
-    (id, host) — no per-row list scan anywhere."""
+    (id, host) — no per-row list scan anywhere.
+
+    The host is folded (lower/port/trailing-dot, `folded_host`) before
+    suffix expansion so matching is symmetric with the lowercase-folded
+    entry side; the emitted ``host`` column keeps the original value."""
     suf = pages.select(
         F.col(id_col), F.col(host_col),
-        F.explode_outer(host_suffixes(host_col)).alias("_suffix"))
+        F.explode_outer(host_suffixes(folded_host(host_col)))
+        .alias("_suffix"))
     marks = blocklist.select(F.col("entry").alias("_suffix"),
                              F.lit(True).alias("_hit"))
     agg = (suf.join(F.broadcast(marks), "_suffix", "left")
@@ -252,6 +270,24 @@ def host_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
     return agg.select(
         id_col, host_col, "matched_suffix",
         F.col("matched_suffix").isNotNull().alias("blocked"))
+
+
+def host_blocklist_blocked_ids(pages: DataFrame, blocklist: DataFrame,
+                               host_col: str = "host",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Gate form of the blocklist: just the distinct ids of blocked
+    pages.  Unlike host_blocklist_filter (which is TOTAL — one verdict
+    row per page, so it must re-group the whole corpus), a gate only
+    needs the matched side: left_semi the bounded suffix explode
+    against the broadcast list, then distinct over ONLY the matched
+    rows.  The full-corpus partial-agg shuffle disappears; the one
+    remaining exchange carries the (tiny) blocked set."""
+    suf = pages.select(
+        F.col(id_col),
+        F.explode(host_suffixes(folded_host(host_col))).alias("_suffix"))
+    marks = blocklist.select(F.col("entry").alias("_suffix"))
+    return (suf.join(F.broadcast(marks), "_suffix", "left_semi")
+            .select(id_col).distinct())
 
 
 def host_diversity_stats(pages: DataFrame, group_col: str = "lang",

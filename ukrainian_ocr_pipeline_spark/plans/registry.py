@@ -2359,19 +2359,22 @@ def _blocklist_host_col():
     parent-domain families by doc_id%4 so suffix matching exercises
     parent-domain blocks, exact-host blocks, and misses at every sf
     (the canonical-dedup dirty host has ONE parent, .example.org, which
-    a suffix list could only block all-or-nothing)."""
+    a suffix list could only block all-or-nothing).  Three of the four
+    branches carry host noise (mixed case, :port) so the fold-before-
+    match contract (webnorm.folded_host) is exercised, not just the
+    clean path."""
     d, s = F.col("doc_id"), F.col("source")
-    return (F.when(d % 4 == 0, F.concat(s, F.lit(".ads.example")))
-            .when(d % 4 == 1, F.concat(s, F.lit(".example.net")))
-            .when(d % 4 == 2, F.concat(F.lit("cdn."), s,
+    return (F.when(d % 4 == 0, F.concat(s, F.lit(".Ads.Example")))
+            .when(d % 4 == 1, F.concat(s, F.lit(".example.net:8443")))
+            .when(d % 4 == 2, F.concat(F.lit("CDN."), s,
                                        F.lit(".pages.dev")))
             .otherwise(F.concat(s, F.lit(".blog.example.net"))))
 
 
 _SQL_BLOCKLIST_HOST = """
-    CASE WHEN doc_id % 4 = 0 THEN source || '.ads.example'
-         WHEN doc_id % 4 = 1 THEN source || '.example.net'
-         WHEN doc_id % 4 = 2 THEN 'cdn.' || source || '.pages.dev'
+    CASE WHEN doc_id % 4 = 0 THEN source || '.Ads.Example'
+         WHEN doc_id % 4 = 1 THEN source || '.example.net:8443'
+         WHEN doc_id % 4 = 2 THEN 'CDN.' || source || '.pages.dev'
          ELSE source || '.blog.example.net' END
 """
 
@@ -2398,13 +2401,16 @@ def q_url_host_blocklist(spark, sf_dir):
 
 SQL_URL_HOST_BLOCKLIST = """
 WITH hosts AS (
-  SELECT doc_id, __HOST__ AS host FROM documents),
+  SELECT doc_id, __HOST__ AS host,
+         regexp_replace(regexp_replace(lower(__HOST__), ':[0-9]+$', ''),
+                        '\\.+$', '') AS fhost
+  FROM documents),
 suf AS (
   SELECT doc_id, host, u.s AS suffix
   FROM hosts, UNNEST(list_transform(
-      generate_series(1, len(string_split(host, '.'))),
-      i -> array_to_string(list_slice(string_split(host, '.'), i,
-                                      len(string_split(host, '.'))), '.')
+      generate_series(1, len(string_split(fhost, '.'))),
+      i -> array_to_string(list_slice(string_split(fhost, '.'), i,
+                                      len(string_split(fhost, '.'))), '.')
   )) AS u(s)),
 bl(entry) AS (SELECT * FROM (VALUES __ENTRIES__)),
 agg AS (
@@ -2417,7 +2423,8 @@ SELECT doc_id, host, matched_suffix,
        matched_suffix IS NOT NULL AS blocked
 FROM agg
 """.replace("__HOST__", _SQL_BLOCKLIST_HOST).replace(
-    "__ENTRIES__", ", ".join(f"('{e}')" for e in sorted(_HOST_BLOCKLIST)))
+    "__ENTRIES__", ", ".join(
+        f"('{e}')" for e in webnorm.validated_blocklist(_HOST_BLOCKLIST)))
 
 
 def q_host_diversity_stats(spark, sf_dir):
