@@ -139,3 +139,82 @@ def test_classifier_is_total_empty_docs_get_prior(spark):
     assert (empty["wsum_milli"] == 0).all()
     assert (empty["score_r"] == 0.5).all()
     assert empty["keep"].all()
+
+
+def test_shard_manifest_covers_corpus_and_shares_sum(spark):
+    """Every doc lands in exactly one shard; totals reconcile with the
+    corpus; token shares are the micro-fixed integer division of each
+    shard's tokens (so they sum to <= 1e6 with bounded truncation)."""
+    from pyspark.sql import functions as F
+    from ukrainian_ocr_pipeline_spark.operators import dedup, packing
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    man = packing.shard_manifest(docs, n_shards=16).toPandas()
+    assert man["n_docs"].sum() == docs.count()
+    # TOTAL over the shard space: all 16 ids present exactly once, an
+    # empty shard would report zeros rather than vanish
+    assert sorted(man["shard_id"]) == list(range(16))
+    want_tok = (docs.select(
+        F.sum(F.greatest(F.size(dedup.word_array("text")), F.lit(0)))
+        .alias("t")).collect()[0]["t"])
+    assert man["n_tokens"].sum() == want_tok
+    total = man["n_tokens"].sum()
+    for _, r in man.iterrows():
+        assert r["token_share_micro"] == r["n_tokens"] * 1_000_000 // total
+    # truncation-only deficit: shares undershoot 1e6 by < n_shards
+    assert 1_000_000 - len(man) < man["token_share_micro"].sum() <= 1_000_000
+
+
+def test_shard_assign_is_deterministic_and_spread(spark):
+    """Same key -> same shard on every call; the md5 spread puts at
+    least half the shards in play even on the 500-doc fixture."""
+    from pyspark.sql import functions as F
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = packing.shard_manifest(docs, n_shards=16).toPandas()
+    b = packing.shard_manifest(docs, n_shards=16).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("shard_id").reset_index(drop=True),
+        b.sort_values("shard_id").reset_index(drop=True))
+    # md5 spread on the 500-doc fixture: at least half the shards carry
+    # docs (degenerate hashing would pile into a few)
+    assert (a["n_docs"] > 0).sum() >= 8
+    # degenerate parameters fail loudly, not with NULL shard ids
+    with pytest.raises(ValueError):
+        packing.shard_assign(docs["doc_id"], n_shards=0)
+    with pytest.raises(ValueError):
+        packing.compaction_plan(docs, target_bytes=0)
+
+
+def test_compaction_plan_bins_are_contiguous_and_sized(spark):
+    """Bins within a partition are contiguous id ranges, bin ids are the
+    running-offset division, every file is planned exactly once, and no
+    bin except an oversized-file bin STARTS past one target of fill."""
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    target = 100
+    files = spark.createDataFrame(
+        [("a", 1, 40), ("a", 2, 40), ("a", 3, 40),   # 40+40 | 40
+         ("a", 4, 250),                              # oversized
+         ("a", 5, 10),
+         ("b", 1, 100), ("b", 2, 1),                 # exact fit | 1
+         ("c", 1, None)],                            # NULL size -> 0
+        "part string, file_id long, bytes long")
+    plan = (packing.compaction_plan(files, target_bytes=target)
+            .toPandas().sort_values(["part", "bin_id"])
+            .reset_index(drop=True))
+    got = {(r["part"], r["bin_id"]): (r["n_files"], r["bin_bytes"],
+                                      r["first_file"], r["last_file"])
+           for _, r in plan.iterrows()}
+    # part a offsets: 0,40,80,120,370 -> bins 0,0,0,1,3
+    assert got[("a", 0)] == (3, 120, 1, 3)
+    assert got[("a", 1)] == (1, 250, 4, 4)
+    assert got[("a", 3)] == (1, 10, 5, 5)
+    # part b offsets: 0,100 -> bins 0,1 (exact fit closes the bin)
+    assert got[("b", 0)] == (1, 100, 1, 1)
+    assert got[("b", 1)] == (1, 1, 2, 2)
+    assert got[("c", 0)] == (1, 0, 1, 1)
+    assert plan["n_files"].sum() == 8
+    # contiguity: within a part, ranges never interleave
+    for part, g in plan.groupby("part"):
+        g = g.sort_values("bin_id")
+        assert (g["first_file"].values[1:]
+                > g["last_file"].values[:-1]).all()

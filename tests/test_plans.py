@@ -566,3 +566,37 @@ def test_bigram_domain_lm_no_python_no_cartesian(spark):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan  # 1-row stats
+
+
+def test_shard_manifest_is_one_bounded_exchange_jvm_only(spark):
+    """Shard manifest: hashing + token counts are pure codegen (no
+    Python workers); the only corpus-wide exchange is the partial-agg
+    groupBy on shard_id (bounded cardinality); the share window runs
+    post-collapse."""
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(packing.shard_manifest(docs, n_shards=16))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "HashAggregate") >= 2, plan  # partial + final
+    # exchanges: hashpartitioning(shard_id) partial agg, the all-shards
+    # frame join, and one singlepartition for the n_shards-row window —
+    # none keyed on the doc key
+    assert plan.count("Exchange") <= 6, plan
+    assert not any("doc_id" in l for l in plan.splitlines()
+                   if "hashpartitioning" in l), plan
+
+
+def test_compaction_plan_windows_by_partition_not_global(spark):
+    """Compaction planning must window per table partition, never
+    globally: the cumulative sum's Sort/Window keys start with `part`
+    (a single-partition global window would serialize the manifest)."""
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    files = spark.createDataFrame(
+        [("a", 1, 10)], "part string, file_id long, bytes long")
+    plan = plan_of(packing.compaction_plan(files, target_bytes=100))
+    assert "EvalPython" not in plan, plan
+    # the cumulative-sum window's partition spec must be the table
+    # partition column (a global window would print an empty spec and
+    # hash on nothing)
+    assert re.search(r"windowspecdefinition\(part#", plan), plan
+    assert re.search(r"hashpartitioning\(part#", plan), plan

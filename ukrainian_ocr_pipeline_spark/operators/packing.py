@@ -28,7 +28,7 @@ partitioning, and exactly mirrored by a recursive-CTE SQL twin.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from . import dedup
 
@@ -107,3 +107,109 @@ def chunk_windows(docs: DataFrame, text_col: str = "text",
                     F.md5(F.concat_ws(" ", chunk).cast("binary"))
                     .alias("chunk_hash"))
             )
+
+
+def shard_assign(key_col, n_shards: int = 64):
+    """Deterministic output-shard id for a document key: md5 bucket
+    (the same _h32 family as the train/val/test split and every dedup
+    hash) modulo `n_shards`.  A pure function of the key — shard
+    membership is stable across runs, engines, and repartitionings, so
+    a resumed writer re-produces byte-identical shards and a downstream
+    reader can locate any document without a lookup table."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return dedup._h32(key_col.cast("string"), seed="shard") % n_shards
+
+
+def shard_manifest(docs: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id",
+                   n_shards: int = 64) -> DataFrame:
+    """Training-output shard manifest: assign every document a
+    deterministic shard (``shard_assign``), then report per-shard
+    (n_docs, n_tokens, n_bytes) plus each shard's micro-fixed share of
+    the total token mass — the balance report a writer publishes so a
+    trainer can verify no shard is pathologically over/under-weight
+    before an epoch starts (hash sharding keeps the spread tight; the
+    manifest PROVES it for the corpus actually written).
+
+    Scale shape: one partial-agg shuffle on shard_id (bounded
+    cardinality = n_shards regardless of corpus size); the share window
+    runs over the collapsed <= n_shards rows, so the heavy exchange is
+    the first groupBy only.  Tokens use the canonical word_array
+    definition (one tokenizer everywhere); NULL text counts 0 tokens /
+    0 bytes but the document still lands in its shard.  EVERY shard id
+    gets a row — an empty shard reports (0, 0, 0, 0) rather than being
+    silently absent, since the 0-doc shard is exactly the pathological
+    under-weight the report exists to expose."""
+    counted = docs.select(
+        shard_assign(F.col(key_col), n_shards).alias("shard_id"),
+        F.greatest(F.size(dedup.word_array(text_col)),
+                   F.lit(0)).cast("long").alias("_tok"),
+        F.coalesce(F.octet_length(text_col),
+                   F.lit(0)).cast("long").alias("_bytes"))
+    per_shard = (counted.groupBy("shard_id")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("_tok").alias("n_tokens"),
+                      F.sum("_bytes").alias("n_bytes")))
+    all_shards = (docs.sparkSession.range(n_shards)
+                  .select(F.col("id").cast("bigint").alias("shard_id")))
+    per_shard = (all_shards.join(per_shard, "shard_id", "left")
+                 .fillna(0, subset=["n_docs", "n_tokens", "n_bytes"]))
+    # the share window runs over the ALREADY-COLLAPSED n_shards rows
+    # (single-partition OVER () is fine at that cardinality); integer
+    # division per the cross-engine micro-fix idiom, zero-token corpus
+    # guarded to 0 (Spark DIV 0 is NULL, DuckDB // 0 errors — neither
+    # is the answer)
+    return (per_shard
+            .withColumn("token_share_micro",
+                        F.expr("CAST(CASE WHEN SUM(n_tokens) OVER () = 0"
+                               " THEN 0 ELSE n_tokens * 1000000 DIV "
+                               "SUM(n_tokens) OVER () END AS BIGINT)"))
+            .select("shard_id",
+                    F.col("n_docs").cast("long"),
+                    F.col("n_tokens").cast("long"),
+                    F.col("n_bytes").cast("long"),
+                    "token_share_micro"))
+
+
+def compaction_plan(files: DataFrame, part_col: str = "part",
+                    file_col: str = "file_id", size_col: str = "bytes",
+                    target_bytes: int = 1 << 27) -> DataFrame:
+    """Small-file compaction plan: within each table partition, assign
+    files (in stable `file_col` order) to output bins by the running
+    byte offset — bin = floor(offset_before_file / target) — and report
+    one row per planned output file: (part, bin_id, n_files, bin_bytes,
+    first_file, last_file).  This is the planning half of an
+    Iceberg-style binpack rewrite (rewrite_data_files): a streaming
+    writer leaves thousands of KB-scale files per partition; the plan
+    groups contiguous runs into ~target-size outputs so the rewrite
+    itself is a partition-local read->write with no shuffle.
+
+    The offset rule (not first-fit-decreasing) is chosen deliberately:
+    it is a pure window expression — deterministic, order-stable,
+    SQL-mirrorable — and for the small-file regime it is within one
+    file of optimal bin count per partition.  Oversized files (>
+    target) get bins to themselves plus whatever tail started before
+    them; a rewrite would copy them through unchanged.
+
+    Scale shape: the only wide op is the per-partition cumulative-sum
+    window — bounded by files-per-partition (a table-maintenance
+    invariant, thousands not billions), never by corpus bytes; the
+    final groupBy collapses to <= bins rows per partition."""
+    if target_bytes <= 0:
+        raise ValueError(
+            f"target_bytes must be positive, got {target_bytes}")
+    w = (Window.partitionBy(part_col).orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sz = F.coalesce(F.col(size_col).cast("long"), F.lit(0).cast("long"))
+    offset = (F.sum(sz).over(w) - sz).alias("_off")
+    planned = files.select(
+        F.col(part_col).alias("part"), F.col(file_col).alias("file_id"),
+        sz.alias("_sz"), offset)
+    planned = planned.withColumn(
+        "bin_id", F.expr(f"CAST(_off DIV {int(target_bytes)} AS BIGINT)"))
+    return (planned.groupBy("part", "bin_id")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum("_sz").cast("long").alias("bin_bytes"),
+                 F.min("file_id").alias("first_file"),
+                 F.max("file_id").alias("last_file")))

@@ -236,6 +236,15 @@ def folded_host(host) -> Column:
         F.regexp_replace(F.lower(h), ":[0-9]+$", ""), "\\.+$", "")
 
 
+# the DuckDB rendering of folded_host (format with col=...) — THE one
+# SQL mirror every oracle twin that folds a host must interpolate, so a
+# fold-rule change has a single SQL representation (same contract as
+# dedup.WORD_ARRAY_SQL).  End-anchored patterns, so the default
+# first-occurrence replace semantics match Spark's replace-all.
+FOLDED_HOST_SQL = (r"regexp_replace(regexp_replace(lower({col}),"
+                   r" ':[0-9]+$', ''), '\.+$', '')")
+
+
 def host_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
                           host_col: str = "host",
                           id_col: str = "doc_id") -> DataFrame:

@@ -2400,11 +2400,10 @@ def q_url_host_blocklist(spark, sf_dir):
 
 
 SQL_URL_HOST_BLOCKLIST = """
-WITH hosts AS (
-  SELECT doc_id, __HOST__ AS host,
-         regexp_replace(regexp_replace(lower(__HOST__), ':[0-9]+$', ''),
-                        '\\.+$', '') AS fhost
-  FROM documents),
+WITH hosts0 AS (
+  SELECT doc_id, __HOST__ AS host FROM documents),
+hosts AS (
+  SELECT doc_id, host, __FOLDED__ AS fhost FROM hosts0),
 suf AS (
   SELECT doc_id, host, u.s AS suffix
   FROM hosts, UNNEST(list_transform(
@@ -2423,6 +2422,7 @@ SELECT doc_id, host, matched_suffix,
        matched_suffix IS NOT NULL AS blocked
 FROM agg
 """.replace("__HOST__", _SQL_BLOCKLIST_HOST).replace(
+    "__FOLDED__", webnorm.FOLDED_HOST_SQL.format(col="host")).replace(
     "__ENTRIES__", ", ".join(
         f"('{e}')" for e in webnorm.validated_blocklist(_HOST_BLOCKLIST)))
 
@@ -2905,6 +2905,81 @@ def q_doc_chunk_windows(spark, sf_dir):
                                  chunk_len=64, stride=48)
 
 
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Training-output shard manifest (packing.shard_manifest): every
+    doc lands in a deterministic md5 shard (same hash family as the
+    train/val/test split); per shard the doc/token/byte totals plus the
+    micro-fixed token share — the balance report a writer publishes
+    before a training epoch.  One partial-agg shuffle on shard_id
+    (cardinality = n_shards, corpus-size-independent); the share window
+    runs over the collapsed <= n_shards rows."""
+    return packing.shard_manifest(_t(spark, sf_dir, "documents"),
+                                  n_shards=16)
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH assigned AS (
+  SELECT CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 16 AS shard_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len({dedup.WORD_ARRAY_SQL.format(col="text")}) END AS tok,
+         COALESCE(strlen(text), 0) AS b
+  FROM documents),
+per AS (
+  SELECT shard_id, COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(b) AS BIGINT) AS n_bytes
+  FROM assigned GROUP BY shard_id),
+-- every shard id gets a row: an empty shard reports zeros instead of
+-- being silently absent (mirrors the operator's all-shards left join)
+filled AS (
+  SELECT CAST(s.range AS BIGINT) AS shard_id,
+         COALESCE(n_docs, 0) AS n_docs,
+         COALESCE(n_tokens, 0) AS n_tokens,
+         COALESCE(n_bytes, 0) AS n_bytes
+  FROM range(0, 16) s LEFT JOIN per ON CAST(s.range AS BIGINT) = per.shard_id)
+SELECT shard_id, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN SUM(n_tokens) OVER () = 0 THEN 0
+                 ELSE n_tokens * 1000000 // SUM(n_tokens) OVER () END
+            AS BIGINT) AS token_share_micro
+FROM filled
+"""
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Iceberg-style binpack rewrite planning (packing.compaction_plan):
+    per table partition (lang stands in; file manifest synthesized as
+    doc_id/byte-length rows), group files in stable id order into
+    ~16 KiB output bins by running byte offset.  The only wide op is
+    the per-partition cumulative-sum window — bounded by
+    files-per-partition, never corpus bytes."""
+    files = (_t(spark, sf_dir, "documents")
+             .select(F.col("lang").alias("part"),
+                     F.col("doc_id").alias("file_id"),
+                     F.octet_length("text").alias("bytes")))
+    return packing.compaction_plan(files, target_bytes=16384)
+
+
+SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT lang AS part, doc_id AS file_id,
+         COALESCE(strlen(text), 0) AS sz
+  FROM documents),
+off AS (
+  SELECT part, file_id, sz,
+         SUM(sz) OVER (PARTITION BY part ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sz AS o
+  FROM f)
+SELECT part, CAST(o // 16384 AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+       MIN(file_id) AS first_file, MAX(file_id) AS last_file
+FROM off GROUP BY part, bin_id
+"""
+
+
 def q_bloom_seen_urls(spark, sf_dir):
     """Bloom-filter seen-list probe (m=64Ki bits, k=4): large parts
     (p_size > 40, ~20% of the key space) are the 'seen' set, the full
@@ -3215,6 +3290,8 @@ QUERIES = {
     "dedup_cluster_best_keeper": q_dedup_cluster_best_keeper,
     "url_host_blocklist": q_url_host_blocklist,
     "host_diversity_stats": q_host_diversity_stats,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLE_SQL = {
@@ -3326,4 +3403,6 @@ ORACLE_SQL = {
     "dedup_cluster_best_keeper": SQL_BEST_KEEPER,
     "url_host_blocklist": SQL_URL_HOST_BLOCKLIST,
     "host_diversity_stats": SQL_HOST_DIVERSITY,
+    "corpus_shard_manifest": SQL_SHARD_MANIFEST,
+    "compaction_plan": SQL_COMPACTION_PLAN,
 }
