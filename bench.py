@@ -75,7 +75,9 @@ HEADLINE = [
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",
     "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",
-    "dup_passage_excise",
+    "dup_passage_excise", "dedup_cluster_best_keeper",
+    "url_host_blocklist", "host_diversity_stats",
+    "corpus_shard_manifest", "compaction_plan", "host_link_graph",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

@@ -600,3 +600,17 @@ def test_compaction_plan_windows_by_partition_not_global(spark):
     # hash on nothing)
     assert re.search(r"windowspecdefinition\(part#", plan), plan
     assert re.search(r"hashpartitioning\(part#", plan), plan
+
+
+def test_outlink_edges_single_exchange_no_python(spark):
+    """Link-graph construction: regexp extraction + explode are narrow
+    codegen; the ONLY exchange is the (src_host, dst_host) partial agg."""
+    from ukrainian_ocr_pipeline_spark.operators import webnorm
+    pages = spark.createDataFrame(
+        [("http://a.example/", '<a href="http://b.example/">x</a>')],
+        ["url", "html"])
+    plan = plan_of(webnorm.outlink_host_edges(pages))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "hashpartitioning(src_host" in plan, plan
+    assert nodes(plan, "HashAggregate") == 2, plan  # partial + final

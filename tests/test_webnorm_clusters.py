@@ -647,3 +647,25 @@ def test_host_diversity_stats_values(spark):
     assert got["en"] == {"lang": "en", "n_docs": 3, "n_hosts": 2,
                          "top_host_share_micro": 666666,
                          "host_entropy_micro": want_ent}
+
+
+def test_outlink_host_edges_semantics(spark):
+    """href extraction: both quote styles + uppercase HREF matched;
+    relative and non-http links dropped; hosts canonicalized on both
+    ends (www/case fold); repeated pairs aggregate; self-edges via
+    absolute URLs kept."""
+    pages = spark.createDataFrame(
+        [("http://www.A.example/p1",
+          '<a href="https://B.example/x">1</a> '
+          '<A HREF=\'http://www.b.example/y\'>2</A> '
+          '<a href="/rel">3</a> <a href="ftp://c.example/z">4</a>'),
+         ("https://b.example/p2",
+          '<a href="http://b.example/self">5</a> unquoted href=nope'),
+         ("https://empty.example/p3", "no links at all")],
+        ["url", "html"])
+    got = {(r["src_host"], r["dst_host"]): r["n_links"] for r in
+           webnorm.outlink_host_edges(pages).collect()}
+    # a.example -> b.example twice (quote styles + www/case variants
+    # collapse to one canonical pair)
+    assert got == {("a.example", "b.example"): 2,
+                   ("b.example", "b.example"): 1}

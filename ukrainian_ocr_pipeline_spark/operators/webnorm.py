@@ -40,6 +40,13 @@ def canonical_host(url) -> Column:
         "^www\\.", "")
 
 
+# the DuckDB rendering of canonical_host (format with col=...) — the
+# single SQL mirror for oracle twins that need a host key (same
+# contract as dedup.WORD_ARRAY_SQL)
+CANONICAL_HOST_SQL = (r"regexp_replace(lower(regexp_extract({col},"
+                      r" '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', '')")
+
+
 def canonical_url(url) -> Column:
     """Canonical form of a URL column: lowercase scheme and host, strip
     a leading ``www.``, drop the fragment, drop ``utm_*`` tracking
@@ -279,6 +286,52 @@ def host_blocklist_filter(pages: DataFrame, blocklist: DataFrame,
     return agg.select(
         id_col, host_col, "matched_suffix",
         F.col("matched_suffix").isNotNull().alias("blocked"))
+
+
+# href extraction pattern — inline (?i) and the char classes behave
+# identically in Java regex and RE2, so the DuckDB twin is exact; both
+# quote styles matched, unquoted hrefs deliberately ignored (crawl
+# parsers treat them as malformed)
+HREF_PATTERN = "(?i)href=[\"']([^\"']+)[\"']"
+
+
+def outlink_host_edges(pages: DataFrame, html_col: str = "html",
+                       url_col: str = "url") -> DataFrame:
+    """Crawl link-graph construction: (src_host, dst_host, n_links)
+    edges from every absolute http(s) anchor in the page markup — the
+    input to host ranking (feed `graphrank.pagerank` after mapping
+    hosts to node ids), crawl frontier prioritization, and spam-cluster
+    detection.  Relative links are dropped (they are same-host
+    navigation, not graph signal); self-edges between a host and itself
+    via absolute URLs are kept (internal-absolute linking is real
+    structure).
+
+    Scale shape: href extraction is one regexp_extract_all per page at
+    scan speed (codegen, no Python); the explode is bounded by the
+    page's anchor count; the only corpus-wide exchange is the final
+    partial-agg groupBy on (src_host, dst_host), which collapses to
+    host-pair cardinality — orders of magnitude below page count.
+    Hosts are canonicalized (lowercase, www-stripped) on both ends so
+    the graph never splits a site across case/www variants."""
+    links = pages.select(
+        canonical_host(url_col).alias("src_host"),
+        F.explode(F.regexp_extract_all(F.col(html_col).cast("string"),
+                                       F.lit(HREF_PATTERN), F.lit(1)))
+        .alias("_link"))
+    absolute = links.where(F.col("_link").rlike("(?i)^https?://"))
+    return (absolute
+            .select("src_host", canonical_host(F.col("_link"))
+                    .alias("dst_host"))
+            .where(F.col("dst_host") != "")
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
+
+
+# the DuckDB rendering of the href explode (format with col=...);
+# DuckDB regexp_extract_all takes the group index as the third arg and
+# honors the same inline (?i), so the mirror is exact
+HREF_EXTRACT_SQL = \
+    "regexp_extract_all({col}, '(?i)href=[\"'']([^\"'']+)[\"'']', 1)"
 
 
 def host_blocklist_blocked_ids(pages: DataFrame, blocklist: DataFrame,

@@ -2466,6 +2466,72 @@ FROM tot t JOIN ent e USING (lang)
 """.replace("__DIRTY__", "(" + _SQL_DIRTY_URL + ")")
 
 
+def _linkpage_html_col():
+    """Deterministic anchor soup for the link-graph fixture: absolute
+    links in both quote styles (one uppercase HREF — case-insensitive
+    matching exercised), a per-source CDN target, a conditional repeat
+    (n_links > 1 exercised), a relative link and an ftp link (both
+    must be dropped)."""
+    d, s, lang = F.col("doc_id"), F.col("source"), F.col("lang")
+    return F.concat(
+        F.lit('<p><a href="https://hub.example/h/'), lang,
+        F.lit('">hub</a> <a href=\'http://WWW.Partner.Example/p\'>x</a> '),
+        F.lit('<A HREF="https://cdn.'), s, F.lit('.assets.example/js">y</A> '),
+        F.lit('<a href="/local/1">rel</a> '),
+        F.when(d % 3 == 0,
+               F.concat(F.lit('<a href="https://hub.example/h/'), lang,
+                        F.lit('">again</a> ')))
+         .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit('<a href="ftp://files.example/f">f</a>'))
+         .otherwise(F.lit("")),
+        F.lit("</p>"))
+
+
+_SQL_LINKPAGE_HTML = """
+    '<p><a href="https://hub.example/h/' || lang
+    || '">hub</a> <a href=''http://WWW.Partner.Example/p''>x</a> '
+    || '<A HREF="https://cdn.' || source || '.assets.example/js">y</A> '
+    || '<a href="/local/1">rel</a> '
+    || CASE WHEN doc_id % 3 = 0 THEN '<a href="https://hub.example/h/'
+            || lang || '">again</a> ' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN '<a href="ftp://files.example/f">f</a>' ELSE '' END
+    || '</p>'
+"""
+
+
+def q_host_link_graph(spark, sf_dir):
+    """Crawl link-graph construction (webnorm.outlink_host_edges):
+    href regexp at scan speed, bounded explode per page's anchor
+    count, ONE corpus-wide exchange — the partial-agg groupBy on
+    (src_host, dst_host), which collapses to host-pair cardinality.
+    Hosts canonicalized on both ends; relative and non-http links
+    dropped.  The edge table feeds graphrank.pagerank for host
+    ranking (graph_pagerank pins that iteration on the trade twin)."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select(_dirty_url_col().alias("url"),
+                     _linkpage_html_col().alias("html")))
+    return webnorm.outlink_host_edges(pages)
+
+
+SQL_HOST_LINK_GRAPH = f"""
+WITH pages AS (
+  SELECT ({_SQL_DIRTY_URL}) AS url, ({_SQL_LINKPAGE_HTML}) AS html
+  FROM documents),
+links AS (
+  SELECT {webnorm.CANONICAL_HOST_SQL.format(col="url")} AS src_host,
+         u.l AS link
+  FROM pages, UNNEST({webnorm.HREF_EXTRACT_SQL.format(col="html")})
+       AS u(l)),
+abs_links AS (
+  SELECT src_host,
+         {webnorm.CANONICAL_HOST_SQL.format(col="link")} AS dst_host
+  FROM links WHERE regexp_matches(link, '(?i)^https?://'))
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM abs_links WHERE dst_host <> '' GROUP BY 1, 2
+"""
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """Crawl URL canonicalization + dedup: strip tracking params /
     fragments / host case / www / trailing slash, then group by the
@@ -3292,6 +3358,7 @@ QUERIES = {
     "host_diversity_stats": q_host_diversity_stats,
     "corpus_shard_manifest": q_corpus_shard_manifest,
     "compaction_plan": q_compaction_plan,
+    "host_link_graph": q_host_link_graph,
 }
 
 ORACLE_SQL = {
@@ -3405,4 +3472,5 @@ ORACLE_SQL = {
     "host_diversity_stats": SQL_HOST_DIVERSITY,
     "corpus_shard_manifest": SQL_SHARD_MANIFEST,
     "compaction_plan": SQL_COMPACTION_PLAN,
+    "host_link_graph": SQL_HOST_LINK_GRAPH,
 }
