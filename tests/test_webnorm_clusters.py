@@ -669,3 +669,18 @@ def test_outlink_host_edges_semantics(spark):
     # collapse to one canonical pair)
     assert got == {("a.example", "b.example"): 2,
                    ("b.example", "b.example"): 1}
+
+
+def test_host_pagerank_hub_ranks_top_and_mass_conserved(spark):
+    """The composed crawl-rank query: every fixture page links to
+    hub.example (some twice), so it must out-rank every per-source CDN
+    host; total rank mass stays 1 (the operator's conservation
+    invariant survives the composition and the host->id mapping)."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import q_host_pagerank
+    rows = q_host_pagerank(spark, "/root/testdata/sf0.001").collect()
+    ranks = {r["host"]: r["pr_rank_r"] for r in rows}
+    assert len(ranks) == len(rows)  # the 32-bit host ids collide on
+    # nothing at fixture scale (distinct host -> distinct row)
+    top = max(ranks, key=ranks.get)
+    assert top == "hub.example"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4

@@ -2514,8 +2514,11 @@ def q_host_link_graph(spark, sf_dir):
     return webnorm.outlink_host_edges(pages)
 
 
-SQL_HOST_LINK_GRAPH = f"""
-WITH pages AS (
+# shared CTE block: fixture pages -> href explode -> absolute links
+# with canonical hosts on both ends (the link-graph and host-pagerank
+# twins both start here)
+_SQL_HOST_EDGES = f"""
+pages AS (
   SELECT ({_SQL_DIRTY_URL}) AS url, ({_SQL_LINKPAGE_HTML}) AS html
   FROM documents),
 links AS (
@@ -2526,10 +2529,77 @@ links AS (
 abs_links AS (
   SELECT src_host,
          {webnorm.CANONICAL_HOST_SQL.format(col="link")} AS dst_host
-  FROM links WHERE regexp_matches(link, '(?i)^https?://'))
+  FROM links WHERE regexp_matches(link, '(?i)^https?://'))"""
+
+SQL_HOST_LINK_GRAPH = f"""
+WITH {_SQL_HOST_EDGES}
 SELECT src_host, dst_host, COUNT(*) AS n_links
 FROM abs_links WHERE dst_host <> '' GROUP BY 1, 2
 """
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host authority ranking end-to-end: the crawl link graph
+    (webnorm.outlink_host_edges) symmetrized and fed to
+    graphrank.pagerank — the full crawl-prioritization composition,
+    real anchors in, per-host rank out.  Symmetrized (co-link
+    authority) so the fixed-budget iteration is the same no-dangling
+    shape as the trade twin; the directed variant runs the same
+    operator unchanged (pagerank redistributes dangling mass).  Hosts
+    become node ids via the md5 _h32 family — a pure function, so no
+    id-assignment join; at production host counts you would map hosts
+    through a dense dimension instead of a 32-bit hash (collision odds
+    here: ~50 hosts vs 2^32)."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select(_dirty_url_col().alias("url"),
+                     _linkpage_html_col().alias("html")))
+    e = webnorm.outlink_host_edges(pages)
+    sym = e.unionByName(
+        e.select(F.col("dst_host").alias("src_host"),
+                 F.col("src_host").alias("dst_host"), "n_links"))
+    hid = lambda c: dedup._h32(F.col(c), seed="hostpr")  # noqa: E731
+    pr = graphrank.pagerank(
+        sym.select(hid("src_host").alias("src"),
+                   hid("dst_host").alias("dst"),
+                   F.col("n_links").cast("double").alias("weight")),
+        d=0.85, n_iter=6)
+    names = (sym.select(F.col("src_host").alias("host")).distinct()
+             .withColumn("node", hid("host")))
+    return (pr.join(names, "node")
+            .select("host", F.round("pr_rank", 6).alias("pr_rank_r")))
+
+
+_SQL_HOST_ID = ("CAST(concat('0x', substr(md5('hostpr:' || {col}), 1, 8))"
+                " AS BIGINT)")
+
+SQL_HOST_PAGERANK = (f"""
+WITH {_SQL_HOST_EDGES},
+hedges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM abs_links WHERE dst_host <> '' GROUP BY 1, 2),
+edges0 AS (
+  SELECT {_SQL_HOST_ID.format(col="src_host")} AS src,
+         {_SQL_HOST_ID.format(col="dst_host")} AS dst, w
+  FROM hedges),
+edges AS (
+  SELECT src, dst, w FROM edges0
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM edges0),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, e.w / o.ow AS share
+       FROM edges e JOIN outw o ON e.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+""" + "".join(_SQL_PR_ITER.format(i=i, prev=i - 1) for i in range(1, 7)) +
+f"""fin AS (SELECT node, pr FROM pr6),
+names AS (
+  SELECT DISTINCT host, {_SQL_HOST_ID.format(col="host")} AS node
+  FROM (SELECT src_host AS host FROM hedges
+        UNION SELECT dst_host FROM hedges))
+SELECT n.host, ROUND(f.pr, 6) AS pr_rank_r
+FROM fin f JOIN names n USING (node)
+""")
 
 
 def q_url_canonical_dedup(spark, sf_dir):
@@ -3359,6 +3429,7 @@ QUERIES = {
     "corpus_shard_manifest": q_corpus_shard_manifest,
     "compaction_plan": q_compaction_plan,
     "host_link_graph": q_host_link_graph,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLE_SQL = {
@@ -3473,4 +3544,5 @@ ORACLE_SQL = {
     "corpus_shard_manifest": SQL_SHARD_MANIFEST,
     "compaction_plan": SQL_COMPACTION_PLAN,
     "host_link_graph": SQL_HOST_LINK_GRAPH,
+    "host_pagerank": SQL_HOST_PAGERANK,
 }
