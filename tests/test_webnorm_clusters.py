@@ -661,7 +661,11 @@ def test_outlink_host_edges_semantics(spark):
           '<a href="/rel">3</a> <a href="ftp://c.example/z">4</a>'),
          ("https://b.example/p2",
           '<a href="http://b.example/self">5</a> unquoted href=nope'),
-         ("https://empty.example/p3", "no links at all")],
+         ("https://empty.example/p3", "no links at all"),
+         # schemeless / NULL source urls canonicalize to ''/NULL and
+         # must not inject a phantom node into the graph
+         ("page.html", '<a href="https://b.example/x">bad-src</a>'),
+         (None, '<a href="https://b.example/x">null-src</a>')],
         ["url", "html"])
     got = {(r["src_host"], r["dst_host"]): r["n_links"] for r in
            webnorm.outlink_host_edges(pages).collect()}

@@ -318,7 +318,11 @@ def outlink_host_edges(pages: DataFrame, html_col: str = "html",
         F.explode(F.regexp_extract_all(F.col(html_col).cast("string"),
                                        F.lit(HREF_PATTERN), F.lit(1)))
         .alias("_link"))
-    absolute = links.where(F.col("_link").rlike("(?i)^https?://"))
+    # BOTH endpoints guarded: a schemeless/NULL source url (canonical
+    # host '' or NULL) must not inject a phantom node that absorbs
+    # rank mass downstream, same as an unparseable link target
+    absolute = links.where(F.col("_link").rlike("(?i)^https?://")
+                           & (F.col("src_host") != ""))
     return (absolute
             .select("src_host", canonical_host(F.col("_link"))
                     .alias("dst_host"))

@@ -2444,9 +2444,7 @@ def q_host_diversity_stats(spark, sf_dir):
 
 SQL_HOST_DIVERSITY = """
 WITH hosts AS (
-  SELECT lang,
-         regexp_replace(lower(regexp_extract(__DIRTY__,
-             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host
+  SELECT lang, __CANON_HOST__ AS host
   FROM documents),
 counts AS (
   SELECT lang, host, COUNT(*) AS c FROM hosts GROUP BY lang, host),
@@ -2463,7 +2461,9 @@ SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs,
        CAST(t.max_c * 1000000 // t.n AS BIGINT) AS top_host_share_micro,
        CAST(e.e AS BIGINT) AS host_entropy_micro
 FROM tot t JOIN ent e USING (lang)
-""".replace("__DIRTY__", "(" + _SQL_DIRTY_URL + ")")
+""".replace("__CANON_HOST__",
+            webnorm.CANONICAL_HOST_SQL.format(col="__DIRTY__")).replace(
+    "__DIRTY__", "(" + _SQL_DIRTY_URL + ")")
 
 
 def _linkpage_html_col():
@@ -2529,7 +2529,8 @@ links AS (
 abs_links AS (
   SELECT src_host,
          {webnorm.CANONICAL_HOST_SQL.format(col="link")} AS dst_host
-  FROM links WHERE regexp_matches(link, '(?i)^https?://'))"""
+  FROM links
+  WHERE regexp_matches(link, '(?i)^https?://') AND src_host <> '')"""
 
 SQL_HOST_LINK_GRAPH = f"""
 WITH {_SQL_HOST_EDGES}
@@ -2553,7 +2554,10 @@ def q_host_pagerank(spark, sf_dir):
     pages = (_t(spark, sf_dir, "documents")
              .select(_dirty_url_col().alias("url"),
                      _linkpage_html_col().alias("html")))
-    e = webnorm.outlink_host_edges(pages)
+    # materialize the aggregated edge table ONCE: sym embeds it twice
+    # (the union's two branches) and names reads it again — without
+    # this the page scan + href explode would re-execute per consumer
+    e = webnorm.outlink_host_edges(pages).localCheckpoint(eager=True)
     sym = e.unionByName(
         e.select(F.col("dst_host").alias("src_host"),
                  F.col("src_host").alias("dst_host"), "n_links"))
@@ -2622,8 +2626,7 @@ defrag AS (
 parts AS (
   SELECT doc_id, url,
          lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
-                        '^www\\.', '') AS host,
+         __CANON_HOST_U__ AS host,
          regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                         '/$', '') AS path,
          regexp_extract(u, '\\?(.*)', 1) AS query
@@ -2642,7 +2645,9 @@ SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
        MIN(doc_id) AS keeper_doc_id
 FROM canon GROUP BY canonical_url
-""".replace("__DIRTY__", _SQL_DIRTY_URL)
+""".replace("__CANON_HOST_U__",
+            webnorm.CANONICAL_HOST_SQL.format(col="u")).replace(
+    "__DIRTY__", _SQL_DIRTY_URL)
 
 
 def q_host_cap_sample(spark, sf_dir):
@@ -2662,9 +2667,7 @@ SQL_HOST_CAP = """
 WITH raw AS (
   SELECT doc_id, __DIRTY__ AS url FROM documents),
 hosts AS (
-  SELECT doc_id,
-         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
-                        '^www\\.', '') AS host
+  SELECT doc_id, __CANON_HOST_URL__ AS host
   FROM raw),
 hashed AS (
   SELECT host, doc_id,
@@ -2677,7 +2680,9 @@ ranked AS (
   FROM hashed)
 SELECT host, doc_id, CAST(r AS INTEGER) AS sample_rank
 FROM ranked WHERE r <= 8
-""".replace("__DIRTY__", _SQL_DIRTY_URL)
+""".replace("__CANON_HOST_URL__",
+            webnorm.CANONICAL_HOST_SQL.format(col="url")).replace(
+    "__DIRTY__", _SQL_DIRTY_URL)
 
 
 def q_pii_redaction(spark, sf_dir):
