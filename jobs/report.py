@@ -30,6 +30,12 @@ option).  Every statistic is an already-verified registry operator:
                   content-duplicate rate (dedup.exact_duplicates),
                   mean quality-gate pass rate (textstats.quality_filter)
                   and mean doc length — the headline numbers.
+  report_shards   (with --shards N) the deterministic md5 shard
+                  manifest (packing.shard_manifest): per-shard
+                  doc/token/byte totals + micro-fixed token share —
+                  the balance proof a shard writer publishes before a
+                  training epoch; every shard id reports a row, empty
+                  shards as zeros.
 
 All four tables commit atomically through the snapshot catalog:
 re-running the same --snapshot-id is an idempotent no-op, a crashed run
@@ -65,6 +71,11 @@ def main(argv=None) -> int:
                         " expected-draw/epochs columns are computed at")
     p.add_argument("--min-words", type=int, default=5,
                    help="quality-gate minimum word count (summary rate)")
+    p.add_argument("--shards", type=int, default=0,
+                   help="if > 0, also commit report_shards: the"
+                        " deterministic md5 shard manifest (per-shard"
+                        " doc/token/byte totals + token share) a shard"
+                        " writer publishes before a training epoch")
     p.add_argument("--master", default=None,
                    help="override spark master (default from session)")
     args = p.parse_args(argv)
@@ -78,10 +89,15 @@ def main(argv=None) -> int:
         p.error("--mixture-alpha must be in [0, 1]")
     if args.budget_tokens <= 0:
         p.error("--budget-tokens must be > 0")
+    if args.shards < 0:
+        # shard_assign would raise anyway, but after the Spark session
+        # spun up — same fail-before-work contract as the other flags
+        p.error("--shards must be >= 0")
 
     from pyspark.sql import SparkSession, functions as F
 
-    from ukrainian_ocr_pipeline_spark.operators import dedup, sketches, textstats
+    from ukrainian_ocr_pipeline_spark.operators import (dedup, packing,
+                                                        sketches, textstats)
     from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
     from ukrainian_ocr_pipeline_spark.sources.session import get_spark
 
@@ -154,10 +170,17 @@ def main(argv=None) -> int:
                         .alias("quality_pass_rate_r"),
                         "mean_chars"))
 
-    for table, build in [("report_lang", build_lang),
-                         ("report_terms", build_terms),
-                         ("report_mixture", build_mixture),
-                         ("report_summary", build_summary)]:
+    # -- training-shard balance manifest (opt-in) -----------------------------
+    def build_shards():
+        return packing.shard_manifest(docs, n_shards=args.shards)
+
+    tables = [("report_lang", build_lang),
+              ("report_terms", build_terms),
+              ("report_mixture", build_mixture),
+              ("report_summary", build_summary)]
+    if args.shards > 0:
+        tables.append(("report_shards", build_shards))
+    for table, build in tables:
         if not cat.is_committed(table, args.snapshot_id):
             cat.write_snapshot(build(), table, args.snapshot_id)
 
@@ -169,6 +192,11 @@ def main(argv=None) -> int:
                                   args.snapshot_id).count()
     stats = {"snapshot_id": args.snapshot_id, "langs": n_langs,
              "terms": n_terms, "mixture_domains": n_domains, **summary}
+    if args.shards > 0:
+        # read back the COMMITTED table (idempotent re-runs report the
+        # pinned manifest, same as every other stats field)
+        stats["shards"] = cat.read_snapshot(
+            spark, "report_shards", args.snapshot_id).count()
     print(json.dumps(stats))
 
     if existing is None:

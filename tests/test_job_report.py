@@ -135,3 +135,47 @@ def test_report_mixture_flag_bounds_rejected(tmp_path):
             job.main(["--docs", f"{SF_DIR}/documents.parquet",
                       "--warehouse", str(tmp_path / "wh"),
                       "--snapshot-id", "rbad", *bad])
+
+
+def test_report_shards_table_matches_operator(spark, tmp_path, capsys):
+    """--shards N commits report_shards == packing.shard_manifest on the
+    same corpus; re-run is an idempotent no-op; default runs commit no
+    shard table; negative N rejected at parse time."""
+    import pytest
+    import report as job
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "rs1", "--shards", "8"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["shards"] == 8
+
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    got = (cat.read_snapshot(spark, "report_shards", "rs1")
+           .toPandas().sort_values("shard_id").reset_index(drop=True))
+    want = (packing.shard_manifest(spark.read.parquet(docs_path), n_shards=8)
+            .toPandas().sort_values("shard_id").reset_index(drop=True))
+    assert got.equals(want)
+
+    # idempotent re-run: identical stats, still one committed manifest
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "rs1", "--shards", "8"])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+
+    # default run: no shard table, no shards key
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "rs2"])
+    assert rc == 0
+    stats3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "shards" not in stats3
+    assert not cat.is_committed("report_shards", "rs2")
+
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", str(tmp_path / "w2"),
+                  "--snapshot-id", "rs3", "--shards", "-1"])
