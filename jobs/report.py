@@ -37,7 +37,7 @@ option).  Every statistic is an already-verified registry operator:
                   training epoch; every shard id reports a row, empty
                   shards as zeros.
 
-All four tables commit atomically through the snapshot catalog:
+All tables commit atomically through the snapshot catalog:
 re-running the same --snapshot-id is an idempotent no-op, a crashed run
 resumes from nothing-committed (the same contract as jobs/curate.py and
 jobs/index.py).
