@@ -218,3 +218,84 @@ def test_compaction_plan_bins_are_contiguous_and_sized(spark):
         g = g.sort_values("bin_id")
         assert (g["first_file"].values[1:]
                 > g["last_file"].values[:-1]).all()
+
+
+def test_compaction_plan_randomized_matches_python_model(spark):
+    """Randomized file manifests (NULL/zero/oversized sizes, uneven
+    partitions) vs a pure-Python reference of the offset-binning rule:
+    the plan must be row-exact — every file planned once, bin id =
+    floor(preceding-bytes / target) in file_id order per partition."""
+    import random
+
+    from ukrainian_ocr_pipeline_spark.operators import packing
+
+    rng = random.Random(20260819)
+    target = 100
+    rows = []
+    for p in range(8):
+        part = f"p{p}"
+        n = rng.randint(0, 12)
+        fid = 0
+        for _ in range(n):
+            fid += rng.randint(1, 3)  # gaps: ids need not be dense
+            size = rng.choice([None, 0, rng.randint(1, 60),
+                               rng.randint(90, 110), rng.randint(150, 400)])
+            rows.append((part, fid, size))
+    got = {(r["part"], r["bin_id"]):
+           (r["n_files"], r["bin_bytes"], r["first_file"], r["last_file"])
+           for r in packing.compaction_plan(
+               spark.createDataFrame(
+                   rows, "part string, file_id long, bytes long"),
+               target_bytes=target).collect()}
+    want = {}
+    by_part = {}
+    for part, fid, size in rows:
+        by_part.setdefault(part, []).append((fid, size or 0))
+    for part, files in by_part.items():
+        off = 0
+        for fid, size in sorted(files):
+            b = off // target
+            n, tot, lo, hi = want.get((part, b), (0, 0, fid, fid))
+            want[(part, b)] = (n + 1, tot + size, min(lo, fid), max(hi, fid))
+            off += size
+    assert got == want
+
+
+def test_shard_manifest_randomized_matches_python_model(spark):
+    """Random corpora (NULL/empty/whitespace texts, random shard counts)
+    vs a pure-Python md5 model: shard assignment, totals, byte counts,
+    and the micro-fixed share must be cell-exact, with every shard id
+    present."""
+    import hashlib
+    import random
+
+    from ukrainian_ocr_pipeline_spark.operators import packing
+
+    rng = random.Random(20260819)
+    words = ["alpha", "beta", "gamma", "delta"]
+    for trial in range(3):
+        n_shards = rng.choice([4, 16, 25])
+        rows = []
+        for d in range(rng.randint(5, 40)):
+            text = rng.choice(
+                [None, "", "   ",
+                 " ".join(rng.choice(words)
+                          for _ in range(rng.randint(1, 9)))])
+            rows.append((d, text))
+        got = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["n_bytes"],
+                               r["token_share_micro"])
+               for r in packing.shard_manifest(
+                   spark.createDataFrame(rows, "doc_id long, text string"),
+                   n_shards=n_shards).collect()}
+        model = {s: [0, 0, 0] for s in range(n_shards)}
+        for d, text in rows:
+            h = int(hashlib.md5(f"shard:{d}".encode()).hexdigest()[:8], 16)
+            s = h % n_shards
+            model[s][0] += 1
+            model[s][1] += len(text.split()) if text else 0
+            model[s][2] += len(text.encode()) if text else 0
+        total = sum(v[1] for v in model.values())
+        want = {s: (v[0], v[1], v[2],
+                    (v[1] * 1_000_000 // total) if total else 0)
+                for s, v in model.items()}
+        assert got == want, (trial, n_shards)
