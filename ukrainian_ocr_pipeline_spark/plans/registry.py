@@ -2606,6 +2606,90 @@ FROM fin f JOIN names n USING (node)
 """)
 
 
+def q_corpus_snapshot_drift(spark, sf_dir):
+    """Snapshot-over-snapshot drift report — the diff the health-report
+    job's tables exist for: per lang, doc/token counts of the previous
+    snapshot vs the current one plus their deltas and the count of
+    hosts that are NEW this snapshot (the drift alarm for a spam-host
+    influx).  The previous snapshot is synthesized deterministically as
+    the even-doc_id half of the corpus (every lang keeps members at
+    every sf, and langs appearing/vanishing still work: the lang join
+    is FULL outer with zero-coalesced sides).
+
+    Scale shape: both snapshots collapse to per-(lang[,host]) partial
+    aggs before anything joins — the joins carry |langs| and |hosts|
+    rows, never documents; the new-host probe is a left_anti on the
+    collapsed host sets."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang",
+                 F.greatest(F.size(dedup.word_array("text")),
+                            F.lit(0)).cast("long").alias("_tok"),
+                 webnorm.canonical_host(_dirty_url_col()).alias("_host")))
+    base = d.where(F.col("doc_id") % 2 == 0)
+
+    def per_lang(df, sfx):
+        return df.groupBy("lang").agg(
+            F.count("*").alias(f"n_docs_{sfx}"),
+            F.sum("_tok").alias(f"n_tokens_{sfx}"))
+
+    hosts_head = d.select("lang", "_host").distinct()
+    hosts_base = base.select("lang", "_host").distinct()
+    new_hosts = (hosts_head.join(hosts_base, ["lang", "_host"], "left_anti")
+                 .groupBy("lang").agg(F.count("*").alias("n_new_hosts")))
+    out = (per_lang(d, "head").join(per_lang(base, "base"), "lang", "full")
+           .join(new_hosts, "lang", "left"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return out.select(
+        "lang",
+        z("n_docs_base").alias("n_docs_base"),
+        z("n_docs_head").alias("n_docs_head"),
+        (z("n_docs_head") - z("n_docs_base")).alias("docs_delta"),
+        z("n_tokens_base").alias("n_tokens_base"),
+        z("n_tokens_head").alias("n_tokens_head"),
+        (z("n_tokens_head") - z("n_tokens_base")).alias("tokens_delta"),
+        z("n_new_hosts").alias("n_new_hosts"))
+
+
+SQL_SNAPSHOT_DRIFT = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len({dedup.WORD_ARRAY_SQL.format(col="text")}) END AS tok,
+         {{CANON}} AS host
+  FROM documents),
+head AS (
+  SELECT lang, COUNT(*) AS n_docs_head,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens_head
+  FROM d GROUP BY lang),
+base AS (
+  SELECT lang, COUNT(*) AS n_docs_base,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens_base
+  FROM d WHERE doc_id % 2 = 0 GROUP BY lang),
+nh AS (
+  SELECT lang, COUNT(*) AS n_new_hosts FROM (
+    SELECT DISTINCT lang, host FROM d
+    EXCEPT
+    SELECT DISTINCT lang, host FROM d WHERE doc_id % 2 = 0)
+  GROUP BY lang),
+merged AS (
+  SELECT COALESCE(h.lang, b.lang) AS lang,
+         n_docs_base, n_docs_head, n_tokens_base, n_tokens_head
+  FROM head h FULL OUTER JOIN base b ON h.lang = b.lang)
+SELECT m.lang,
+       CAST(COALESCE(n_docs_base, 0) AS BIGINT) AS n_docs_base,
+       CAST(COALESCE(n_docs_head, 0) AS BIGINT) AS n_docs_head,
+       CAST(COALESCE(n_docs_head, 0) - COALESCE(n_docs_base, 0) AS BIGINT)
+         AS docs_delta,
+       CAST(COALESCE(n_tokens_base, 0) AS BIGINT) AS n_tokens_base,
+       CAST(COALESCE(n_tokens_head, 0) AS BIGINT) AS n_tokens_head,
+       CAST(COALESCE(n_tokens_head, 0) - COALESCE(n_tokens_base, 0)
+            AS BIGINT) AS tokens_delta,
+       CAST(COALESCE(n_new_hosts, 0) AS BIGINT) AS n_new_hosts
+FROM merged m LEFT JOIN nh ON m.lang = nh.lang
+""".replace("{CANON}", webnorm.CANONICAL_HOST_SQL.format(
+    col="(" + _SQL_DIRTY_URL + ")"))
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """Crawl URL canonicalization + dedup: strip tracking params /
     fragments / host case / www / trailing slash, then group by the
@@ -3435,6 +3519,7 @@ QUERIES = {
     "compaction_plan": q_compaction_plan,
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
+    "corpus_snapshot_drift": q_corpus_snapshot_drift,
 }
 
 ORACLE_SQL = {
@@ -3550,4 +3635,5 @@ ORACLE_SQL = {
     "compaction_plan": SQL_COMPACTION_PLAN,
     "host_link_graph": SQL_HOST_LINK_GRAPH,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "corpus_snapshot_drift": SQL_SNAPSHOT_DRIFT,
 }
