@@ -59,6 +59,16 @@ WORD_ARRAY_SQL = (r"list_filter(string_split(lower(regexp_replace("
                   r" w -> len(w) > 0)")
 
 
+def token_count(text_col: str):
+    """NULL-safe canonical token count: size(word_array) floored at 0.
+    THE one count expression (greatest-guard, not coalesce: legacy
+    non-ANSI sessions return -1 for size(NULL) instead of NULL) —
+    shared by shard manifests, mixture weights, classifier scoring,
+    and drift reporting so the NULL/empty-text convention has a single
+    definition."""
+    return F.greatest(F.size(word_array(text_col)), F.lit(0))
+
+
 def word_array_keepcase(text_col: str):
     """word_array WITHOUT the lowercase fold: identical token
     boundaries (case folding never changes whitespace), so positions

@@ -143,8 +143,7 @@ def shard_manifest(docs: DataFrame, text_col: str = "text",
     under-weight the report exists to expose."""
     counted = docs.select(
         shard_assign(F.col(key_col), n_shards).alias("shard_id"),
-        F.greatest(F.size(dedup.word_array(text_col)),
-                   F.lit(0)).cast("long").alias("_tok"),
+        dedup.token_count(text_col).cast("long").alias("_tok"),
         F.coalesce(F.octet_length(text_col),
                    F.lit(0)).cast("long").alias("_bytes"))
     per_shard = (counted.groupBy("shard_id")

@@ -602,10 +602,7 @@ def mixture_weights(docs: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     from . import dedup
-    # greatest-guard, not coalesce: legacy (non-ANSI) sessions return -1
-    # for size(NULL) instead of NULL (word_array docstring; same idiom
-    # as hashed_classifier_score / packing)
-    toks = F.greatest(F.size(dedup.word_array(text_col)), F.lit(0))
+    toks = dedup.token_count(text_col)
     domains = (docs
                .select(F.col(lang_col).alias("lang"),
                        F.col(source_col).alias("source"),

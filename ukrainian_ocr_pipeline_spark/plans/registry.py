@@ -2622,8 +2622,7 @@ def q_corpus_snapshot_drift(spark, sf_dir):
     collapsed host sets."""
     d = (_t(spark, sf_dir, "documents")
          .select("doc_id", "lang",
-                 F.greatest(F.size(dedup.word_array("text")),
-                            F.lit(0)).cast("long").alias("_tok"),
+                 dedup.token_count("text").cast("long").alias("_tok"),
                  webnorm.canonical_host(_dirty_url_col()).alias("_host")))
     base = d.where(F.col("doc_id") % 2 == 0)
 
@@ -2634,7 +2633,11 @@ def q_corpus_snapshot_drift(spark, sf_dir):
 
     hosts_head = d.select("lang", "_host").distinct()
     hosts_base = base.select("lang", "_host").distinct()
-    new_hosts = (hosts_head.join(hosts_base, ["lang", "_host"], "left_anti")
+    # subtract (EXCEPT DISTINCT), not left_anti: NULL-safe set semantics
+    # matching the DuckDB twin's EXCEPT — a NULL host/lang present in
+    # both snapshots must not be counted as new (same idiom as
+    # nation_set_ops)
+    new_hosts = (hosts_head.subtract(hosts_base)
                  .groupBy("lang").agg(F.count("*").alias("n_new_hosts")))
     out = (per_lang(d, "head").join(per_lang(base, "base"), "lang", "full")
            .join(new_hosts, "lang", "left"))
