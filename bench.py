@@ -78,7 +78,7 @@ HEADLINE = [
     "dup_passage_excise", "dedup_cluster_best_keeper",
     "url_host_blocklist", "host_diversity_stats",
     "corpus_shard_manifest", "compaction_plan", "host_link_graph",
-    "host_pagerank", "corpus_snapshot_drift",
+    "host_pagerank", "corpus_snapshot_drift", "canonical_link_dedup",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

@@ -688,3 +688,29 @@ def test_host_pagerank_hub_ranks_top_and_mass_conserved(spark):
     top = max(ranks, key=ranks.get)
     assert top == "hub.example"
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
+
+
+def test_canonical_link_dedup_semantics(spark):
+    """Declared-canonical dedup: both attribute orders collapse onto
+    the declared target; relative and missing declarations fall back
+    to the canonicalized fetch URL; n_declared counts only real
+    absolute declarations."""
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/article?utm_s=1",
+          '<link rel="canonical" href="https://a.com/canonical">'),
+         (2, "https://www.A.com/amp/article",
+          "<LINK HREF='https://a.com/canonical' REL='canonical'>"),
+         (3, "https://a.com/other",
+          '<link rel="canonical" href="/relative/target">'),  # fallback
+         (4, "https://a.com/plain", "<html>no link</html>"),  # fallback
+         (5, "https://a.com/canonical", "<html>no link</html>")],
+        ["doc_id", "url", "html"])
+    got = {r["canonical_url"]: (r["n_variants"], r["n_declared"],
+                                r["keeper_doc_id"]) for r in
+           webnorm.canonical_link_dedup(pages).collect()}
+    # docs 1+2 declare the target, doc 5 IS the target by fetch URL —
+    # all three collapse; only 2 of the 3 variants declared it
+    assert got["https://a.com/canonical"] == (3, 2, 1)
+    assert got["https://a.com/other"] == (1, 0, 3)
+    assert got["https://a.com/plain"] == (1, 0, 4)
+    assert len(got) == 3

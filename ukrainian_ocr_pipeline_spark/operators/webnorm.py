@@ -338,6 +338,65 @@ HREF_EXTRACT_SQL = \
     "regexp_extract_all({col}, '(?i)href=[\"'']([^\"'']+)[\"'']', 1)"
 
 
+# <link rel="canonical" href="..."> in either attribute order; inline
+# (?i) and the classes are Java-regex == RE2, so the DuckDB twin is
+# exact.  Two patterns ORed at the expression level (RE2 has no
+# backreferences to unify the orders in one pattern).
+CANONICAL_REL_HREF = ("(?i)<link[^>]*rel=[\"']canonical[\"']"
+                      "[^>]*href=[\"']([^\"']+)[\"']")
+CANONICAL_HREF_REL = ("(?i)<link[^>]*href=[\"']([^\"']+)[\"']"
+                      "[^>]*rel=[\"']canonical[\"']")
+
+
+def declared_canonical(html_col, url_col) -> Column:
+    """The page's effective canonical URL: the absolute
+    ``<link rel=canonical>`` target if the markup declares one (either
+    attribute order), else the canonicalized fetch URL.  Relative or
+    non-http declared targets fall back to the fetch URL (resolving
+    relative canonicals needs base-URL joining — out of scope at scan
+    speed, and crawlers commonly treat them as malformed).  Pure
+    regexp expressions — codegen, no Python."""
+    h = (F.col(html_col) if isinstance(html_col, str)
+         else html_col).cast("string")
+    link = F.regexp_extract(h, CANONICAL_REL_HREF, 1)
+    link = F.when(link != "", link).otherwise(
+        F.regexp_extract(h, CANONICAL_HREF_REL, 1))
+    return F.when(link.rlike("(?i)^https?://"),
+                  canonical_url(link)).otherwise(canonical_url(url_col))
+
+
+def canonical_link_dedup(pages: DataFrame, html_col: str = "html",
+                         url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Dedup by the DECLARED canonical: group pages on
+    ``declared_canonical`` — the web-native collapse URL normalization
+    alone cannot make (a site serves the same article under
+    /article/123, /amp/123, and ?session=... variants, all declaring
+    one canonical target).  One row per canonical: variant count, how
+    many variants DECLARED it (vs fell back to their fetch URL), and
+    the keeper (min id).
+
+    Scale shape: the regexp extraction runs at scan speed; the only
+    exchange is the partial-agg groupBy on the canonical string — the
+    same shape as exact content dedup but needing no text bytes."""
+    declared = F.regexp_extract(
+        F.col(html_col).cast("string"), CANONICAL_REL_HREF, 1)
+    declared2 = F.regexp_extract(
+        F.col(html_col).cast("string"), CANONICAL_HREF_REL, 1)
+    had_link = ((declared != "") | (declared2 != "")) & \
+        F.when(declared != "", declared).otherwise(declared2) \
+         .rlike("(?i)^https?://")
+    return (pages
+            .select(F.col(id_col),
+                    declared_canonical(html_col, url_col)
+                    .alias("canonical_url"),
+                    had_link.cast("int").alias("_declared"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.sum("_declared").cast("long").alias("n_declared"),
+                 F.min(id_col).alias("keeper_doc_id")))
+
+
 def host_blocklist_blocked_ids(pages: DataFrame, blocklist: DataFrame,
                                host_col: str = "host",
                                id_col: str = "doc_id") -> DataFrame:

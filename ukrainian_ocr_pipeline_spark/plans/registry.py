@@ -2705,10 +2705,11 @@ def q_url_canonical_dedup(spark, sf_dir):
     return webnorm.url_dedup_groups(pages)
 
 
-SQL_URL_CANONICAL = """
-WITH raw AS (
-  SELECT doc_id, __DIRTY__ AS url FROM documents),
-defrag AS (
+# the canonical_url CTE chain: expects a prior CTE raw(doc_id, url)
+# (extra columns pass through untouched) and yields
+# canon(doc_id, url, canonical_url) — THE one SQL mirror of
+# webnorm.canonical_url, shared by every twin that canonicalizes
+_SQL_CANON_CTES = """defrag AS (
   SELECT doc_id, url, regexp_extract(url, '^([^#]*)', 1) AS u FROM raw),
 parts AS (
   SELECT doc_id, url,
@@ -2727,14 +2728,98 @@ canon AS (
   SELECT doc_id, url,
          scheme || '://' || host || path
          || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical_url
-  FROM kept)
+  FROM kept)""".replace("__CANON_HOST_U__",
+                        webnorm.CANONICAL_HOST_SQL.format(col="u"))
+
+SQL_URL_CANONICAL = f"""
+WITH raw AS (
+  SELECT doc_id, __DIRTY__ AS url FROM documents),
+{_SQL_CANON_CTES}
 SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
        MIN(doc_id) AS keeper_doc_id
 FROM canon GROUP BY canonical_url
-""".replace("__CANON_HOST_U__",
-            webnorm.CANONICAL_HOST_SQL.format(col="u")).replace(
-    "__DIRTY__", _SQL_DIRTY_URL)
+""".replace("__DIRTY__", _SQL_DIRTY_URL)
+
+
+def _canonpage_html_col():
+    """Markup fixture for declared-canonical dedup: rel-then-href and
+    HREF-then-REL (uppercase, single quotes) both declaring the shared
+    article target, a relative canonical (must fall back), and a page
+    with no link element (must fall back)."""
+    d = F.col("doc_id")
+    art = F.concat(F.lit("https://example.org/articles/"),
+                   (d % 5).cast("string"))
+    return (F.when(d % 4 == 0, F.concat(
+                F.lit('<html><head><link rel="canonical" href="'), art,
+                F.lit('"></head><body>x</body></html>')))
+            .when(d % 4 == 1, F.concat(
+                F.lit("<html><head><LINK HREF='"), art,
+                F.lit("' REL='canonical'></head></html>")))
+            .when(d % 4 == 2, F.lit(
+                '<head><link rel="canonical" href="/articles/rel"></head>'))
+            .otherwise(F.lit("<html><body>no link</body></html>")))
+
+
+_SQL_CANONPAGE_HTML = """
+    CASE WHEN doc_id % 4 = 0
+           THEN '<html><head><link rel="canonical" href="'
+                || 'https://example.org/articles/' || CAST(doc_id % 5 AS VARCHAR)
+                || '"></head><body>x</body></html>'
+         WHEN doc_id % 4 = 1
+           THEN '<html><head><LINK HREF='''
+                || 'https://example.org/articles/' || CAST(doc_id % 5 AS VARCHAR)
+                || ''' REL=''canonical''></head></html>'
+         WHEN doc_id % 4 = 2
+           THEN '<head><link rel="canonical" href="/articles/rel"></head>'
+         ELSE '<html><body>no link</body></html>' END
+"""
+
+
+def q_canonical_link_dedup(spark, sf_dir):
+    """Dedup by the DECLARED canonical (webnorm.canonical_link_dedup):
+    pages declaring a ``<link rel=canonical>`` collapse onto the
+    declared target (either attribute order); relative/absent
+    declarations fall back to the canonicalized fetch URL.  The
+    web-native collapse URL normalization alone cannot make.  Regexp
+    extraction at scan speed; ONE exchange — the partial-agg groupBy
+    on the canonical string."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select("doc_id", _dirty_url_col().alias("url"),
+                     _canonpage_html_col().alias("html")))
+    return webnorm.canonical_link_dedup(pages)
+
+
+SQL_CANONICAL_LINK_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, ({_SQL_DIRTY_URL}) AS durl, ({_SQL_CANONPAGE_HTML}) AS html
+  FROM documents),
+decl AS (
+  SELECT doc_id, durl,
+         CASE WHEN regexp_extract(html,
+                '(?i)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']+)["'']',
+                1) <> ''
+              THEN regexp_extract(html,
+                '(?i)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']+)["'']',
+                1)
+              ELSE regexp_extract(html,
+                '(?i)<link[^>]*href=["'']([^"'']+)["''][^>]*rel=["'']canonical["'']',
+                1) END AS link
+  FROM base),
+raw AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(link, '(?i)^https?://') THEN link
+              ELSE durl END AS url,
+         CASE WHEN regexp_matches(link, '(?i)^https?://') THEN 1
+              ELSE 0 END AS declared
+  FROM decl),
+{_SQL_CANON_CTES}
+SELECT c.canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(SUM(r.declared) AS BIGINT) AS n_declared,
+       MIN(c.doc_id) AS keeper_doc_id
+FROM canon c JOIN raw r ON c.doc_id = r.doc_id
+GROUP BY c.canonical_url
+"""
 
 
 def q_host_cap_sample(spark, sf_dir):
@@ -3523,6 +3608,7 @@ QUERIES = {
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
     "corpus_snapshot_drift": q_corpus_snapshot_drift,
+    "canonical_link_dedup": q_canonical_link_dedup,
 }
 
 ORACLE_SQL = {
@@ -3639,4 +3725,5 @@ ORACLE_SQL = {
     "host_link_graph": SQL_HOST_LINK_GRAPH,
     "host_pagerank": SQL_HOST_PAGERANK,
     "corpus_snapshot_drift": SQL_SNAPSHOT_DRIFT,
+    "canonical_link_dedup": SQL_CANONICAL_LINK_DEDUP,
 }
