@@ -614,3 +614,26 @@ def test_outlink_edges_single_exchange_no_python(spark):
     assert nodes(plan, "Exchange") == 1, plan
     assert "hashpartitioning(src_host" in plan, plan
     assert nodes(plan, "HashAggregate") == 2, plan  # partial + final
+
+
+def test_html_metadata_is_narrow_scan_speed(spark):
+    """Metadata extraction is per-row regexp: the plan must be a
+    narrow scan->project — zero exchanges, zero Python — because at
+    10^12 pages this runs inline during every corpus scan."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["doc_html_metadata"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_anchor_terms_single_exchange_no_python(spark):
+    """Anchor-text aggregation: bounded explode at scan speed, then
+    exactly ONE corpus-wide exchange (the partial-agg groupBy on
+    (dst_host, term)) — and the zipped extraction must stay JVM-side."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["anchor_text_terms"](
+        spark, "/root/testdata/sf0.001"))
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "HashAggregate") == 2, plan  # partial + final

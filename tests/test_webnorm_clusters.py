@@ -714,3 +714,80 @@ def test_canonical_link_dedup_semantics(spark):
     assert got["https://a.com/other"] == (1, 0, 3)
     assert got["https://a.com/plain"] == (1, 0, 4)
     assert len(got) == 3
+
+
+def test_html_metadata_semantics(spark):
+    """og:title beats <title>; both attribute orders work for every
+    meta pattern; titles are whitespace-normalized; noindex detected in
+    both orders; markup-opening titles yield '' (scan-speed convention)."""
+    pages = spark.createDataFrame(
+        [(1, "https://WWW.A.com/x",
+          '<head><title>Site | Page</title>'
+          '<meta property="og:title" content="Real  Title"></head>'),
+         (2, "https://a.com/y",
+          "<META CONTENT='Reversed Title' PROPERTY='og:title'>"),
+         (3, "https://a.com/z",
+          "<title>\n  Wrapped\n   Title </title>"
+          '<meta name="description" content=" A   desc ">'),
+         (4, "https://a.com/n",
+          '<title>Hidden</title>'
+          "<meta name='robots' content='noindex, nofollow'>"),
+         (5, "https://a.com/n2",
+          '<title>Hidden2</title>'
+          '<META CONTENT="NOINDEX" NAME="robots">'),
+         (6, "https://a.com/bare", "<html><body>no metadata</body></html>"),
+         (7, "https://a.com/nested", "<title><b>Bold</b></title>")],
+        ["doc_id", "url", "html"])
+    got = {r["doc_id"]: r for r in
+           webnorm.html_metadata(pages).collect()}
+    assert got[1]["title"] == "Real Title" and got[1]["has_og_title"]
+    assert got[1]["host"] == "a.com"
+    assert got[2]["title"] == "Reversed Title" and got[2]["has_og_title"]
+    assert got[3]["title"] == "Wrapped Title" and not got[3]["has_og_title"]
+    assert got[3]["description"] == "A desc"
+    assert got[4]["noindex"] and got[5]["noindex"]
+    assert not got[1]["noindex"] and not got[3]["noindex"]
+    assert got[6]["title"] == "" and got[6]["description"] == ""
+    assert got[7]["title"] == ""  # nested markup: no parser at scan speed
+
+
+def test_title_dup_groups_gate_and_exclusions(spark):
+    """Same (host, title) pairs group; noindex and empty-title pages
+    are excluded BEFORE grouping; singleton groups are dropped."""
+    mk = lambda i, host, title, extra="": (
+        i, f"https://{host}/p{i}",
+        f"<title>{title}</title>{extra}")
+    pages = spark.createDataFrame(
+        [mk(1, "a.com", "Story One"),
+         mk(2, "WWW.A.com", "Story  One"),          # ws + host variants
+         mk(3, "a.com", "Story One",
+            "<meta name='robots' content='noindex'>"),  # excluded
+         mk(4, "b.com", "Story One"),               # other host: no group
+         mk(5, "a.com", "Unique"),                  # singleton: dropped
+         (6, "https://a.com/e", "<html>no title</html>"),
+         (7, "https://a.com/e2", "<html>no title</html>")],
+        ["doc_id", "url", "html"])
+    got = webnorm.title_dup_groups(pages).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["host"], r["title"], r["n_docs"], r["keeper_doc_id"]) == \
+        ("a.com", "Story One", 2, 1)
+
+
+def test_anchor_text_terms_semantics(spark):
+    """Anchor text tokenized with the corpus token definition
+    (lowercase, whitespace); relative/ftp anchors dropped; empty-text
+    and nested-markup anchors contribute nothing; destination hosts
+    canonicalized (case/www collapse)."""
+    pages = spark.createDataFrame(
+        [(1, '<a href="https://Docs.Example/a">Getting  Started</a> '
+             '<A HREF=\'http://WWW.docs.example/b\'>getting STARTED</A> '
+             '<a href="/rel">local nav</a> '
+             '<a href="https://other.example/c"></a> '
+             '<a href="https://other.example/d"><b>bold</b></a> '
+             '<a href="ftp://files.example/f">file</a>')],
+        ["doc_id", "html"])
+    got = {(r["dst_host"], r["term"]): r["n_anchors"] for r in
+           webnorm.anchor_text_terms(pages).collect()}
+    assert got == {("docs.example", "getting"): 2,
+                   ("docs.example", "started"): 2}

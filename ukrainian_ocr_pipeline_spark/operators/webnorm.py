@@ -397,6 +397,147 @@ def canonical_link_dedup(pages: DataFrame, html_col: str = "html",
                  F.min(id_col).alias("keeper_doc_id")))
 
 
+# HTML metadata patterns.  Same cross-engine contract as the canonical
+# -link pair: inline (?i) + char classes only (Java regex == RE2), each
+# attribute-order variant is its own pattern (no backreferences).
+TITLE_PATTERN = "(?i)<title[^>]*>([^<]*)</title>"
+OG_TITLE_PROP_CONTENT = ("(?i)<meta[^>]*property=[\"']og:title[\"']"
+                         "[^>]*content=[\"']([^\"']*)[\"']")
+OG_TITLE_CONTENT_PROP = ("(?i)<meta[^>]*content=[\"']([^\"']*)[\"']"
+                         "[^>]*property=[\"']og:title[\"']")
+META_DESC_NAME_CONTENT = ("(?i)<meta[^>]*name=[\"']description[\"']"
+                          "[^>]*content=[\"']([^\"']*)[\"']")
+META_DESC_CONTENT_NAME = ("(?i)<meta[^>]*content=[\"']([^\"']*)[\"']"
+                          "[^>]*name=[\"']description[\"']")
+ROBOTS_NOINDEX_NAME_CONTENT = ("(?i)<meta[^>]*name=[\"']robots[\"']"
+                               "[^>]*content=[\"'][^\"']*noindex")
+ROBOTS_NOINDEX_CONTENT_NAME = ("(?i)<meta[^>]*content=[\"'][^\"']*noindex"
+                               "[^\"']*[\"'][^>]*name=[\"']robots[\"']")
+
+
+def _norm_ws(c: Column) -> Column:
+    """Whitespace-normalized metadata string: trim + collapse internal
+    runs (titles wrap across source lines in real markup)."""
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def _first_of(h: Column, pat_a: str, pat_b: str) -> Column:
+    """First non-empty capture across the two attribute-order variants
+    of a meta pattern."""
+    a = F.regexp_extract(h, pat_a, 1)
+    return F.when(a != "", a).otherwise(F.regexp_extract(h, pat_b, 1))
+
+
+def html_metadata(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-page HTML metadata at scan speed: the effective title
+    (``og:title`` wins over ``<title>`` — social-card metadata is
+    curated while title tags carry site-name suffixes), the meta
+    description, and the robots ``noindex`` compliance flag (a page
+    whose publisher declared noindex must not enter a training corpus
+    — the extraction-side analog of respecting robots.txt).  Both
+    attribute orders matched for every meta pattern; titles are
+    whitespace-normalized (real markup wraps them across lines).
+    Anchor/nested-markup titles (``<title><b>..`` ) yield '' — the
+    capture stops at markup, same convention as the anchor-text
+    extractor.
+
+    Everything is regexp at scan speed (codegen, no Python, narrow —
+    zero exchanges); column pruning keeps the scan to the html/url/id
+    columns.  Reference analog: the per-page Description /
+    sourceImageInformation header the OCR pipeline writes into its ALTO
+    export (`ukrainian_ocr/core/pipeline.py:423-427`), recast as
+    metadata EXTRACTION from web markup."""
+    h = F.col(html_col).cast("string")
+    og = _first_of(h, OG_TITLE_PROP_CONTENT, OG_TITLE_CONTENT_PROP)
+    title_tag = F.regexp_extract(h, TITLE_PATTERN, 1)
+    eff = F.when(_norm_ws(og) != "", _norm_ws(og)) \
+           .otherwise(_norm_ws(title_tag))
+    desc = _norm_ws(_first_of(h, META_DESC_NAME_CONTENT,
+                              META_DESC_CONTENT_NAME))
+    noindex = (h.rlike(ROBOTS_NOINDEX_NAME_CONTENT)
+               | h.rlike(ROBOTS_NOINDEX_CONTENT_NAME))
+    return pages.select(
+        F.col(id_col),
+        canonical_host(url_col).alias("host"),
+        eff.alias("title"),
+        (_norm_ws(og) != "").alias("has_og_title"),
+        desc.alias("description"),
+        noindex.alias("noindex"))
+
+
+def title_dup_groups(pages: DataFrame, html_col: str = "html",
+                     url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Title-based near-dup heuristic: pages on the SAME host sharing
+    the same whitespace-normalized effective title are republication
+    variants (print views, pagination, session-keyed reposts) that URL
+    canonicalization and declared-canonical collapse both miss when
+    the site declares nothing.  Returns only real dup groups
+    (n_docs >= 2); noindex pages and empty titles are excluded (an
+    empty title would glue a host's whole untitled long tail into one
+    false mega-group).
+
+    Scale shape: metadata extraction at scan speed, ONE exchange — the
+    partial-agg groupBy on (host, title); the >=2 gate runs post-agg so
+    the filter costs nothing extra."""
+    m = html_metadata(pages, html_col, url_col, id_col)
+    return (m.where((~F.col("noindex")) & (F.col("title") != ""))
+            .groupBy("host", "title")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keeper_doc_id"))
+            .where(F.col("n_docs") >= 2))
+
+
+# anchor-with-text pattern: group 1 = href, group 2 = the text run up
+# to the next markup.  Anchors whose text opens with a nested tag
+# (<a..><b>bold</b></a>) do not match at all — a deliberate scan-speed
+# convention (full nesting needs a parser, not a regex), exercised in
+# the unit test.
+ANCHOR_PATTERN = "(?i)<a[^>]*href=[\"']([^\"']+)[\"'][^>]*>([^<]*)</a>"
+
+
+def anchor_text_terms(pages: DataFrame,
+                      html_col: str = "html") -> DataFrame:
+    """Anchor-text aggregation per destination host: tokenize the
+    visible text of every absolute http(s) anchor and count term
+    occurrences per canonical target host — the classic web-search /
+    link-context signal (anchor text describes the TARGET better than
+    the target's own page; used for ranking and as weak supervision).
+
+    Scale shape: the pattern is extracted twice (group 1 = href, group
+    2 = text) — two regexp_extract_all over the same pattern yield
+    index-aligned arrays, zipped narrow with zip_with; the explode is
+    bounded by the page's anchor count x anchor-text token count; the
+    ONLY corpus-wide exchange is the final partial-agg groupBy on
+    (dst_host, term), which collapses to vocabulary-per-host
+    cardinality.  Tokenization is dedup.word_array — the corpus's one
+    token definition."""
+    from . import dedup
+
+    h = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(1))
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(2))
+    pairs = (pages
+             .select(F.explode(F.zip_with(
+                 hrefs, texts,
+                 lambda a, b: F.struct(a.alias("link"), b.alias("txt"))))
+                 .alias("_p"))
+             .select(F.col("_p.link").alias("_link"),
+                     F.col("_p.txt").alias("_txt")))
+    absolute = (pairs
+                .where(F.col("_link").rlike("(?i)^https?://"))
+                .select(canonical_host(F.col("_link")).alias("dst_host"),
+                        "_txt")
+                .where(F.col("dst_host") != ""))
+    return (absolute
+            .select("dst_host",
+                    F.explode(dedup.word_array("_txt")).alias("term"))
+            .groupBy("dst_host", "term")
+            .agg(F.count("*").alias("n_anchors")))
+
+
 def host_blocklist_blocked_ids(pages: DataFrame, blocklist: DataFrame,
                                host_col: str = "host",
                                id_col: str = "doc_id") -> DataFrame:

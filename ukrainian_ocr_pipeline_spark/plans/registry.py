@@ -2822,6 +2822,223 @@ GROUP BY c.canonical_url
 """
 
 
+def _metapage_html_col():
+    """Markup fixture for HTML-metadata extraction: og:title beating a
+    site-suffixed <title> (and a reversed-attribute uppercase og
+    variant), a whitespace-wrapped bare title, a title + meta
+    description, a robots-noindex page, and an untitled page.  Titles
+    keyed doc_id % 7 so (host, title) dup groups form at every sf."""
+    d = F.col("doc_id")
+    t = F.concat(F.lit("Story "), (d % 7).cast("string"))
+    return (F.when(d % 6 == 0, F.concat(
+                F.lit("<head><title>Site | "), t,
+                F.lit('</title><meta property="og:title" content="'), t,
+                F.lit('"></head>')))
+            .when(d % 6 == 1, F.concat(
+                F.lit("<META CONTENT='"), t,
+                F.lit("' PROPERTY='og:title'>")))
+            .when(d % 6 == 2, F.concat(
+                F.lit("<title>  "), t, F.lit("  </title>")))
+            .when(d % 6 == 3, F.concat(
+                F.lit("<title>"), t,
+                F.lit('</title><meta name="description" content=" Desc  for '),
+                (d % 3).cast("string"), F.lit(' ">')))
+            .when(d % 6 == 4, F.concat(
+                F.lit("<title>"), t,
+                F.lit("</title><meta name='robots'"
+                      " content='noindex,follow'>")))
+            .otherwise(F.lit("<html><body>untitled</body></html>")))
+
+
+_SQL_METAPAGE_HTML = """
+    CASE WHEN doc_id % 6 = 0
+           THEN '<head><title>Site | Story ' || CAST(doc_id % 7 AS VARCHAR)
+                || '</title><meta property="og:title" content="Story '
+                || CAST(doc_id % 7 AS VARCHAR) || '"></head>'
+         WHEN doc_id % 6 = 1
+           THEN '<META CONTENT=''Story ' || CAST(doc_id % 7 AS VARCHAR)
+                || ''' PROPERTY=''og:title''>'
+         WHEN doc_id % 6 = 2
+           THEN '<title>  Story ' || CAST(doc_id % 7 AS VARCHAR)
+                || '  </title>'
+         WHEN doc_id % 6 = 3
+           THEN '<title>Story ' || CAST(doc_id % 7 AS VARCHAR)
+                || '</title><meta name="description" content=" Desc  for '
+                || CAST(doc_id % 3 AS VARCHAR) || ' ">'
+         WHEN doc_id % 6 = 4
+           THEN '<title>Story ' || CAST(doc_id % 7 AS VARCHAR)
+                || '</title><meta name=''robots'' content=''noindex,follow''>'
+         ELSE '<html><body>untitled</body></html>' END
+"""
+
+# ws-normalize mirror of webnorm._norm_ws (format with col=...)
+_SQL_NORM_WS = r"trim(regexp_replace({col}, '\s+', ' ', 'g'))"
+
+
+def _sql_metadata_ctes() -> str:
+    """Shared CTE chain for the two metadata twins: fixture pages ->
+    per-doc (host, title, has_og_title, description, noindex).  Every
+    regex literal is rendered from the SAME webnorm pattern constants
+    the Spark side compiles (single definition, two engines)."""
+    from .expected_spec import _sql_str as lit
+    from ..operators import webnorm as w
+
+    host = w.CANONICAL_HOST_SQL.format(col="url")
+    og = (f"CASE WHEN regexp_extract(html, {lit(w.OG_TITLE_PROP_CONTENT)},"
+          f" 1) <> '' THEN regexp_extract(html,"
+          f" {lit(w.OG_TITLE_PROP_CONTENT)}, 1)"
+          f" ELSE regexp_extract(html, {lit(w.OG_TITLE_CONTENT_PROP)}, 1)"
+          f" END")
+    desc = (f"CASE WHEN regexp_extract(html,"
+            f" {lit(w.META_DESC_NAME_CONTENT)}, 1) <> ''"
+            f" THEN regexp_extract(html, {lit(w.META_DESC_NAME_CONTENT)}, 1)"
+            f" ELSE regexp_extract(html,"
+            f" {lit(w.META_DESC_CONTENT_NAME)}, 1) END")
+    title_tag = f"regexp_extract(html, {lit(w.TITLE_PATTERN)}, 1)"
+    noindex = (f"(regexp_matches(html, {lit(w.ROBOTS_NOINDEX_NAME_CONTENT)})"
+               f" OR regexp_matches(html,"
+               f" {lit(w.ROBOTS_NOINDEX_CONTENT_NAME)}))")
+    return f"""base AS (
+  SELECT doc_id, ({_SQL_DIRTY_URL}) AS url, ({_SQL_METAPAGE_HTML}) AS html
+  FROM documents),
+raw_meta AS (
+  SELECT doc_id, {host} AS host,
+         {_SQL_NORM_WS.format(col=og)} AS og_n,
+         {_SQL_NORM_WS.format(col=title_tag)} AS title_n,
+         {_SQL_NORM_WS.format(col=desc)} AS description,
+         {noindex} AS noindex
+  FROM base),
+meta AS (
+  SELECT doc_id, host,
+         CASE WHEN og_n <> '' THEN og_n ELSE title_n END AS title,
+         og_n <> '' AS has_og_title, description, noindex
+  FROM raw_meta)"""
+
+
+def q_doc_html_metadata(spark, sf_dir):
+    """Per-page HTML metadata extraction (webnorm.html_metadata):
+    effective title (og:title wins, both attribute orders), meta
+    description, robots-noindex compliance flag.  Pure regexp at scan
+    speed — narrow, ZERO exchanges; the extraction-side analog of the
+    reference's ALTO Description header (core/pipeline.py:423-427)."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select("doc_id", _dirty_url_col().alias("url"),
+                     _metapage_html_col().alias("html")))
+    return webnorm.html_metadata(pages)
+
+
+SQL_DOC_HTML_METADATA = f"""
+WITH {_sql_metadata_ctes()}
+SELECT doc_id, host, title, has_og_title, description, noindex FROM meta
+"""
+
+
+def q_title_dup_groups(spark, sf_dir):
+    """Title-based near-dup groups (webnorm.title_dup_groups): pages on
+    one host sharing a normalized effective title — republication
+    variants URL canonicalization and declared-canonical both miss.
+    noindex and empty titles excluded BEFORE the one partial-agg
+    exchange on (host, title); only real groups (n_docs >= 2) emitted."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select("doc_id", _dirty_url_col().alias("url"),
+                     _metapage_html_col().alias("html")))
+    return webnorm.title_dup_groups(pages)
+
+
+SQL_TITLE_DUP_GROUPS = f"""
+WITH {_sql_metadata_ctes()}
+SELECT host, title, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id
+FROM meta WHERE NOT noindex AND title <> ''
+GROUP BY host, title HAVING COUNT(*) >= 2
+"""
+
+
+def _anchorpage_html_col():
+    """Anchor soup for the anchor-text fixture: multi-word texts in
+    both quote styles (one uppercase HREF + host-case variant, double
+    internal space — tokenizer ws-collapse exercised), a relative link
+    (dropped), a conditional lang-keyed hub anchor, an empty-text
+    anchor and a nested-markup anchor (both contribute no terms)."""
+    d, s, lang = F.col("doc_id"), F.col("source"), F.col("lang")
+    return F.concat(
+        F.lit('<nav><a href="https://docs.'), s,
+        F.lit('.example/guide">Getting Started Guide</a> '),
+        F.lit("<A HREF='https://Docs."), s,
+        F.lit(".example/api'>API  Reference</A> "),
+        F.lit('<a href="/rel/'), (d % 5).cast("string"),
+        F.lit('">local nav</a> '),
+        F.when(d % 3 == 0,
+               F.concat(F.lit('<a href="https://hub.example/t">read the '),
+                        lang, F.lit(" guide</a> ")))
+         .otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.lit('<a href="https://other.example/e"></a> '))
+         .otherwise(F.lit("")),
+        F.when(d % 7 == 0,
+               F.lit('<a href="https://other.example/b"><b>x</b></a> '))
+         .otherwise(F.lit("")),
+        F.lit("</nav>"))
+
+
+_SQL_ANCHORPAGE_HTML = """
+    '<nav><a href="https://docs.' || source
+    || '.example/guide">Getting Started Guide</a> '
+    || '<A HREF=''https://Docs.' || source
+    || '.example/api''>API  Reference</A> '
+    || '<a href="/rel/' || CAST(doc_id % 5 AS VARCHAR) || '">local nav</a> '
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<a href="https://hub.example/t">read the ' || lang
+                 || ' guide</a> ' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<a href="https://other.example/e"></a> ' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN '<a href="https://other.example/b"><b>x</b></a> '
+            ELSE '' END
+    || '</nav>'
+"""
+
+
+def q_anchor_text_terms(spark, sf_dir):
+    """Anchor-text aggregation per destination host
+    (webnorm.anchor_text_terms): tokenize the visible text of every
+    absolute anchor, count terms per canonical target host — the
+    link-context ranking/weak-supervision signal.  Two index-aligned
+    regexp_extract_all arrays zipped narrow; ONE corpus-wide exchange
+    (partial-agg groupBy on (dst_host, term))."""
+    pages = (_t(spark, sf_dir, "documents")
+             .select(_anchorpage_html_col().alias("html")))
+    return webnorm.anchor_text_terms(pages)
+
+
+def _sql_anchor_terms() -> str:
+    from .expected_spec import _sql_str as lit
+    from ..operators import webnorm as w
+
+    pat = lit(w.ANCHOR_PATTERN)
+    return f"""
+WITH pages AS (
+  SELECT ({_SQL_ANCHORPAGE_HTML}) AS html FROM documents),
+pairs AS (
+  SELECT unnest(regexp_extract_all(html, {pat}, 1)) AS link,
+         unnest(regexp_extract_all(html, {pat}, 2)) AS txt
+  FROM pages),
+abs_anchors AS (
+  SELECT {w.CANONICAL_HOST_SQL.format(col="link")} AS dst_host, txt
+  FROM pairs WHERE regexp_matches(link, '(?i)^https?://')),
+terms AS (
+  SELECT dst_host, u.term
+  FROM abs_anchors,
+       UNNEST({dedup.WORD_ARRAY_SQL.format(col="txt")}) AS u(term)
+  WHERE dst_host <> '')
+SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM terms GROUP BY dst_host, term
+"""
+
+
+SQL_ANCHOR_TEXT_TERMS = _sql_anchor_terms()
+
+
 def q_host_cap_sample(spark, sf_dir):
     """Per-host cap-K sampling (webnorm.host_cap_sample): keep at most 8
     documents per canonical host, chosen by deterministic hash order.
@@ -3609,6 +3826,9 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "corpus_snapshot_drift": q_corpus_snapshot_drift,
     "canonical_link_dedup": q_canonical_link_dedup,
+    "doc_html_metadata": q_doc_html_metadata,
+    "title_dup_groups": q_title_dup_groups,
+    "anchor_text_terms": q_anchor_text_terms,
 }
 
 ORACLE_SQL = {
@@ -3726,4 +3946,7 @@ ORACLE_SQL = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "corpus_snapshot_drift": SQL_SNAPSHOT_DRIFT,
     "canonical_link_dedup": SQL_CANONICAL_LINK_DEDUP,
+    "doc_html_metadata": SQL_DOC_HTML_METADATA,
+    "title_dup_groups": SQL_TITLE_DUP_GROUPS,
+    "anchor_text_terms": SQL_ANCHOR_TEXT_TERMS,
 }
