@@ -1,0 +1,84 @@
+"""End-to-end tests of the WARC ingestion job (jobs/ingest.py):
+committed pages parity with the fixture rows, per-file lineage log,
+parse-error accounting, and idempotent re-runs."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "jobs"))
+
+from ukrainian_ocr_pipeline_spark.sources import warc
+
+
+def _rows(n, host="site"):
+    return [{"url": f"https://{host}{i}.example/p/{i}",
+             "date": f"2024-01-01T00:{i % 60:02d}:00Z",
+             "html": f"<html><body>{host} page {i}</body></html>".encode()}
+            for i in range(n)]
+
+
+def test_ingest_job_end_to_end_and_idempotent(spark, tmp_path, capsys):
+    import ingest as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    rows_a, rows_b = _rows(4, "a"), _rows(3, "b")
+    rows_b[1]["status"] = 301  # redirect: parsed, logged, not a page
+    warc.write_fixture_warc(str(warcs / "a.warc"), rows_a)
+    warc.write_fixture_warc(str(warcs / "b.warc.gz"), rows_b, gz=True)
+    # one file with a poisoned record between two good ones
+    good = warc.build_record("response", warc.build_http_response(b"fine"),
+                             url="https://ok.example/1",
+                             date="2024-01-02T00:00:00Z")
+    bad = good.replace(b"Content-Length: ", b"Content-Length: NaN", 1)
+    with open(warcs / "c.warc", "wb") as f:
+        f.write(good + bad + good)
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--warc", str(warcs), "--warehouse", wh,
+                   "--snapshot-id", "crawl-1"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_files"] == 3
+    assert summary["records_by_type"]["warcinfo"] == 2
+    assert summary["records_by_type"]["request"] == 7
+    assert summary["records_by_type"]["response"] == 10  # 7 + 3 in c.warc
+    assert summary["n_parse_errors"] == 1
+    # 4 from a + 2 from b (301 dropped) + 2 good from c
+    assert summary["n_pages"] == 8
+
+    cat = SnapshotCatalog(wh)
+    pages = {r["url"]: r for r in
+             cat.read_snapshot(spark, "pages", "crawl-1").collect()}
+    assert set(pages) == ({r["url"] for r in rows_a}
+                          | {r["url"] for i, r in enumerate(rows_b) if i != 1}
+                          | {"https://ok.example/1"})
+    got = pages[rows_a[2]["url"]]
+    assert bytes(got["html"]) == rows_a[2]["html"]
+    assert got["text"] is None and got["lang"] is None
+
+    log = cat.read_snapshot(spark, "ingest_log", "crawl-1")
+    errs = {os.path.basename(r["warc_file"]): r["n_errors"]
+            for r in log.where("warc_type = 'response'").collect()}
+    assert errs == {"a.warc": 0, "b.warc.gz": 0, "c.warc": 1}
+
+    # idempotent: the second run is a catalog no-op with the same output
+    rc2 = job.main(["--warc", str(warcs), "--warehouse", wh,
+                    "--snapshot-id", "crawl-1"])
+    assert rc2 == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2 == summary
+    assert len(cat.snapshots("pages")) == 1
+
+
+def test_ingest_job_missing_path_fails_fast(tmp_path):
+    import pytest
+
+    import ingest as job
+    with pytest.raises(SystemExit):
+        job.main(["--warc", str(tmp_path / "nope"), "--warehouse",
+                  str(tmp_path / "wh"), "--snapshot-id", "x"])

@@ -1,0 +1,169 @@
+"""WARC ingestion: codec roundtrip, malformed-record resync, gzip
+members, and the Spark binaryFile -> mapInPandas reader end-to-end."""
+
+import gzip
+import os
+
+from ukrainian_ocr_pipeline_spark.sources import warc
+
+
+def _mk_rows(n=5):
+    return [{"url": f"https://site{i}.example/p/{i}",
+             "date": f"2024-01-01T00:0{i}:00Z",
+             "html": f"<html><body>page {i} body</body></html>".encode()}
+            for i in range(n)]
+
+
+# --------------------------------------------------------------------------
+# pure-Python codec
+
+def test_roundtrip_single_record():
+    payload = warc.build_http_response(b"<html>x</html>")
+    rec = warc.build_record("response", payload,
+                            url="https://a.example/x",
+                            date="2024-01-01T00:00:00Z",
+                            record_id="<urn:uuid:r-1>",
+                            content_type="application/http; msgtype=response")
+    out = list(warc.iter_warc_records(rec))
+    assert len(out) == 1
+    r = out[0]
+    assert r["error"] is None
+    assert r["warc_type"] == "response"
+    assert r["url"] == "https://a.example/x"
+    assert r["date"] == "2024-01-01T00:00:00Z"
+    assert r["record_id"] == "<urn:uuid:r-1>"
+    assert r["content_length"] == len(payload)
+    assert r["payload"] == payload
+    status, ctype, body = warc.split_http_response(r["payload"])
+    assert status == 200
+    assert ctype == "text/html; charset=utf-8"
+    assert body == b"<html>x</html>"
+
+
+def test_roundtrip_concatenated_records_in_order():
+    recs = [warc.build_record("response",
+                              warc.build_http_response(f"b{i}".encode()),
+                              url=f"https://h/{i}",
+                              date="2024-01-01T00:00:00Z")
+            for i in range(10)]
+    out = list(warc.iter_warc_records(b"".join(recs)))
+    assert [r["url"] for r in out] == [f"https://h/{i}" for i in range(10)]
+    assert all(r["error"] is None for r in out)
+    # offsets strictly increasing, first at 0
+    offs = [r["offset"] for r in out]
+    assert offs[0] == 0 and offs == sorted(set(offs))
+
+
+def test_payload_containing_record_magic_not_split():
+    """A payload whose BYTES contain 'WARC/1.0' must not confuse the
+    length-driven parser (only a resync scans for magic)."""
+    evil = b"prefix \r\n\r\nWARC/1.0\r\n suffix"
+    rec = warc.build_record("resource", evil, url="https://h/e",
+                            date="2024-01-01T00:00:00Z")
+    tail = warc.build_record("resource", b"ok", url="https://h/t",
+                             date="2024-01-01T00:00:00Z")
+    out = list(warc.iter_warc_records(rec + tail))
+    assert [r["url"] for r in out] == ["https://h/e", "https://h/t"]
+    assert out[0]["payload"] == evil
+
+
+def test_bad_content_length_resyncs_to_next_record():
+    good = warc.build_record("response", warc.build_http_response(b"ok"),
+                             url="https://h/good",
+                             date="2024-01-01T00:00:00Z")
+    bad = good.replace(b"Content-Length: ", b"Content-Length: zz", 1)
+    out = list(warc.iter_warc_records(bad + good))
+    assert len(out) == 2
+    assert "bad Content-Length" in out[0]["error"]
+    assert out[1]["error"] is None and out[1]["url"] == "https://h/good"
+
+
+def test_truncated_payload_reports_error():
+    rec = warc.build_record("response", b"0123456789",
+                            url="https://h/t", date="2024-01-01T00:00:00Z")
+    out = list(warc.iter_warc_records(rec[:-14]))  # cut into the payload
+    assert len(out) == 1
+    assert "truncated payload" in out[0]["error"]
+
+
+def test_oversized_content_length_rejected_not_allocated():
+    rec = warc.build_record("response", b"x", url="https://h/o",
+                            date="2024-01-01T00:00:00Z")
+    huge = rec.replace(b"Content-Length: 1", b"Content-Length: 99999999999", 1)
+    out = list(warc.iter_warc_records(huge))
+    assert out and "out of range" in out[0]["error"]
+
+
+def test_gzip_members_roundtrip_and_concatenation():
+    recs = [warc.build_record("resource", f"r{i}".encode(),
+                              url=f"https://h/{i}",
+                              date="2024-01-01T00:00:00Z")
+            for i in range(4)]
+    gz = warc.compress_warc_members(recs)
+    # deterministic bytes (mtime pinned)
+    assert gz == warc.compress_warc_members(recs)
+    # readable as one stream of concatenated members
+    assert warc.decompress_warc(gz) == b"".join(recs)
+    # and each member is independently a valid gzip stream start
+    assert gz.startswith(b"\x1f\x8b")
+
+
+def test_split_http_response_raw_body_passthrough():
+    status, ctype, body = warc.split_http_response(b"<html>raw</html>")
+    assert status is None and ctype is None and body == b"<html>raw</html>"
+
+
+# --------------------------------------------------------------------------
+# Spark reader
+
+def test_read_warc_end_to_end(spark, tmp_path):
+    rows = _mk_rows(6)
+    rows[3]["status"] = 404
+    warc.write_fixture_warc(str(tmp_path / "a.warc"), rows[:3])
+    warc.write_fixture_warc(str(tmp_path / "b.warc.gz"), rows[3:], gz=True)
+    # a third file with one poisoned record among good ones
+    good = warc.build_record("response", warc.build_http_response(b"fine"),
+                             url="https://ok.example/1",
+                             date="2024-01-02T00:00:00Z")
+    bad = good.replace(b"Content-Length: ", b"Content-Length: NaN", 1)
+    with open(tmp_path / "c.warc", "wb") as f:
+        f.write(good + bad + good)
+
+    recs = warc.read_warc(spark, str(tmp_path)).cache()
+    try:
+        by_type = {r["warc_type"]: r["n"]
+                   for r in recs.groupBy("warc_type").count()
+                   .withColumnRenamed("count", "n").collect()}
+        assert by_type["warcinfo"] == 2
+        assert by_type["request"] == 6
+        # 6 fixture + 2 good in c.warc + the poisoned record (error rows
+        # keep their parsed warc_type; pages_from_warc drops them)
+        assert by_type["response"] == 9
+        errs = recs.where("error IS NOT NULL").collect()
+        assert len(errs) == 1 and "bad Content-Length" in errs[0]["error"]
+        assert errs[0]["warc_file"].endswith("c.warc")
+
+        pages = warc.pages_from_warc(recs)
+        got = {r["url"]: r for r in pages.collect()}
+        # 404 dropped by the 200 filter; poisoned record dropped by error
+        expect = {r["url"] for i, r in enumerate(rows) if i != 3}
+        expect.add("https://ok.example/1")
+        assert set(got) == expect
+        r0 = got[rows[0]["url"]]
+        assert bytes(r0["html"]) == rows[0]["html"]
+        assert r0["warc_ts"] is not None
+        assert str(r0["warc_ts"]).startswith("2024-01-01 00:00:00")
+        assert r0["text"] is None and r0["lang"] is None
+        # pages schema matches the canonical input table
+        from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+        assert [f.name for f in pages.schema.fields] == \
+            [f.name for f in PAGES_SCHEMA.fields]
+    finally:
+        recs.unpersist()
+
+
+def test_read_warc_gz_corrupt_file_is_error_row(spark, tmp_path):
+    with open(tmp_path / "z.warc.gz", "wb") as f:
+        f.write(b"\x1f\x8bnot really gzip")
+    out = warc.read_warc(spark, str(tmp_path / "z.warc.gz")).collect()
+    assert len(out) == 1 and out[0]["error"].startswith("gzip:")

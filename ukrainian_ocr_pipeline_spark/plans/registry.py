@@ -3694,6 +3694,103 @@ GROUP BY b.doc_id
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC codec certification (sources/warc.py): serialize every
+    document as a real WARC/1.0 response record (HTTP block + payload,
+    grouped into 64 synthetic files, gzip-member compressed and
+    decompressed — the Common Crawl layout), parse it back with the
+    ingestion parser, and emit the parsed fields.  The DuckDB twin
+    recomputes every field RELATIONALLY from the documents table, so a
+    hash match certifies build->parse identity: Content-Length
+    arithmetic, HTTP status/header split, date/record-id threading.
+
+    Python by design — this query exists to certify the mapInPandas
+    ingestion path (jobs/ingest.py); distributed via applyInPandas per
+    synthetic file, no collect."""
+    from ..sources import warc as w
+
+    d = F.col("doc_id")
+    docs = (_t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/warc/"),
+                 d.cast("string")).alias("url"),
+        F.concat(F.lit("2024-01-01T"),
+                 F.lpad(F.floor((d % 1440) / 60).cast("string"), 2, "0"),
+                 F.lit(":"),
+                 F.lpad((d % 60).cast("string"), 2, "0"),
+                 F.lit(":00Z")).alias("warc_date"),
+        F.when(d % 17 == 0, 404).otherwise(200).cast("int")
+         .alias("http_status"),
+        F.when(d % 17 == 0, "Not Found").otherwise("OK").alias("reason"),
+        F.concat(F.lit("<html><body>"),
+                 F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("</body></html>")).alias("html"),
+    ))
+
+    def roundtrip(pdf):
+        import hashlib
+
+        import pandas as pd
+        recs = []
+        for r in pdf.sort_values("doc_id").itertuples(index=False):
+            body = r.html.encode("utf-8")
+            http = w.build_http_response(body, status=int(r.http_status),
+                                         reason=r.reason)
+            extra = ({"WARC-IP-Address": "10.0.0.1"}
+                     if int(r.doc_id) % 19 == 0 else None)
+            recs.append(w.build_record(
+                "response", http, url=r.url, date=r.warc_date,
+                record_id=f"<urn:uuid:doc-{int(r.doc_id)}>",
+                content_type="application/http; msgtype=response",
+                extra_headers=extra))
+        blob = w.decompress_warc(w.compress_warc_members(recs))
+        out = []
+        for rec in w.iter_warc_records(blob):
+            status, _, body = w.split_http_response(rec["payload"])
+            out.append({
+                "doc_id": int(rec["record_id"][len("<urn:uuid:doc-"):-1]),
+                "url": rec["url"],
+                "warc_date": rec["date"],
+                "http_status": status,
+                "content_length": rec["content_length"],
+                "body_md5": hashlib.md5(body).hexdigest(),
+                "body_len": len(body),
+            })
+        return pd.DataFrame(out)
+
+    return (docs.groupBy((d % 64).alias("file_id"))
+            .applyInPandas(roundtrip,
+                           "doc_id bigint, url string, warc_date string, "
+                           "http_status int, content_length bigint, "
+                           "body_md5 string, body_len bigint"))
+
+
+SQL_WARC_ROUNDTRIP = """
+WITH base AS (
+  SELECT doc_id,
+         'https://' || source || '.example/warc/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         '2024-01-01T' || lpad(CAST((doc_id % 1440) // 60 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00Z'
+           AS warc_date,
+         CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS http_status,
+         CASE WHEN doc_id % 17 = 0 THEN 'Not Found' ELSE 'OK' END AS reason,
+         '<html><body>' || COALESCE(text, '') || '</body></html>' AS html
+  FROM documents)
+SELECT doc_id, url, warc_date, http_status,
+       CAST(strlen('HTTP/1.1 ' || CAST(http_status AS VARCHAR) || ' ' || reason
+                   || chr(13) || chr(10)
+                   || 'Content-Type: text/html; charset=utf-8'
+                   || chr(13) || chr(10)
+                   || 'Content-Length: ' || CAST(strlen(html) AS VARCHAR)
+                   || chr(13) || chr(10) || chr(13) || chr(10))
+            + strlen(html) AS BIGINT) AS content_length,
+       md5(html) AS body_md5,
+       CAST(strlen(html) AS BIGINT) AS body_len
+FROM base
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Queries that have never (or only once) had a driver
 # row are placed at the front; queries that were hash-green in BOTH round-1
@@ -3829,6 +3926,7 @@ QUERIES = {
     "doc_html_metadata": q_doc_html_metadata,
     "title_dup_groups": q_title_dup_groups,
     "anchor_text_terms": q_anchor_text_terms,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -3949,4 +4047,5 @@ ORACLE_SQL = {
     "doc_html_metadata": SQL_DOC_HTML_METADATA,
     "title_dup_groups": SQL_TITLE_DUP_GROUPS,
     "anchor_text_terms": SQL_ANCHOR_TEXT_TERMS,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
 }

@@ -33,8 +33,14 @@ def is_checkable_local_path(path: str) -> bool:
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Read a pages parquet dataset with the canonical schema."""
-    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+    """Read a pages parquet dataset with the canonical schema.
+
+    recursiveFileLookup so a catalog snapshot data dir (which nests the
+    files under an attempt-<uuid> commit dir, sources/catalog.py) can
+    be passed directly — e.g. chaining jobs/ingest.py's committed
+    `pages` table straight into jobs/extract.py."""
+    return (spark.read.schema(PAGES_SCHEMA)
+            .option("recursiveFileLookup", "true").parquet(path))
 
 
 def validate_pages(df: DataFrame) -> DataFrame:

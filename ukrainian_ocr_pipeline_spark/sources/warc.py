@@ -1,0 +1,351 @@
+"""WARC ingestion: the Common-Crawl first mile.
+
+The engine's canonical input is an Iceberg/parquet `pages` table
+(sources/pages.py), but a real web corpus arrives as WARC files —
+Common Crawl publishes ~64k gzip'd WARC files per crawl, each ~1 GB of
+concatenated records.  This module turns a directory of `.warc` /
+`.warc.gz` files into that pages table.
+
+Reference analog: the OCR pipeline's first mile is "directory of image
+files -> validated batch" (`ukrainian_ocr/utils/io.py:74-107`,
+`core/batch_processor.py:164-193`); the web-tier analog is "directory
+of WARC files -> validated page rows".
+
+Scale shape
+-----------
+* `spark.read.format("binaryFile")` — one row (and one task) per WARC
+  file.  WARC files are NOT byte-splittable (per-record gzip members,
+  no sync markers), so the file is the parallelism unit — exactly how
+  production Spark jobs process Common Crawl: 64k files >> executor
+  count, so granularity is fine without intra-file splits.
+* Parsing runs in `mapInPandas` (one Arrow batch of files in, page
+  rows out) — streaming per file, never materializing more than one
+  record's payload plus the undecoded tail.
+* Per-record error capture, never task failure (the P6 idiom): a
+  record with a corrupt Content-Length or truncated payload yields a
+  row with `error` set, and the parser RESYNCS at the next record
+  boundary so one bad record cannot poison the rest of a 1 GB file.
+
+The record codec (build/parse) is pure Python and dependency-free, so
+the same functions serve the Spark workers, the pytest suite, and the
+deterministic fixture writer — and the registry's `warc_roundtrip`
+oracle query certifies build->parse identity against a DuckDB twin
+that recomputes every field relationally.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+CRLF = b"\r\n"
+_MAGIC = b"WARC/1.0"
+# resync boundary: records are terminated by CRLF CRLF, the next one
+# starts with the version line
+_BOUNDARY = CRLF + CRLF + _MAGIC + CRLF
+
+#: hard cap on a single record's declared payload (guards a corrupt
+#: Content-Length from allocating unbounded memory in an executor)
+MAX_RECORD_BYTES = 1 << 30
+
+
+# --------------------------------------------------------------------------
+# pure-Python record codec (shared: Spark workers / tests / fixtures)
+
+def build_record(warc_type: str, payload: bytes, *, url: str | None = None,
+                 date: str | None = None, record_id: str | None = None,
+                 content_type: str | None = None,
+                 extra_headers: dict[str, str] | None = None) -> bytes:
+    """Serialize one WARC/1.0 record: header block + CRLFCRLF + payload
+    + CRLFCRLF.  Content-Length is computed, never trusted from the
+    caller."""
+    headers: list[tuple[str, str]] = [("WARC-Type", warc_type)]
+    if url is not None:
+        headers.append(("WARC-Target-URI", url))
+    if date is not None:
+        headers.append(("WARC-Date", date))
+    if record_id is not None:
+        headers.append(("WARC-Record-ID", record_id))
+    if content_type is not None:
+        headers.append(("Content-Type", content_type))
+    for k, v in (extra_headers or {}).items():
+        headers.append((k, v))
+    headers.append(("Content-Length", str(len(payload))))
+    head = _MAGIC + CRLF + CRLF.join(
+        f"{k}: {v}".encode("utf-8") for k, v in headers)
+    return head + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def build_http_response(body: bytes, *, status: int = 200,
+                        reason: str = "OK",
+                        content_type: str = "text/html; charset=utf-8"
+                        ) -> bytes:
+    """Serialize the HTTP response block a WARC `response` record
+    carries as its payload (status line + headers + CRLFCRLF + body)."""
+    head = (f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
+    return head + body
+
+
+def split_http_response(payload: bytes
+                        ) -> tuple[int | None, str | None, bytes]:
+    """Split a response record's HTTP payload into (status,
+    content_type, body).  A payload that does not start with an HTTP
+    status line is returned whole as the body (status None) — some
+    archivers store raw bodies."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, payload
+    head, body = payload[:sep], payload[sep + 4:]
+    lines = head.split(CRLF)
+    parts = lines[0].split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", "replace")
+            break
+    return status, ctype, body
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for ln in block.split(CRLF):
+        k, sep, v = ln.partition(b":")
+        if sep:
+            headers[k.strip().lower().decode("utf-8", "replace")] = \
+                v.strip().decode("utf-8", "replace")
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Parse concatenated WARC/1.0 records from `data`.
+
+    Yields one dict per record: {offset, warc_type, url, date,
+    record_id, content_type, content_length, payload, error}.  On a
+    malformed record (bad magic, unparseable/oversized Content-Length,
+    truncated payload) the dict carries `error` and payload None, and
+    parsing resyncs at the next record boundary — per-record error
+    capture, task never fails."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record padding (trailing CRLFs / stray bytes after
+        # a resync)
+        nxt = data.find(_MAGIC, pos)
+        if nxt < 0:
+            if data[pos:].strip(b"\r\n"):
+                yield {"offset": pos, "error": "trailing garbage",
+                       "payload": None}
+            return
+        if data[pos:nxt].strip(b"\r\n"):
+            yield {"offset": pos, "error": "garbage before record",
+                   "payload": None}
+        pos = nxt
+        head_end = data.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            yield {"offset": pos, "error": "unterminated header block",
+                   "payload": None}
+            return
+        headers = _parse_header_block(data[pos + len(_MAGIC) + 2:head_end])
+        rec = {
+            "offset": pos,
+            "warc_type": headers.get("warc-type"),
+            "url": headers.get("warc-target-uri"),
+            "date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "content_length": None,
+            "payload": None,
+            "error": None,
+        }
+        try:
+            clen = int(headers["content-length"])
+            if clen < 0 or clen > MAX_RECORD_BYTES:
+                raise ValueError(f"content-length {clen} out of range")
+        except (KeyError, ValueError) as exc:
+            rec["error"] = f"bad Content-Length: {exc}"
+            yield rec
+            pos = _resync(data, head_end + 4)
+            continue
+        body_start = head_end + 4
+        if body_start + clen > n:
+            rec["error"] = (f"truncated payload: need {clen} bytes, "
+                            f"{n - body_start} left")
+            yield rec
+            return
+        rec["content_length"] = clen
+        rec["payload"] = data[body_start:body_start + clen]
+        yield rec
+        pos = body_start + clen
+        # consume the record terminator if present; if the writer
+        # omitted it, the magic-scan at loop top resyncs anyway
+        if data[pos:pos + 4] == CRLF + CRLF:
+            pos += 4
+
+
+def _resync(data: bytes, pos: int) -> int:
+    """Position of the next record boundary at/after `pos` (used after
+    a record whose declared length cannot be trusted)."""
+    b = data.find(_BOUNDARY, pos)
+    return len(data) if b < 0 else b + 4
+
+
+def decompress_warc(data: bytes) -> bytes:
+    """Decompress a `.warc.gz` of concatenated per-record gzip members
+    (the Common Crawl layout) into plain WARC bytes.  Python's gzip
+    handles member concatenation natively."""
+    return gzip.decompress(data)
+
+
+def compress_warc_members(records: Iterable[bytes]) -> bytes:
+    """Compress records as concatenated gzip members (one member per
+    record — the CC layout, which lets an index seek to a record
+    without decompressing the file).  mtime pinned to 0 so fixture
+    bytes are deterministic."""
+    out = io.BytesIO()
+    for rec in records:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out.write(buf.getvalue())
+    return out.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Spark reader
+
+WARC_RECORDS_SCHEMA = T.StructType([
+    T.StructField("warc_file", T.StringType(), False),
+    T.StructField("record_offset", T.LongType(), False),
+    T.StructField("warc_type", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_date", T.StringType(), True),
+    T.StructField("record_id", T.StringType(), True),
+    T.StructField("http_status", T.IntegerType(), True),
+    T.StructField("http_content_type", T.StringType(), True),
+    T.StructField("content_length", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def _records_of_file(path: str, content: bytes) -> Iterator[dict]:
+    if path.endswith(".gz"):
+        try:
+            content = decompress_warc(content)
+        except OSError as exc:
+            yield {"warc_file": path, "record_offset": 0,
+                   "warc_type": None, "url": None, "warc_date": None,
+                   "record_id": None, "http_status": None,
+                   "http_content_type": None, "content_length": None,
+                   "payload": None, "error": f"gzip: {exc}"}
+            return
+    for rec in iter_warc_records(content):
+        status = ctype = body = None
+        if rec.get("payload") is not None and rec.get("warc_type") == "response":
+            status, ctype, body = split_http_response(rec["payload"])
+        yield {
+            "warc_file": path,
+            "record_offset": rec["offset"],
+            "warc_type": rec.get("warc_type"),
+            "url": rec.get("url"),
+            "warc_date": rec.get("date"),
+            "record_id": rec.get("record_id"),
+            "http_status": status,
+            "http_content_type": ctype,
+            "content_length": rec.get("content_length"),
+            "payload": body if body is not None else rec.get("payload"),
+            "error": rec.get("error"),
+        }
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory/glob of `.warc` / `.warc.gz` files into one row
+    per WARC record.
+
+    binaryFile gives one input row per file (files never split —
+    correct for WARC); `mapInPandas` streams each file through the
+    pure-Python parser.  For response records the HTTP block is split
+    off: `payload` is the entity body, `http_status`/
+    `http_content_type` the response metadata."""
+    import pandas as pd
+
+    bins = (spark.read.format("binaryFile").load(path)
+            .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = list(_records_of_file(path_, bytes(content)))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return bins.mapInPandas(parse, WARC_RECORDS_SCHEMA)
+
+
+def pages_from_warc(records: DataFrame) -> DataFrame:
+    """Project parsed WARC records onto the canonical pages schema
+    (url, warc_ts, html, text, lang) — the input_hint table shape.
+
+    Keeps only clean `response` records that carry a target URI; the
+    HTTP 200 filter drops redirects/errors the way a crawl-extraction
+    job would.  text/lang start NULL — they are what the extraction
+    pipeline fills in."""
+    return (records
+            .where((F.col("warc_type") == "response")
+                   & F.col("error").isNull()
+                   & F.col("url").isNotNull()
+                   & (F.col("http_status") == 200))
+            .select(
+                F.col("url"),
+                F.to_timestamp(F.col("warc_date"),
+                               "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+                F.col("payload").alias("html"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+            ))
+
+
+# --------------------------------------------------------------------------
+# deterministic fixture writer (tests / ingest-job verification)
+
+def write_fixture_warc(path: str, rows: Iterable[dict], *,
+                       gz: bool = False, warcinfo: bool = True) -> str:
+    """Write rows [{url, date, html(bytes), status?}] as one WARC file
+    with the realistic record mix: a warcinfo header record, then a
+    request + response pair per page."""
+    records: list[bytes] = []
+    if warcinfo:
+        records.append(build_record(
+            "warcinfo", b"software: ukrainian-ocr-pipeline-spark\r\n",
+            date="2024-01-01T00:00:00Z",
+            record_id="<urn:uuid:warcinfo-0>",
+            content_type="application/warc-fields"))
+    for i, row in enumerate(rows):
+        records.append(build_record(
+            "request",
+            (f"GET {row['url']} HTTP/1.1\r\nHost: x\r\n\r\n").encode(),
+            url=row["url"], date=row["date"],
+            record_id=f"<urn:uuid:req-{i}>",
+            content_type="application/http; msgtype=request"))
+        http = build_http_response(row["html"],
+                                   status=row.get("status", 200))
+        records.append(build_record(
+            "response", http, url=row["url"], date=row["date"],
+            record_id=row.get("record_id", f"<urn:uuid:resp-{i}>"),
+            content_type="application/http; msgtype=response"))
+    data = (compress_warc_members(records) if gz
+            else b"".join(records))
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
