@@ -1,0 +1,126 @@
+"""robots.txt parsing and URL gating — crawl politeness at corpus scale.
+
+A Common-Crawl-style pipeline must be able to re-evaluate robots rules
+over an archived corpus (takedown sweeps, per-agent republication
+policy, building a compliant crawl frontier).  This implements the
+RFC 9309 core as pure DataFrame algebra:
+
+* group lines into user-agent blocks (consecutive ``User-agent`` lines
+  stack onto one block),
+* pick the applicable blocks for an agent — exact agent-token blocks
+  if any exist for the host, else the ``*`` blocks (RFC 9309 §2.2.1:
+  the most specific matching group, never both),
+* match URL paths against Allow/Disallow prefixes: LONGEST prefix
+  wins, Allow wins length ties, no match means allowed (§2.2.2).
+
+Subset honesty: literal path prefixes only — the ``*`` / ``$``
+wildcard extension is not implemented (documented, tested as literal
+chars).  Empty-value directives (``Disallow:``) are ignored per spec.
+
+Scale shape: the robots table is per-HOST (~10^7-10^8 rows vs 10^12
+pages).  Parsing is two window passes over exploded lines, partitioned
+by host — narrow, JVM-only, done ONCE; the per-URL gate is an equi-join
+on host (rules side usually broadcastable) followed by a
+prefix-match argmax per URL, so the page-side cost is one join plus a
+per-URL top-1 — no Python, no per-row regex compilation.
+
+Reference analog: input validation / skip-list gating before the
+expensive stage (core/batch_processor.py:164-193) — here the skip rule
+is a parsed per-host policy instead of a file-extension check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["parse_robots_rules", "robots_gate"]
+
+
+def parse_robots_rules(robots: DataFrame, *, agent: str = "*",
+                       host_col: str = "host",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """Parse a per-host robots.txt table into applicable prefix rules
+    for `agent`: (host, allow boolean, prefix, prefix_len).
+
+    Hosts whose robots has no applicable block produce no rows —
+    downstream treats absent rules as allow-all."""
+    w = Window.partitionBy(host_col).orderBy("ln_idx")
+
+    lines = (robots
+             .select(host_col,
+                     F.posexplode(F.split(F.col(txt_col), "\n"))
+                      .alias("ln_idx", "raw"))
+             # strip comments, CR, surrounding whitespace
+             .withColumn("ln", F.trim(F.regexp_replace(
+                 F.regexp_replace("raw", "#.*$", ""), "\r", "")))
+             .withColumn("key", F.lower(F.regexp_extract(
+                 "ln", "^([A-Za-z-]+)\\s*:", 1)))
+             .withColumn("val", F.trim(F.regexp_extract(
+                 "ln", "^[A-Za-z-]+\\s*:(.*)$", 1)))
+             .withColumn("is_ua", F.col("key") == "user-agent"))
+
+    # block id: consecutive User-agent lines start ONE block; a
+    # directive line after a UA run closes the run
+    blocks = (lines
+              .withColumn("run_start",
+                          (F.col("is_ua")
+                           & ~F.coalesce(F.lag("is_ua").over(w),
+                                         F.lit(False))).cast("int"))
+              .withColumn("block_id", F.sum("run_start").over(w)))
+
+    agents = (blocks.where(F.col("is_ua"))
+              .select(host_col, "block_id", F.lower("val").alias("ua")))
+    # specificity: exact agent token beats '*'; a host with BOTH uses
+    # only the agent blocks (min rank per host)
+    cand = (agents
+            .where((F.col("ua") == agent.lower()) | (F.col("ua") == "*"))
+            .withColumn("rank", F.when(F.col("ua") == agent.lower(), 1)
+                                 .otherwise(2)))
+    best = cand.groupBy(host_col).agg(F.min("rank").alias("best_rank"))
+    picked = (cand.join(best, host_col)
+              .where(F.col("rank") == F.col("best_rank"))
+              .select(host_col, "block_id").distinct())
+
+    return (blocks
+            .where(F.col("key").isin("allow", "disallow")
+                   & (F.col("val") != ""))
+            .join(picked, [host_col, "block_id"])
+            .select(host_col,
+                    (F.col("key") == "allow").alias("allow"),
+                    F.col("val").alias("prefix"),
+                    F.length("val").alias("prefix_len"))
+            .distinct())
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame, *,
+                host_col: str = "host",
+                path_col: str = "path") -> DataFrame:
+    """Gate a URL table (must carry `host_col` and `path_col`) against
+    parsed rules: adds `allowed` (boolean) and `matched_prefix` (the
+    winning rule's prefix, '' when no rule matched).
+
+    One equi-join on host (broadcast the rules side when it fits — the
+    caller knows its host cardinality) + a longest-prefix argmax per
+    input row.  Rows with no applicable or matching rule are allowed.
+
+    The argmax keys on a transient per-row id, NOT on the URL columns
+    (duplicate input rows must each survive), and uses max(struct) —
+    a partial-aggregable shuffle, no window sort."""
+    with_id = urls.withColumn("__rid", F.monotonically_increasing_id())
+    matched = (with_id.join(rules, host_col, "left")
+               .withColumn("hit",
+                           F.col("prefix").isNotNull()
+                           & F.col(path_col).startswith(F.col("prefix"))))
+    # top-1 per input row: hit beats miss, longest prefix wins, allow
+    # wins length ties; max prefix last for full determinism
+    best = F.max(F.struct(
+        F.col("hit"), F.col("prefix_len"), F.col("allow"),
+        F.col("prefix"))).alias("best")
+    kept = [F.first(c).alias(c) for c in urls.columns]
+    return (matched
+            .groupBy("__rid").agg(*kept, best)
+            .select(*urls.columns,
+                    F.when(F.col("best.hit"), F.col("best.allow"))
+                     .otherwise(F.lit(True)).alias("allowed"),
+                    F.when(F.col("best.hit"), F.col("best.prefix"))
+                     .otherwise(F.lit("")).alias("matched_prefix")))

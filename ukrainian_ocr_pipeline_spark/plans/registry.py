@@ -17,8 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import (dedup, graphrank, multimodal, packing, similarity,
-                         sketches, textindex, textstats, webnorm)
+from ..operators import (dedup, graphrank, multimodal, packing, robots,
+                         similarity, sketches, textindex, textstats, webnorm)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -3791,6 +3791,171 @@ FROM base
 """
 
 
+# --- robots.txt policy re-evaluation (operators/robots.py) ----------------
+# Four deterministic per-host robots.txt variants keyed on the source name's
+# last character, exercising: comment lines, CRLF, stacked User-agent lines,
+# empty Disallow (ignored), inline comments, agent-specificity (exact token
+# beats '*', and a host with ONLY an unrelated agent yields no rules =>
+# allow-all), longest-prefix wins, Allow wins length ties.
+_ROBOTS_AGENT = "researchbot"
+_ROBOTS_T0 = ("# site policy\n"
+              "User-agent: gptbot\n"
+              "Disallow: /\n"
+              "\n"
+              "User-agent: *\n"
+              "Disallow: /private/\n"
+              "Allow: /private/press/\n"
+              "Disallow: /articles/3\n"
+              "Allow: /articles/3\n")
+_ROBOTS_T1 = ("User-agent: researchbot\r\n"
+              "User-agent: *\r\n"
+              "Disallow: /tmp/\r\n"
+              "Disallow:\r\n"
+              "Allow: /articles/1\r\n"
+              "Disallow: /articles/\r\n")
+_ROBOTS_T2 = ("User-agent: otherbot\n"
+              "Disallow: /\n"
+              "\n"
+              "User-agent: researchbot\n"
+              "Allow: /articles/2 # press kit\n"
+              "Disallow: /articles/\n"
+              "Crawl-delay: 10\n")
+_ROBOTS_T3 = ("User-agent: otherbot\n"
+              "Disallow: /\n")
+
+
+def _robots_fixture(spark, sf_dir):
+    """Per-host robots.txt table: one row per distinct source host."""
+    docs = _t(spark, sf_dir, "documents")
+    v = F.ascii(F.substring("source", -1, 1)) % 4
+    return (docs
+            .select(F.concat(F.col("source"), F.lit(".example")).alias("host"),
+                    v.alias("v"))
+            .distinct()
+            .select("host",
+                    F.when(F.col("v") == 0, F.lit(_ROBOTS_T0))
+                     .when(F.col("v") == 1, F.lit(_ROBOTS_T1))
+                     .when(F.col("v") == 2, F.lit(_ROBOTS_T2))
+                     .otherwise(F.lit(_ROBOTS_T3)).alias("robots_txt")))
+
+
+def _robots_urls(spark, sf_dir):
+    """Deterministic (doc_id, host, path) URL table over the same hosts."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = (F.when(d % 23 == 0, F.lit("/tmp/cache"))
+            .when(d % 17 == 0, F.lit("/private/press/kit"))
+            .when(d % 19 == 0, F.lit("/private/account"))
+            .otherwise(F.concat(F.lit("/articles/"), (d % 5).cast("string"))))
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        path.alias("path"))
+
+
+def q_robots_rules_parse(spark, sf_dir):
+    """RFC 9309 robots.txt parse as pure DataFrame algebra (robots.py):
+    explode lines, window-pass block grouping, agent-specificity pick,
+    emit (host, allow, prefix, prefix_len) rules.  Scale shape: the
+    robots table is per-HOST (orders of magnitude smaller than pages);
+    two narrow window passes partitioned by host, JVM-only."""
+    return robots.parse_robots_rules(
+        _robots_fixture(spark, sf_dir), agent=_ROBOTS_AGENT)
+
+
+def q_robots_url_gate(spark, sf_dir):
+    """Per-URL robots gate (robots.robots_gate): equi-join pages to the
+    parsed per-host rules (broadcast — rules side is per-host tiny),
+    longest-prefix argmax per URL via max(struct) partial agg.  No
+    Python, no per-row regex; unmatched/ruleless URLs are allowed.
+    Reference analog: skip-list input gating before the expensive
+    stage (core/batch_processor.py:164-193)."""
+    rules = robots.parse_robots_rules(
+        _robots_fixture(spark, sf_dir), agent=_ROBOTS_AGENT)
+    return robots.robots_gate(_robots_urls(spark, sf_dir),
+                              F.broadcast(rules))
+
+
+_SQL_ROBOTS_RULES_CTE = """
+hosts AS (
+  SELECT DISTINCT source || '.example' AS host,
+         ascii(substr(source, -1, 1)) % 4 AS v
+  FROM documents),
+rob AS (
+  SELECT host,
+         CASE v WHEN 0 THEN '__T0__' WHEN 1 THEN '__T1__'
+                WHEN 2 THEN '__T2__' ELSE '__T3__' END AS txt
+  FROM hosts),
+rlines AS (
+  SELECT host, u.i AS ln_idx,
+         trim(replace(regexp_replace(string_split(txt, chr(10))[u.i],
+                                     '#.*$', ''), chr(13), '')) AS ln
+  FROM rob,
+       UNNEST(generate_series(1, len(string_split(txt, chr(10))))) AS u(i)),
+parsed AS (
+  SELECT host, ln_idx,
+         lower(regexp_extract(ln, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+         trim(regexp_extract(ln, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
+  FROM rlines),
+marks AS (
+  SELECT host, ln_idx, key, val,
+         CASE WHEN key = 'user-agent' AND NOT coalesce(
+                lag(key = 'user-agent') OVER
+                  (PARTITION BY host ORDER BY ln_idx), FALSE)
+              THEN 1 ELSE 0 END AS run_start
+  FROM parsed),
+blocks AS (
+  SELECT host, ln_idx, key, val,
+         SUM(run_start) OVER (PARTITION BY host ORDER BY ln_idx) AS block_id
+  FROM marks),
+agents AS (
+  SELECT host, block_id, lower(val) AS ua FROM blocks
+  WHERE key = 'user-agent'),
+cand AS (
+  SELECT host, block_id,
+         CASE WHEN ua = '__AGENT__' THEN 1 ELSE 2 END AS rnk
+  FROM agents WHERE ua IN ('__AGENT__', '*')),
+picked AS (
+  SELECT DISTINCT host, block_id
+  FROM (SELECT *, MIN(rnk) OVER (PARTITION BY host) AS best FROM cand)
+  WHERE rnk = best),
+rules AS (
+  SELECT DISTINCT b.host, b.key = 'allow' AS allow, b.val AS prefix,
+         CAST(length(b.val) AS BIGINT) AS prefix_len
+  FROM blocks b JOIN picked p USING (host, block_id)
+  WHERE b.key IN ('allow', 'disallow') AND b.val <> '')
+""".replace("__T0__", _ROBOTS_T0).replace("__T1__", _ROBOTS_T1).replace(
+    "__T2__", _ROBOTS_T2).replace("__T3__", _ROBOTS_T3).replace(
+    "__AGENT__", _ROBOTS_AGENT)
+
+SQL_ROBOTS_RULES = ("WITH " + _SQL_ROBOTS_RULES_CTE
+                    + "SELECT host, allow, prefix, prefix_len FROM rules")
+
+SQL_ROBOTS_GATE = ("WITH " + _SQL_ROBOTS_RULES_CTE + """,
+urls AS (
+  SELECT doc_id, source || '.example' AS host,
+         CASE WHEN doc_id % 23 = 0 THEN '/tmp/cache'
+              WHEN doc_id % 17 = 0 THEN '/private/press/kit'
+              WHEN doc_id % 19 = 0 THEN '/private/account'
+              ELSE '/articles/' || CAST(doc_id % 5 AS VARCHAR) END AS path
+  FROM documents),
+joined AS (
+  SELECT u.doc_id, u.host, u.path, r.allow, r.prefix, r.prefix_len,
+         r.prefix IS NOT NULL AND starts_with(u.path, r.prefix) AS hit
+  FROM urls u LEFT JOIN rules r ON u.host = r.host),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY hit DESC, prefix_len DESC NULLS LAST,
+               allow DESC NULLS LAST, prefix DESC NULLS LAST) AS rn
+  FROM joined)
+SELECT doc_id, host, path,
+       CASE WHEN hit THEN allow ELSE TRUE END AS allowed,
+       CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix
+FROM ranked WHERE rn = 1
+""")
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Queries that have never (or only once) had a driver
 # row are placed at the front; queries that were hash-green in BOTH round-1
@@ -3927,6 +4092,8 @@ QUERIES = {
     "title_dup_groups": q_title_dup_groups,
     "anchor_text_terms": q_anchor_text_terms,
     "warc_roundtrip": q_warc_roundtrip,
+    "robots_rules_parse": q_robots_rules_parse,
+    "robots_url_gate": q_robots_url_gate,
 }
 
 ORACLE_SQL = {
@@ -4048,4 +4215,6 @@ ORACLE_SQL = {
     "title_dup_groups": SQL_TITLE_DUP_GROUPS,
     "anchor_text_terms": SQL_ANCHOR_TEXT_TERMS,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "robots_rules_parse": SQL_ROBOTS_RULES,
+    "robots_url_gate": SQL_ROBOTS_GATE,
 }
