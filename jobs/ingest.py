@@ -67,6 +67,20 @@ def main(argv=None) -> int:
                 F.count(F.col("error")).alias("n_errors"),
                 F.sum(F.coalesce(F.col("content_length"), F.lit(0)))
                  .alias("payload_bytes")))
+    # 0-byte files are INVISIBLE to binaryFile (no splits -> no rows),
+    # so the parser's empty-file row never fires for them; synthesize
+    # their lineage rows from a driver-side listing (local dirs only —
+    # a failed download leaving a 0-byte .warc must stay locatable)
+    if is_checkable_local_path(args.warc) and os.path.isdir(args.warc):
+        zero = [os.path.join(args.warc, f)
+                for f in sorted(os.listdir(args.warc))
+                if f.endswith((".warc", ".warc.gz"))
+                and os.path.isfile(os.path.join(args.warc, f))
+                and os.path.getsize(os.path.join(args.warc, f)) == 0]
+        if zero:
+            log = log.unionByName(spark.createDataFrame(
+                [(f"file:{os.path.abspath(f)}", None, 1, 1, 0)
+                 for f in zero], schema=log.schema))
     cat.write_snapshot(log, "ingest_log", args.snapshot_id)
 
     # the parse runs once more for the pages write — two passes over

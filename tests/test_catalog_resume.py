@@ -176,3 +176,35 @@ def test_bucketed_concurrent_writer_lease(spark, tmp_path):
                                 transform=lambda df: df)
     assert cat.is_committed("t", "b1")
     assert cat.read_snapshot(spark, "t", "b1").count() == 12
+
+
+def test_read_pages_on_staging_root_follows_manifest(spark, pages, tmp_path):
+    """Passing a catalog STAGING root (…/<table>/data-<id>) to
+    read_pages must resolve through the committed manifest: a live
+    concurrent attempt dir (and its attempt-*.writer.json sibling)
+    inside the staging root must be invisible to readers."""
+    import json
+    import os
+
+    from ukrainian_ocr_pipeline_spark.sources.pages import read_pages
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    cat.write_snapshot(pages, "pages", "crawl-001")
+    staging = str(tmp_path / "wh" / "pages" / "data-crawl-001")
+
+    # plant a LIVE second attempt (owner pid = this process, so the
+    # winner's GC must have left it) + its writer marker
+    dupe = os.path.join(staging, "attempt-deadbeef")
+    committed = cat.latest_snapshot("pages")["data_dir"]
+    assert committed != dupe
+    spark.read.parquet(committed).write.parquet(dupe)
+    with open(dupe + ".writer.json", "w", encoding="utf-8") as fh:
+        json.dump({"pid": os.getpid()}, fh)
+
+    got = read_pages(spark, staging)
+    assert got.count() == 120  # not 240: the stray attempt is ignored
+
+    # non-catalog paths still read as plain recursive parquet dirs
+    plain = str(tmp_path / "plain")
+    spark.read.parquet(committed).write.parquet(plain)
+    assert read_pages(spark, plain).count() == 120

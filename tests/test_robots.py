@@ -37,6 +37,17 @@ def test_stacked_user_agent_lines_share_one_block(spark):
     assert _rules(spark, txt) == {("h", False, "/x/", 3)}
 
 
+def test_comment_between_stacked_user_agents_does_not_split_group(spark):
+    # RFC 9309: comments/blank lines are ignorable anywhere — a comment
+    # between stacked User-agent lines must NOT start a new group.
+    txt = ("User-agent: bot\n"
+           "# note\n"
+           "\n"
+           "User-agent: other\n"
+           "Disallow: /x/\n")
+    assert _rules(spark, txt) == {("h", False, "/x/", 3)}
+
+
 def test_unrelated_agent_only_yields_no_rules(spark):
     txt = "User-agent: otherbot\nDisallow: /\n"
     assert _rules(spark, txt) == set()

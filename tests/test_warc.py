@@ -86,6 +86,42 @@ def test_truncated_payload_reports_error():
     assert "truncated payload" in out[0]["error"]
 
 
+def test_corrupt_inrange_length_resyncs_not_drops_tail():
+    """A corrupt-but-in-range Content-Length mid-file must not discard
+    the records that follow it: the parser resyncs at the next record
+    boundary (one error row, then the good record)."""
+    bad = warc.build_record("response", b"short",
+                            url="https://h/bad", date="2024-01-01T00:00:00Z")
+    # 900000 passes the MAX_RECORD_BYTES range check but exceeds the
+    # bytes remaining in the file — the formerly-fatal case
+    bad = bad.replace(b"Content-Length: 5", b"Content-Length: 900000", 1)
+    good = warc.build_record("response", warc.build_http_response(b"ok"),
+                             url="https://h/good",
+                             date="2024-01-01T00:00:00Z")
+    out = list(warc.iter_warc_records(bad + good))
+    errs = [r for r in out if r["error"]]
+    oks = [r for r in out if not r["error"]]
+    assert any("truncated payload" in r["error"] for r in errs)
+    assert [r["url"] for r in oks] == ["https://h/good"]
+
+
+def test_truncated_gzip_member_is_error_row_not_crash():
+    """gzip.decompress raises EOFError (not OSError) on a truncated
+    member — it must become an error row, never a task failure."""
+    full = warc.compress_warc_members([warc.build_record(
+        "resource", b"x" * 500, url="https://h/z",
+        date="2024-01-01T00:00:00Z")])
+    rows = list(warc._records_of_file("f.warc.gz", full[:len(full) // 2]))
+    assert len(rows) == 1 and rows[0]["error"].startswith("gzip:")
+
+
+def test_empty_file_yields_one_lineage_error_row():
+    rows = list(warc._records_of_file("empty.warc", b""))
+    assert len(rows) == 1
+    assert rows[0]["error"] == "empty file: no WARC records"
+    assert rows[0]["warc_file"] == "empty.warc"
+
+
 def test_oversized_content_length_rejected_not_allocated():
     rec = warc.build_record("response", b"x", url="https://h/o",
                             date="2024-01-01T00:00:00Z")
@@ -167,3 +203,23 @@ def test_read_warc_gz_corrupt_file_is_error_row(spark, tmp_path):
         f.write(b"\x1f\x8bnot really gzip")
     out = warc.read_warc(spark, str(tmp_path / "z.warc.gz")).collect()
     assert len(out) == 1 and out[0]["error"].startswith("gzip:")
+
+
+def test_pages_from_warc_survives_malformed_and_fractional_dates(spark):
+    """One malformed WARC-Date must not kill the job under Spark 4's
+    ANSI mode (try_to_timestamp), and WARC 1.1 fractional-second dates
+    parse via the ISO fallback."""
+    rows = [
+        ("https://h/plain", "2024-01-05T06:07:08Z"),
+        ("https://h/frac", "2024-01-05T06:07:08.123Z"),
+        ("https://h/bad", "not-a-date"),
+    ]
+    recs = spark.createDataFrame(
+        [("f.warc", 0, "response", u, d, "<id>", 200, "text/html",
+          3, b"ok!", None) for u, d in rows],
+        schema=warc.WARC_RECORDS_SCHEMA)
+    got = {r["url"]: r["warc_ts"]
+           for r in warc.pages_from_warc(recs).collect()}
+    assert str(got["https://h/plain"]).startswith("2024-01-05 06:07:08")
+    assert str(got["https://h/frac"]).startswith("2024-01-05 06:07:08.123")
+    assert got["https://h/bad"] is None

@@ -57,7 +57,12 @@ def parse_robots_rules(robots: DataFrame, *, agent: str = "*",
                  "ln", "^([A-Za-z-]+)\\s*:", 1)))
              .withColumn("val", F.trim(F.regexp_extract(
                  "ln", "^[A-Za-z-]+\\s*:(.*)$", 1)))
-             .withColumn("is_ua", F.col("key") == "user-agent"))
+             .withColumn("is_ua", F.col("key") == "user-agent")
+             # RFC 9309: comments and blank lines are ignorable
+             # ANYWHERE, including between stacked User-agent lines —
+             # they must not split a group.  Drop them (and any
+             # garbage non-directive line) BEFORE block grouping.
+             .where(F.col("key") != ""))
 
     # block id: consecutive User-agent lines start ONE block; a
     # directive line after a UA run closes the run

@@ -358,9 +358,7 @@ def declared_canonical(html_col, url_col) -> Column:
     regexp expressions — codegen, no Python."""
     h = (F.col(html_col) if isinstance(html_col, str)
          else html_col).cast("string")
-    link = F.regexp_extract(h, CANONICAL_REL_HREF, 1)
-    link = F.when(link != "", link).otherwise(
-        F.regexp_extract(h, CANONICAL_HREF_REL, 1))
+    link = _first_of(h, CANONICAL_REL_HREF, CANONICAL_HREF_REL)
     return F.when(link.rlike("(?i)^https?://"),
                   canonical_url(link)).otherwise(canonical_url(url_col))
 
@@ -378,19 +376,25 @@ def canonical_link_dedup(pages: DataFrame, html_col: str = "html",
 
     Scale shape: the regexp extraction runs at scan speed; the only
     exchange is the partial-agg groupBy on the canonical string — the
-    same shape as exact content dedup but needing no text bytes."""
-    declared = F.regexp_extract(
-        F.col(html_col).cast("string"), CANONICAL_REL_HREF, 1)
-    declared2 = F.regexp_extract(
-        F.col(html_col).cast("string"), CANONICAL_HREF_REL, 1)
-    had_link = ((declared != "") | (declared2 != "")) & \
-        F.when(declared != "", declared).otherwise(declared2) \
-         .rlike("(?i)^https?://")
-    return (pages
+    same shape as exact content dedup but needing no text bytes.
+
+    The two full-document canonical regexes are extracted ONCE in a
+    staging projection (`_link`); Catalyst's CollapseProject keeps the
+    barrier because regexp_extract is non-cheap and `_link` is used
+    twice — so each page's HTML is scanned 2x, not 4x."""
+    h = F.col(html_col).cast("string")
+    staged = pages.select(
+        F.col(id_col),
+        F.col(url_col).alias("_url"),
+        _first_of(h, CANONICAL_REL_HREF, CANONICAL_HREF_REL).alias("_link"))
+    # rlike('') is false, so is_abs doubles as "declared a usable link"
+    is_abs = F.col("_link").rlike("(?i)^https?://")
+    return (staged
             .select(F.col(id_col),
-                    declared_canonical(html_col, url_col)
-                    .alias("canonical_url"),
-                    had_link.cast("int").alias("_declared"))
+                    F.when(is_abs, canonical_url(F.col("_link")))
+                     .otherwise(canonical_url(F.col("_url")))
+                     .alias("canonical_url"),
+                    is_abs.cast("int").alias("_declared"))
             .groupBy("canonical_url")
             .agg(F.count("*").alias("n_variants"),
                  F.sum("_declared").cast("long").alias("n_declared"),

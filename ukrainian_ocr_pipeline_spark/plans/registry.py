@@ -2706,7 +2706,8 @@ def q_url_canonical_dedup(spark, sf_dir):
 
 
 # the canonical_url CTE chain: expects a prior CTE raw(doc_id, url)
-# (extra columns pass through untouched) and yields
+# (ONLY those two columns survive — the chain projects (doc_id, url)
+# explicitly, so twins needing extra raw columns re-join on doc_id) and yields
 # canon(doc_id, url, canonical_url) — THE one SQL mirror of
 # webnorm.canonical_url, shared by every twin that canonicalizes
 _SQL_CANON_CTES = """defrag AS (
@@ -2790,21 +2791,23 @@ def q_canonical_link_dedup(spark, sf_dir):
     return webnorm.canonical_link_dedup(pages)
 
 
-SQL_CANONICAL_LINK_DEDUP = f"""
+def _sql_canonical_link_dedup() -> str:
+    """Twin of webnorm.canonical_link_dedup with the regex literals
+    rendered from the SAME webnorm constants the Spark side compiles
+    (single definition, two engines — the metadata-twin contract)."""
+    from .expected_spec import _sql_str as lit
+    from ..operators import webnorm as w
+
+    return f"""
 WITH base AS (
   SELECT doc_id, ({_SQL_DIRTY_URL}) AS durl, ({_SQL_CANONPAGE_HTML}) AS html
   FROM documents),
 decl AS (
   SELECT doc_id, durl,
-         CASE WHEN regexp_extract(html,
-                '(?i)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']+)["'']',
-                1) <> ''
-              THEN regexp_extract(html,
-                '(?i)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']+)["'']',
-                1)
-              ELSE regexp_extract(html,
-                '(?i)<link[^>]*href=["'']([^"'']+)["''][^>]*rel=["'']canonical["'']',
-                1) END AS link
+         CASE WHEN regexp_extract(html, {lit(w.CANONICAL_REL_HREF)}, 1) <> ''
+              THEN regexp_extract(html, {lit(w.CANONICAL_REL_HREF)}, 1)
+              ELSE regexp_extract(html, {lit(w.CANONICAL_HREF_REL)}, 1)
+              END AS link
   FROM base),
 raw AS (
   SELECT doc_id,
@@ -2820,6 +2823,9 @@ SELECT c.canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
 FROM canon c JOIN raw r ON c.doc_id = r.doc_id
 GROUP BY c.canonical_url
 """
+
+
+SQL_CANONICAL_LINK_DEDUP = _sql_canonical_link_dedup()
 
 
 def _metapage_html_col():
@@ -3793,8 +3799,10 @@ FROM base
 
 # --- robots.txt policy re-evaluation (operators/robots.py) ----------------
 # Four deterministic per-host robots.txt variants keyed on the source name's
-# last character, exercising: comment lines, CRLF, stacked User-agent lines,
-# empty Disallow (ignored), inline comments, agent-specificity (exact token
+# last character, exercising: comment lines, CRLF, stacked User-agent lines
+# (including a comment BETWEEN stacked User-agent lines, which RFC 9309 says
+# must not split the group), empty Disallow (ignored), inline comments,
+# agent-specificity (exact token
 # beats '*', and a host with ONLY an unrelated agent yields no rules =>
 # allow-all), longest-prefix wins, Allow wins length ties.
 _ROBOTS_AGENT = "researchbot"
@@ -3808,6 +3816,7 @@ _ROBOTS_T0 = ("# site policy\n"
               "Disallow: /articles/3\n"
               "Allow: /articles/3\n")
 _ROBOTS_T1 = ("User-agent: researchbot\r\n"
+              "# maintained by ops\r\n"
               "User-agent: *\r\n"
               "Disallow: /tmp/\r\n"
               "Disallow:\r\n"
@@ -3893,10 +3902,13 @@ rlines AS (
   FROM rob,
        UNNEST(generate_series(1, len(string_split(txt, chr(10))))) AS u(i)),
 parsed AS (
-  SELECT host, ln_idx,
-         lower(regexp_extract(ln, '^([A-Za-z-]+)\\s*:', 1)) AS key,
-         trim(regexp_extract(ln, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
-  FROM rlines),
+  -- comments/blank/garbage lines are ignorable ANYWHERE per RFC 9309
+  -- (they must not split stacked User-agent runs): keep directives only
+  SELECT * FROM (
+    SELECT host, ln_idx,
+           lower(regexp_extract(ln, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+           trim(regexp_extract(ln, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
+    FROM rlines) WHERE key <> ''),
 marks AS (
   SELECT host, ln_idx, key, val,
          CASE WHEN key = 'user-agent' AND NOT coalesce(

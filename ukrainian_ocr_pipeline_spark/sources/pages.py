@@ -32,13 +32,44 @@ def is_checkable_local_path(path: str) -> bool:
     return not any(ch in path for ch in "*?[{")
 
 
+def _resolve_catalog_dir(path: str) -> str:
+    """If `path` is a SnapshotCatalog staging root (.../<table>/data-<id>)
+    with a COMMITTED manifest, return the manifest's data_dir — the
+    winning attempt dir (full mode) or the staging root itself
+    (bucketed mode).
+
+    This keeps the catalog invariant "readers only ever follow the
+    manifest" even when a user passes the staging root on the CLI
+    (jobs/extract.py --pages wh/pages/data-crawl-001): a recursive
+    listing of the staging root would also pick up any live concurrent
+    attempt-<uuid> dir (duplicated rows) and trip over its
+    attempt-*.writer.json sibling.  Non-catalog paths pass through."""
+    import json
+    import os
+    base = os.path.basename(os.path.normpath(path))
+    if not base.startswith("data-"):
+        return path
+    manifest = os.path.join(os.path.dirname(os.path.normpath(path)),
+                            "snapshots", base[len("data-"):] + ".json")
+    try:
+        with open(manifest, encoding="utf-8") as fh:
+            return json.load(fh)["data_dir"]
+    except (OSError, ValueError, KeyError):
+        return path
+
+
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Read a pages parquet dataset with the canonical schema.
 
     recursiveFileLookup so a catalog snapshot data dir (which nests the
     files under an attempt-<uuid> commit dir, sources/catalog.py) can
     be passed directly — e.g. chaining jobs/ingest.py's committed
-    `pages` table straight into jobs/extract.py."""
+    `pages` table straight into jobs/extract.py.  Catalog staging roots
+    are resolved through the committed manifest first
+    (_resolve_catalog_dir), so readers never list uncommitted attempt
+    dirs."""
+    if is_checkable_local_path(path):
+        path = _resolve_catalog_dir(path)
     return (spark.read.schema(PAGES_SCHEMA)
             .option("recursiveFileLookup", "true").parquet(path))
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -179,10 +180,16 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             continue
         body_start = head_end + 4
         if body_start + clen > n:
+            # Either true end-of-file truncation OR a corrupt (but
+            # in-range) Content-Length mid-file: resync rather than
+            # return, so one bad length cannot discard every record
+            # that follows it.  At genuine EOF _resync finds no
+            # boundary and the loop terminates anyway.
             rec["error"] = (f"truncated payload: need {clen} bytes, "
                             f"{n - body_start} left")
             yield rec
-            return
+            pos = _resync(data, body_start)
+            continue
         rec["content_length"] = clen
         rec["payload"] = data[body_start:body_start + clen]
         yield rec
@@ -243,14 +250,20 @@ def _records_of_file(path: str, content: bytes) -> Iterator[dict]:
     if path.endswith(".gz"):
         try:
             content = decompress_warc(content)
-        except OSError as exc:
+        except (OSError, EOFError, zlib.error) as exc:
+            # OSError covers BadGzipFile (bad magic); a TRUNCATED
+            # member raises EOFError and corrupt deflate data raises
+            # zlib.error — neither is an OSError, and both must become
+            # an error row, not a task failure.
             yield {"warc_file": path, "record_offset": 0,
                    "warc_type": None, "url": None, "warc_date": None,
                    "record_id": None, "http_status": None,
                    "http_content_type": None, "content_length": None,
                    "payload": None, "error": f"gzip: {exc}"}
             return
+    n_yielded = 0
     for rec in iter_warc_records(content):
+        n_yielded += 1
         status = ctype = body = None
         if rec.get("payload") is not None and rec.get("warc_type") == "response":
             status, ctype, body = split_http_response(rec["payload"])
@@ -267,6 +280,14 @@ def _records_of_file(path: str, content: bytes) -> Iterator[dict]:
             "payload": body if body is not None else rec.get("payload"),
             "error": rec.get("error"),
         }
+    if n_yielded == 0:
+        # A 0-byte / record-free file must still produce one lineage
+        # row, or it silently disappears from the per-file ingest log.
+        yield {"warc_file": path, "record_offset": 0,
+               "warc_type": None, "url": None, "warc_date": None,
+               "record_id": None, "http_status": None,
+               "http_content_type": None, "content_length": None,
+               "payload": None, "error": "empty file: no WARC records"}
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -308,8 +329,16 @@ def pages_from_warc(records: DataFrame) -> DataFrame:
                    & (F.col("http_status") == 200))
             .select(
                 F.col("url"),
-                F.to_timestamp(F.col("warc_date"),
-                               "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+                # try_to_timestamp, NOT to_timestamp: under Spark 4's
+                # default ANSI mode a single malformed WARC-Date would
+                # otherwise throw and kill the whole ingest job.  The
+                # coalesce fallback accepts ISO dates with fractional
+                # seconds (WARC 1.1 allows them).
+                F.coalesce(
+                    F.try_to_timestamp(F.col("warc_date"),
+                                       F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+                    F.try_to_timestamp(F.col("warc_date")),
+                ).alias("warc_ts"),
                 F.col("payload").alias("html"),
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("string").alias("lang"),
