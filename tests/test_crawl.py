@@ -1,0 +1,119 @@
+"""Unit tests for operators/crawl.py (sitemap parse + frontier
+scheduling) and dedup.host_boilerplate_lines."""
+
+from pyspark.sql import functions as F
+
+from ukrainian_ocr_pipeline_spark.operators import crawl, dedup, robots
+
+
+def _parse(spark, xml, host="h"):
+    df = spark.createDataFrame([(host, xml)],
+                               "host string, sitemap_xml string")
+    return sorted((r.entry_type, r.loc, r.lastmod, r.priority)
+                  for r in crawl.parse_sitemap(df).collect())
+
+
+def test_urlset_fields_and_defaults(spark):
+    xml = ('<urlset><url><loc>https://h/a</loc>'
+           '<lastmod>2024-01-03</lastmod><priority>0.8</priority></url>'
+           '<url><loc>https://h/b</loc></url></urlset>')
+    assert _parse(spark, xml) == [
+        ("page", "https://h/a", "2024-01-03", 0.8),
+        ("page", "https://h/b", None, 0.5),
+    ]
+
+
+def test_uppercase_tags_and_whitespace_loc(spark):
+    xml = "<URLSET><URL><LOC>  https://h/c  </LOC></URL></URLSET>"
+    assert _parse(spark, xml) == [("page", "https://h/c", None, 0.5)]
+
+
+def test_sitemapindex_entries_are_typed_sitemap(spark):
+    xml = ('<sitemapindex><sitemap><loc>https://h/s1.xml</loc>'
+           '<lastmod>2024-03-01</lastmod></sitemap>'
+           '<sitemap><loc>https://h/s2.xml</loc></sitemap></sitemapindex>')
+    assert _parse(spark, xml) == [
+        ("sitemap", "https://h/s1.xml", "2024-03-01", 0.5),
+        ("sitemap", "https://h/s2.xml", None, 0.5),
+    ]
+
+
+def test_entry_free_sitemap_yields_no_rows(spark):
+    assert _parse(spark, '<?xml version="1.0"?><urlset></urlset>') == []
+
+
+def test_frontier_rounds_and_eta(spark):
+    urls = spark.createDataFrame(
+        [("slow.example", "https://slow.example/a", 9.0),
+         ("slow.example", "https://slow.example/b", 5.0),
+         ("slow.example", "https://slow.example/c", 5.0),
+         ("fast.example", "https://fast.example/x", 1.0)],
+        "host string, url string, score double")
+    delays = spark.createDataFrame([("slow.example", 10.0)],
+                                   "host string, crawl_delay double")
+    got = {r.url: (r.fetch_round, r.eta_seconds, r.crawl_delay)
+           for r in crawl.frontier_assign(urls, delays).collect()}
+    # score desc, then url asc as the deterministic tiebreak
+    assert got["https://slow.example/a"] == (1, 0.0, 10.0)
+    assert got["https://slow.example/b"] == (2, 10.0, 10.0)
+    assert got["https://slow.example/c"] == (3, 20.0, 10.0)
+    # host without a delay row gets the default (1.0)
+    assert got["https://fast.example/x"] == (1, 0.0, 1.0)
+
+
+def test_parse_crawl_delay_specificity_and_validation(spark):
+    txt = ("User-agent: *\nCrawl-delay: 2\n\n"
+           "User-agent: bot\nCrawl-delay: 7\nCrawl-delay: 3\n\n"
+           "User-agent: junk\nCrawl-delay: soon\n")
+    df = spark.createDataFrame([("h", txt)],
+                               "host string, robots_txt string")
+    # exact-agent group wins; multiple values collapse to max
+    assert robots.parse_crawl_delay(df, agent="bot").collect()[0] \
+        .crawl_delay == 7.0
+    assert robots.parse_crawl_delay(df, agent="other").collect()[0] \
+        .crawl_delay == 2.0
+    # non-numeric value: no row (frontier falls back to its default)
+    assert robots.parse_crawl_delay(df, agent="junk").count() == 0
+
+
+def test_host_boilerplate_census(spark):
+    rows = []
+    for i in range(10):
+        lines = ["nav | h1"]                      # every page
+        if i % 2 == 0:
+            lines.append("footer h1")             # half the pages
+        if i == 0:
+            lines.append("one-off line")          # once: below min_pages
+        lines.append(f"body {i}")                 # unique
+        # odd pages use CRLF + a blank line: \r must not leak into the
+        # line key (LF and CRLF pages share boilerplate) nor survive
+        # the non-empty filter as a ghost "\r" line
+        sep = "\n" if i % 2 == 0 else "\r\n"
+        rows.append((i, "h1", sep.join(lines) + sep))
+    rows.append((99, "h2", "nav | h1"))           # other host: 1 page only
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {(r.host, r.line): (r.n_pages, r.host_pages, r.frac)
+           for r in dedup.host_boilerplate_lines(
+               docs, min_frac=0.4, min_pages=2).collect()}
+    assert got == {
+        ("h1", "nav | h1"): (10, 10, 1.0),
+        ("h1", "footer h1"): (5, 10, 0.5),
+    }  # h2's single page can never pass min_pages=2
+
+
+def test_crawl_plans_are_jvm_only(spark):
+    urls = spark.createDataFrame([("h", "https://h/a", 1.0)],
+                                 "host string, url string, score double")
+    delays = spark.createDataFrame([("h", 2.0)],
+                                   "host string, crawl_delay double")
+    for df in (crawl.parse_sitemap(spark.createDataFrame(
+                   [("h", "<urlset><url><loc>x</loc></url></urlset>")],
+                   "host string, sitemap_xml string")),
+               crawl.frontier_assign(urls, delays)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+    # caller-side broadcast hint (the operator's contract) -> hash join
+    fplan = crawl.frontier_assign(urls, F.broadcast(delays)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in fplan
+    assert "BroadcastNestedLoop" not in fplan

@@ -656,6 +656,44 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                      "\n").alias("clean_text")))
 
 
+def host_boilerplate_lines(docs: DataFrame, host_col: str = "host",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_frac: float = 0.5,
+                           min_pages: int = 2) -> DataFrame:
+    """Host-SCOPED boilerplate census: trimmed non-empty lines present
+    on >= ``min_frac`` of a host's pages (and >= ``min_pages`` pages
+    absolutely) — (host, line, n_pages, host_pages, frac).
+
+    This is the per-site complement of corpus-wide ``line_dedup``: a
+    footer on 80% of a small host's pages is boilerplate even when its
+    global count is tiny, and a popular quote crossing many hosts is
+    NOT — a global min_docs threshold can express neither.
+
+    Scale shape: one distinct on (host, page, line) — rows widen in the
+    explode stage, the exchange key is (host, line digest-equivalent);
+    census is a partial-agg groupBy; the host page-count table is one
+    row per host, equi-joined back (shuffle join — at crawl scale the
+    host table itself is ~10^8 rows, not broadcastable).  Output is
+    only the frequent lines — tiny.  No Python, no windows."""
+    pages = (docs.groupBy(host_col)
+             .agg(F.countDistinct(id_col).alias("host_pages")))
+    lines = (docs
+             .select(host_col, id_col,
+                     F.explode(F.split(F.coalesce(F.col(text_col),
+                                                  F.lit("")), "\r?\n", -1))
+                      .alias("raw"))
+             .select(host_col, id_col, F.trim("raw").alias("line"))
+             .where(F.col("line") != "")
+             .distinct())
+    census = (lines.groupBy(host_col, "line")
+              .agg(F.count("*").alias("n_pages")))
+    return (census.join(pages, host_col)
+            .withColumn("frac", F.round(F.col("n_pages")
+                                        / F.col("host_pages"), 6))
+            .where((F.col("n_pages") >= min_pages)
+                   & (F.col("frac") >= min_frac)))
+
+
 def _gram_table(ws_df: DataFrame, k: int) -> DataFrame:
     """(doc_id, start, gram) over a (doc_id, ws) frame: md5 of every
     k-word window, 0-based start.  THE gram definition shared by the

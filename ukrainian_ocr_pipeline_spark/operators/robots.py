@@ -33,17 +33,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["parse_robots_rules", "robots_gate"]
+__all__ = ["parse_robots_rules", "parse_crawl_delay", "robots_gate"]
 
 
-def parse_robots_rules(robots: DataFrame, *, agent: str = "*",
-                       host_col: str = "host",
-                       txt_col: str = "robots_txt") -> DataFrame:
-    """Parse a per-host robots.txt table into applicable prefix rules
-    for `agent`: (host, allow boolean, prefix, prefix_len).
-
-    Hosts whose robots has no applicable block produce no rows —
-    downstream treats absent rules as allow-all."""
+def _applicable_blocks(robots: DataFrame, agent: str,
+                       host_col: str, txt_col: str):
+    """Shared front half of robots parsing: explode lines, group into
+    user-agent blocks, pick the applicable blocks for `agent`.
+    Returns (blocks, picked) — `blocks` carries every directive line
+    with its block_id, `picked` the (host, block_id) pairs that apply."""
     w = Window.partitionBy(host_col).orderBy("ln_idx")
 
     lines = (robots
@@ -85,7 +83,18 @@ def parse_robots_rules(robots: DataFrame, *, agent: str = "*",
     picked = (cand.join(best, host_col)
               .where(F.col("rank") == F.col("best_rank"))
               .select(host_col, "block_id").distinct())
+    return blocks, picked
 
+
+def parse_robots_rules(robots: DataFrame, *, agent: str = "*",
+                       host_col: str = "host",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """Parse a per-host robots.txt table into applicable prefix rules
+    for `agent`: (host, allow boolean, prefix, prefix_len).
+
+    Hosts whose robots has no applicable block produce no rows —
+    downstream treats absent rules as allow-all."""
+    blocks, picked = _applicable_blocks(robots, agent, host_col, txt_col)
     return (blocks
             .where(F.col("key").isin("allow", "disallow")
                    & (F.col("val") != ""))
@@ -95,6 +104,25 @@ def parse_robots_rules(robots: DataFrame, *, agent: str = "*",
                     F.col("val").alias("prefix"),
                     F.length("val").alias("prefix_len"))
             .distinct())
+
+
+def parse_crawl_delay(robots: DataFrame, *, agent: str = "*",
+                      host_col: str = "host",
+                      txt_col: str = "robots_txt") -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds) for `agent`: (host,
+    crawl_delay double).  The directive is a de-facto extension (not
+    RFC 9309, but honored by major crawlers); it obeys the same
+    group-applicability rules as Allow/Disallow.  Hosts without an
+    applicable numeric Crawl-delay produce no rows — the frontier
+    scheduler substitutes its default.  Multiple applicable values
+    collapse to the MOST CONSERVATIVE (max)."""
+    blocks, picked = _applicable_blocks(robots, agent, host_col, txt_col)
+    return (blocks
+            .where((F.col("key") == "crawl-delay")
+                   & F.col("val").rlike(r"^[0-9]+(\.[0-9]+)?$"))
+            .join(picked, [host_col, "block_id"])
+            .groupBy(host_col)
+            .agg(F.max(F.col("val").cast("double")).alias("crawl_delay")))
 
 
 def robots_gate(urls: DataFrame, rules: DataFrame, *,

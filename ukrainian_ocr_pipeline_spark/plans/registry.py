@@ -17,8 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import (dedup, graphrank, multimodal, packing, robots,
-                         similarity, sketches, textindex, textstats, webnorm)
+from ..operators import (crawl, dedup, graphrank, multimodal, packing,
+                         robots, similarity, sketches, textindex, textstats,
+                         webnorm)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -3833,19 +3834,31 @@ _ROBOTS_T3 = ("User-agent: otherbot\n"
               "Disallow: /\n")
 
 
-def _robots_fixture(spark, sf_dir):
-    """Per-host robots.txt table: one row per distinct source host."""
+def _host_variant_fixture(spark, sf_dir, templates, out_col):
+    """One row per distinct source host carrying a deterministic
+    per-host document: templates[ascii(last source char) % len], with
+    any ``__HOST__`` placeholder replaced by the host.  THE single
+    host/variant derivation shared by the robots and sitemap fixtures
+    (SQL mirror: _SQL_HOSTS_CTE) — change it in one place only."""
     docs = _t(spark, sf_dir, "documents")
-    v = F.ascii(F.substring("source", -1, 1)) % 4
+    v = F.ascii(F.substring("source", -1, 1)) % len(templates)
+    tmpl = F.when(v == 0, F.lit(templates[0]))
+    for i in range(1, len(templates) - 1):
+        tmpl = tmpl.when(v == i, F.lit(templates[i]))
+    tmpl = tmpl.otherwise(F.lit(templates[-1]))
     return (docs
             .select(F.concat(F.col("source"), F.lit(".example")).alias("host"),
-                    v.alias("v"))
+                    tmpl.alias("tmpl"))
             .distinct()
-            .select("host",
-                    F.when(F.col("v") == 0, F.lit(_ROBOTS_T0))
-                     .when(F.col("v") == 1, F.lit(_ROBOTS_T1))
-                     .when(F.col("v") == 2, F.lit(_ROBOTS_T2))
-                     .otherwise(F.lit(_ROBOTS_T3)).alias("robots_txt")))
+            .select("host", F.replace(F.col("tmpl"), F.lit("__HOST__"),
+                                      F.col("host")).alias(out_col)))
+
+
+def _robots_fixture(spark, sf_dir):
+    """Per-host robots.txt table: one row per distinct source host."""
+    return _host_variant_fixture(
+        spark, sf_dir, [_ROBOTS_T0, _ROBOTS_T1, _ROBOTS_T2, _ROBOTS_T3],
+        "robots_txt")
 
 
 def _robots_urls(spark, sf_dir):
@@ -3885,11 +3898,14 @@ def q_robots_url_gate(spark, sf_dir):
                               F.broadcast(rules))
 
 
-_SQL_ROBOTS_RULES_CTE = """
-hosts AS (
+# THE single host/variant derivation shared by the robots and sitemap
+# oracle twins (Spark mirror: _host_variant_fixture) — one source of truth.
+_SQL_HOSTS_CTE = """hosts AS (
   SELECT DISTINCT source || '.example' AS host,
          ascii(substr(source, -1, 1)) % 4 AS v
-  FROM documents),
+  FROM documents)"""
+
+_SQL_ROBOTS_RULES_CTE = "\n" + _SQL_HOSTS_CTE + """,
 rob AS (
   SELECT host,
          CASE v WHEN 0 THEN '__T0__' WHEN 1 THEN '__T1__'
@@ -3966,6 +3982,195 @@ SELECT doc_id, host, path,
        CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix
 FROM ranked WHERE rn = 1
 """)
+
+
+# --- sitemap parsing + crawl frontier (operators/crawl.py) ----------------
+# Four deterministic per-host sitemap variants keyed like the robots
+# fixture: a full urlset (lastmod date + datetime forms, priority), an
+# UPPERCASE minimal urlset with whitespace-padded loc (defaults: no
+# lastmod, priority 0.5), a sitemapindex (nested-sitemap rows), and an
+# entry-free document (no rows).
+_SITEMAP_T0 = ('<?xml version="1.0"?><urlset>'
+               '<url><loc>https://__HOST__/a</loc>'
+               '<lastmod>2024-01-03</lastmod>'
+               '<priority>0.8</priority></url>'
+               '<url><loc>https://__HOST__/b</loc>'
+               '<lastmod>2024-02-05T10:00:00+00:00</lastmod></url>'
+               '</urlset>')
+_SITEMAP_T1 = ('<URLSET><URL><LOC>  https://__HOST__/c  </LOC></URL>'
+               '<URL><LOC>https://__HOST__/d</LOC>'
+               '<PRIORITY>0.2</PRIORITY></URL></URLSET>')
+_SITEMAP_T2 = ('<sitemapindex>'
+               '<sitemap><loc>https://__HOST__/sitemap-1.xml</loc>'
+               '<lastmod>2024-03-01</lastmod></sitemap>'
+               '<sitemap><loc>https://__HOST__/sitemap-2.xml</loc></sitemap>'
+               '</sitemapindex>')
+_SITEMAP_T3 = '<?xml version="1.0"?><urlset></urlset>'
+
+
+def _sitemap_fixture(spark, sf_dir):
+    """Per-host sitemap table: one row per distinct source host."""
+    return _host_variant_fixture(
+        spark, sf_dir, [_SITEMAP_T0, _SITEMAP_T1, _SITEMAP_T2, _SITEMAP_T3],
+        "sitemap_xml")
+
+
+def q_sitemap_url_extract(spark, sf_dir):
+    """sitemaps.org XML -> flat URL table (crawl.parse_sitemap): urlset
+    entries as 'page' rows, sitemapindex entries as 'sitemap' rows;
+    lastmod kept raw (date and datetime forms), priority defaulting to
+    0.5.  Split on entry close tags + one regexp_extract per field —
+    scan-speed, JVM-only; the sitemap table is per-HOST (tiny vs
+    pages).  Reference analog: directory listing -> validated work
+    list (utils/io.py:74-107)."""
+    return crawl.parse_sitemap(_sitemap_fixture(spark, sf_dir))
+
+
+SQL_SITEMAP_URL_EXTRACT = ("WITH " + _SQL_HOSTS_CTE + """,
+sm AS (
+  SELECT host,
+         replace(CASE v WHEN 0 THEN '__T0__' WHEN 1 THEN '__T1__'
+                        WHEN 2 THEN '__T2__' ELSE '__T3__' END,
+                 '__HOST__', host) AS xml
+  FROM hosts),
+chunks AS (
+  SELECT host, u.c AS chunk
+  FROM sm, UNNEST(regexp_split_to_array(
+      xml, '(?i)(?:</url>|</sitemap>)')) AS u(c)),
+fields AS (
+  SELECT host, chunk,
+         regexp_extract(chunk, '(?i)<loc>\\s*([^<>]+?)\\s*</loc>', 1) AS loc,
+         regexp_extract(chunk, '(?i)<lastmod>\\s*([^<>]+?)\\s*</lastmod>',
+                        1) AS lm,
+         regexp_extract(chunk, '(?i)<priority>\\s*([0-9.]+)\\s*</priority>',
+                        1) AS pr
+  FROM chunks)
+SELECT host,
+       CASE WHEN regexp_matches(chunk, '(?i)<sitemap[\\s>]') THEN 'sitemap'
+            ELSE 'page' END AS entry_type,
+       loc,
+       CASE WHEN lm <> '' THEN lm END AS lastmod,
+       coalesce(try_cast(nullif(pr, '') AS DOUBLE), 0.5) AS priority
+FROM fields WHERE loc <> ''
+""".replace("__T0__", _SITEMAP_T0).replace("__T1__", _SITEMAP_T1).replace(
+    "__T2__", _SITEMAP_T2).replace("__T3__", _SITEMAP_T3))
+
+
+def q_crawl_frontier_assign(spark, sf_dir):
+    """Politeness-aware frontier scheduling (crawl.frontier_assign):
+    candidate URLs ranked per host by priority score (one window
+    partitioned by HOST — no global sort), joined to the per-host
+    Crawl-delay parsed from the robots fixture
+    (robots.parse_crawl_delay; hosts without a directive get the 1 s
+    default), emitting fetch_round and the earliest politeness-legal
+    eta_seconds.  Composition query: robots parsing feeds crawl
+    scheduling end-to-end."""
+    cand = (_robots_urls(spark, sf_dir)
+            .select("doc_id", "host",
+                    F.concat(F.lit("https://"), F.col("host"),
+                             F.col("path")).alias("url"))
+            .withColumn("score",
+                        ((F.col("doc_id") * 37 % 100) / 10.0))
+            .groupBy("host", "url")
+            .agg(F.max("score").alias("score"),
+                 F.min("doc_id").alias("doc_id")))
+    delays = robots.parse_crawl_delay(
+        _robots_fixture(spark, sf_dir), agent=_ROBOTS_AGENT)
+    return (crawl.frontier_assign(cand, F.broadcast(delays))
+            .select("host", "url", "doc_id", "score", "crawl_delay",
+                    "fetch_round", "eta_seconds"))
+
+
+SQL_CRAWL_FRONTIER_ASSIGN = ("WITH " + _SQL_ROBOTS_RULES_CTE + """,
+delays AS (
+  SELECT b.host, MAX(CAST(b.val AS DOUBLE)) AS crawl_delay
+  FROM blocks b JOIN picked p USING (host, block_id)
+  WHERE b.key = 'crawl-delay'
+    AND regexp_matches(b.val, '^[0-9]+(\\.[0-9]+)?$')
+  GROUP BY b.host),
+urls0 AS (
+  SELECT doc_id, source || '.example' AS host,
+         CASE WHEN doc_id % 23 = 0 THEN '/tmp/cache'
+              WHEN doc_id % 17 = 0 THEN '/private/press/kit'
+              WHEN doc_id % 19 = 0 THEN '/private/account'
+              ELSE '/articles/' || CAST(doc_id % 5 AS VARCHAR) END AS path,
+         (doc_id * 37 % 100) / 10.0 AS score
+  FROM documents),
+fcand AS (
+  SELECT host, 'https://' || host || path AS url,
+         MAX(score) AS score, MIN(doc_id) AS doc_id
+  FROM urls0 GROUP BY host, 'https://' || host || path)
+SELECT c.host, c.url, c.doc_id, c.score,
+       coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+       CAST(row_number() OVER (
+           PARTITION BY c.host ORDER BY c.score DESC, c.url)
+         AS INTEGER) AS fetch_round,
+       (row_number() OVER (
+           PARTITION BY c.host ORDER BY c.score DESC, c.url) - 1)
+         * coalesce(d.crawl_delay, 1.0) AS eta_seconds
+FROM fcand c LEFT JOIN delays d ON c.host = d.host
+""")
+
+
+def _linedoc_text_col():
+    """Deterministic MULTILINE page text for host-boilerplate queries:
+    a host-wide nav line (every page), a host-wide footer on even
+    doc_ids (~half the host's pages), a 'promo' line on doc_id%3==0
+    pages (~a third — below the census threshold), and a unique body
+    line per page."""
+    d = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("Home | About | "), F.col("source")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("(c) 2024 "), F.col("source"))),
+        F.when(d % 3 == 0, F.lit("promo of the week")),
+        F.concat(F.lit("body "), d.cast("string"), F.lit(" "),
+                 F.substring("text", 1, 40)))
+
+
+def q_host_boilerplate_lines(spark, sf_dir):
+    """Host-SCOPED boilerplate census (dedup.host_boilerplate_lines):
+    trimmed lines on >= 40% of a host's pages (>= 2 pages) — the
+    per-site complement of corpus-wide line_dedup (a small host's
+    footer is boilerplate even at tiny global count; a popular quote
+    across hosts is not).  One distinct + partial-agg census + an
+    equi-join on host.  Expected rows per host: the nav line (frac
+    1.0) and the even-doc footer (frac ~0.5)."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id"),
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        _linedoc_text_col().alias("text"))
+    return dedup.host_boilerplate_lines(pages, min_frac=0.4, min_pages=2)
+
+
+SQL_HOST_BOILERPLATE_LINES = """
+WITH pages AS (
+  SELECT doc_id, source || '.example' AS host,
+         concat_ws(chr(10),
+           'Home | About | ' || source,
+           CASE WHEN doc_id % 2 = 0 THEN '(c) 2024 ' || source END,
+           CASE WHEN doc_id % 3 = 0 THEN 'promo of the week' END,
+           'body ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+         ) AS text
+  FROM documents),
+hp AS (
+  SELECT host, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS host_pages
+  FROM pages GROUP BY host),
+lines AS (
+  SELECT DISTINCT host, doc_id, trim(u.ln) AS line
+  FROM pages, UNNEST(regexp_split_to_array(text, '\\r?\\n')) AS u(ln)
+  WHERE trim(u.ln) <> ''),
+census AS (
+  SELECT host, line, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM lines GROUP BY host, line)
+SELECT c.host, c.line, c.n_pages, h.host_pages,
+       round(c.n_pages / CAST(h.host_pages AS DOUBLE), 6) AS frac
+FROM census c JOIN hp h ON c.host = h.host
+WHERE c.n_pages >= 2
+  AND round(c.n_pages / CAST(h.host_pages AS DOUBLE), 6) >= 0.4
+"""
 
 
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
@@ -4106,6 +4311,9 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "robots_rules_parse": q_robots_rules_parse,
     "robots_url_gate": q_robots_url_gate,
+    "sitemap_url_extract": q_sitemap_url_extract,
+    "crawl_frontier_assign": q_crawl_frontier_assign,
+    "host_boilerplate_lines": q_host_boilerplate_lines,
 }
 
 ORACLE_SQL = {
@@ -4229,4 +4437,7 @@ ORACLE_SQL = {
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "robots_rules_parse": SQL_ROBOTS_RULES,
     "robots_url_gate": SQL_ROBOTS_GATE,
+    "sitemap_url_extract": SQL_SITEMAP_URL_EXTRACT,
+    "crawl_frontier_assign": SQL_CRAWL_FRONTIER_ASSIGN,
+    "host_boilerplate_lines": SQL_HOST_BOILERPLATE_LINES,
 }
