@@ -117,3 +117,50 @@ def test_crawl_plans_are_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in fplan
     assert "BroadcastNestedLoop" not in fplan
+
+
+def _resolve(spark, edges, max_hops=8):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.src: (r.final_url, r.hops, r.resolved)
+            for r in crawl.resolve_redirects(df, max_hops=max_hops)
+                          .collect()}
+
+
+def test_redirect_chain_exact_hops(spark):
+    got = _resolve(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {"a": ("d", 3, True),
+                   "b": ("d", 2, True),
+                   "c": ("d", 1, True)}
+
+
+def test_redirect_cycles_unresolved(spark):
+    got = _resolve(spark, [("x", "y"), ("y", "x"),   # 2-cycle
+                           ("s", "s"),               # self-loop
+                           ("in", "x")])             # chain INTO a cycle
+    assert got == {"x": (None, None, False),
+                   "y": (None, None, False),
+                   "s": (None, None, False),
+                   "in": (None, None, False)}
+
+
+def test_redirect_max_hops_boundary(spark):
+    # chain of length 9: head unresolved at max_hops=8, second node
+    # (length 8) resolves exactly at the bound
+    edges = [(f"n{i}", f"n{i+1}") for i in range(9)]  # n0->..->n9
+    got = _resolve(spark, edges, max_hops=8)
+    assert got["n0"] == (None, None, False)
+    assert got["n1"] == ("n9", 8, True)
+    # and a roomier bound resolves the head too, hop count exact
+    assert _resolve(spark, edges, max_hops=9)["n0"] == ("n9", 9, True)
+
+
+def test_redirect_plan_jvm_only_and_bounded_joins(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = crawl.resolve_redirects(df, max_hops=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # each doubling round is localCheckpoint'ed, so the returned plan is
+    # ONE join over the materialized last round — not a 2^rounds-deep
+    # self-join tree (the pre-checkpoint shape had 15 join nodes)
+    lplan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert lplan.count("Join") <= 1

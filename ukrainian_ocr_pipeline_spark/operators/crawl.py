@@ -30,9 +30,11 @@ here the work list is a crawl frontier instead of an image batch.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["parse_sitemap", "frontier_assign"]
+__all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects"]
 
 # one capture per field; inline (?i) and char classes only, so the
 # Java-regex == RE2 == DuckDB cross-engine contract holds
@@ -109,3 +111,74 @@ def frontier_assign(urls: DataFrame, delays: DataFrame, *,
             .withColumn("eta_seconds",
                         (F.col("fetch_round") - F.lit(1))
                         * F.col("crawl_delay")))
+
+
+def resolve_redirects(redirects: DataFrame, *, max_hops: int = 8,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Resolve HTTP redirect chains to their final destination by
+    pointer doubling: (src, final_url, hops, resolved).
+
+    ``redirects`` is a redirect MAP — one row per redirecting URL
+    (src unique; src -> its Location target).  For every src:
+
+      resolved  — the chain reaches a terminal URL (one that does not
+                  itself redirect) within ``max_hops`` hops,
+      final_url — that terminal (NULL when unresolved),
+      hops      — chain length (NULL when unresolved).
+
+    Cycles (self-loops, A<->B, longer) and chains beyond ``max_hops``
+    come out resolved=false — a crawler treats both as dead ends.
+
+    Scale shape: pointer doubling, NOT per-hop iteration — round k
+    composes the map with itself so every pointer advances up to 2^k
+    hops; ceil(log2(max_hops)) shuffle joins total (3 rounds for the
+    default 8, vs 8 for naive iteration; a 10^9-row redirect table at
+    browser-limit max_hops=20 needs 5).  Each round is one equi-join
+    of the map with itself on the current pointer plus a projection —
+    no Python, no driver-side loop over rows (the Python loop here is
+    over ROUNDS, fixed at plan-build time).  Like the repo's other
+    iterative-join operators (graphrank.pagerank, dedup.cluster_assign)
+    each round is `localCheckpoint`ed: without it the self-join
+    duplicates its own subtree and lineage doubles per round (2^k-1
+    join nodes by round k); with it every round is ONE join over a
+    materialized pointer table — same storage caveat as pagerank (use
+    reliable checkpoints on a real cluster).  DuckDB twin: WITH
+    RECURSIVE bounded at max_hops.
+
+    Reference analog: bounded retry/fallback chasing in the page
+    pipeline (core/batch_processor.py fallback ladder); here the chase
+    is across rows instead of within one."""
+    srcs = redirects.select(F.col(src_col).alias("_term_probe")).distinct()
+    # m: src -> (cur = pointer after <=2^k hops, hops walked, done =
+    # cur is terminal).  Initially one hop: done iff dst never redirects.
+    m = (redirects
+         .join(srcs, F.col(dst_col) == F.col("_term_probe"), "left")
+         .select(F.col(src_col).alias("src"),
+                 F.col(dst_col).alias("cur"),
+                 F.lit(1).alias("hops"),
+                 F.col("_term_probe").isNull().alias("done"))
+         .localCheckpoint(eager=True))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        r = m.select(F.col("src").alias("r_src"),
+                     F.col("cur").alias("r_cur"),
+                     F.col("hops").alias("r_hops"),
+                     F.col("done").alias("r_done"))
+        # an un-done cur is by construction a src, so the left join
+        # always matches for rows still walking
+        m = (m.join(r, m["cur"] == r["r_src"], "left")
+             .select("src",
+                     F.when(F.col("done"), F.col("cur"))
+                      .otherwise(F.col("r_cur")).alias("cur"),
+                     F.when(F.col("done"), F.col("hops"))
+                      .otherwise(F.col("hops") + F.col("r_hops"))
+                      .alias("hops"),
+                     F.when(F.col("done"), F.lit(True))
+                      .otherwise(F.coalesce(F.col("r_done"), F.lit(True)))
+                      .alias("done"))
+             .localCheckpoint(eager=True))
+    ok = F.col("done") & (F.col("hops") <= max_hops)
+    return m.select("src",
+                    F.when(ok, F.col("cur")).alias("final_url"),
+                    F.when(ok, F.col("hops")).alias("hops"),
+                    ok.alias("resolved"))

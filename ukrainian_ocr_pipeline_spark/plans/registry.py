@@ -4173,6 +4173,83 @@ WHERE c.n_pages >= 2
 """
 
 
+def _redirect_fixture(spark, sf_dir):
+    """Deterministic redirect map derived from documents.doc_id — one
+    namespace per shape so every resolver branch is exercised:
+      p{d} -> p{d-1} for d%12 != 0   chains of length d%12 (1..11) down
+                                     to the terminal p{12*floor(d/12)};
+                                     9..11 exceed max_hops=8
+      c{d}a <-> c{d}b                a guaranteed 2-cycle per doc (both
+                                     rows emitted from the SAME doc_id,
+                                     so no cross-row existence bets)
+      s{d} -> s{d} for d%10 == 0     self-loops"""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pre = F.lit("https://r.example/")
+    chain = docs.where(d % 12 != 0).select(
+        F.concat(pre, F.lit("p"), d.cast("string")).alias("src"),
+        F.concat(pre, F.lit("p"), (d - 1).cast("string")).alias("dst"))
+    ca = F.concat(pre, F.lit("c"), d.cast("string"), F.lit("a"))
+    cb = F.concat(pre, F.lit("c"), d.cast("string"), F.lit("b"))
+    cyc = docs.select(ca.alias("src"), cb.alias("dst")).unionAll(
+        docs.select(cb.alias("src"), ca.alias("dst")))
+    loops = docs.where(d % 10 == 0).select(
+        F.concat(pre, F.lit("s"), d.cast("string")).alias("src"),
+        F.concat(pre, F.lit("s"), d.cast("string")).alias("dst"))
+    return chain.unionAll(cyc).unionAll(loops)
+
+
+def q_url_redirect_resolve(spark, sf_dir):
+    """HTTP redirect-chain resolution (crawl.resolve_redirects):
+    pointer doubling over the src->dst map — ceil(log2(max_hops))
+    self-joins instead of max_hops iterations; chains within 8 hops
+    resolve to their terminal with an exact hop count, cycles and
+    longer chains come out resolved=false.  NULL sentinels ('' / 0)
+    keep the cross-engine hash free of nullable-int coercion.  DuckDB
+    twin: WITH RECURSIVE bounded at the same max_hops."""
+    out = crawl.resolve_redirects(_redirect_fixture(spark, sf_dir),
+                                  max_hops=8)
+    return out.select(
+        "src",
+        F.coalesce("final_url", F.lit("")).alias("final_url"),
+        F.coalesce("hops", F.lit(0)).alias("hops"),
+        "resolved")
+
+
+SQL_URL_REDIRECT_RESOLVE = """
+WITH RECURSIVE redirects AS (
+  SELECT 'https://r.example/p' || CAST(doc_id AS VARCHAR) AS src,
+         'https://r.example/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 12 <> 0
+  UNION ALL
+  SELECT 'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'a',
+         'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'b'
+  FROM documents
+  UNION ALL
+  SELECT 'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'b',
+         'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'a'
+  FROM documents
+  UNION ALL
+  SELECT 'https://r.example/s' || CAST(doc_id AS VARCHAR),
+         'https://r.example/s' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 10 = 0),
+walk AS (
+  SELECT r.src, r.dst AS cur, 1 AS hops,
+         r.dst NOT IN (SELECT src FROM redirects) AS done
+  FROM redirects r
+  UNION ALL
+  SELECT w.src, r2.dst, w.hops + 1,
+         r2.dst NOT IN (SELECT src FROM redirects)
+  FROM walk w JOIN redirects r2 ON w.cur = r2.src
+  WHERE NOT w.done AND w.hops < 8)
+SELECT src,
+       coalesce(MAX(CASE WHEN done THEN cur END), '') AS final_url,
+       coalesce(MAX(CASE WHEN done THEN hops END), 0) AS hops,
+       bool_or(done) AS resolved
+FROM walk GROUP BY src
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Queries that have never (or only once) had a driver
 # row are placed at the front; queries that were hash-green in BOTH round-1
@@ -4314,6 +4391,7 @@ QUERIES = {
     "sitemap_url_extract": q_sitemap_url_extract,
     "crawl_frontier_assign": q_crawl_frontier_assign,
     "host_boilerplate_lines": q_host_boilerplate_lines,
+    "url_redirect_resolve": q_url_redirect_resolve,
 }
 
 ORACLE_SQL = {
@@ -4440,4 +4518,5 @@ ORACLE_SQL = {
     "sitemap_url_extract": SQL_SITEMAP_URL_EXTRACT,
     "crawl_frontier_assign": SQL_CRAWL_FRONTIER_ASSIGN,
     "host_boilerplate_lines": SQL_HOST_BOILERPLATE_LINES,
+    "url_redirect_resolve": SQL_URL_REDIRECT_RESOLVE,
 }
