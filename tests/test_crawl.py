@@ -164,3 +164,13 @@ def test_redirect_plan_jvm_only_and_bounded_joins(spark):
     # self-join tree (the pre-checkpoint shape had 15 join nodes)
     lplan = out._jdf.queryExecution().optimizedPlan().toString()
     assert lplan.count("Join") <= 1
+
+
+def test_redirect_null_dst_is_dead_end(spark):
+    # a missing/unparseable Location header (NULL dst) must not
+    # masquerade as a terminal — neither for its own src nor for a
+    # chain that runs into it
+    got = _resolve(spark, [("a", "b"), ("b", None), ("ok", "t")])
+    assert got["a"] == (None, None, False)
+    assert got["b"] == (None, None, False)
+    assert got["ok"] == ("t", 1, True)

@@ -127,8 +127,12 @@ def resolve_redirects(redirects: DataFrame, *, max_hops: int = 8,
       final_url — that terminal (NULL when unresolved),
       hops      — chain length (NULL when unresolved).
 
-    Cycles (self-loops, A<->B, longer) and chains beyond ``max_hops``
-    come out resolved=false — a crawler treats both as dead ends.
+    Cycles (self-loops, A<->B, longer), chains beyond ``max_hops``,
+    and rows whose target is NULL (a redirect response with a
+    missing/unparseable Location header) come out resolved=false — a
+    crawler treats all three as dead ends.  A NULL dst would otherwise
+    masquerade as a terminal: the null-safe src-set probe never
+    matches, so the walk stops "done" at a URL that does not exist.
 
     Scale shape: pointer doubling, NOT per-hop iteration — round k
     composes the map with itself so every pointer advances up to 2^k
@@ -177,7 +181,10 @@ def resolve_redirects(redirects: DataFrame, *, max_hops: int = 8,
                       .otherwise(F.coalesce(F.col("r_done"), F.lit(True)))
                       .alias("done"))
              .localCheckpoint(eager=True))
-    ok = F.col("done") & (F.col("hops") <= max_hops)
+    # cur IS NULL == the chain ran into a missing Location target;
+    # "done" there is an artifact of the probe miss, not a terminal
+    ok = (F.col("done") & (F.col("hops") <= max_hops)
+          & F.col("cur").isNotNull())
     return m.select("src",
                     F.when(ok, F.col("cur")).alias("final_url"),
                     F.when(ok, F.col("hops")).alias("hops"),

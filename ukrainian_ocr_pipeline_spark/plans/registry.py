@@ -3834,14 +3834,25 @@ _ROBOTS_T3 = ("User-agent: otherbot\n"
               "Disallow: /\n")
 
 
+# Variant count shared by _host_variant_fixture and _SQL_HOSTS_CTE.  The
+# SQL twins' CASE ladders enumerate exactly this many branches, so the
+# assert below turns a template-count change into a loud Spark-side
+# failure instead of a silent cross-engine variant divergence.
+_HOST_VARIANT_N = 4
+
+
 def _host_variant_fixture(spark, sf_dir, templates, out_col):
     """One row per distinct source host carrying a deterministic
     per-host document: templates[ascii(last source char) % len], with
     any ``__HOST__`` placeholder replaced by the host.  THE single
     host/variant derivation shared by the robots and sitemap fixtures
     (SQL mirror: _SQL_HOSTS_CTE) — change it in one place only."""
+    assert len(templates) == _HOST_VARIANT_N, (
+        f"host-variant fixtures are pinned to {_HOST_VARIANT_N} templates "
+        f"(got {len(templates)}); update _HOST_VARIANT_N AND every CASE "
+        f"ladder in the robots/sitemap SQL twins together")
     docs = _t(spark, sf_dir, "documents")
-    v = F.ascii(F.substring("source", -1, 1)) % len(templates)
+    v = F.ascii(F.substring("source", -1, 1)) % _HOST_VARIANT_N
     tmpl = F.when(v == 0, F.lit(templates[0]))
     for i in range(1, len(templates) - 1):
         tmpl = tmpl.when(v == i, F.lit(templates[i]))
@@ -3902,8 +3913,8 @@ def q_robots_url_gate(spark, sf_dir):
 # oracle twins (Spark mirror: _host_variant_fixture) — one source of truth.
 _SQL_HOSTS_CTE = """hosts AS (
   SELECT DISTINCT source || '.example' AS host,
-         ascii(substr(source, -1, 1)) % 4 AS v
-  FROM documents)"""
+         ascii(substr(source, -1, 1)) %% %d AS v
+  FROM documents)""" % _HOST_VARIANT_N
 
 _SQL_ROBOTS_RULES_CTE = "\n" + _SQL_HOSTS_CTE + """,
 rob AS (
@@ -4251,11 +4262,15 @@ FROM walk GROUP BY src
 
 
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
-# entries of this dict.  Queries that have never (or only once) had a driver
-# row are placed at the front; queries that were hash-green in BOTH round-1
-# and round-2 driver artifacts are rotated to the tail so new round-3 queries
-# stay inside the checked window.  All queries remain covered by the local
-# all-query mirror (tests/test_queries_oracle.py) regardless of position.
+# entries of this dict.  Window policy: at ROUND START, rotate so the
+# never/once-witnessed backlog sits at the front and multi-round hash-green
+# queries fill the tail; DURING a round, new queries are APPENDED (the window
+# is already full of never-witnessed round-3 entries — displacing them
+# mid-round would just trade one unwitnessed query for another while churning
+# the set the round's artifacts describe).  With 116 queries and a 50-entry
+# window, most round-3 additions necessarily queue for the round-4 rotation;
+# every query regardless of position is covered by the local all-query mirror
+# (tests/test_queries_oracle.py) at sf0.001/sf0.01/sf0.1.
 QUERIES = {
     # -- never/once driver-witnessed (VERDICT r2 "What's wrong" #1) --
     "extraction_pipeline_metrics": q_extraction_pipeline_metrics,
