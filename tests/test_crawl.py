@@ -174,3 +174,26 @@ def test_redirect_null_dst_is_dead_end(spark):
     assert got["a"] == (None, None, False)
     assert got["b"] == (None, None, False)
     assert got["ok"] == ("t", 1, True)
+
+
+def test_frontier_url_resolve_statuses(spark):
+    pages = spark.createDataFrame(
+        [(1, "HTTPS://WWW.h.example/a?utm_x=1#f"),  # canonicalizes into map
+         (2, "https://h.example/b/"),               # trailing slash -> chain
+         (3, "https://h.example/dead"),             # chain into a cycle
+         (4, "https://h.example/plain")],           # not in the map
+        "doc_id long, url string")
+    redirects = spark.createDataFrame(
+        [("https://h.example/a", "https://h.example/t"),
+         ("https://h.example/b", "https://h.example/a"),
+         ("https://h.example/dead", "https://h.example/loop"),
+         ("https://h.example/loop", "https://h.example/loop")],
+        "src string, dst string")
+    got = {r.doc_id: (r.canonical_url, r.final_url, r.status)
+           for r in crawl.resolve_frontier_urls(pages, redirects).collect()}
+    assert got == {
+        1: ("https://h.example/a", "https://h.example/t", "redirected"),
+        2: ("https://h.example/b", "https://h.example/t", "redirected"),
+        3: ("https://h.example/dead", None, "dead"),
+        4: ("https://h.example/plain", "https://h.example/plain", "direct"),
+    }

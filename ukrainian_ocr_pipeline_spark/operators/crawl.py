@@ -34,7 +34,8 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects"]
+__all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects",
+           "resolve_frontier_urls"]
 
 # one capture per field; inline (?i) and char classes only, so the
 # Java-regex == RE2 == DuckDB cross-engine contract holds
@@ -189,3 +190,48 @@ def resolve_redirects(redirects: DataFrame, *, max_hops: int = 8,
                     F.when(ok, F.col("cur")).alias("final_url"),
                     F.when(ok, F.col("hops")).alias("hops"),
                     ok.alias("resolved"))
+
+
+def resolve_frontier_urls(pages: DataFrame, redirects: DataFrame, *,
+                          max_hops: int = 8,
+                          url_col: str = "url") -> DataFrame:
+    """Frontier alias collapse — the step a crawler runs between URL
+    discovery and scheduling: canonicalize every raw URL
+    (webnorm.canonical_url: case/www/utm/fragment/trailing-slash
+    noise), fold known redirect chains through ``resolve_redirects``,
+    and classify each row:
+
+      status='direct'      the canonical URL is not a known redirect;
+                           final_url = canonical_url
+      status='redirected'  the chain resolves within max_hops;
+                           final_url = the terminal
+      status='dead'        a cycle, an over-limit chain, or a missing
+                           Location target; final_url = NULL (a
+                           frontier drops these before scheduling)
+
+    Output: (doc_id, raw_url, canonical_url, final_url, status) — one
+    row per input row; grouping by final_url where status != 'dead'
+    gives the alias groups that one fetch will satisfy.
+
+    Scale shape: canonicalization is narrow in-row work during the
+    scan; the redirect map joins on canonical_url with a plain shuffle
+    equi-join (both sides corpus-sized at 100 TB — no broadcast
+    assumption); resolve_redirects contributes its own
+    ceil(log2(max_hops)) materialized rounds.  No Python anywhere."""
+    from . import webnorm  # deferred: keep module import cost flat
+
+    canon = pages.select(
+        F.col("doc_id"),
+        F.col(url_col).alias("raw_url"),
+        webnorm.canonical_url(url_col).alias("canonical_url"))
+    res = resolve_redirects(redirects, max_hops=max_hops).select(
+        F.col("src"), F.col("final_url").alias("_target"),
+        F.col("resolved").alias("_resolved"))
+    joined = canon.join(res, canon["canonical_url"] == res["src"], "left")
+    status = (F.when(F.col("src").isNull(), F.lit("direct"))
+               .when(F.col("_resolved"), F.lit("redirected"))
+               .otherwise(F.lit("dead")))
+    final = (F.when(F.col("src").isNull(), F.col("canonical_url"))
+              .when(F.col("_resolved"), F.col("_target")))
+    return joined.select("doc_id", "raw_url", "canonical_url",
+                         final.alias("final_url"), status.alias("status"))

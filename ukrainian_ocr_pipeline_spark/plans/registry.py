@@ -4261,6 +4261,84 @@ FROM walk GROUP BY src
 """
 
 
+def q_frontier_url_resolve(spark, sf_dir):
+    """Frontier alias collapse end-to-end (crawl.resolve_frontier_urls):
+    dirty discovered URLs -> canonical form -> redirect chains folded ->
+    direct / redirected / dead classification.  The dirty URL targets
+    p{doc_id % 36} in the redirect fixture's namespace, so all three
+    statuses appear at every sf: k%12==0 terminals are direct, chain
+    lengths 1..8 redirect, 9..11 dead-end past max_hops.  Composition
+    query: canonicalization (webnorm) x pointer doubling (crawl) in one
+    plan."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("r.example/p"), (d % 36).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#top")).otherwise(F.lit("")))
+    pages = _t(spark, sf_dir, "documents").select("doc_id",
+                                                  raw.alias("url"))
+    out = crawl.resolve_frontier_urls(
+        pages, _redirect_fixture(spark, sf_dir), max_hops=8)
+    return out.select(
+        "doc_id", "canonical_url",
+        F.coalesce("final_url", F.lit("")).alias("final_url"),
+        "status")
+
+
+SQL_FRONTIER_URL_RESOLVE = ("""
+WITH RECURSIVE raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+         || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         || 'r.example/p' || CAST(doc_id % 36 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+  FROM documents),
+""" + _SQL_CANON_CTES + """,
+redirects AS (
+  SELECT 'https://r.example/p' || CAST(doc_id AS VARCHAR) AS src,
+         'https://r.example/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 12 <> 0
+  UNION ALL
+  SELECT 'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'a',
+         'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'b'
+  FROM documents
+  UNION ALL
+  SELECT 'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'b',
+         'https://r.example/c' || CAST(doc_id AS VARCHAR) || 'a'
+  FROM documents
+  UNION ALL
+  SELECT 'https://r.example/s' || CAST(doc_id AS VARCHAR),
+         'https://r.example/s' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 10 = 0),
+walk AS (
+  SELECT r.src, r.dst AS cur, 1 AS hops,
+         r.dst NOT IN (SELECT src FROM redirects) AS done
+  FROM redirects r
+  UNION ALL
+  SELECT w.src, r2.dst, w.hops + 1,
+         r2.dst NOT IN (SELECT src FROM redirects)
+  FROM walk w JOIN redirects r2 ON w.cur = r2.src
+  WHERE NOT w.done AND w.hops < 8),
+res AS (
+  SELECT src, MAX(CASE WHEN done THEN cur END) AS target,
+         bool_or(done) AS resolved
+  FROM walk GROUP BY src)
+SELECT c.doc_id, c.canonical_url,
+       CASE WHEN r.src IS NULL THEN c.canonical_url
+            WHEN r.resolved THEN r.target
+            ELSE '' END AS final_url,
+       CASE WHEN r.src IS NULL THEN 'direct'
+            WHEN r.resolved THEN 'redirected'
+            ELSE 'dead' END AS status
+FROM canon c LEFT JOIN res r ON c.canonical_url = r.src
+""")
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -4407,6 +4485,7 @@ QUERIES = {
     "crawl_frontier_assign": q_crawl_frontier_assign,
     "host_boilerplate_lines": q_host_boilerplate_lines,
     "url_redirect_resolve": q_url_redirect_resolve,
+    "frontier_url_resolve": q_frontier_url_resolve,
 }
 
 ORACLE_SQL = {
@@ -4534,4 +4613,5 @@ ORACLE_SQL = {
     "crawl_frontier_assign": SQL_CRAWL_FRONTIER_ASSIGN,
     "host_boilerplate_lines": SQL_HOST_BOILERPLATE_LINES,
     "url_redirect_resolve": SQL_URL_REDIRECT_RESOLVE,
+    "frontier_url_resolve": SQL_FRONTIER_URL_RESOLVE,
 }
