@@ -791,3 +791,42 @@ def test_anchor_text_terms_semantics(spark):
            webnorm.anchor_text_terms(pages).collect()}
     assert got == {("docs.example", "getting"): 2,
                    ("docs.example", "started"): 2}
+
+
+def test_ccnet_tiers_ntile_and_tiebreak(spark):
+    # 7 scorable docs in lang xx tiered against an en-trained reference
+    # LM (the CCNet shape: the scored lang is NOT the training slice, so
+    # OOV gibberish really hits the smoothed floor): NTILE(3) fronts the
+    # remainder -> 3 head / 2 middle / 2 tail; equal scores break ties
+    # by doc_id; the 1-token doc is unscorable and dropped
+    rows = [(100, "en", "the cat sat on the mat"),
+            (101, "en", "the cat sat on the mat")]
+    rows += [(i, "xx", "the cat sat on the mat") for i in range(6)]
+    rows.append((6, "xx", "zq xv qj pf wk bn"))
+    rows.append((7, "xx", "word"))
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    out = textstats.ccnet_perplexity_tiers(docs, target_lang="en")
+    got = {r.doc_id: r.tier for r in out.collect() if r.lang == "xx"}
+    assert 7 not in got
+    assert got == {0: "head", 1: "head", 2: "head",
+                   3: "middle", 4: "middle", 5: "tail", 6: "tail"}
+
+
+def test_ccnet_tiers_are_per_language(spark):
+    # each language is tiered independently: a lang whose best doc
+    # would be another lang's tail still gets its own head
+    rows = [(1, "en", "the cat sat on the mat again and again"),
+            (2, "en", "the dog sat on the mat"),
+            (3, "en", "zq xv qj pf wk"),
+            (10, "fr", "zz yy xx ww vv uu"),
+            (11, "fr", "qq pp oo nn"),
+            (12, "fr", "mm ll kk jj")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    out = textstats.ccnet_perplexity_tiers(docs, target_lang="en")
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, set()).add(r.tier)
+    assert by_lang["en"] == {"head", "middle", "tail"}
+    assert by_lang["fr"] == {"head", "middle", "tail"}

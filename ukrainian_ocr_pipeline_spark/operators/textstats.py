@@ -1007,3 +1007,48 @@ SELECT doc_id,
        len(list_filter(ws, w -> w IN ({terms}))) = 0 AS keep
 FROM ws
 """
+
+
+def ccnet_perplexity_tiers(docs: DataFrame, target_lang: str = "en",
+                           lam: float = 0.7, text_col: str = "text",
+                           lang_col: str = "lang") -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4 — the
+    step after LM scoring in the published recipe): rank every scored
+    document WITHIN ITS LANGUAGE by domain-LM mean log-probability
+    (higher = lower perplexity = more reference-like) and cut the
+    ranking into three equal tiers — 'head' (best third), 'middle',
+    'tail'.  CCNet publishes these tiers as corpus partitions so
+    downstream consumers pick their quality/recall tradeoff (head-only
+    for pretraining, +middle for scale).
+
+    Stand-in honesty: one shared reference LM (``target_lang`` slice,
+    bigram_domain_logprob) stands in for CCNet's per-language wiki
+    KenLM models.  The tier windows are already per-language, so
+    swapping per-lang scores in changes no plan shape.  Docs the LM
+    cannot score (< 2 tokens) are dropped, as in CCNet.
+
+    Determinism: the score is micro-fixed integer arithmetic, ordering
+    ties broken by doc_id, and NTILE remainder distribution
+    (front-loaded) is SQL-standard in both engines — so tier
+    assignment is bit-stable across engines and partitionings.
+
+    Scale shape: scoring is bigram_domain_logprob's shape (partial
+    aggs + equi-joins); tiering adds ONE window partitioned by
+    language — the per-lang sort is the same work CCNet's percentile
+    cut does, and no partition exceeds a language's own doc count.
+
+    Output: (doc_id, lang, mean_logprob_r, tier).
+    """
+    from pyspark.sql import Window
+    scored = bigram_domain_logprob(docs, target_lang=target_lang,
+                                   lam=lam, text_col=text_col,
+                                   lang_col=lang_col)
+    w = (Window.partitionBy("lang")
+         .orderBy(F.desc("mean_logprob_r"), F.asc("doc_id")))
+    t = F.ntile(3).over(w)
+    return (docs.select("doc_id", F.col(lang_col).alias("lang"))
+            .join(scored, "doc_id")
+            .select("doc_id", "lang", "mean_logprob_r",
+                    F.when(t == 1, F.lit("head"))
+                     .when(t == 2, F.lit("middle"))
+                     .otherwise(F.lit("tail")).alias("tier")))

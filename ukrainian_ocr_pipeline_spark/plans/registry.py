@@ -1474,6 +1474,27 @@ SQL_BIGRAM_DOMAIN = textstats.bigram_domain_logprob_sql(
     "documents", target_lang="en", lam=0.7)
 
 
+def q_ccnet_perplexity_tiers(spark, sf_dir):
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020
+    §4.4): per-language NTILE(3) over the domain-LM score — the
+    published quality-tier cut downstream consumers select on.  Score
+    arithmetic is the micro-fixed bigram LM (doc_bigram_domain_logprob);
+    ordering ties broken by doc_id so tier assignment is engine- and
+    partitioning-exact."""
+    return textstats.ccnet_perplexity_tiers(
+        _t(spark, sf_dir, "documents"), target_lang="en", lam=0.7)
+
+
+SQL_CCNET_TIERS = f"""
+SELECT s.doc_id, d.lang, s.mean_logprob_r,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.mean_logprob_r DESC, s.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM ({SQL_BIGRAM_DOMAIN}) s JOIN documents d USING (doc_id)
+"""
+
+
 _BADWORDS = ("casino", "slow", "vector")
 
 
@@ -4486,6 +4507,7 @@ QUERIES = {
     "host_boilerplate_lines": q_host_boilerplate_lines,
     "url_redirect_resolve": q_url_redirect_resolve,
     "frontier_url_resolve": q_frontier_url_resolve,
+    "ccnet_perplexity_tiers": q_ccnet_perplexity_tiers,
 }
 
 ORACLE_SQL = {
@@ -4614,4 +4636,5 @@ ORACLE_SQL = {
     "host_boilerplate_lines": SQL_HOST_BOILERPLATE_LINES,
     "url_redirect_resolve": SQL_URL_REDIRECT_RESOLVE,
     "frontier_url_resolve": SQL_FRONTIER_URL_RESOLVE,
+    "ccnet_perplexity_tiers": SQL_CCNET_TIERS,
 }
