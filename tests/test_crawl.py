@@ -197,3 +197,17 @@ def test_frontier_url_resolve_statuses(spark):
         3: ("https://h.example/dead", None, "dead"),
         4: ("https://h.example/plain", "https://h.example/plain", "direct"),
     }
+
+
+def test_sitemap_directive_discovery(spark):
+    txt = ("Sitemap: https://h/top.xml\n"          # before any group
+           "User-agent: *\nDisallow: /x\n"
+           "Sitemap: HTTPS://h/Nested.XML # c\n"   # inside a group, case
+           "Sitemap: HTTPS://h/Nested.XML\n"       # duplicate collapses
+           "Sitemap:\n")                            # empty value ignored
+    df = spark.createDataFrame([("h", txt), ("empty.example", "User-agent: *\nAllow: /\n")],
+                               "host string, robots_txt string")
+    got = sorted((r.host, r.sitemap_url)
+                 for r in robots.parse_sitemap_directives(df).collect())
+    assert got == [("h", "HTTPS://h/Nested.XML"),
+                   ("h", "https://h/top.xml")]

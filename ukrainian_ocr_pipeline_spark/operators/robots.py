@@ -33,7 +33,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["parse_robots_rules", "parse_crawl_delay", "robots_gate"]
+__all__ = ["parse_robots_rules", "parse_crawl_delay", "robots_gate",
+           "parse_sitemap_directives"]
+
+
+def _directive_lines(robots: DataFrame, host_col: str, txt_col: str):
+    """Explode a robots table into parsed directive lines:
+    (host, ln_idx, ln, key, val, is_ua) — comments/CR stripped, key
+    lowercased, value case-preserved, non-directive lines dropped.
+    Shared by the group-scoped parsers and the global Sitemap scan."""
+    return (robots
+            .select(host_col,
+                    F.posexplode(F.split(F.col(txt_col), "\n"))
+                     .alias("ln_idx", "raw"))
+            # strip comments, CR, surrounding whitespace
+            .withColumn("ln", F.trim(F.regexp_replace(
+                F.regexp_replace("raw", "#.*$", ""), "\r", "")))
+            .withColumn("key", F.lower(F.regexp_extract(
+                "ln", "^([A-Za-z-]+)\\s*:", 1)))
+            .withColumn("val", F.trim(F.regexp_extract(
+                "ln", "^[A-Za-z-]+\\s*:(.*)$", 1)))
+            .withColumn("is_ua", F.col("key") == "user-agent")
+            # RFC 9309: comments and blank lines are ignorable
+            # ANYWHERE, including between stacked User-agent lines —
+            # they must not split a group.  Drop them (and any
+            # garbage non-directive line) BEFORE block grouping.
+            .where(F.col("key") != ""))
 
 
 def _applicable_blocks(robots: DataFrame, agent: str,
@@ -44,23 +69,7 @@ def _applicable_blocks(robots: DataFrame, agent: str,
     with its block_id, `picked` the (host, block_id) pairs that apply."""
     w = Window.partitionBy(host_col).orderBy("ln_idx")
 
-    lines = (robots
-             .select(host_col,
-                     F.posexplode(F.split(F.col(txt_col), "\n"))
-                      .alias("ln_idx", "raw"))
-             # strip comments, CR, surrounding whitespace
-             .withColumn("ln", F.trim(F.regexp_replace(
-                 F.regexp_replace("raw", "#.*$", ""), "\r", "")))
-             .withColumn("key", F.lower(F.regexp_extract(
-                 "ln", "^([A-Za-z-]+)\\s*:", 1)))
-             .withColumn("val", F.trim(F.regexp_extract(
-                 "ln", "^[A-Za-z-]+\\s*:(.*)$", 1)))
-             .withColumn("is_ua", F.col("key") == "user-agent")
-             # RFC 9309: comments and blank lines are ignorable
-             # ANYWHERE, including between stacked User-agent lines —
-             # they must not split a group.  Drop them (and any
-             # garbage non-directive line) BEFORE block grouping.
-             .where(F.col("key") != ""))
+    lines = _directive_lines(robots, host_col, txt_col)
 
     # block id: consecutive User-agent lines start ONE block; a
     # directive line after a UA run closes the run
@@ -157,3 +166,27 @@ def robots_gate(urls: DataFrame, rules: DataFrame, *,
                      .otherwise(F.lit(True)).alias("allowed"),
                     F.when(F.col("best.hit"), F.col("best.prefix"))
                      .otherwise(F.lit("")).alias("matched_prefix")))
+
+
+def parse_sitemap_directives(robots: DataFrame, *,
+                             host_col: str = "host",
+                             txt_col: str = "robots_txt") -> DataFrame:
+    """Per-host ``Sitemap:`` directives: (host, sitemap_url) — the
+    discovery half of the sitemaps.org protocol (a crawler learns a
+    site's sitemaps from its robots.txt, then fetches and parses them
+    with crawl.parse_sitemap).
+
+    Sitemap lines are GLOBAL per the protocol — independent of
+    user-agent groups — so unlike Allow/Disallow/Crawl-delay there is
+    no group election: every non-empty ``Sitemap:`` value anywhere in
+    the file counts, value case preserved (URLs are case-sensitive),
+    duplicates collapsed per host.  Hosts that declare none produce no
+    rows.
+
+    Scale shape: the same single exploded-lines pass the rule parsers
+    use, minus their two window passes — one filter + distinct on the
+    per-HOST table."""
+    return (_directive_lines(robots, host_col, txt_col)
+            .where((F.col("key") == "sitemap") & (F.col("val") != ""))
+            .select(host_col, F.col("val").alias("sitemap_url"))
+            .distinct())

@@ -3829,6 +3829,7 @@ FROM base
 # allow-all), longest-prefix wins, Allow wins length ties.
 _ROBOTS_AGENT = "researchbot"
 _ROBOTS_T0 = ("# site policy\n"
+              "Sitemap: https://__HOST__/sitemap.xml\n"
               "User-agent: gptbot\n"
               "Disallow: /\n"
               "\n"
@@ -3850,7 +3851,14 @@ _ROBOTS_T2 = ("User-agent: otherbot\n"
               "User-agent: researchbot\n"
               "Allow: /articles/2 # press kit\n"
               "Disallow: /articles/\n"
-              "Crawl-delay: 10\n")
+              "Crawl-delay: 10\n"
+              # sitemap lines are GLOBAL even when they sit inside a
+              # group (sitemaps.org protocol); value case preserved,
+              # the duplicate collapses per host.  Placed at group END
+              # so block boundaries (and every rules/delay twin hash)
+              # are untouched.
+              "Sitemap: HTTPS://__HOST__/Sitemap-Index.XML\n"
+              "Sitemap: HTTPS://__HOST__/Sitemap-Index.XML\n")
 _ROBOTS_T3 = ("User-agent: otherbot\n"
               "Disallow: /\n")
 
@@ -3940,8 +3948,9 @@ _SQL_HOSTS_CTE = """hosts AS (
 _SQL_ROBOTS_RULES_CTE = "\n" + _SQL_HOSTS_CTE + """,
 rob AS (
   SELECT host,
-         CASE v WHEN 0 THEN '__T0__' WHEN 1 THEN '__T1__'
-                WHEN 2 THEN '__T2__' ELSE '__T3__' END AS txt
+         replace(CASE v WHEN 0 THEN '__T0__' WHEN 1 THEN '__T1__'
+                        WHEN 2 THEN '__T2__' ELSE '__T3__' END,
+                 '__HOST__', host) AS txt
   FROM hosts),
 rlines AS (
   SELECT host, u.i AS ln_idx,
@@ -4013,6 +4022,23 @@ SELECT doc_id, host, path,
        CASE WHEN hit THEN allow ELSE TRUE END AS allowed,
        CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix
 FROM ranked WHERE rn = 1
+""")
+
+
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt (sitemaps.org protocol:
+    robots.parse_sitemap_directives) — ``Sitemap:`` lines are GLOBAL,
+    so no user-agent group election: every non-empty value anywhere in
+    the file, case preserved, deduped per host.  T0 hosts declare one
+    (top of file), T2 hosts declare one twice (inside a group,
+    uppercase path — the dup collapses), T1/T3 hosts none.  The
+    discovered URLs are what a crawler feeds crawl.parse_sitemap."""
+    return robots.parse_sitemap_directives(_robots_fixture(spark, sf_dir))
+
+
+SQL_ROBOTS_SITEMAP_DISCOVERY = ("WITH " + _SQL_ROBOTS_RULES_CTE + """
+SELECT DISTINCT host, val AS sitemap_url
+FROM parsed WHERE key = 'sitemap' AND val <> ''
 """)
 
 
@@ -4508,6 +4534,7 @@ QUERIES = {
     "url_redirect_resolve": q_url_redirect_resolve,
     "frontier_url_resolve": q_frontier_url_resolve,
     "ccnet_perplexity_tiers": q_ccnet_perplexity_tiers,
+    "robots_sitemap_discovery": q_robots_sitemap_discovery,
 }
 
 ORACLE_SQL = {
@@ -4637,4 +4664,5 @@ ORACLE_SQL = {
     "url_redirect_resolve": SQL_URL_REDIRECT_RESOLVE,
     "frontier_url_resolve": SQL_FRONTIER_URL_RESOLVE,
     "ccnet_perplexity_tiers": SQL_CCNET_TIERS,
+    "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
 }
