@@ -211,3 +211,28 @@ def test_sitemap_directive_discovery(spark):
                  for r in robots.parse_sitemap_directives(df).collect())
     assert got == [("h", "HTTPS://h/Nested.XML"),
                    ("h", "https://h/top.xml")]
+
+
+def test_frontier_url_resolve_dirty_map_and_invalid_urls(spark):
+    # the redirect map itself carries crawl noise: the operator must
+    # canonicalize BOTH sides before chaining; invalid raw URLs are
+    # dead, never a bogus 'direct' fetch group
+    pages = spark.createDataFrame(
+        [(1, "https://h.example/a"),
+         (2, None),
+         (3, "not a url"),
+         (4, "://missing-scheme/x")],
+        "doc_id long, url string")
+    redirects = spark.createDataFrame(
+        [("HTTPS://WWW.h.example/a?utm_x=1#f", "https://h.example/t/"),
+         # duplicate canonical src with a conflicting target: the
+         # deterministic collapse keeps the lexicographically smaller
+         # canonical dst ('.../t' < '.../t0')
+         ("https://h.example/a/", "https://h.example/t0")],
+        "src string, dst string")
+    got = {r.doc_id: (r.final_url, r.status)
+           for r in crawl.resolve_frontier_urls(pages, redirects).collect()}
+    assert got[1] == ("https://h.example/t", "redirected")
+    assert got[2] == (None, "dead")
+    assert got[3] == (None, "dead")
+    assert got[4] == (None, "dead")

@@ -125,3 +125,24 @@ def test_parse_and_gate_plans_are_jvm_only(spark):
     for plan_df in (rules, gated):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_sitemap_line_does_not_split_stacked_ua_run(spark):
+    # RFC 9309 §2.2.4: non-group lines (Sitemap, unknown keys) are
+    # invisible to group parsing — a Sitemap line between two stacked
+    # User-agent lines must NOT split the run, so the Disallow below
+    # binds to BOTH agents
+    txt = ("User-agent: a\n"
+           "Sitemap: https://h/s.xml\n"
+           "Unknown-key: v\n"
+           "User-agent: b\n"
+           "Disallow: /private/\n")
+    df = spark.createDataFrame([("h", txt)],
+                               "host string, robots_txt string")
+    for agent in ("a", "b"):
+        rules = robots.parse_robots_rules(df, agent=agent).collect()
+        assert [(r.allow, r.prefix) for r in rules] == \
+            [(False, "/private/")], agent
+    # and the sitemap is still discovered
+    assert robots.parse_sitemap_directives(df).collect()[0] \
+        .sitemap_url == "https://h/s.xml"

@@ -367,4 +367,3 @@ def test_badword_list_validation():
         with pytest.raises(ValueError):
             textstats.badword_filter_sql("documents", bad)
     assert textstats._validated_badwords(["B", "a", "b"]) == ["a", "b"]
-

@@ -194,7 +194,9 @@ def resolve_redirects(redirects: DataFrame, *, max_hops: int = 8,
 
 def resolve_frontier_urls(pages: DataFrame, redirects: DataFrame, *,
                           max_hops: int = 8,
-                          url_col: str = "url") -> DataFrame:
+                          url_col: str = "url",
+                          src_col: str = "src",
+                          dst_col: str = "dst") -> DataFrame:
     """Frontier alias collapse — the step a crawler runs between URL
     discovery and scheduling: canonicalize every raw URL
     (webnorm.canonical_url: case/www/utm/fragment/trailing-slash
@@ -213,10 +215,26 @@ def resolve_frontier_urls(pages: DataFrame, redirects: DataFrame, *,
     row per input row; grouping by final_url where status != 'dead'
     gives the alias groups that one fetch will satisfy.
 
+    Both SIDES are canonicalized: the redirect map (harvested from
+    fetch logs, so its src/dst carry the same www/utm/fragment noise
+    raw page URLs do) goes through the same webnorm.canonical_url
+    before chain resolution — otherwise a redirecting URL whose map
+    row is spelled differently silently classifies 'direct', and
+    chains terminating at spelling variants split alias groups.  Two
+    raw map rows that collapse onto one canonical src keep the
+    lexicographically smallest canonical target (deterministic under
+    any partitioning); resolve_redirects requires unique srcs.
+
+    Invalid raw URLs (NULL, no scheme, empty host) classify 'dead' —
+    final_url stays NULL exactly when status='dead', so grouping by
+    final_url over non-dead rows never creates a bogus NULL/garbage
+    fetch group.
+
     Scale shape: canonicalization is narrow in-row work during the
     scan; the redirect map joins on canonical_url with a plain shuffle
     equi-join (both sides corpus-sized at 100 TB — no broadcast
-    assumption); resolve_redirects contributes its own
+    assumption); the map collapse is one partial-agg groupBy on the
+    map side only; resolve_redirects contributes its own
     ceil(log2(max_hops)) materialized rounds.  No Python anywhere."""
     from . import webnorm  # deferred: keep module import cost flat
 
@@ -224,14 +242,22 @@ def resolve_frontier_urls(pages: DataFrame, redirects: DataFrame, *,
         F.col("doc_id"),
         F.col(url_col).alias("raw_url"),
         webnorm.canonical_url(url_col).alias("canonical_url"))
-    res = resolve_redirects(redirects, max_hops=max_hops).select(
+    rmap = (redirects
+            .select(webnorm.canonical_url(src_col).alias("src"),
+                    webnorm.canonical_url(dst_col).alias("dst"))
+            .groupBy("src").agg(F.min("dst").alias("dst")))
+    res = resolve_redirects(rmap, max_hops=max_hops).select(
         F.col("src"), F.col("final_url").alias("_target"),
         F.col("resolved").alias("_resolved"))
     joined = canon.join(res, canon["canonical_url"] == res["src"], "left")
-    status = (F.when(F.col("src").isNull(), F.lit("direct"))
+    ok_url = (F.col("canonical_url").isNotNull()
+              & F.col("canonical_url").rlike("^[a-z]+://[^/?#]"))
+    status = (F.when(~F.coalesce(ok_url, F.lit(False)), F.lit("dead"))
+               .when(F.col("src").isNull(), F.lit("direct"))
                .when(F.col("_resolved"), F.lit("redirected"))
                .otherwise(F.lit("dead")))
-    final = (F.when(F.col("src").isNull(), F.col("canonical_url"))
-              .when(F.col("_resolved"), F.col("_target")))
+    final = (F.when(status == "dead", F.lit(None).cast("string"))
+              .when(F.col("src").isNull(), F.col("canonical_url"))
+              .otherwise(F.col("_target")))
     return joined.select("doc_id", "raw_url", "canonical_url",
                          final.alias("final_url"), status.alias("status"))

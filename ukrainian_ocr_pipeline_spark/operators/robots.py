@@ -69,10 +69,17 @@ def _applicable_blocks(robots: DataFrame, agent: str,
     with its block_id, `picked` the (host, block_id) pairs that apply."""
     w = Window.partitionBy(host_col).orderBy("ln_idx")
 
-    lines = _directive_lines(robots, host_col, txt_col)
+    # RFC 9309 §2.2.4 / the reference Google parser: lines that are not
+    # group directives (Sitemap:, Host:, any unrecognized key) are
+    # ignored BY GROUP PARSING entirely — in particular a Sitemap line
+    # between two stacked User-agent lines must NOT split the run.
+    # Only recognized group directives participate in block grouping.
+    lines = _directive_lines(robots, host_col, txt_col).where(
+        F.col("key").isin("user-agent", "allow", "disallow",
+                          "crawl-delay"))
 
     # block id: consecutive User-agent lines start ONE block; a
-    # directive line after a UA run closes the run
+    # group directive line after a UA run closes the run
     blocks = (lines
               .withColumn("run_start",
                           (F.col("is_ua")

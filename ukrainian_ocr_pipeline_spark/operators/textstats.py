@@ -726,7 +726,7 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "uk",
                   / F.lit(1e6)).alias("avg_logratio_r")))
 
 
-def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
+def _bigram_domain_scored(docs: DataFrame, target_lang: str = "en",
                           lam: float = 0.7, text_col: str = "text",
                           lang_col: str = "lang") -> DataFrame:
     """CCNet-proper domain-LM scoring (Wenzek et al. 2020): train an
@@ -787,6 +787,10 @@ def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
              / (F.col("t_tokens") + F.col("v_size") + 1))
     contrib = F.floor(F.log(lam * p_bi + (1.0 - lam) * p_uni) * 1e6) \
         .cast("long")
+    # lang rides the per-doc aggregation as a functionally-dependent
+    # grouping key (doc_id is unique) so per-lang consumers — the CCNet
+    # tier cut — never re-join the corpus-sized docs table for it; the
+    # public output below projects it away to keep this schema stable
     return (pairs
             .join(big, ["w1", "w2"], "left")
             .join(ref_uni.select(F.col("w").alias("w2"),
@@ -794,10 +798,11 @@ def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
                   "w2", "left")
             .crossJoin(F.broadcast(tot))
             .withColumn("m", contrib)
-            .groupBy("doc_id")
+            .groupBy("doc_id", "__lang")
             .agg(F.count("*").alias("n_transitions"),
                  F.sum("m").alias("logprob_micro"))
-            .select("doc_id", "n_transitions", "logprob_micro",
+            .select("doc_id", F.col("__lang").alias("lang"),
+                    "n_transitions", "logprob_micro",
                     # dsir tie idiom (see avg_logratio_r above): round
                     # half-up AT micro precision — ROUND(x, 6) differs
                     # between engines on .5-micro double ties
@@ -805,6 +810,18 @@ def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
                              / F.col("n_transitions") + F.lit(0.5))
                      .cast("bigint") / F.lit(1e6))
                     .alias("mean_logprob_r")))
+
+
+def bigram_domain_logprob(docs: DataFrame, target_lang: str = "en",
+                          lam: float = 0.7, text_col: str = "text",
+                          lang_col: str = "lang") -> DataFrame:
+    """Public face of :func:`_bigram_domain_scored` with the documented
+    stable schema (doc_id, n_transitions, logprob_micro,
+    mean_logprob_r) — the lang column the core carries for per-lang
+    consumers (ccnet_perplexity_tiers) is projected away here."""
+    return _bigram_domain_scored(
+        docs, target_lang=target_lang, lam=lam,
+        text_col=text_col, lang_col=lang_col).drop("lang")
 
 
 def bigram_domain_logprob_sql(table: str, target_lang: str = "en",
@@ -1033,22 +1050,22 @@ def ccnet_perplexity_tiers(docs: DataFrame, target_lang: str = "en",
     assignment is bit-stable across engines and partitionings.
 
     Scale shape: scoring is bigram_domain_logprob's shape (partial
-    aggs + equi-joins); tiering adds ONE window partitioned by
-    language — the per-lang sort is the same work CCNet's percentile
-    cut does, and no partition exceeds a language's own doc count.
+    aggs + equi-joins; lang rides its per-doc aggregation key, so NO
+    corpus re-join happens here); tiering adds ONE window partitioned
+    by language — the per-lang sort is the same work CCNet's
+    percentile cut does, and no partition exceeds a language's own
+    doc count.
 
     Output: (doc_id, lang, mean_logprob_r, tier).
     """
     from pyspark.sql import Window
-    scored = bigram_domain_logprob(docs, target_lang=target_lang,
+    scored = _bigram_domain_scored(docs, target_lang=target_lang,
                                    lam=lam, text_col=text_col,
                                    lang_col=lang_col)
     w = (Window.partitionBy("lang")
          .orderBy(F.desc("mean_logprob_r"), F.asc("doc_id")))
     t = F.ntile(3).over(w)
-    return (docs.select("doc_id", F.col(lang_col).alias("lang"))
-            .join(scored, "doc_id")
-            .select("doc_id", "lang", "mean_logprob_r",
-                    F.when(t == 1, F.lit("head"))
-                     .when(t == 2, F.lit("middle"))
-                     .otherwise(F.lit("tail")).alias("tier")))
+    return scored.select("doc_id", "lang", "mean_logprob_r",
+                         F.when(t == 1, F.lit("head"))
+                          .when(t == 2, F.lit("middle"))
+                          .otherwise(F.lit("tail")).alias("tier"))

@@ -3967,12 +3967,16 @@ parsed AS (
            trim(regexp_extract(ln, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
     FROM rlines) WHERE key <> ''),
 marks AS (
+  -- only recognized GROUP directives participate in block grouping
+  -- (RFC 9309 §2.2.4: Sitemap/unknown lines must not split UA runs)
   SELECT host, ln_idx, key, val,
          CASE WHEN key = 'user-agent' AND NOT coalesce(
                 lag(key = 'user-agent') OVER
                   (PARTITION BY host ORDER BY ln_idx), FALSE)
               THEN 1 ELSE 0 END AS run_start
-  FROM parsed),
+  FROM (SELECT * FROM parsed
+        WHERE key IN ('user-agent', 'allow', 'disallow',
+                      'crawl-delay'))),
 blocks AS (
   SELECT host, ln_idx, key, val,
          SUM(run_start) OVER (PARTITION BY host ORDER BY ln_idx) AS block_id
@@ -4316,7 +4320,10 @@ def q_frontier_url_resolve(spark, sf_dir):
     statuses appear at every sf: k%12==0 terminals are direct, chain
     lengths 1..8 redirect, 9..11 dead-end past max_hops.  Composition
     query: canonicalization (webnorm) x pointer doubling (crawl) in one
-    plan."""
+    plan.  Stateless-twin discipline: the fixture map is already in
+    canonical form, so the operator's map-side canonicalization +
+    collapse is an identity here and the twin certifies the resolution
+    semantics; the dirty-map path is pinned Spark-side by unit test."""
     d = F.col("doc_id")
     raw = F.concat(
         F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
@@ -4376,10 +4383,16 @@ res AS (
          bool_or(done) AS resolved
   FROM walk GROUP BY src)
 SELECT c.doc_id, c.canonical_url,
-       CASE WHEN r.src IS NULL THEN c.canonical_url
+       CASE WHEN c.canonical_url IS NULL
+              OR NOT regexp_matches(c.canonical_url, '^[a-z]+://[^/?#]')
+            THEN ''
+            WHEN r.src IS NULL THEN c.canonical_url
             WHEN r.resolved THEN r.target
             ELSE '' END AS final_url,
-       CASE WHEN r.src IS NULL THEN 'direct'
+       CASE WHEN c.canonical_url IS NULL
+              OR NOT regexp_matches(c.canonical_url, '^[a-z]+://[^/?#]')
+            THEN 'dead'
+            WHEN r.src IS NULL THEN 'direct'
             WHEN r.resolved THEN 'redirected'
             ELSE 'dead' END AS status
 FROM canon c LEFT JOIN res r ON c.canonical_url = r.src
