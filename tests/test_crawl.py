@@ -236,3 +236,34 @@ def test_frontier_url_resolve_dirty_map_and_invalid_urls(spark):
     assert got[2] == (None, "dead")
     assert got[3] == (None, "dead")
     assert got[4] == (None, "dead")
+
+
+def test_budget_allocation_largest_remainder(spark):
+    # budget 10 over scores 5:3:1:1(+0): ideals 5.0/3.0/1.0/1.0 exact
+    # -> no remainders; budget 11 -> ideals 5.5/3.3/1.1/1.1: base
+    # 5/3/1/1 (sum 10), one top-up to the largest remainder (a: .5)
+    hs = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("d", 1), ("z", 0)],
+        "host string, score long")
+    q10 = {r.host: r.quota
+           for r in crawl.allocate_crawl_budget(hs, 10).collect()}
+    assert q10 == {"a": 5, "b": 3, "c": 1, "d": 1, "z": 0}
+    q11 = {r.host: r.quota
+           for r in crawl.allocate_crawl_budget(hs, 11).collect()}
+    assert q11 == {"a": 6, "b": 3, "c": 1, "d": 1, "z": 0}
+    assert sum(q11.values()) == 11
+    # remainder ties break by host asc: scores 1:1:1, budget 4 ->
+    # base 1 each, one top-up to 'a'
+    hs3 = spark.createDataFrame([("c", 1), ("a", 1), ("b", 1)],
+                                "host string, score long")
+    q4 = {r.host: r.quota
+          for r in crawl.allocate_crawl_budget(hs3, 4).collect()}
+    assert q4 == {"a": 2, "b": 1, "c": 1}
+
+
+def test_budget_allocation_zero_mass(spark):
+    hs = spark.createDataFrame([("a", 0), ("b", 0)],
+                               "host string, score long")
+    assert {r.host: r.quota
+            for r in crawl.allocate_crawl_budget(hs, 7).collect()} \
+        == {"a": 0, "b": 0}

@@ -35,7 +35,7 @@ import math
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects",
-           "resolve_frontier_urls"]
+           "resolve_frontier_urls", "allocate_crawl_budget"]
 
 # one capture per field; inline (?i) and char classes only, so the
 # Java-regex == RE2 == DuckDB cross-engine contract holds
@@ -261,3 +261,56 @@ def resolve_frontier_urls(pages: DataFrame, redirects: DataFrame, *,
               .otherwise(F.col("_target")))
     return joined.select("doc_id", "raw_url", "canonical_url",
                          final.alias("final_url"), status.alias("status"))
+
+
+def allocate_crawl_budget(host_scores: DataFrame, budget: int, *,
+                          host_col: str = "host",
+                          score_col: str = "score") -> DataFrame:
+    """Allocate a fixed crawl budget (page fetches per cycle) across
+    hosts proportionally to a non-negative integer score (pagerank
+    rank mass, quality-weighted page count, ...) using the LARGEST
+    REMAINDER method: quota_i = floor(budget * s_i / total) plus one
+    top-up fetch for the ``budget - sum(floor(...))`` hosts with the
+    largest integer remainder (budget*s_i mod total), ties broken by
+    host ascending.  sum(quota) == budget exactly — the property
+    driver-style schedulers need (no over-commit, no stranded budget).
+
+    All arithmetic is BIGINT-exact and engine-portable: the only
+    division is budget*s/total with budget*s kept under 2^53
+    (budget ~1e9 x score ~1e6 fits; the caller scales scores down
+    otherwise), and the remainder ranking uses the exact integer mod.
+    A zero/NULL total (no positive scores) allocates nothing.
+
+    Scale shape: the input is HOST-sized (~1e8 rows at web scale, tiny
+    next to pages); two one-row broadcast aggregates (total, floor
+    sum) and ONE global window for the remainder ranking — a sort of
+    the host table, the same work any top-k scheduler does per cycle.
+
+    Reference analog: get_optimal_batch_size / thread-pool width
+    division (utils/gpu.py:94-129) — a fixed resource split across
+    work units, here proportional instead of uniform."""
+    s = F.col(score_col).cast("long")
+    tot = host_scores.agg(F.sum(s).alias("_tot"))
+    base_tbl = (host_scores
+                .crossJoin(F.broadcast(tot))
+                .select(F.col(host_col).alias("host"),
+                        s.alias("score"),
+                        F.when((F.col("_tot") > 0) & (s > 0),
+                               F.floor((s * budget) / F.col("_tot")))
+                         .otherwise(F.lit(0)).cast("long").alias("base"),
+                        F.when((F.col("_tot") > 0) & (s > 0),
+                               (s * budget) % F.col("_tot"))
+                         .otherwise(F.lit(0)).cast("long").alias("rem"),
+                        (F.col("_tot") > 0).alias("_has_mass")))
+    leftover = base_tbl.agg(
+        (F.when(F.max(F.col("_has_mass").cast("int")) == 1,
+                F.lit(budget) - F.sum("base"))
+          .otherwise(F.lit(0))).cast("long").alias("_left"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (base_tbl
+            .crossJoin(F.broadcast(leftover))
+            .withColumn("_rk", F.row_number().over(w))
+            .select("host", "score",
+                    (F.col("base")
+                     + F.when(F.col("_rk") <= F.col("_left"), F.lit(1))
+                        .otherwise(F.lit(0))).cast("long").alias("quota")))

@@ -4174,6 +4174,45 @@ FROM fcand c LEFT JOIN delays d ON c.host = d.host
 """)
 
 
+def q_crawl_budget_allocation(spark, sf_dir):
+    """Proportional crawl-budget split across hosts by largest
+    remainder (crawl.allocate_crawl_budget): score = per-host total
+    text chars (varies per host), budget = 997 (prime, so integer
+    remainders are guaranteed and the top-up path is exercised at
+    every sf).  sum(quota) == budget exactly; all arithmetic
+    BIGINT-exact on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = (docs
+          .groupBy(F.concat(F.col("source"), F.lit(".example"))
+                    .alias("host"))
+          .agg(F.sum(F.length("text")).cast("long").alias("score")))
+    return crawl.allocate_crawl_budget(hs, budget=997)
+
+
+SQL_CRAWL_BUDGET_ALLOCATION = """
+WITH hs AS (
+  SELECT source || '.example' AS host,
+         CAST(SUM(length(text)) AS BIGINT) AS score
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(score) AS BIGINT) AS t FROM hs),
+base AS (
+  SELECT host, score,
+         CASE WHEN t > 0 AND score > 0
+              THEN CAST(FLOOR(score * 997 / t) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS base,
+         CASE WHEN t > 0 AND score > 0
+              THEN (score * 997) % t
+              ELSE CAST(0 AS BIGINT) END AS rem
+  FROM hs, tot),
+lv AS (SELECT CAST(997 - SUM(base) AS BIGINT) AS leftv FROM base)
+SELECT host, score,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host)
+                             <= leftv
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM base, lv
+"""
+
+
 def _linedoc_text_col():
     """Deterministic MULTILINE page text for host-boilerplate queries:
     a host-wide nav line (every page), a host-wide footer on even
@@ -4548,6 +4587,7 @@ QUERIES = {
     "frontier_url_resolve": q_frontier_url_resolve,
     "ccnet_perplexity_tiers": q_ccnet_perplexity_tiers,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
+    "crawl_budget_allocation": q_crawl_budget_allocation,
 }
 
 ORACLE_SQL = {
@@ -4678,4 +4718,5 @@ ORACLE_SQL = {
     "frontier_url_resolve": SQL_FRONTIER_URL_RESOLVE,
     "ccnet_perplexity_tiers": SQL_CCNET_TIERS,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
+    "crawl_budget_allocation": SQL_CRAWL_BUDGET_ALLOCATION,
 }
