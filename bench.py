@@ -82,7 +82,7 @@ HEADLINE = [
     "doc_html_metadata", "title_dup_groups", "anchor_text_terms",
     "host_boilerplate_lines", "url_redirect_resolve",
     "frontier_url_resolve", "ccnet_perplexity_tiers",
-    "crawl_budget_allocation",
+    "crawl_budget_allocation", "sitemap_recrawl_candidates",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

@@ -267,3 +267,32 @@ def test_budget_allocation_zero_mass(spark):
     assert {r.host: r.quota
             for r in crawl.allocate_crawl_budget(hs, 7).collect()} \
         == {"a": 0, "b": 0}
+
+
+def test_recrawl_reasons(spark):
+    pages = spark.createDataFrame(
+        [("h", "https://h/fresh", "2024-01-03"),
+         ("h", "https://h/mod", "2024-02-05T10:00:00+00:00"),
+         ("h", "https://h/modz", "2024-02-05T10:00:00Z"),
+         ("h", "https://h/new", None),
+         ("h", "https://h/aged", None),
+         ("h", "https://h/young", None)],
+        "host string, loc string, lastmod string")
+    fetched = spark.createDataFrame(
+        [("https://h/fresh", "2024-01-20T00:00:00"),
+         ("https://h/mod", "2024-01-10T00:00:00"),
+         ("https://h/modz", "2024-01-10T00:00:00"),
+         ("https://h/aged", "2023-11-01T00:00:00"),
+         ("https://h/young", "2024-02-20T00:00:00")],
+        "url string, last_fetch string")
+    out = crawl.recrawl_candidates(pages, fetched,
+                                   as_of="2024-03-01", max_age_days=45)
+    got = {r.loc: (r.reason, r.refetch) for r in out.collect()}
+    assert got == {
+        "https://h/fresh": ("fresh", False),   # lastmod before fetch
+        "https://h/mod": ("modified", True),   # +00:00 stripped, after
+        "https://h/modz": ("modified", True),  # Z stripped, after
+        "https://h/new": ("new", True),        # no snapshot row
+        "https://h/aged": ("aged", True),      # blind refresh past 45d
+        "https://h/young": ("fresh", False),   # within max_age
+    }

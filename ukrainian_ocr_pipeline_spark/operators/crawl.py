@@ -35,7 +35,8 @@ import math
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects",
-           "resolve_frontier_urls", "allocate_crawl_budget"]
+           "resolve_frontier_urls", "allocate_crawl_budget",
+           "recrawl_candidates"]
 
 # one capture per field; inline (?i) and char classes only, so the
 # Java-regex == RE2 == DuckDB cross-engine contract holds
@@ -314,3 +315,57 @@ def allocate_crawl_budget(host_scores: DataFrame, budget: int, *,
                     (F.col("base")
                      + F.when(F.col("_rk") <= F.col("_left"), F.lit(1))
                         .otherwise(F.lit(0))).cast("long").alias("quota")))
+
+
+def recrawl_candidates(sitemap_pages: DataFrame, fetched: DataFrame, *,
+                       as_of: str, max_age_days: int = 45,
+                       host_col: str = "host", loc_col: str = "loc",
+                       lastmod_col: str = "lastmod",
+                       url_col: str = "url",
+                       fetch_col: str = "last_fetch") -> DataFrame:
+    """Freshness-driven recrawl scheduling: join the sitemap's page
+    entries (crawl.parse_sitemap output) against the committed
+    snapshot's per-URL last-fetch table and classify every sitemap
+    page, first matching reason wins:
+
+      'new'       never fetched (no snapshot row)
+      'modified'  lastmod declared and strictly after the last fetch
+      'aged'      no lastmod declared and the last fetch is older than
+                  ``max_age_days`` before ``as_of`` (blind refresh —
+                  what a crawler does when the site gives no signal)
+      'fresh'     everything else (declared-unmodified pages are
+                  trusted even past max_age — the sitemap says so)
+
+    ``refetch`` = reason != 'fresh'.  ``as_of`` (an ISO date string)
+    is an explicit parameter, never a wall clock — the decision is a
+    pure function of its inputs, re-runnable and oracle-matchable.
+
+    Timestamp discipline (subset honesty): W3C lastmod values are
+    compared as NORMALIZED STRINGS — a trailing UTC designator
+    (``+00:00`` / ``Z``) is stripped and date-only values compare as
+    their midnight prefix; non-UTC zone offsets are NOT normalized
+    (Common Crawl fetch logs are UTC; a real multi-zone deployment
+    parses full W3C datetimes).  String comparison over ISO-8601 UTC
+    is order-identical to timestamp comparison, and — unlike engine
+    timestamp parsing — bit-identical across Spark and DuckDB.
+
+    Scale shape: the sitemap side is per-URL-declared (~1e9), the
+    fetch log corpus-sized; ONE shuffle equi-join on URL plus scan
+    pressure only — every predicate is a string/date expression, no
+    Python, no window."""
+    lm = F.regexp_replace(F.col(lastmod_col), "(\\+00:00|Z)$", "")
+    cutoff = F.date_sub(F.lit(as_of).cast("date"), max_age_days)
+    joined = (sitemap_pages
+              .join(fetched.select(F.col(url_col).alias(loc_col),
+                                   F.col(fetch_col)),
+                    loc_col, "left"))
+    reason = (F.when(F.col(fetch_col).isNull(), F.lit("new"))
+               .when(F.col(lastmod_col).isNotNull()
+                     & (lm > F.col(fetch_col)), F.lit("modified"))
+               .when(F.col(lastmod_col).isNull()
+                     & (F.substring(F.col(fetch_col), 1, 10).cast("date")
+                        < cutoff), F.lit("aged"))
+               .otherwise(F.lit("fresh")))
+    return (joined.select(host_col, loc_col, lastmod_col, fetch_col,
+                          reason.alias("reason"))
+            .withColumn("refetch", F.col("reason") != "fresh"))

@@ -4088,7 +4088,11 @@ def q_sitemap_url_extract(spark, sf_dir):
     return crawl.parse_sitemap(_sitemap_fixture(spark, sf_dir))
 
 
-SQL_SITEMAP_URL_EXTRACT = ("WITH " + _SQL_HOSTS_CTE + """,
+# the sitemap parse CTE chain — ends in smap(host, entry_type, loc,
+# lastmod, priority), THE one SQL mirror of crawl.parse_sitemap over
+# the per-host fixture, shared by the flat-extract twin and the
+# recrawl-scheduling twin
+_SQL_SITEMAP_CTES = (_SQL_HOSTS_CTE + """,
 sm AS (
   SELECT host,
          replace(CASE v WHEN 0 THEN '__T0__' WHEN 1 THEN '__T1__'
@@ -4106,16 +4110,96 @@ fields AS (
                         1) AS lm,
          regexp_extract(chunk, '(?i)<priority>\\s*([0-9.]+)\\s*</priority>',
                         1) AS pr
-  FROM chunks)
-SELECT host,
-       CASE WHEN regexp_matches(chunk, '(?i)<sitemap[\\s>]') THEN 'sitemap'
-            ELSE 'page' END AS entry_type,
-       loc,
-       CASE WHEN lm <> '' THEN lm END AS lastmod,
-       coalesce(try_cast(nullif(pr, '') AS DOUBLE), 0.5) AS priority
-FROM fields WHERE loc <> ''
+  FROM chunks),
+smap AS (
+  SELECT host,
+         CASE WHEN regexp_matches(chunk, '(?i)<sitemap[\\s>]')
+              THEN 'sitemap' ELSE 'page' END AS entry_type,
+         loc,
+         CASE WHEN lm <> '' THEN lm END AS lastmod,
+         coalesce(try_cast(nullif(pr, '') AS DOUBLE), 0.5) AS priority
+  FROM fields WHERE loc <> '')
 """.replace("__T0__", _SITEMAP_T0).replace("__T1__", _SITEMAP_T1).replace(
     "__T2__", _SITEMAP_T2).replace("__T3__", _SITEMAP_T3))
+
+SQL_SITEMAP_URL_EXTRACT = ("WITH " + _SQL_SITEMAP_CTES
+                           + "SELECT * FROM smap")
+
+
+def _fetch_log_fixture(spark, sf_dir):
+    """Deterministic per-URL last-fetch snapshot against the sitemap
+    fixture: T0 hosts fetched /a recently (fresh vs its 2024-01-03
+    lastmod) and /b long ago (stale vs its 2024-02-05 lastmod) — /b
+    only on even-length hosts, so odd-length T0 hosts report /b as
+    never-fetched; T1 hosts (no lastmod declared) fetched /c beyond
+    max_age and /d within it.  All four recrawl reasons appear at
+    every sf."""
+    hosts = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.col("source"), F.lit(".example"))
+                      .alias("host"),
+                     (F.ascii(F.substring("source", -1, 1))
+                      % _HOST_VARIANT_N).alias("v"))
+             .distinct())
+
+    def leg(v_val, path, lf, extra=None):
+        cond = F.col("v") == v_val
+        if extra is not None:
+            cond = cond & extra
+        return hosts.where(cond).select(
+            F.concat(F.lit("https://"), F.col("host"), F.lit(path))
+             .alias("url"),
+            F.lit(lf).alias("last_fetch"))
+
+    return (leg(0, "/a", "2024-01-20T00:00:00")
+            .unionAll(leg(0, "/b", "2024-01-10T00:00:00",
+                          F.length("host") % 2 == 0))
+            .unionAll(leg(1, "/c", "2023-11-01T00:00:00"))
+            .unionAll(leg(1, "/d", "2024-02-20T00:00:00")))
+
+
+def q_sitemap_recrawl_candidates(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (crawl.recrawl_candidates):
+    sitemap page entries vs the committed snapshot's fetch log —
+    new / modified / aged / fresh per page, refetch flag.  as_of is a
+    fixed parameter (no wall clock), lastmod compared as normalized
+    UTC ISO strings, age as dates — all engine-exact.  Composition:
+    parse_sitemap feeds the recrawl decision in one plan."""
+    smap = crawl.parse_sitemap(_sitemap_fixture(spark, sf_dir))
+    return crawl.recrawl_candidates(
+        smap.where(F.col("entry_type") == "page"),
+        _fetch_log_fixture(spark, sf_dir),
+        as_of="2024-03-01", max_age_days=45)
+
+
+SQL_SITEMAP_RECRAWL = ("WITH " + _SQL_SITEMAP_CTES + """,
+fl AS (
+  SELECT 'https://' || host || '/a' AS url,
+         '2024-01-20T00:00:00' AS last_fetch FROM hosts WHERE v = 0
+  UNION ALL
+  SELECT 'https://' || host || '/b', '2024-01-10T00:00:00'
+  FROM hosts WHERE v = 0 AND length(host) % 2 = 0
+  UNION ALL
+  SELECT 'https://' || host || '/c', '2023-11-01T00:00:00'
+  FROM hosts WHERE v = 1
+  UNION ALL
+  SELECT 'https://' || host || '/d', '2024-02-20T00:00:00'
+  FROM hosts WHERE v = 1)
+SELECT host, loc, lastmod, last_fetch, reason,
+       reason <> 'fresh' AS refetch
+FROM (
+  SELECT p.host, p.loc, p.lastmod, f.last_fetch,
+         CASE WHEN f.last_fetch IS NULL THEN 'new'
+              WHEN p.lastmod IS NOT NULL
+                   AND regexp_replace(p.lastmod, '(\\+00:00|Z)$', '')
+                       > f.last_fetch THEN 'modified'
+              WHEN p.lastmod IS NULL
+                   AND CAST(substr(f.last_fetch, 1, 10) AS DATE)
+                       < CAST(DATE '2024-03-01' - INTERVAL 45 DAY AS DATE)
+                   THEN 'aged'
+              ELSE 'fresh' END AS reason
+  FROM (SELECT * FROM smap WHERE entry_type = 'page') p
+  LEFT JOIN fl f ON p.loc = f.url)
+""")
 
 
 def q_crawl_frontier_assign(spark, sf_dir):
@@ -4588,6 +4672,7 @@ QUERIES = {
     "ccnet_perplexity_tiers": q_ccnet_perplexity_tiers,
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "crawl_budget_allocation": q_crawl_budget_allocation,
+    "sitemap_recrawl_candidates": q_sitemap_recrawl_candidates,
 }
 
 ORACLE_SQL = {
@@ -4719,4 +4804,5 @@ ORACLE_SQL = {
     "ccnet_perplexity_tiers": SQL_CCNET_TIERS,
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "crawl_budget_allocation": SQL_CRAWL_BUDGET_ALLOCATION,
+    "sitemap_recrawl_candidates": SQL_SITEMAP_RECRAWL,
 }
