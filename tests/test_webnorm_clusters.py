@@ -830,3 +830,29 @@ def test_ccnet_tiers_are_per_language(spark):
         by_lang.setdefault(r.lang, set()).add(r.tier)
     assert by_lang["en"] == {"head", "middle", "tail"}
     assert by_lang["fr"] == {"head", "middle", "tail"}
+
+
+def test_url_quality_features_gates_and_first_fail(spark):
+    rows = [
+        (1, "https://ok.example/a/b?x=1"),                  # keep
+        (2, "https://ok.example/1/2/3/4/5/6/7"),            # depth 7
+        (3, "https://ok.example/p123456789"),               # 9-digit run
+        (4, "https://ok.example/a?a=1&b=2&c=3&d=4&e=5"),    # 5 params
+        (5, "https://a-b-c-d-spam.example/x"),              # 4 hyphens
+        # depth AND digit run violated: first-fail reports path_depth
+        (6, "https://ok.example/1/2/3/4/5/6/123456789x/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: (r.keep, r.drop_reason, r.path_depth,
+                      r.longest_digit_run, r.n_params, r.host_hyphens)
+           for r in webnorm.url_quality_features(df).collect()}
+    assert got[1] == (True, "", 2, 0, 1, 0)
+    assert got[2][:2] == (False, "path_depth")
+    assert got[3][:2] == (False, "digit_run")
+    assert got[4][:2] == (False, "n_params")
+    assert got[5][:2] == (False, "host_hyphens")
+    assert got[6][:2] == (False, "path_depth")
+    # continuous signal: digits / path chars
+    r3 = {r.doc_id: r.digit_ratio_r
+          for r in webnorm.url_quality_features(df).collect()}[3]
+    assert r3 == round(9 / len("/p123456789"), 6)

@@ -597,3 +597,62 @@ def host_diversity_stats(pages: DataFrame, group_col: str = "lang",
                     "top_host_share_micro",
                     F.col("host_entropy_micro").cast("long")
                     .alias("host_entropy_micro")))
+
+
+def url_quality_features(pages: DataFrame, url_col: str = "url", *,
+                         max_depth: int = 6, max_digit_run: int = 8,
+                         max_params: int = 4,
+                         max_host_hyphens: int = 3) -> DataFrame:
+    """RefinedWeb-style URL quality gate — the filter a corpus builder
+    runs BEFORE fetching or even storing a page, on the URL string
+    alone: (doc_id, url, host, path_depth, n_params, digit_ratio_r,
+    longest_digit_run, host_hyphens, keep, drop_reason).
+
+    Features (each a published URL-spam signal):
+      path_depth        non-empty path segments — calendar/faceted
+                        crawl traps run deep
+      longest_digit_run longest [0-9]+ run in the path — session ids /
+                        tracking tokens
+      n_params          query parameters — faceted-navigation traps
+      host_hyphens      hyphens in the host — spam domain pattern
+      digit_ratio_r     digits / path chars (rounded 6dp, reported
+                        not gated — the continuous signal for a
+                        downstream classifier)
+
+    First-failing-rule-wins drop_reason ('' when kept), the same
+    deterministic-audit contract as textstats.quality_filter.  Pure
+    scan-speed string expressions — at 10^12 URLs this is the cheapest
+    gate in the pipeline and it runs before every byte of content is
+    paid for."""
+    u = F.col(url_col)
+    host = canonical_host(url_col)
+    path = F.regexp_extract(u, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"),
+                            lambda s: s != F.lit("")))
+    n_params = F.size(F.filter(F.split(query, "&"),
+                               lambda s: s != F.lit("")))
+    digit_run = F.coalesce(
+        F.array_max(F.transform(
+            F.regexp_extract_all(path, F.lit("[0-9]+"), F.lit(0)),
+            lambda x: F.length(x))),
+        F.lit(0))
+    hyphens = F.length(host) - F.length(F.regexp_replace(host, "-", ""))
+    n_path = F.length(path)
+    digit_ratio = F.round(
+        (n_path - F.length(F.regexp_replace(path, "[0-9]", "")))
+        / F.greatest(n_path, F.lit(1)), 6)
+    reason = (F.when(depth > max_depth, F.lit("path_depth"))
+               .when(digit_run > max_digit_run, F.lit("digit_run"))
+               .when(n_params > max_params, F.lit("n_params"))
+               .when(hyphens > max_host_hyphens, F.lit("host_hyphens"))
+               .otherwise(F.lit("")))
+    return pages.select(
+        "doc_id", u.alias("url"), host.alias("host"),
+        depth.alias("path_depth"),
+        n_params.alias("n_params"),
+        digit_ratio.alias("digit_ratio_r"),
+        digit_run.alias("longest_digit_run"),
+        hyphens.alias("host_hyphens"),
+        (reason == "").alias("keep"),
+        reason.alias("drop_reason"))

@@ -4297,6 +4297,78 @@ FROM base, lv
 """
 
 
+def q_url_quality_gate(spark, sf_dir):
+    """RefinedWeb-style URL-string quality gate
+    (webnorm.url_quality_features) over deterministically junked URLs:
+    depth d%8 (7 exceeds the max-6 gate), an 11-digit session token on
+    d%6==0 (exceeds the max-8 run), 5 query params on d%7==0 (exceeds
+    4), a 4-hyphen host prefix on d%9==0 (exceeds 3) — every gate and
+    the keep path all fire at every sf, and first-fail ordering is
+    exercised by the overlaps (e.g. d divisible by 42)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 9 == 0, F.lit("a-b-c-d-")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example"),
+        F.expr("repeat('/seg', CAST(doc_id % 8 AS INT))"),
+        F.when(d % 6 == 0, F.lit("/p12345678901")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("?x=1&y=2&z=3&w=4&v=5"))
+         .otherwise(F.lit("")))
+    pages = _t(spark, sf_dir, "documents").select("doc_id",
+                                                  url.alias("url"))
+    return webnorm.url_quality_features(pages)
+
+
+SQL_URL_QUALITY_GATE = """
+WITH pages AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 9 = 0 THEN 'a-b-c-d-' ELSE '' END
+         || source || '.example'
+         || repeat('/seg', CAST(doc_id % 8 AS INT))
+         || CASE WHEN doc_id % 6 = 0 THEN '/p12345678901' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '?x=1&y=2&z=3&w=4&v=5'
+                 ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM pages),
+feats AS (
+  SELECT doc_id, url, host,
+         len(list_filter(string_split(path, '/'), s -> s <> ''))
+           AS path_depth,
+         len(list_filter(string_split(query, '&'), s -> s <> ''))
+           AS n_params,
+         round((length(path)
+                - length(regexp_replace(path, '[0-9]', '', 'g')))
+               / greatest(length(path), 1), 6) AS digit_ratio_r,
+         coalesce(list_max(list_transform(
+             regexp_extract_all(path, '[0-9]+'), x -> length(x))), 0)
+           AS longest_digit_run,
+         length(host) - length(replace(host, '-', '')) AS host_hyphens
+  FROM parts)
+SELECT doc_id, url, host,
+       CAST(path_depth AS INTEGER) AS path_depth,
+       CAST(n_params AS INTEGER) AS n_params,
+       digit_ratio_r,
+       CAST(longest_digit_run AS INTEGER) AS longest_digit_run,
+       CAST(host_hyphens AS INTEGER) AS host_hyphens,
+       reason = '' AS keep, reason AS drop_reason
+FROM (
+  SELECT *,
+         CASE WHEN path_depth > 6 THEN 'path_depth'
+              WHEN longest_digit_run > 8 THEN 'digit_run'
+              WHEN n_params > 4 THEN 'n_params'
+              WHEN host_hyphens > 3 THEN 'host_hyphens'
+              ELSE '' END AS reason
+  FROM feats)
+"""
+
+
 def _linedoc_text_col():
     """Deterministic MULTILINE page text for host-boilerplate queries:
     a host-wide nav line (every page), a host-wide footer on even
@@ -4673,6 +4745,7 @@ QUERIES = {
     "robots_sitemap_discovery": q_robots_sitemap_discovery,
     "crawl_budget_allocation": q_crawl_budget_allocation,
     "sitemap_recrawl_candidates": q_sitemap_recrawl_candidates,
+    "url_quality_gate": q_url_quality_gate,
 }
 
 ORACLE_SQL = {
@@ -4805,4 +4878,5 @@ ORACLE_SQL = {
     "robots_sitemap_discovery": SQL_ROBOTS_SITEMAP_DISCOVERY,
     "crawl_budget_allocation": SQL_CRAWL_BUDGET_ALLOCATION,
     "sitemap_recrawl_candidates": SQL_SITEMAP_RECRAWL,
+    "url_quality_gate": SQL_URL_QUALITY_GATE,
 }
