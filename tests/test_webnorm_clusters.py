@@ -841,18 +841,26 @@ def test_url_quality_features_gates_and_first_fail(spark):
         (5, "https://a-b-c-d-spam.example/x"),              # 4 hyphens
         # depth AND digit run violated: first-fail reports path_depth
         (6, "https://ok.example/1/2/3/4/5/6/123456789x/p"),
+        # '?' inside an SPA fragment route is NOT query params
+        (7, "https://ok.example/app#/search?a=1&b=2&c=3&d=4&e=5"),
+        # junk frontier entries must fail the gate, not zero through it
+        (8, "//a-b-c-d-spam.example/1/2/3/4/5/6/7?a=1&b=2&c=3&d=4&e=5"),
+        (9, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r.doc_id: (r.keep, r.drop_reason, r.path_depth,
-                      r.longest_digit_run, r.n_params, r.host_hyphens)
+                      r.longest_digit_run, r.n_params, r.host_hyphens,
+                      r.digit_ratio_r)
            for r in webnorm.url_quality_features(df).collect()}
-    assert got[1] == (True, "", 2, 0, 1, 0)
+    assert got[1][:6] == (True, "", 2, 0, 1, 0)
     assert got[2][:2] == (False, "path_depth")
     assert got[3][:2] == (False, "digit_run")
     assert got[4][:2] == (False, "n_params")
     assert got[5][:2] == (False, "host_hyphens")
     assert got[6][:2] == (False, "path_depth")
+    assert got[7][:2] == (True, "")
+    assert got[7][4] == 0                       # no real query params
+    assert got[8][:2] == (False, "invalid")
+    assert got[9][:2] == (False, "invalid")
     # continuous signal: digits / path chars
-    r3 = {r.doc_id: r.digit_ratio_r
-          for r in webnorm.url_quality_features(df).collect()}[3]
-    assert r3 == round(9 / len("/p123456789"), 6)
+    assert got[3][6] == round(9 / len("/p123456789"), 6)

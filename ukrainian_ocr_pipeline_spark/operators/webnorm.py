@@ -620,14 +620,20 @@ def url_quality_features(pages: DataFrame, url_col: str = "url", *,
                         downstream classifier)
 
     First-failing-rule-wins drop_reason ('' when kept), the same
-    deterministic-audit contract as textstats.quality_filter.  Pure
+    deterministic-audit contract as textstats.quality_filter; a NULL,
+    scheme-less, or host-less URL fails first as 'invalid' — junk
+    frontier entries must not sail through the gate as all-zero
+    feature rows.  The fragment is dropped BEFORE the query extract
+    (same hazard canonical_url documents: a '?' inside an SPA-style
+    fragment route must not count as query parameters).  Pure
     scan-speed string expressions — at 10^12 URLs this is the cheapest
     gate in the pipeline and it runs before every byte of content is
     paid for."""
-    u = F.col(url_col)
-    host = canonical_host(url_col)
+    u = F.regexp_extract(F.col(url_col), "^([^#]*)", 1)
+    host = canonical_host(u)
     path = F.regexp_extract(u, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    query = F.regexp_extract(u, "\\?(.*)", 1)
+    valid = F.col(url_col).isNotNull() & u.rlike("^[A-Za-z]+://[^/?#]")
     depth = F.size(F.filter(F.split(path, "/"),
                             lambda s: s != F.lit("")))
     n_params = F.size(F.filter(F.split(query, "&"),
@@ -642,13 +648,14 @@ def url_quality_features(pages: DataFrame, url_col: str = "url", *,
     digit_ratio = F.round(
         (n_path - F.length(F.regexp_replace(path, "[0-9]", "")))
         / F.greatest(n_path, F.lit(1)), 6)
-    reason = (F.when(depth > max_depth, F.lit("path_depth"))
+    reason = (F.when(~F.coalesce(valid, F.lit(False)), F.lit("invalid"))
+               .when(depth > max_depth, F.lit("path_depth"))
                .when(digit_run > max_digit_run, F.lit("digit_run"))
                .when(n_params > max_params, F.lit("n_params"))
                .when(hyphens > max_host_hyphens, F.lit("host_hyphens"))
                .otherwise(F.lit("")))
     return pages.select(
-        "doc_id", u.alias("url"), host.alias("host"),
+        "doc_id", F.col(url_col).alias("url"), host.alias("host"),
         depth.alias("path_depth"),
         n_params.alias("n_params"),
         digit_ratio.alias("digit_ratio_r"),

@@ -4288,7 +4288,12 @@ base AS (
               THEN (score * 997) % t
               ELSE CAST(0 AS BIGINT) END AS rem
   FROM hs, tot),
-lv AS (SELECT CAST(997 - SUM(base) AS BIGINT) AS leftv FROM base)
+lv AS (
+  -- zero-mass guard mirrors the Spark operator: no positive score ->
+  -- no top-ups (else the twin would hand the whole budget out 1-by-1)
+  SELECT CASE WHEN MAX(t) > 0 THEN CAST(997 - SUM(base) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS leftv
+  FROM base, tot)
 SELECT host, score,
        CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host)
                              <= leftv
@@ -4331,14 +4336,19 @@ WITH pages AS (
                  ELSE '' END AS url
   FROM documents),
 parts AS (
-  SELECT doc_id, url,
-         regexp_replace(lower(regexp_extract(url,
-             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
-         regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  SELECT doc_id, url, regexp_extract(url, '^([^#]*)', 1) AS u
   FROM pages),
+parts2 AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(u,
+             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+         regexp_extract(u, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(u, '\\?(.*)', 1) AS query,
+         url IS NOT NULL
+           AND regexp_matches(u, '^[A-Za-z]+://[^/?#]') AS valid
+  FROM parts),
 feats AS (
-  SELECT doc_id, url, host,
+  SELECT doc_id, url, host, valid,
          len(list_filter(string_split(path, '/'), s -> s <> ''))
            AS path_depth,
          len(list_filter(string_split(query, '&'), s -> s <> ''))
@@ -4350,7 +4360,7 @@ feats AS (
              regexp_extract_all(path, '[0-9]+'), x -> length(x))), 0)
            AS longest_digit_run,
          length(host) - length(replace(host, '-', '')) AS host_hyphens
-  FROM parts)
+  FROM parts2)
 SELECT doc_id, url, host,
        CAST(path_depth AS INTEGER) AS path_depth,
        CAST(n_params AS INTEGER) AS n_params,
@@ -4360,7 +4370,8 @@ SELECT doc_id, url, host,
        reason = '' AS keep, reason AS drop_reason
 FROM (
   SELECT *,
-         CASE WHEN path_depth > 6 THEN 'path_depth'
+         CASE WHEN NOT coalesce(valid, FALSE) THEN 'invalid'
+              WHEN path_depth > 6 THEN 'path_depth'
               WHEN longest_digit_run > 8 THEN 'digit_run'
               WHEN n_params > 4 THEN 'n_params'
               WHEN host_hyphens > 3 THEN 'host_hyphens'
