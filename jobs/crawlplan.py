@@ -24,10 +24,15 @@ composed from the already-verified crawl-layer operators:
      the full audit including pages NOT scheduled.
   5. redirect folding (--redirects): candidates whose URL is a known
      redirect are rewritten to their resolved terminal
-     (crawl.resolve_redirects, pointer doubling); dead chains
-     (cycles / over-limit / missing Location) are dropped and counted.
-  6. robots.robots_gate — per-URL allow/deny under the parsed rules;
-     denied candidates are dropped and counted.
+     (crawl.resolve_redirects, pointer doubling; duplicate map srcs
+     collapse deterministically first); dead chains (cycles /
+     over-limit / missing Location) are dropped and counted.  A
+     cross-host redirect is re-keyed to its TARGET host — rules,
+     crawl-delay, and budget all follow the host actually fetched.
+  6. robots.robots_gate — per-URL allow/deny under the parsed rules
+     (a bare-host URL gates as path '/').  The folded+gated audit is
+     committed as ``plan_candidates``; the frontier build and the
+     stats line both read it instead of recomputing.
   7. crawl.frontier_assign — per-host politeness schedule
      (fetch_round, eta_seconds) over the surviving candidates, scored
      by sitemap priority.  Committed as ``plan_frontier``.
@@ -125,24 +130,40 @@ def main(argv=None) -> int:
     def build_sitemaps_discovered():
         return robots.parse_sitemap_directives(robots_tbl)
 
+    # sitemaps in the wild repeat locs (and two hosts can cross-submit
+    # one URL): collapse to one row per (host, loc) BEFORE any join so
+    # downstream counts never multiply — most recent lastmod, highest
+    # declared priority
     pages = (crawl.parse_sitemap(sitemaps_tbl)
-             .where(F.col("entry_type") == "page"))
+             .where(F.col("entry_type") == "page")
+             .groupBy("host", "loc")
+             .agg(F.max("lastmod").alias("lastmod"),
+                  F.max("priority").alias("priority")))
 
     def build_recrawl():
         return crawl.recrawl_candidates(
             pages, fetchlog, as_of=args.as_of,
             max_age_days=args.max_age_days)
 
-    def candidates():
-        """Refetch set -> redirect-folded -> robots-gated frontier
-        input (host, url, score, audit columns)."""
+    def build_candidates():
+        """Refetch set -> redirect-folded -> robots-gated audit table:
+        one row per refetch candidate with the folded url, the TARGET
+        host, and the dead/allowed verdicts.  Committed so the
+        frontier build AND the stats line read one materialized
+        result instead of re-running redirect resolution."""
+        from ukrainian_ocr_pipeline_spark.operators import webnorm
         cand = (cat.read_snapshot(spark, "plan_recrawl", args.snapshot_id)
                 .where(F.col("refetch"))
-                .join(pages.select("loc", "priority"), "loc"))
+                .join(pages.select("host", "loc", "priority"),
+                      ["host", "loc"]))
         if args.redirects is not None:
-            res = crawl.resolve_redirects(
-                spark.read.parquet(args.redirects),
-                max_hops=args.max_hops)
+            # fetch-log-derived maps carry duplicate srcs (retries):
+            # deterministic min-dst collapse, resolve_redirects
+            # requires unique srcs (same discipline as
+            # crawl.resolve_frontier_urls)
+            rmap = (spark.read.parquet(args.redirects)
+                    .groupBy("src").agg(F.min("dst").alias("dst")))
+            res = crawl.resolve_redirects(rmap, max_hops=args.max_hops)
             cand = (cand.join(res, cand["loc"] == res["src"], "left")
                     .withColumn("dead_redirect",
                                 F.col("src").isNotNull()
@@ -153,15 +174,25 @@ def main(argv=None) -> int:
         else:
             cand = (cand.withColumn("url", F.col("loc"))
                     .withColumn("dead_redirect", F.lit(False)))
-        # the gate matches PATHS against prefix rules
-        return cand.withColumn(
-            "path", F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^#]*)", 1))
+        # a cross-host redirect must be gated by and scheduled under
+        # the TARGET's host — rules, crawl-delay, and budget all key on
+        # the host actually fetched (robots/sitemap host keys are
+        # canonical: lowercase, no www — the canonical_host contract)
+        cand = cand.withColumn("host", webnorm.canonical_host("url"))
+        # the gate matches PATHS against prefix rules; RFC 9309 treats
+        # a bare-host URL as path '/' (else 'Disallow: /' is bypassed)
+        p = F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+        cand = cand.withColumn(
+            "path", F.when(p == "", F.lit("/")).otherwise(p))
+        return (robots.robots_gate(cand, F.broadcast(rules))
+                .select("host", "loc", "url", "priority", "reason",
+                        "dead_redirect", "allowed", "matched_prefix"))
 
     def build_frontier():
-        cand = candidates()
-        gated = robots.robots_gate(
-            cand.where(~F.col("dead_redirect")), F.broadcast(rules))
-        allowed = (gated.where(F.col("allowed"))
+        cand = cat.read_snapshot(spark, "plan_candidates",
+                                 args.snapshot_id)
+        allowed = (cand
+                   .where(F.col("allowed") & ~F.col("dead_redirect"))
                    .groupBy("host", "url")
                    .agg(F.max("priority").alias("score")))
         return crawl.frontier_assign(
@@ -177,6 +208,7 @@ def main(argv=None) -> int:
 
     tables = [("plan_sitemaps", build_sitemaps_discovered),
               ("plan_recrawl", build_recrawl),
+              ("plan_candidates", build_candidates),
               ("plan_frontier", build_frontier)]
     if args.budget > 0:
         tables.append(("plan_budget", build_budget))
@@ -189,19 +221,23 @@ def main(argv=None) -> int:
                recrawl.groupBy("reason").agg(F.count("*").alias("n"))
                .collect()}
     frontier = cat.read_snapshot(spark, "plan_frontier", args.snapshot_id)
-    cand = candidates()
-    n_dead = cand.where(F.col("dead_redirect")).count()
-    n_refetch = cand.count()
-    gated = robots.robots_gate(
-        cand.where(~F.col("dead_redirect")), F.broadcast(rules))
-    n_denied = gated.where(~F.col("allowed")).count()
+    # all stats read COMMITTED tables (the jobs/report.py discipline):
+    # an idempotent re-run reports the pinned plan without re-running
+    # redirect resolution or the gate
+    cand = cat.read_snapshot(spark, "plan_candidates", args.snapshot_id)
+    audit = cand.agg(
+        F.count("*").alias("n_refetch"),
+        F.sum(F.when(F.col("dead_redirect"), 1).otherwise(0))
+         .alias("n_dead"),
+        F.sum(F.when(~F.col("dead_redirect") & ~F.col("allowed"), 1)
+               .otherwise(0)).alias("n_denied")).collect()[0]
     stats = {"snapshot_id": args.snapshot_id, "agent": args.agent,
              "as_of": args.as_of,
              "sitemap_pages": recrawl.count(),
              **reasons,
-             "refetch_candidates": n_refetch,
-             "dead_redirects": n_dead,
-             "denied_robots": n_denied,
+             "refetch_candidates": audit["n_refetch"],
+             "dead_redirects": int(audit["n_dead"] or 0),
+             "denied_robots": int(audit["n_denied"] or 0),
              "frontier_urls": frontier.count(),
              "hosts": frontier.select("host").distinct().count(),
              "sitemaps_discovered": cat.read_snapshot(

@@ -132,8 +132,8 @@ def test_crawlplan_idempotent_rerun(spark, tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert first == second
     # one manifest per table, not two
-    for table in ["plan_sitemaps", "plan_recrawl", "plan_frontier",
-                  "plan_budget"]:
+    for table in ["plan_sitemaps", "plan_recrawl", "plan_candidates",
+                  "plan_frontier", "plan_budget"]:
         snapdir = os.path.join(wh, table, "snapshots")
         assert len(os.listdir(snapdir)) == 1, table
 
@@ -161,3 +161,87 @@ def test_crawlplan_parse_guards(spark, tmp_path):
                 ["--as-of", "2024-03-01", "--max-hops", "0"]):
         with pytest.raises(SystemExit):
             crawlplan_main(base + bad)
+
+
+def test_crawlplan_cross_host_redirect_follows_target_policy(
+        spark, tmp_path, capsys):
+    """A redirect to ANOTHER host must be gated by and scheduled under
+    the TARGET host's rules/delay — not the source's."""
+    root = str(tmp_path / "in")
+    os.makedirs(root, exist_ok=True)
+    robots = spark.createDataFrame(
+        [("open.example", "User-agent: *\nAllow: /\nCrawl-delay: 2\n"),
+         ("strict.example",
+          "User-agent: *\nDisallow: /private/\nCrawl-delay: 9\n")],
+        "host string, robots_txt string")
+    sitemaps = spark.createDataFrame(
+        [("open.example",
+          "<urlset><url><loc>https://open.example/moved1</loc></url>"
+          "<url><loc>https://open.example/moved2</loc></url></urlset>")],
+        "host string, sitemap_xml string")
+    redirects = spark.createDataFrame(
+        [("https://open.example/moved1", "https://strict.example/ok"),
+         ("https://open.example/moved2", "https://strict.example/private/x"),
+         # duplicate src rows (a retry): must collapse, not multiply
+         ("https://open.example/moved1", "https://strict.example/ok")],
+        "src string, dst string")
+    paths = {}
+    for name, df in [("robots", robots), ("sitemaps", sitemaps),
+                     ("redirects", redirects)]:
+        paths[name] = os.path.join(root, name + ".parquet")
+        df.write.mode("overwrite").parquet(paths[name])
+    wh = str(tmp_path / "wh")
+    rc = crawlplan_main(
+        ["--robots", paths["robots"], "--sitemaps", paths["sitemaps"],
+         "--redirects", paths["redirects"], "--warehouse", wh,
+         "--snapshot-id", "x1", "--as-of", "2024-03-01"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["refetch_candidates"] == 2      # dup src did not multiply
+    assert stats["denied_robots"] == 1           # strict's /private/ rule
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    rows = {r.url: (r.host, r.crawl_delay) for r in cat.read_snapshot(
+        spark, "plan_frontier", "x1").collect()}
+    # scheduled under the TARGET host with the TARGET's delay
+    assert rows == {"https://strict.example/ok": ("strict.example", 9.0)}
+
+
+def test_crawlplan_bare_host_and_duplicate_sitemap_entries(
+        spark, tmp_path, capsys):
+    """A bare-host loc gates as path '/' (Disallow: / must catch it);
+    a loc repeated in the sitemap produces ONE candidate row."""
+    root = str(tmp_path / "in")
+    os.makedirs(root, exist_ok=True)
+    robots = spark.createDataFrame(
+        [("closed.example", "User-agent: *\nDisallow: /\n"),
+         ("open.example", "User-agent: *\nAllow: /x\n")],
+        "host string, robots_txt string")
+    sitemaps = spark.createDataFrame(
+        [("closed.example",
+          "<urlset><url><loc>https://closed.example</loc></url></urlset>"),
+         ("open.example",
+          "<urlset><url><loc>https://open.example/dup</loc>"
+          "<priority>0.3</priority></url>"
+          "<url><loc>https://open.example/dup</loc>"
+          "<priority>0.8</priority></url></urlset>")],
+        "host string, sitemap_xml string")
+    paths = {}
+    for name, df in [("robots", robots), ("sitemaps", sitemaps)]:
+        paths[name] = os.path.join(root, name + ".parquet")
+        df.write.mode("overwrite").parquet(paths[name])
+    wh = str(tmp_path / "wh")
+    rc = crawlplan_main(
+        ["--robots", paths["robots"], "--sitemaps", paths["sitemaps"],
+         "--warehouse", wh, "--snapshot-id", "x2",
+         "--as-of", "2024-03-01"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["sitemap_pages"] == 2           # dup collapsed pre-join
+    assert stats["denied_robots"] == 1           # bare host hit Disallow: /
+    assert stats["frontier_urls"] == 1
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    f = cat.read_snapshot(spark, "plan_frontier", "x2").collect()
+    assert [(r.url, r.score) for r in f] == \
+        [("https://open.example/dup", 0.8)]     # max declared priority
