@@ -83,7 +83,7 @@ HEADLINE = [
     "host_boilerplate_lines", "url_redirect_resolve",
     "frontier_url_resolve", "ccnet_perplexity_tiers",
     "crawl_budget_allocation", "sitemap_recrawl_candidates",
-    "url_quality_gate",
+    "url_quality_gate", "url_template_census",
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",

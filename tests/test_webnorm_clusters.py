@@ -864,3 +864,23 @@ def test_url_quality_features_gates_and_first_fail(spark):
     assert got[9][:2] == (False, "invalid")
     # continuous signal: digits / path chars
     assert got[3][6] == round(9 / len("/p123456789"), 6)
+
+
+def test_url_template_census_traps(spark):
+    rows = ([(f"https://t.example/cal/2024/{i}",) for i in range(10)]
+            + [(f"https://t.example/page?id={i}",) for i in range(10)]
+            + [("https://t.example/article/alpha",)] * 3
+            + [("https://t.example/article/beta",)] * 3)
+    df = spark.createDataFrame(rows, "url string")
+    got = {(r.host, r.template): (r.n_urls, r.n_distinct_nodigit, r.is_trap)
+           for r in webnorm.url_template_census(
+               df, trap_min_urls=5,
+               trap_max_distinct_ratio=0.34).collect()}
+    # calendar trap: 10 distinct URLs, one digit-stripped form
+    assert got[("t.example", "/cal/N/N")] == (10, 1, True)
+    # id-churn trap: query varies, path template constant
+    assert got[("t.example", "/page")] == (10, 1, True)
+    # letter-keyed articles: repeated fetches of ONE url each -> small,
+    # never trap
+    assert got[("t.example", "/article/alpha")] == (1, 1, False)
+    assert got[("t.example", "/article/beta")] == (1, 1, False)

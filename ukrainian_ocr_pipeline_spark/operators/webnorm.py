@@ -663,3 +663,42 @@ def url_quality_features(pages: DataFrame, url_col: str = "url", *,
         hyphens.alias("host_hyphens"),
         (reason == "").alias("keep"),
         reason.alias("drop_reason"))
+
+
+def url_template_census(pages: DataFrame, url_col: str = "url", *,
+                        trap_min_urls: int = 50,
+                        trap_max_distinct_ratio: float = 0.02
+                        ) -> DataFrame:
+    """Crawl-trap detection by URL-template census: normalize every
+    path's digit runs to 'N' and count URLs per (host, template) —
+    calendar pages, session-id mirrors, and faceted listings collapse
+    onto one template with an exploding URL count while real content
+    spreads across many templates.  Output one row per (host,
+    template): n_urls, n_distinct_nodigit (distinct URLs AFTER digit
+    removal — near-1 for pure digit churn), distinct_ratio_r, and
+    is_trap when the template has >= ``trap_min_urls`` URLs whose
+    digit-stripped forms collapse to <= ``trap_max_distinct_ratio`` of
+    them.  A frontier drops (or rate-caps) trap templates before
+    fetching; the census itself is the audit a crawl operator reads.
+
+    Scale shape: one in-row normalization during the scan + ONE
+    partial-agg shuffle on (host, template) — the same cost as exact
+    URL dedup; no window, no join, no Python."""
+    u = F.regexp_extract(F.col(url_col), "^([^#]*)", 1)
+    host = canonical_host(u)
+    path = F.regexp_extract(u, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    nodigit = F.regexp_replace(u, "[0-9]+", "")
+    out = (pages
+           .select(host.alias("host"), template.alias("template"),
+                   F.col(url_col).alias("url"), nodigit.alias("nd"))
+           .groupBy("host", "template")
+           .agg(F.countDistinct("url").alias("n_urls"),
+                F.countDistinct("nd").alias("n_distinct_nodigit")))
+    ratio = F.round(F.col("n_distinct_nodigit")
+                    / F.greatest(F.col("n_urls"), F.lit(1)), 6)
+    return out.select(
+        "host", "template", "n_urls", "n_distinct_nodigit",
+        ratio.alias("distinct_ratio_r"),
+        ((F.col("n_urls") >= trap_min_urls)
+         & (ratio <= trap_max_distinct_ratio)).alias("is_trap"))

@@ -4380,6 +4380,67 @@ FROM (
 """
 
 
+def q_url_template_census(spark, sf_dir):
+    """Crawl-trap detection (webnorm.url_template_census) over
+    deterministic trap-shaped URLs: per host, d%3 routes each doc to a
+    calendar trap (/cal/YEAR/d — one digit-template, pure digit
+    churn), an id-churn trap (/page?id=d — one path template, query
+    churn), or a small letter-keyed article set (distinct templates,
+    never trap).  Thresholds scaled to the fixture (>= 5 URLs,
+    distinct ratio <= 0.34) so both trap kinds AND the non-trap path
+    fire at every sf."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("/cal/2024/"), d.cast("string")))
+         .when(d % 3 == 1,
+               F.concat(F.lit("/page?id="), d.cast("string")))
+         .otherwise(F.concat(F.lit("/article/"),
+                             F.substring(F.lit("abcde"),
+                                         (d % 5 + 1).cast("int"), 1))))
+    pages = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return webnorm.url_template_census(
+        pages, trap_min_urls=5, trap_max_distinct_ratio=0.34)
+
+
+SQL_URL_TEMPLATE_CENSUS = """
+WITH pages AS (
+  SELECT 'https://' || source || '.example'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '/cal/2024/' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 3 = 1
+                 THEN '/page?id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '/article/'
+                      || substr('abcde', CAST(doc_id % 5 + 1 AS INT), 1)
+            END AS url
+  FROM documents),
+parts AS (
+  SELECT url, regexp_extract(url, '^([^#]*)', 1) AS u FROM pages),
+norm AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(u,
+             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(u,
+             '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '[0-9]+', 'N', 'g')
+           AS template,
+         regexp_replace(u, '[0-9]+', '', 'g') AS nd
+  FROM parts),
+census AS (
+  SELECT host, template,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT nd) AS BIGINT) AS n_distinct_nodigit
+  FROM norm GROUP BY host, template)
+SELECT host, template, n_urls, n_distinct_nodigit,
+       round(n_distinct_nodigit / greatest(n_urls, 1), 6)
+         AS distinct_ratio_r,
+       n_urls >= 5
+         AND round(n_distinct_nodigit / greatest(n_urls, 1), 6) <= 0.34
+         AS is_trap
+FROM census
+"""
+
+
 def _linedoc_text_col():
     """Deterministic MULTILINE page text for host-boilerplate queries:
     a host-wide nav line (every page), a host-wide footer on even
@@ -4757,6 +4818,7 @@ QUERIES = {
     "crawl_budget_allocation": q_crawl_budget_allocation,
     "sitemap_recrawl_candidates": q_sitemap_recrawl_candidates,
     "url_quality_gate": q_url_quality_gate,
+    "url_template_census": q_url_template_census,
 }
 
 ORACLE_SQL = {
@@ -4890,4 +4952,5 @@ ORACLE_SQL = {
     "crawl_budget_allocation": SQL_CRAWL_BUDGET_ALLOCATION,
     "sitemap_recrawl_candidates": SQL_SITEMAP_RECRAWL,
     "url_quality_gate": SQL_URL_QUALITY_GATE,
+    "url_template_census": SQL_URL_TEMPLATE_CENSUS,
 }
