@@ -4672,7 +4672,7 @@ FROM canon c LEFT JOIN res r ON c.canonical_url = r.src
 # queries fill the tail; DURING a round, new queries are APPENDED (the window
 # is already full of never-witnessed round-3 entries — displacing them
 # mid-round would just trade one unwitnessed query for another while churning
-# the set the round's artifacts describe).  With 116 queries and a 50-entry
+# the set the round's artifacts describe).  With 120+ queries and a 50-entry
 # window, most round-3 additions necessarily queue for the round-4 rotation;
 # every query regardless of position is covered by the local all-query mirror
 # (tests/test_queries_oracle.py) at sf0.001/sf0.01/sf0.1.
