@@ -296,3 +296,82 @@ def test_recrawl_reasons(spark):
         "https://h/aged": ("aged", True),      # blind refresh past 45d
         "https://h/young": ("fresh", False),   # within max_age
     }
+
+
+def test_resolve_redirects_randomized_matches_python_walk(spark):
+    """Random redirect maps (chains, merges, cycles, self-loops,
+    chains into cycles, NULL targets) vs a pure-Python bounded walk:
+    (final_url, hops, resolved) must be cell-exact for every src."""
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(3):
+        n = rng.randint(8, 40)
+        max_hops = rng.choice([3, 8, 11])
+        nodes = [f"u{i}" for i in range(n)]
+        edges = {}
+        for i, s in enumerate(nodes):
+            if rng.random() < 0.7:        # ~30% of nodes are terminals
+                edges[s] = rng.choice(
+                    [None] if rng.random() < 0.1
+                    else [rng.choice(nodes)])
+        if not edges:
+            continue
+
+        want = {}
+        for s in edges:
+            cur, hops, seen = s, 0, set()
+            res = (None, None, False)
+            while True:
+                if hops >= max_hops and cur in edges:
+                    break
+                if cur in edges:
+                    if cur in seen:
+                        break
+                    seen.add(cur)
+                    nxt = edges[cur]
+                    if nxt is None:
+                        break
+                    cur, hops = nxt, hops + 1
+                else:
+                    res = (cur, hops, True)
+                    break
+            want[s] = res
+        df = spark.createDataFrame(list(edges.items()),
+                                   "src string, dst string")
+        got = {r.src: (r.final_url, r.hops, r.resolved)
+               for r in crawl.resolve_redirects(
+                   df, max_hops=max_hops).collect()}
+        assert got == want, f"trial {trial} max_hops {max_hops}"
+
+
+def test_budget_allocation_randomized_invariants(spark):
+    """Random score tables: sum(quota) == budget exactly whenever any
+    score is positive; zero-score hosts get 0; quota is within 1 of
+    the exact proportional share; result is a pure function of the
+    input (re-run identical)."""
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(3):
+        budget = rng.choice([7, 97, 1000])
+        hosts = [(f"h{i}", rng.choice([0, 0, rng.randint(1, 500)]))
+                 for i in range(rng.randint(3, 30))]
+        df = spark.createDataFrame(hosts, "host string, score long")
+        got = {r.host: r.quota
+               for r in crawl.allocate_crawl_budget(df, budget).collect()}
+        total = sum(s for _, s in hosts)
+        if total == 0:
+            assert set(got.values()) == {0}
+            continue
+        assert sum(got.values()) == budget, f"trial {trial}"
+        for h, s in hosts:
+            if s == 0:
+                assert got[h] == 0
+            else:
+                exact = budget * s / total
+                assert exact - 1 < got[h] < exact + 1, (h, s, got[h])
+        rerun = {r.host: r.quota
+                 for r in crawl.allocate_crawl_budget(df, budget)
+                              .collect()}
+        assert rerun == got
