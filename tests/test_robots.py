@@ -108,12 +108,38 @@ def test_duplicate_input_rows_each_survive(spark):
     assert sum(not r.allowed for r in out) == 3
 
 
-def test_prefix_match_is_literal_not_wildcard(spark):
-    # documented subset: '*' and '$' are literal characters
-    txt = "User-agent: *\nDisallow: /a*/b\n"
-    got = _gate(spark, txt, ["/a*/bx", "/anything/b"])
-    assert got["/a*/bx"] == (False, "/a*/b")
-    assert got["/anything/b"] == (True, "")
+def test_wildcard_star_and_end_anchor(spark):
+    # RFC 9309 §2.2.3: '*' matches any octet run, trailing '$' anchors
+    txt = ("User-agent: *\n"
+           "Disallow: /a*/b\n"
+           "Disallow: /*.pdf$\n")
+    got = _gate(spark, txt, ["/a*/bx", "/anything/b", "/x/y",
+                             "/doc.pdf", "/doc.pdf?dl=1", "/doc_pdf"])
+    assert got["/a*/bx"] == (False, "/a*/b")      # '*' spans '*' too
+    assert got["/anything/b"] == (False, "/a*/b")
+    assert got["/x/y"] == (True, "")
+    assert got["/doc.pdf"] == (False, "/*.pdf$")
+    assert got["/doc.pdf?dl=1"] == (True, "")     # anchor holds
+    assert got["/doc_pdf"] == (True, "")          # '.' is literal
+
+
+def test_wildcard_precedence_by_pattern_length(spark):
+    # a longer wildcard Allow re-opens a path inside a shorter
+    # Disallow (Google-parser tiebreak: rule length as written)
+    txt = ("User-agent: *\n"
+           "Disallow: /articles/\n"
+           "Allow: /articles/*/print\n")
+    got = _gate(spark, txt, ["/articles/3", "/articles/3/print"])
+    assert got["/articles/3"] == (False, "/articles/")
+    assert got["/articles/3/print"] == (True, "/articles/*/print")
+
+
+def test_wildcard_interior_dollar_is_literal(spark):
+    # only a TRAILING '$' anchors; interior dollars are path chars
+    txt = "User-agent: *\nDisallow: /a$b\n"
+    got = _gate(spark, txt, ["/a$bc", "/ab"])
+    assert got["/a$bc"] == (False, "/a$b")
+    assert got["/ab"] == (True, "")
 
 
 def test_parse_and_gate_plans_are_jvm_only(spark):

@@ -13,9 +13,15 @@ RFC 9309 core as pure DataFrame algebra:
 * match URL paths against Allow/Disallow prefixes: LONGEST prefix
   wins, Allow wins length ties, no match means allowed (§2.2.2).
 
-Subset honesty: literal path prefixes only — the ``*`` / ``$``
-wildcard extension is not implemented (documented, tested as literal
-chars).  Empty-value directives (``Disallow:``) are ignored per spec.
+Wildcards: ``*`` (any octet run) and a trailing ``$`` (end anchor) are
+supported per RFC 9309 §2.2.3 ("crawlers MUST support them"): a rule
+containing either is compiled — by a chain of LITERAL character
+replaces, so the translation is bit-identical in Spark and DuckDB —
+into an anchored RE2/Java-safe regex; plain rules keep the fast
+startswith path.  Rule precedence is pattern length (octets of the
+rule as written, the reference Google parser's tiebreak), Allow wins
+length ties.  Empty-value directives (``Disallow:``) are ignored per
+spec.
 
 Scale shape: the robots table is per-HOST (~10^7-10^8 rows vs 10^12
 pages).  Parsing is two window passes over exploded lines, partitioned
@@ -34,7 +40,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["parse_robots_rules", "parse_crawl_delay", "robots_gate",
-           "parse_sitemap_directives"]
+           "parse_sitemap_directives", "rule_regex"]
+
+# characters escaped literally when a robots rule body compiles to a
+# regex — backslash MUST be first; '*' is handled separately (it is
+# the wildcard) and a TRAILING '$' is stripped before escaping (it is
+# the anchor), so the '$' here only ever hits interior dollars
+RULE_REGEX_SPECIALS = ["\\", ".", "+", "?", "(", ")", "[", "]",
+                       "{", "}", "^", "|", "$"]
+
+
+def rule_regex(prefix):
+    """Compile a robots path rule to an anchored regex: literal chars
+    escaped via a chain of plain (non-regex) replaces, ``*`` -> ``.*``,
+    a trailing ``$`` kept as the end anchor.  Only literal string ops,
+    so the identical chain in DuckDB produces the identical pattern —
+    the cross-engine contract the gate twin certifies."""
+    p = F.col(prefix) if isinstance(prefix, str) else prefix
+    anchored = p.endswith("$")
+    body = F.when(anchored, p.substr(F.lit(1), F.length(p) - 1)) \
+            .otherwise(p)
+    for ch in RULE_REGEX_SPECIALS:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), body,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
 
 
 def _directive_lines(robots: DataFrame, host_col: str, txt_col: str):
@@ -156,10 +186,21 @@ def robots_gate(urls: DataFrame, rules: DataFrame, *,
     (duplicate input rows must each survive), and uses max(struct) —
     a partial-aggregable shuffle, no window sort."""
     with_id = urls.withColumn("__rid", F.monotonically_increasing_id())
-    matched = (with_id.join(rules, host_col, "left")
+    # wildcard rules compile ONCE on the (tiny) rules side — Catalyst
+    # pushes this projection below the join; literal rules keep the
+    # cheap startswith path (per-pair regex only where the rule needs it)
+    rules2 = rules.withColumn(
+        "__wild", F.col("prefix").contains("*")
+                  | F.col("prefix").endswith("$")) \
+        .withColumn("__pat", rule_regex("prefix"))
+    matched = (with_id.join(rules2, host_col, "left")
                .withColumn("hit",
                            F.col("prefix").isNotNull()
-                           & F.col(path_col).startswith(F.col("prefix"))))
+                           & F.when(F.col("__wild"),
+                                    F.regexp_like(F.col(path_col),
+                                                  F.col("__pat")))
+                              .otherwise(F.col(path_col)
+                                          .startswith(F.col("prefix")))))
     # top-1 per input row: hit beats miss, longest prefix wins, allow
     # wins length ties; max prefix last for full determinism
     best = F.max(F.struct(

@@ -3851,6 +3851,11 @@ _ROBOTS_T2 = ("User-agent: otherbot\n"
               "User-agent: researchbot\n"
               "Allow: /articles/2 # press kit\n"
               "Disallow: /articles/\n"
+              # RFC 9309 wildcards: '*' run + '$' end anchor — T2 hosts
+              # block pdfs exactly and re-allow print pages inside the
+              # disallowed /articles/ tree (pattern length beats prefix)
+              "Disallow: /*.pdf$\n"
+              "Allow: /articles/*/print\n"
               "Crawl-delay: 10\n"
               # sitemap lines are GLOBAL even when they sit inside a
               # group (sitemaps.org protocol); value case preserved,
@@ -3908,6 +3913,8 @@ def _robots_urls(spark, sf_dir):
     path = (F.when(d % 23 == 0, F.lit("/tmp/cache"))
             .when(d % 17 == 0, F.lit("/private/press/kit"))
             .when(d % 19 == 0, F.lit("/private/account"))
+            .when(d % 29 == 0, F.lit("/files/report.pdf"))
+            .when(d % 31 == 0, F.lit("/articles/2/print"))
             .otherwise(F.concat(F.lit("/articles/"), (d % 5).cast("string"))))
     return docs.select(
         "doc_id",
@@ -4004,18 +4011,41 @@ rules AS (
 SQL_ROBOTS_RULES = ("WITH " + _SQL_ROBOTS_RULES_CTE
                     + "SELECT host, allow, prefix, prefix_len FROM rules")
 
-SQL_ROBOTS_GATE = ("WITH " + _SQL_ROBOTS_RULES_CTE + """,
+def _sql_rule_regex(expr: str) -> str:
+    """DuckDB rendering of robots.rule_regex: the IDENTICAL chain of
+    literal replaces (backslash first, '*' last, trailing '$' stripped
+    then re-appended as the anchor) — single-quoted DuckDB strings do
+    no backslash processing, so '\\' below is a literal backslash."""
+    out = (f"CASE WHEN {expr} LIKE '%$' THEN substr({expr}, 1, "
+           f"length({expr}) - 1) ELSE {expr} END")
+    for ch in robots.RULE_REGEX_SPECIALS:
+        out = f"replace({out}, '{ch}', '\\{ch}')"
+    out = f"replace({out}, '*', '.*')"
+    return (f"'^' || {out} || CASE WHEN {expr} LIKE '%$' THEN '$' "
+            f"ELSE '' END")
+
+
+SQL_ROBOTS_GATE = ("WITH " + _SQL_ROBOTS_RULES_CTE + f""",
+rls AS (
+  SELECT *, prefix LIKE '%*%' OR prefix LIKE '%$' AS wild,
+         {_sql_rule_regex('prefix')} AS pat
+  FROM rules),
+""" + """
 urls AS (
   SELECT doc_id, source || '.example' AS host,
          CASE WHEN doc_id % 23 = 0 THEN '/tmp/cache'
               WHEN doc_id % 17 = 0 THEN '/private/press/kit'
               WHEN doc_id % 19 = 0 THEN '/private/account'
+              WHEN doc_id % 29 = 0 THEN '/files/report.pdf'
+              WHEN doc_id % 31 = 0 THEN '/articles/2/print'
               ELSE '/articles/' || CAST(doc_id % 5 AS VARCHAR) END AS path
   FROM documents),
 joined AS (
   SELECT u.doc_id, u.host, u.path, r.allow, r.prefix, r.prefix_len,
-         r.prefix IS NOT NULL AND starts_with(u.path, r.prefix) AS hit
-  FROM urls u LEFT JOIN rules r ON u.host = r.host),
+         r.prefix IS NOT NULL
+           AND CASE WHEN r.wild THEN regexp_matches(u.path, r.pat)
+                    ELSE starts_with(u.path, r.prefix) END AS hit
+  FROM urls u LEFT JOIN rls r ON u.host = r.host),
 ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY doc_id
@@ -4239,6 +4269,8 @@ urls0 AS (
          CASE WHEN doc_id % 23 = 0 THEN '/tmp/cache'
               WHEN doc_id % 17 = 0 THEN '/private/press/kit'
               WHEN doc_id % 19 = 0 THEN '/private/account'
+              WHEN doc_id % 29 = 0 THEN '/files/report.pdf'
+              WHEN doc_id % 31 = 0 THEN '/articles/2/print'
               ELSE '/articles/' || CAST(doc_id % 5 AS VARCHAR) END AS path,
          (doc_id * 37 % 100) / 10.0 AS score
   FROM documents),
