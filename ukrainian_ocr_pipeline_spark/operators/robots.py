@@ -23,6 +23,12 @@ rule as written, the reference Google parser's tiebreak), Allow wins
 length ties.  Empty-value directives (``Disallow:``) are ignored per
 spec.
 
+Subset honesty: rules and paths are compared AS GIVEN — the RFC's
+percent-encoding normalization (§2.2.2: compare both sides in a
+common encoding) is not applied, so callers must feed rules and URLs
+from the same encoder (true for anything produced by
+webnorm.canonical_url, which never re-encodes).
+
 Scale shape: the robots table is per-HOST (~10^7-10^8 rows vs 10^12
 pages).  Parsing is two window passes over exploded lines, partitioned
 by host — narrow, JVM-only, done ONCE; the per-URL gate is an equi-join
