@@ -116,8 +116,16 @@ def main(argv=None) -> int:
                                   master=args.master)
     cat = SnapshotCatalog(args.warehouse)
 
-    robots_tbl = spark.read.parquet(args.robots)
-    sitemaps_tbl = spark.read.parquet(args.sitemaps)
+    # normalize EVERY host key to the canonical form candidates are
+    # re-keyed to (lowercase, no www — webnorm.canonical_host's host
+    # treatment): a robots row keyed 'www.Site.com' must still supply
+    # the rules and Crawl-delay for candidates whose folded URLs say
+    # 'site.com', else its policy silently drops to allow-all/default
+    host_key = F.regexp_replace(F.lower(F.col("host")), "^www\\.", "")
+    robots_tbl = (spark.read.parquet(args.robots)
+                  .withColumn("host", host_key))
+    sitemaps_tbl = (spark.read.parquet(args.sitemaps)
+                    .withColumn("host", host_key))
     if args.fetchlog is not None:
         fetchlog = spark.read.parquet(args.fetchlog)
     else:
@@ -180,11 +188,29 @@ def main(argv=None) -> int:
         # canonical: lowercase, no www — the canonical_host contract)
         cand = cand.withColumn("host", webnorm.canonical_host("url"))
         # the gate matches PATHS against prefix rules; RFC 9309 treats
-        # a bare-host URL as path '/' (else 'Disallow: /' is bypassed)
+        # the match target as path(+query) with an empty path read as
+        # '/', so anything not starting with '/' (bare host, or a
+        # query-only URL like 'https://h?x=1') gets the slash
+        # prepended — else 'Disallow: /' is bypassed
         p = F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
         cand = cand.withColumn(
-            "path", F.when(p == "", F.lit("/")).otherwise(p))
-        return (robots.robots_gate(cand, F.broadcast(rules))
+            "path", F.when(p.startswith("/"), p)
+                     .otherwise(F.concat(F.lit("/"), p)))
+        gated = robots.robots_gate(cand, F.broadcast(rules))
+        # one audit row per fetchable (host, url): two locs can fold
+        # onto one target (redirect merge, cross-host sitemap
+        # cross-submission after re-keying) — without this collapse
+        # the audit counts disagree with the deduped frontier.  The
+        # gate verdict is a pure function of (host, path), so grouped
+        # rows agree on it; loc/priority collapse deterministically
+        return (gated
+                .groupBy("host", "url")
+                .agg(F.min("loc").alias("loc"),
+                     F.max("priority").alias("priority"),
+                     F.min("reason").alias("reason"),
+                     F.max("dead_redirect").alias("dead_redirect"),
+                     F.min("allowed").alias("allowed"),
+                     F.max("matched_prefix").alias("matched_prefix"))
                 .select("host", "loc", "url", "priority", "reason",
                         "dead_redirect", "allowed", "matched_prefix"))
 

@@ -245,3 +245,36 @@ def test_crawlplan_bare_host_and_duplicate_sitemap_entries(
     f = cat.read_snapshot(spark, "plan_frontier", "x2").collect()
     assert [(r.url, r.score) for r in f] == \
         [("https://open.example/dup", 0.8)]     # max declared priority
+
+
+def test_crawlplan_www_host_keys_still_apply_policy(spark, tmp_path,
+                                                    capsys):
+    """robots/sitemap tables keyed 'www.Site.com' must still supply
+    rules + Crawl-delay for candidates whose canonicalized URLs say
+    'site.com'; a query-only URL gates as path '/'."""
+    root = str(tmp_path / "in")
+    os.makedirs(root, exist_ok=True)
+    robots = spark.createDataFrame(
+        [("www.Closed.example",
+          "User-agent: *\nDisallow: /\nCrawl-delay: 5\n")],
+        "host string, robots_txt string")
+    sitemaps = spark.createDataFrame(
+        [("www.Closed.example",
+          "<urlset><url><loc>https://www.closed.example?sid=1</loc>"
+          "</url></urlset>")],
+        "host string, sitemap_xml string")
+    paths = {}
+    for name, df in [("robots", robots), ("sitemaps", sitemaps)]:
+        paths[name] = os.path.join(root, name + ".parquet")
+        df.write.mode("overwrite").parquet(paths[name])
+    wh = str(tmp_path / "wh")
+    rc = crawlplan_main(
+        ["--robots", paths["robots"], "--sitemaps", paths["sitemaps"],
+         "--warehouse", wh, "--snapshot-id", "x3",
+         "--as-of", "2024-03-01"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the query-only URL canonicalizes to the bare host, gates as '/',
+    # and is denied under the www-keyed robots' 'Disallow: /'
+    assert stats["denied_robots"] == 1
+    assert stats["frontier_urls"] == 0

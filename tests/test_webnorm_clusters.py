@@ -884,3 +884,13 @@ def test_url_template_census_traps(spark):
     # never trap
     assert got[("t.example", "/article/alpha")] == (1, 1, False)
     assert got[("t.example", "/article/beta")] == (1, 1, False)
+
+
+def test_url_template_census_fragments_not_a_trap(spark):
+    # 8 fragment anchors of ONE fetchable page: n_urls must be 1 (the
+    # defragged URL), never a trap
+    rows = [(f"https://h.example/guide#sec-{c}",) for c in "abcdefgh"]
+    df = spark.createDataFrame(rows, "url string")
+    got = webnorm.url_template_census(
+        df, trap_min_urls=5, trap_max_distinct_ratio=0.34).collect()
+    assert [(r.n_urls, r.is_trap) for r in got] == [(1, False)]

@@ -689,11 +689,14 @@ def url_template_census(pages: DataFrame, url_col: str = "url", *,
     path = F.regexp_extract(u, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     template = F.regexp_replace(path, "[0-9]+", "N")
     nodigit = F.regexp_replace(u, "[0-9]+", "")
+    # both distinct counts run on the FRAGMENT-STRIPPED form: fragment
+    # variants of one fetchable page must not inflate n_urls (a page
+    # with 50 '#sec-x' anchors is one URL, not a trap)
     out = (pages
            .select(host.alias("host"), template.alias("template"),
-                   F.col(url_col).alias("url"), nodigit.alias("nd"))
+                   u.alias("u"), nodigit.alias("nd"))
            .groupBy("host", "template")
-           .agg(F.countDistinct("url").alias("n_urls"),
+           .agg(F.countDistinct("u").alias("n_urls"),
                 F.countDistinct("nd").alias("n_distinct_nodigit")))
     ratio = F.round(F.col("n_distinct_nodigit")
                     / F.greatest(F.col("n_urls"), F.lit(1)), 6)

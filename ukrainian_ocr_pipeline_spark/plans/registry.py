@@ -4450,9 +4450,8 @@ WITH pages AS (
 parts AS (
   SELECT url, regexp_extract(url, '^([^#]*)', 1) AS u FROM pages),
 norm AS (
-  SELECT url,
-         regexp_replace(lower(regexp_extract(u,
-             '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+  SELECT u,
+         __CANON_HOST__ AS host,
          regexp_replace(regexp_extract(u,
              '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '[0-9]+', 'N', 'g')
            AS template,
@@ -4460,7 +4459,7 @@ norm AS (
   FROM parts),
 census AS (
   SELECT host, template,
-         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT u) AS BIGINT) AS n_urls,
          CAST(COUNT(DISTINCT nd) AS BIGINT) AS n_distinct_nodigit
   FROM norm GROUP BY host, template)
 SELECT host, template, n_urls, n_distinct_nodigit,
@@ -4470,7 +4469,8 @@ SELECT host, template, n_urls, n_distinct_nodigit,
          AND round(n_distinct_nodigit / greatest(n_urls, 1), 6) <= 0.34
          AS is_trap
 FROM census
-"""
+""".replace("__CANON_HOST__",
+    webnorm.CANONICAL_HOST_SQL.format(col="u"))
 
 
 def _linedoc_text_col():
