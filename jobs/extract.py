@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=None,
                    help="fuzzy-match similarity threshold")
     p.add_argument("--no-matches", action="store_true")
+    p.add_argument("--wet", action="store_true",
+                   help="also commit the 'wet' table: one WARC/1.0"
+                        " conversion record per page (WET-style"
+                        " archival export of the extracted text);"
+                        " CLI-only, no config analog")
     p.add_argument("--lexicon", default=None, help="file of lexicon terms, one per line")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -124,6 +129,12 @@ def main(argv=None) -> int:
         hashlib.sha256(cfg.snapshot_id.encode("utf-8")).digest()[:4], "big") & 0x7FFFFFFF
     cat.write_snapshot(lineage_table(enriched, snapshot_id=lineage_id),
                        "lineage", cfg.snapshot_id)
+    if args.wet:
+        from ukrainian_ocr_pipeline_spark.sources.warc import wet_records
+        cat.write_snapshot(
+            wet_records(cat.read_snapshot(spark, "extracted",
+                                          cfg.snapshot_id)),
+            "wet", cfg.snapshot_id)
 
     stats = pipeline_stats(metrics).toPandas().iloc[0].to_dict()
     print(json.dumps({k: (v if not hasattr(v, "item") else v.item())

@@ -110,3 +110,50 @@ def test_uri_and_glob_pages_paths_pass_validation():
               "/data/pages/part-*.parquet", "/data/pages/f[0-9].parquet"):
         assert not is_checkable_local_path(p), p
     assert is_checkable_local_path("/data/pages")
+
+
+def test_wet_export_roundtrips_extracted_text(spark, t2_rows, tmp_path):
+    """--wet commits one WARC/1.0 conversion record per page; parsing
+    every record back with the INGESTION parser yields the exact
+    extracted text — export and ingest are inverses."""
+    import extract as job
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = pd.DataFrame(t2_rows[:40])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True) \
+        .dt.tz_localize(None)
+    pages_path = str(tmp_path / "pages.parquet")
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False), pages_path)
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--pages", pages_path, "--warehouse", wh,
+                   "--snapshot-id", "w1", "--wet"])
+    assert rc == 0
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources import warc as w
+    cat = SnapshotCatalog(wh)
+    want = {r.url: (r.extracted_text, r.warc_ts)
+            for r in cat.read_snapshot(spark, "extracted", "w1").collect()}
+    wet = cat.read_snapshot(spark, "wet", "w1").collect()
+    assert len(wet) == len(want) == 40
+    for row in wet:
+        recs = list(w.iter_warc_records(bytes(row.wet_record)))
+        assert len(recs) == 1
+        rec = recs[0]
+        assert rec["warc_type"] == "conversion"
+        assert rec["url"] == row.url
+        assert rec["payload"].decode("utf-8") == want[row.url][0]
+        # WARC-Date threads the fetch timestamp
+        assert rec["date"] == want[row.url][1] \
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+    # idempotent: re-run commits nothing new
+    assert job.main(["--pages", pages_path, "--warehouse", wh,
+                     "--snapshot-id", "w1", "--wet"]) == 0
+    assert len(os.listdir(os.path.join(wh, "wet", "snapshots"))) == 1

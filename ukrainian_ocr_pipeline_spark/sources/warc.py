@@ -40,6 +40,8 @@ import io
 import zlib
 from typing import Iterable, Iterator
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 CRLF = b"\r\n"
@@ -378,3 +380,38 @@ def write_fixture_warc(path: str, rows: Iterable[dict], *,
     with open(path, "wb") as f:
         f.write(data)
     return path
+
+
+def build_wet_record(url: str | None, date: str | None,
+                     text: str | None) -> bytes:
+    """One WET-style ``conversion`` record (the Common Crawl text
+    sidecar format): the extracted plain text as a UTF-8 payload,
+    WARC-Target-URI/WARC-Date threaded from the source fetch.  Built
+    by the same codec the ingestion parser certifies, so export and
+    ingest are inverses by construction."""
+    return build_record("conversion", (text or "").encode("utf-8"),
+                        url=url, date=date, content_type="text/plain")
+
+
+def wet_records(extracted: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts",
+                text_col: str = "extracted_text") -> DataFrame:
+    """(url, wet_record binary) over an extracted-text table — the
+    archival export of an extraction snapshot.  Each row is one
+    standalone WARC/1.0 conversion record; a downstream archiver
+    concatenates rows (optionally as per-record gzip members, the CC
+    layout — compress_warc_members) into .warc.wet.gz files, so the
+    engine never writes raw files from executors.
+
+    Python by design (byte-level record assembly), Arrow-batched; the
+    scan prunes to three columns and there is no shuffle at all."""
+    @F.pandas_udf(T.BinaryType())
+    def mk(u: pd.Series, d: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_wet_record(a, b, c) for a, b, c in zip(u, d, t)],
+            dtype=object)
+
+    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return extracted.select(
+        F.col(url_col).alias("url"),
+        mk(F.col(url_col), date, F.col(text_col)).alias("wet_record"))
