@@ -223,3 +223,41 @@ def test_pages_from_warc_survives_malformed_and_fractional_dates(spark):
     assert str(got["https://h/plain"]).startswith("2024-01-05 06:07:08")
     assert str(got["https://h/frac"]).startswith("2024-01-05 06:07:08.123")
     assert got["https://h/bad"] is None
+
+
+def test_cdx_index_fields(spark):
+    import hashlib
+    rows = [("https://WWW.Example.com/A?b=2&a=1", "2024-03-05 06:07:08",
+             b"<html>x</html>")]
+    df = spark.createDataFrame(rows, "url string, ts string, html binary") \
+        .selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    got = warc.cdx_index(df).collect()[0]
+    assert got.surt == "com,example)/a?a=1&b=2"
+    assert got.ts14 == "20240305060708"
+    assert got.digest == hashlib.md5(b"<html>x</html>").hexdigest()
+    assert got.n_bytes == len(b"<html>x</html>")
+
+
+def test_revisit_marks_invariants(spark):
+    # 3 captures of one payload (distinct urls/times) + 1 unique payload:
+    # exactly one response per digest; revisits point at the earliest
+    rows = [("https://a.example/1", "2024-01-01T00:02:00Z", "same"),
+            ("https://b.example/2", "2024-01-01T00:01:00Z", "same"),
+            ("https://c.example/3", "2024-01-01T00:03:00Z", "same"),
+            ("https://d.example/4", "2024-01-01T00:00:00Z", "other")]
+    df = spark.createDataFrame(rows, "url string, ts string, html string")
+    got = {r.url: r for r in
+           warc.revisit_marks(df, ts_col="ts").collect()}
+    by_digest = {}
+    for r in got.values():
+        by_digest.setdefault(r.digest, []).append(r)
+    for recs in by_digest.values():
+        assert sum(r.record_type == "response" for r in recs) == 1
+    # earliest capture of 'same' is b; a and c revisit it
+    assert got["https://b.example/2"].record_type == "response"
+    assert got["https://b.example/2"].refers_to_url is None
+    for u in ("https://a.example/1", "https://c.example/3"):
+        assert got[u].record_type == "revisit"
+        assert got[u].refers_to_url == "https://b.example/2"
+        assert got[u].refers_to_ts == "2024-01-01T00:01:00Z"
+    assert got["https://d.example/4"].record_type == "response"

@@ -894,3 +894,37 @@ def test_url_template_census_fragments_not_a_trap(spark):
     got = webnorm.url_template_census(
         df, trap_min_urls=5, trap_max_distinct_ratio=0.34).collect()
     assert [(r.n_urls, r.is_trap) for r in got] == [(1, False)]
+
+
+# ---------------------------------------------------------------- SURT
+
+SURT_CASES = [
+    # (raw, surt) — the public webarchive-commons/pywb convention
+    ("https://www.Example.com/A/b?b=2&a=1", "com,example)/a/b?a=1&b=2"),
+    ("HTTPS://WWW.News.Example.ORG:443/A/", "org,example,news)/a"),
+    ("http://example.com:80/x", "com,example)/x"),
+    ("http://example.com:8080/x", "com,example:8080)/x"),
+    ("https://example.com/p?utm_source=x", "com,example)/p"),
+    ("https://sub.host.example.com/p#frag?x=1", "com,example,host,sub)/p"),
+    ("https://example.com", "com,example)"),
+    # wwwx is not a www prefix; query case folds with the key
+    ("https://wwwx.example.com/p?K=V", "com,example,wwwx)/p?k=v"),
+]
+
+
+def test_surt_key_cases(spark):
+    df = spark.createDataFrame([Row(url=r) for r, _ in SURT_CASES])
+    got = [r[0] for r in df.select(webnorm.surt_key("url")).collect()]
+    assert got == [c for _, c in SURT_CASES]
+
+
+def test_surt_key_sorts_one_domain_contiguously(spark):
+    # the point of SURT: every capture of one registrable domain sorts
+    # into one contiguous range, regardless of subdomain/scheme noise
+    rows = [("https://a.example.com/1",), ("http://www.example.com/2",),
+            ("https://zz.other.net/3",), ("https://example.com/4",)]
+    df = spark.createDataFrame(rows, "url string")
+    keys = sorted(r[0] for r in df.select(webnorm.surt_key("url")).collect())
+    dom = [k for k in keys if k.startswith("com,example")]
+    lo, hi = keys.index(dom[0]), keys.index(dom[-1])
+    assert hi - lo + 1 == len(dom) == 3

@@ -75,6 +75,45 @@ def canonical_url(url) -> Column:
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)))
 
 
+def surt_key(url) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL
+    column — the canonical sort key of web-archive CDX indexes:
+    ``https://www.Example.com:443/A/b?b=2&a=1`` becomes
+    ``com,example)/a/b?a=1&b=2``.
+
+    Transform (the public webarchive-commons / pywb convention):
+    scheme dropped, host lowercased with a leading ``www.`` stripped,
+    default ports (80/443) dropped and any other port kept after the
+    reversed host, host labels REVERSED and joined with commas (so one
+    registrable domain's captures sort contiguously), ``)`` separator,
+    then the lowercased path (trailing slash stripped) and the sorted
+    query string (tracking ``utm_*`` parameters dropped, matching
+    canonical_url).  Fragments never reach the key.
+
+    Pure regexp + array HOFs on one row — whole-stage codegen, no
+    shuffle; at 10^12 rows this is the scan-speed sort key that makes
+    the CDX table range-queryable by domain prefix."""
+    raw = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_extract(raw, "^([^#]*)", 1)
+    host = canonical_host(u)
+    port = F.regexp_extract(host, ":([0-9]+)$", 1)
+    hostname = F.regexp_replace(host, ":[0-9]+$", "")
+    rev = F.array_join(F.reverse(F.split(hostname, "\\.")), ",")
+    port_sfx = F.when(port.isin("", "80", "443"), F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path = F.lower(F.regexp_replace(
+        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", ""))
+    query = F.regexp_extract(u, "\\?(.*)", 1)
+    kept = F.array_join(
+        F.array_sort(F.filter(
+            F.split(F.lower(query), "&"),
+            lambda p: (~p.startswith("utm_")) & (p != F.lit("")))),
+        "&")
+    return F.concat(
+        rev, port_sfx, F.lit(")"), path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)))
+
+
 def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Group a page table by canonical URL: one row per canonical URL
     with the variant count, the distinct-raw-URL count, and the keeper

@@ -4698,6 +4698,233 @@ FROM canon c LEFT JOIN res r ON c.canonical_url = r.src
 """)
 
 
+# --- web-archive sidecars: WET export, CDX index, revisit dedup ----------
+# All three project the documents table into a deterministic pages shape
+# (same idiom as q_warc_roundtrip) so the DuckDB twin can rebuild every
+# byte/field relationally.
+
+def _synth_warc_date(d):
+    """Deterministic per-doc fetch time, 2024-01-01T HH:MM:00Z."""
+    return F.concat(
+        F.lit("2024-01-01T"),
+        F.lpad(F.floor((d % 1440) / 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((d % 60).cast("string"), 2, "0"),
+        F.lit(":00Z"))
+
+
+_SQL_SYNTH_WARC_DATE = ("'2024-01-01T' || "
+                        "lpad(CAST((doc_id % 1440) // 60 AS VARCHAR), 2, '0')"
+                        " || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')"
+                        " || ':00Z'")
+
+
+def q_wet_export(spark, sf_dir):
+    """WET archival export certification (sources/warc.py wet_records —
+    the jobs/extract.py --wet surface): serialize every document's text
+    as a WARC/1.0 conversion record and emit (url, byte length, md5) of
+    the record.  The DuckDB twin rebuilds the record byte-for-byte with
+    string concatenation — header order, CRLF framing, Content-Length
+    arithmetic — so a hash match certifies the export bytes against an
+    independent construction, not just against our own parser.
+
+    The one Arrow-batched UDF is the record assembler itself (byte
+    framing is the thing under test); everything around it is a narrow
+    three-column scan with no shuffle."""
+    from ..sources.warc import wet_records
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/wet/"),
+                 d.cast("string")).alias("url"),
+        F.to_timestamp(_synth_warc_date(d), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         .alias("warc_ts"),
+        F.coalesce(F.col("text"), F.lit("")).alias("txt"))
+    wet = wet_records(docs, text_col="txt")
+    return wet.select(
+        "url",
+        F.length("wet_record").cast("bigint").alias("wet_len"),
+        F.md5("wet_record").alias("wet_md5"))
+
+
+SQL_WET_EXPORT = f"""
+WITH base AS (
+  SELECT 'https://' || source || '.example/wet/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         {_SQL_SYNTH_WARC_DATE} AS warc_date,
+         COALESCE(text, '') AS txt
+  FROM documents),
+rec AS (
+  SELECT url,
+         'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: conversion' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+           || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+           || 'Content-Type: text/plain' || chr(13) || chr(10)
+           || 'Content-Length: ' || CAST(strlen(txt) AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || txt || chr(13) || chr(10) || chr(13) || chr(10) AS r
+  FROM base)
+SELECT url, CAST(strlen(r) AS BIGINT) AS wet_len, md5(r) AS wet_md5
+FROM rec
+"""
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index (sources/warc.py cdx_index + webnorm.surt_key):
+    five deliberately messy URL shapes per doc_id%5 — upper-case scheme/
+    host, www prefix, default and non-default ports, utm tracking
+    params, unsorted query params, SPA fragment with an embedded '?' —
+    reduced to the SURT sort key plus ts14/digest/byte-length.  The
+    DuckDB twin re-derives the SURT transform step by step (fragment
+    drop, host fold, label reversal, port policy, query sort), so a
+    hash match certifies the key's exact grammar cross-engine.
+
+    Pure built-ins, no shuffle — this runs at scan speed over the page
+    table; the (surt, ts14) pair is the archive's range-query key."""
+    from ..sources.warc import cdx_index
+
+    d = F.col("doc_id")
+    m = d % 5
+    ds = d.cast("string")
+    src = F.col("source")
+    url = (F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), F.upper(src),
+                                   F.lit(".Example.COM/Articles/"), ds))
+           .when(m == 1, F.concat(F.lit("https://"), src,
+                                  F.lit(".example.com:8080/a/"), ds,
+                                  F.lit("?b=2&a=1")))
+           .when(m == 2, F.concat(F.lit("http://"), src,
+                                  F.lit(".example.com:80/x/"), ds,
+                                  F.lit("/?utm_source=feed&id="), ds))
+           .when(m == 3, F.concat(F.lit("https://"), src,
+                                  F.lit(".example.com/p/"), ds,
+                                  F.lit("#frag?x=1")))
+           .otherwise(F.concat(F.lit("https://sub."), src,
+                               F.lit(".example.com/path/"), ds,
+                               F.lit("?z=9&y=8&x=7"))))
+    pages = _t(spark, sf_dir, "documents").select(
+        url.alias("url"),
+        F.to_timestamp(_synth_warc_date(d), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         .alias("warc_ts"),
+        F.concat(F.lit("<html><body>"), F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("</body></html>")).alias("html"))
+    return cdx_index(pages)
+
+
+SQL_CDX_INDEX = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
+                       || '.Example.COM/Articles/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'https://' || source || '.example.com:8080/a/'
+                       || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+           WHEN 2 THEN 'http://' || source || '.example.com:80/x/'
+                       || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id='
+                       || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN 'https://' || source || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) || '#frag?x=1'
+           ELSE 'https://sub.' || source || '.example.com/path/'
+                       || CAST(doc_id AS VARCHAR) || '?z=9&y=8&x=7'
+         END AS url,
+         {_SQL_SYNTH_WARC_DATE} AS warc_date,
+         '<html><body>' || COALESCE(text, '') || '</body></html>' AS html
+  FROM documents),
+surt AS (
+  SELECT url, warc_date, html,
+         regexp_extract(url, '^([^#]*)', 1) AS u
+  FROM base),
+parts AS (
+  SELECT url, warc_date, html, u,
+         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         lower(regexp_replace(
+             regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+             '/$', '')) AS path,
+         regexp_extract(u, '\\?(.*)', 1) AS q
+  FROM surt),
+keyed AS (
+  SELECT url, warc_date, html,
+         array_to_string(
+           list_reverse(string_split(regexp_replace(host, ':[0-9]+$', ''),
+                                     '.')), ',')
+         || CASE WHEN regexp_extract(host, ':([0-9]+)$', 1)
+                      IN ('', '80', '443') THEN ''
+                 ELSE ':' || regexp_extract(host, ':([0-9]+)$', 1) END
+         || ')' || path
+         || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS surt
+  FROM (SELECT *,
+               COALESCE(array_to_string(
+                 list_sort(list_filter(string_split(lower(q), '&'),
+                   x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\') AND x <> '')),
+                 '&'), '') AS kept
+        FROM parts))
+SELECT surt,
+       replace(replace(replace(substr(warc_date, 1, 19), '-', ''), ':', ''),
+               'T', '') AS ts14,
+       url, md5(html) AS digest,
+       CAST(strlen(html) AS BIGINT) AS n_bytes
+FROM keyed
+"""
+
+
+def q_warc_revisit_dedup(spark, sf_dir):
+    """URL-agnostic crawl dedup via WARC revisit records (sources/warc.py
+    revisit_marks): documents are grouped in synthetic duplicate triples
+    (payload = the group's min text), and the first capture per digest
+    stays a 'response' while later ones become 'revisit' rows carrying
+    WARC-Refers-To pointers.  The DuckDB twin re-derives the marking
+    with its own window functions.
+
+    Fetch time is carried as the fixed-format WARC date STRING (sorts
+    identically to the instant; keeps the cross-engine artifact free of
+    timestamp-rendering drift).  One uniform hash shuffle on the md5
+    digest — no skew at any corpus size."""
+    from ..sources.warc import revisit_marks
+
+    d = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/rv/"),
+                 d.cast("string")).alias("url"),
+        _synth_warc_date(d).alias("warc_date"),
+        F.floor(d / 3).alias("grp"), "text")
+    w = Window.partitionBy("grp")
+    pages = base.withColumn(
+        "payload", F.coalesce(F.min("text").over(w), F.lit("")))
+    rv = revisit_marks(pages, ts_col="warc_date", payload_col="payload")
+    return rv.select(
+        "url", "warc_date", "digest", "record_type",
+        F.coalesce("refers_to_url", F.lit("")).alias("refers_to_url"),
+        F.coalesce("refers_to_ts", F.lit("")).alias("refers_to_ts"))
+
+
+SQL_WARC_REVISIT = f"""
+WITH base AS (
+  SELECT doc_id,
+         'https://' || source || '.example/rv/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         {_SQL_SYNTH_WARC_DATE} AS warc_date,
+         doc_id // 3 AS grp, text
+  FROM documents),
+pay AS (
+  SELECT url, warc_date,
+         md5(COALESCE(MIN(text) OVER (PARTITION BY grp), '')) AS digest
+  FROM base),
+marked AS (
+  SELECT url, warc_date, digest,
+         ROW_NUMBER() OVER w AS rn,
+         FIRST_VALUE(url) OVER w AS orig_url,
+         FIRST_VALUE(warc_date) OVER w AS orig_date
+  FROM pay
+  WINDOW w AS (PARTITION BY digest ORDER BY warc_date, url))
+SELECT url, warc_date, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rn = 1 THEN '' ELSE orig_url END AS refers_to_url,
+       CASE WHEN rn = 1 THEN '' ELSE orig_date END AS refers_to_ts
+FROM marked
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -4851,6 +5078,9 @@ QUERIES = {
     "sitemap_recrawl_candidates": q_sitemap_recrawl_candidates,
     "url_quality_gate": q_url_quality_gate,
     "url_template_census": q_url_template_census,
+    "wet_export": q_wet_export,
+    "cdx_index": q_cdx_index,
+    "warc_revisit_dedup": q_warc_revisit_dedup,
 }
 
 ORACLE_SQL = {
@@ -4985,4 +5215,7 @@ ORACLE_SQL = {
     "sitemap_recrawl_candidates": SQL_SITEMAP_RECRAWL,
     "url_quality_gate": SQL_URL_QUALITY_GATE,
     "url_template_census": SQL_URL_TEMPLATE_CENSUS,
+    "wet_export": SQL_WET_EXPORT,
+    "cdx_index": SQL_CDX_INDEX,
+    "warc_revisit_dedup": SQL_WARC_REVISIT,
 }

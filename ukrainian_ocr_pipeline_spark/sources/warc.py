@@ -42,7 +42,8 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import (DataFrame, SparkSession, Window, functions as F,
+                         types as T)
 
 CRLF = b"\r\n"
 _MAGIC = b"WARC/1.0"
@@ -415,3 +416,62 @@ def wet_records(extracted: DataFrame, url_col: str = "url",
     return extracted.select(
         F.col(url_col).alias("url"),
         mk(F.col(url_col), date, F.col(text_col)).alias("wet_record"))
+
+
+def cdx_index(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts",
+              payload_col: str = "html") -> DataFrame:
+    """CDX capture index over a pages table — the web-archive lookup
+    sidecar (one row per capture): SURT sort key, 14-digit timestamp,
+    original URL, payload digest, payload byte length.  A CDX table
+    sorted/bucketed by (surt, ts14) is what makes a 10^12-capture
+    archive range-queryable by domain prefix and replayable
+    newest-first; CC and Wayback publish exactly this shape.
+
+    Digest is md5-hex of the payload bytes (engine-portable; classic
+    CDX uses sha1-base32 — the algorithm is a per-deployment constant,
+    the dedup/replay semantics only need it collision-resistant and
+    deterministic).  Pure built-ins end to end: scan-speed, no Python,
+    no shuffle; sorting/bucketing is the writer's choice downstream."""
+    from ..operators.webnorm import surt_key
+
+    return pages.select(
+        surt_key(url_col).alias("surt"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("digest"),
+        F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"))
+
+
+def revisit_marks(pages: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts",
+                  payload_col: str = "html") -> DataFrame:
+    """URL-agnostic crawl dedup via WARC ``revisit`` records: the first
+    capture of each distinct payload digest (earliest ts, then url as
+    the deterministic tiebreak) stays a full ``response`` record; every
+    later capture is marked ``revisit`` carrying WARC-Refers-To
+    pointers (the original's url + ts), so the archive stores each
+    payload once.  This is Common Crawl / Heritrix digest-based
+    deduplication; the reference has no analog (its page images are
+    locally unique files).
+
+    One window over the digest — a single hash shuffle keyed on an
+    md5, uniform by construction, so no skew at any corpus size; the
+    payload bytes themselves never shuffle (only the digest, url, ts
+    columns do, thanks to column pruning on the pre-window select)."""
+    w = Window.partitionBy("digest").orderBy(ts_col, url_col)
+    marked = (pages
+              .select(F.col(url_col).alias("url"), F.col(ts_col),
+                      F.md5(F.col(payload_col)).alias("digest"))
+              .withColumn("dup_rank", F.row_number().over(w))
+              .withColumn("orig_url", F.first("url").over(w))
+              .withColumn("orig_ts", F.first(ts_col).over(w)))
+    is_orig = F.col("dup_rank") == 1
+    return marked.select(
+        "url", F.col(ts_col), "digest",
+        F.when(is_orig, "response").otherwise("revisit")
+         .alias("record_type"),
+        F.when(is_orig, F.lit(None).cast("string"))
+         .otherwise(F.col("orig_url")).alias("refers_to_url"),
+        F.when(is_orig, F.lit(None).cast(marked.schema[ts_col].dataType))
+         .otherwise(F.col("orig_ts")).alias("refers_to_ts"))
