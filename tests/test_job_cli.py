@@ -9,19 +9,25 @@ import pandas as pd
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
 
 
+def _stage_pages(path, rows) -> str:
+    """Write fixture rows as a pages-schema parquet; one staging recipe
+    for every CLI test in this module."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = pd.DataFrame(rows)
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False), str(path))
+    return str(path)
+
+
 def test_job_main_end_to_end(spark, t2_rows, tmp_path):
     import extract as job
 
-    # stage input pages parquet
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    pdf = pd.DataFrame(t2_rows[:80])
-    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
-    pages_path = str(tmp_path / "pages.parquet")
-    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
-                        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), pages_path)
-
+    pages_path = _stage_pages(tmp_path / "pages.parquet", t2_rows[:80])
     wh = str(tmp_path / "wh")
     rc = job.main(["--pages", pages_path, "--warehouse", wh,
                    "--snapshot-id", "r1", "--buckets", "3"])
@@ -48,20 +54,11 @@ def test_stream_job_incremental_end_to_end(spark, t2_rows, tmp_path):
     byte-identical to the golden corpus; second run is a no-op."""
     import stream as job
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     pages_dir = tmp_path / "pages"
     pages_dir.mkdir()
-    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
-                        ("html", pa.binary()), ("text", pa.string()),
-                        ("lang", pa.string())])
 
     def write(rows, name):
-        pdf = pd.DataFrame(rows)
-        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True).dt.tz_localize(None)
-        pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
-                                            preserve_index=False),
-                       str(pages_dir / name))
+        _stage_pages(pages_dir / name, rows)
 
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -118,19 +115,7 @@ def test_wet_export_roundtrips_extracted_text(spark, t2_rows, tmp_path):
     extracted text — export and ingest are inverses."""
     import extract as job
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    pdf = pd.DataFrame(t2_rows[:40])
-    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True) \
-        .dt.tz_localize(None)
-    pages_path = str(tmp_path / "pages.parquet")
-    schema = pa.schema([("url", pa.string()),
-                        ("warc_ts", pa.timestamp("us")),
-                        ("html", pa.binary()), ("text", pa.string()),
-                        ("lang", pa.string())])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
-                                        preserve_index=False), pages_path)
-
+    pages_path = _stage_pages(tmp_path / "pages.parquet", t2_rows[:40])
     wh = str(tmp_path / "wh")
     rc = job.main(["--pages", pages_path, "--warehouse", wh,
                    "--snapshot-id", "w1", "--wet"])

@@ -261,3 +261,52 @@ def test_revisit_marks_invariants(spark):
         assert got[u].refers_to_url == "https://b.example/2"
         assert got[u].refers_to_ts == "2024-01-01T00:01:00Z"
     assert got["https://d.example/4"].record_type == "response"
+
+
+def test_cdx_index_n_bytes_counts_bytes_not_chars(spark):
+    # review regression: a STRING payload with non-ASCII text must
+    # report byte length (octet_length), matching the DuckDB twin's
+    # strlen and the 'payload byte length' contract
+    txt = "привіт світ"
+    df = spark.createDataFrame(
+        [("https://e.example/p", "2024-01-01 00:00:00", txt)],
+        "url string, ts string, html string") \
+        .selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    got = warc.cdx_index(df).collect()[0]
+    assert got.n_bytes == len(txt.encode("utf-8"))
+    assert got.n_bytes > len(txt)
+
+
+def test_revisit_marks_non_default_url_col(spark):
+    # review regression: url_col was renamed before the window resolved
+    # it, so any non-default name raised UNRESOLVED_COLUMN
+    rows = [("https://a.example/1", "t1", "same"),
+            ("https://b.example/2", "t2", "same")]
+    df = spark.createDataFrame(rows, "page_url string, ts string, body string")
+    got = {r.url: r.record_type for r in warc.revisit_marks(
+        df, url_col="page_url", ts_col="ts", payload_col="body").collect()}
+    assert got == {"https://a.example/1": "response",
+                   "https://b.example/2": "revisit"}
+
+
+def test_wet_and_cdx_dates_render_utc_under_any_session_tz(spark):
+    # review regression: WARC-Date/ts14 hardcode UTC meaning but
+    # date_format renders in the session tz; a non-UTC session must not
+    # shift the stamped wall time
+    import datetime
+    # tz-explicit instant: 12:00 UTC, independent of any session tz
+    inst = datetime.datetime(2024, 6, 1, 12, 0, 0,
+                             tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [("https://e.example/p", inst, "t")],
+        "url string, warc_ts timestamp, x string") \
+        .selectExpr("url", "warc_ts", "x AS extracted_text", "x AS html")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Kyiv")
+        rec = bytes(warc.wet_records(df).collect()[0].wet_record)
+        parsed = next(warc.iter_warc_records(rec))
+        assert parsed["date"] == "2024-06-01T12:00:00Z"
+        assert warc.cdx_index(df).collect()[0].ts14 == "20240601120000"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

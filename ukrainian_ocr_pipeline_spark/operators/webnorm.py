@@ -47,6 +47,37 @@ CANONICAL_HOST_SQL = (r"regexp_replace(lower(regexp_extract({col},"
                       r" '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', '')")
 
 
+def _defragged(url) -> Column:
+    """URL with the fragment dropped FIRST: a '?' inside an SPA-style
+    fragment route ('#/search?q=...') must not be resurrected as query
+    parameters by the later extractors."""
+    raw = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(raw, "^([^#]*)", 1)
+
+
+def _raw_path(u: Column) -> Column:
+    """Path component with a trailing slash stripped (case preserved —
+    canonical_url keeps path case, surt_key folds it)."""
+    return F.regexp_replace(
+        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+
+
+def _kept_query(u: Column, *, fold_case: bool) -> Column:
+    """The surviving query string: ``utm_*`` tracking parameters and
+    empty fragments dropped, the rest sorted.  ONE definition of the
+    equivalence grammar, shared by canonical_url (the dedup key, case
+    preserved) and surt_key (the archive sort key, case folded) so the
+    two can never disagree about which URLs are equivalent."""
+    query = F.regexp_extract(u, "\\?(.*)", 1)
+    if fold_case:
+        query = F.lower(query)
+    return F.array_join(
+        F.array_sort(F.filter(
+            F.split(query, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != F.lit("")))),
+        "&")
+
+
 def canonical_url(url) -> Column:
     """Canonical form of a URL column: lowercase scheme and host, strip
     a leading ``www.``, drop the fragment, drop ``utm_*`` tracking
@@ -56,22 +87,12 @@ def canonical_url(url) -> Column:
     Everything is regexp_extract + array HOFs on one row — narrow, no
     shuffle, safe to apply inline during the scan of a 10^12-row page
     table."""
-    raw = F.col(url) if isinstance(url, str) else url
-    # fragment dropped FIRST: a '?' inside an SPA-style fragment route
-    # ('#/search?q=...') must not be resurrected as query parameters
-    u = F.regexp_extract(raw, "^([^#]*)", 1)
+    u = _defragged(url)
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
     host = canonical_host(u)
-    path = F.regexp_replace(
-        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
-    query = F.regexp_extract(u, "\\?(.*)", 1)
-    kept = F.array_join(
-        F.array_sort(F.filter(
-            F.split(query, "&"),
-            lambda p: (~p.startswith("utm_")) & (p != F.lit("")))),
-        "&")
+    kept = _kept_query(u, fold_case=False)
     return F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), host, _raw_path(u),
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)))
 
 
@@ -93,22 +114,15 @@ def surt_key(url) -> Column:
     Pure regexp + array HOFs on one row — whole-stage codegen, no
     shuffle; at 10^12 rows this is the scan-speed sort key that makes
     the CDX table range-queryable by domain prefix."""
-    raw = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_extract(raw, "^([^#]*)", 1)
+    u = _defragged(url)
     host = canonical_host(u)
     port = F.regexp_extract(host, ":([0-9]+)$", 1)
     hostname = F.regexp_replace(host, ":[0-9]+$", "")
     rev = F.array_join(F.reverse(F.split(hostname, "\\.")), ",")
     port_sfx = F.when(port.isin("", "80", "443"), F.lit("")) \
         .otherwise(F.concat(F.lit(":"), port))
-    path = F.lower(F.regexp_replace(
-        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", ""))
-    query = F.regexp_extract(u, "\\?(.*)", 1)
-    kept = F.array_join(
-        F.array_sort(F.filter(
-            F.split(F.lower(query), "&"),
-            lambda p: (~p.startswith("utm_")) & (p != F.lit("")))),
-        "&")
+    path = F.lower(_raw_path(u))
+    kept = _kept_query(u, fold_case=True)
     return F.concat(
         rev, port_sfx, F.lit(")"), path,
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)))

@@ -4836,8 +4836,7 @@ surt AS (
   FROM base),
 parts AS (
   SELECT url, warc_date, html, u,
-         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
-                        '^www\\.', '') AS host,
+         {webnorm.CANONICAL_HOST_SQL.format(col='u')} AS host,
          lower(regexp_replace(
              regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
              '/$', '')) AS path,

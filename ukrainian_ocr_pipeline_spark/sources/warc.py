@@ -412,10 +412,21 @@ def wet_records(extracted: DataFrame, url_col: str = "url",
             [build_wet_record(a, b, c) for a, b, c in zip(u, d, t)],
             dtype=object)
 
-    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    date = _utc_date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     return extracted.select(
         F.col(url_col).alias("url"),
         mk(F.col(url_col), date, F.col(text_col)).alias("wet_record"))
+
+
+def _utc_date_format(ts: F.Column, fmt: str) -> F.Column:
+    """date_format rendered in UTC regardless of the session timezone.
+    Archival headers hardcode a 'Z'/UTC meaning, but date_format renders
+    in spark.sql.session.timeZone — and jobs adopt any pre-existing
+    session (jobs/extract.py), which need not be UTC.  Shifting the
+    instant by the session offset before formatting makes the rendered
+    wall time the UTC one (a no-op under a UTC session)."""
+    return F.date_format(
+        F.to_utc_timestamp(ts, F.current_timezone()), fmt)
 
 
 def cdx_index(pages: DataFrame, url_col: str = "url",
@@ -437,10 +448,12 @@ def cdx_index(pages: DataFrame, url_col: str = "url",
 
     return pages.select(
         surt_key(url_col).alias("surt"),
-        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        _utc_date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
         F.col(url_col).alias("url"),
         F.md5(F.col(payload_col)).alias("digest"),
-        F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"))
+        # octet_length, not length: byte count for BOTH string and
+        # binary payloads (length would count characters on strings)
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("n_bytes"))
 
 
 def revisit_marks(pages: DataFrame, url_col: str = "url",
@@ -459,7 +472,9 @@ def revisit_marks(pages: DataFrame, url_col: str = "url",
     md5, uniform by construction, so no skew at any corpus size; the
     payload bytes themselves never shuffle (only the digest, url, ts
     columns do, thanks to column pruning on the pre-window select)."""
-    w = Window.partitionBy("digest").orderBy(ts_col, url_col)
+    # window ordered on the POST-rename 'url' (the select below renames
+    # url_col), else any non-default url_col is unresolvable
+    w = Window.partitionBy("digest").orderBy(ts_col, "url")
     marked = (pages
               .select(F.col(url_col).alias("url"), F.col(ts_col),
                       F.md5(F.col(payload_col)).alias("digest"))
