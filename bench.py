@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_topk_bruteforce", "embedding_topk_quantized",
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",
+    "wet_export", "cdx_index", "warc_revisit_dedup",
 ]
 
 

@@ -36,6 +36,13 @@ def main(argv=None) -> int:
                    help="directory or glob of .warc/.warc.gz files")
     p.add_argument("--warehouse", required=True, help="output catalog root")
     p.add_argument("--snapshot-id", required=True)
+    p.add_argument("--cdx", action="store_true",
+                   help="also commit the 'cdx' capture-index table "
+                        "(SURT key, ts14, digest, byte length per page)")
+    p.add_argument("--revisit", action="store_true",
+                   help="also commit the 'revisit' table: digest-dup "
+                        "captures marked as WARC revisit records with "
+                        "WARC-Refers-To pointers (URL-agnostic dedup)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -92,6 +99,16 @@ def main(argv=None) -> int:
 
     committed_log = cat.read_snapshot(spark, "ingest_log", args.snapshot_id)
     committed = cat.read_snapshot(spark, "pages", args.snapshot_id)
+    # archive sidecars read the COMMITTED pages snapshot (not the raw
+    # parse) so they are individually resumable and see exactly the
+    # table downstream jobs see
+    if args.cdx:
+        from ukrainian_ocr_pipeline_spark.sources.warc import cdx_index
+        cat.write_snapshot(cdx_index(committed), "cdx", args.snapshot_id)
+    if args.revisit:
+        from ukrainian_ocr_pipeline_spark.sources.warc import revisit_marks
+        cat.write_snapshot(revisit_marks(committed), "revisit",
+                           args.snapshot_id)
     by_type = {r["warc_type"]: r["n"] for r in
                (committed_log.groupBy("warc_type")
                 .agg(F.sum("n_records").alias("n")).collect())}
@@ -104,6 +121,16 @@ def main(argv=None) -> int:
             F.sum("n_errors")).collect()[0][0] or 0),
         "n_pages": committed.count(),
     }
+    if args.cdx:
+        summary["n_cdx"] = cat.read_snapshot(
+            spark, "cdx", args.snapshot_id).count()
+    if args.revisit:
+        rv = cat.read_snapshot(spark, "revisit", args.snapshot_id)
+        counts = {r["record_type"]: r["n"] for r in
+                  rv.groupBy("record_type").agg(
+                      F.count("*").alias("n")).collect()}
+        summary["revisit_by_type"] = {k: int(v) for k, v in
+                                      sorted(counts.items())}
     print(json.dumps(summary, sort_keys=True))
     if existing is None:
         spark.stop()

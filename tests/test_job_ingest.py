@@ -82,3 +82,54 @@ def test_ingest_job_missing_path_fails_fast(tmp_path):
     with pytest.raises(SystemExit):
         job.main(["--warc", str(tmp_path / "nope"), "--warehouse",
                   str(tmp_path / "wh"), "--snapshot-id", "x"])
+
+
+def test_ingest_job_cdx_and_revisit_sidecars(spark, tmp_path, capsys):
+    """--cdx commits one index row per committed page; --revisit marks
+    digest-duplicate captures with pointers to the earliest capture."""
+    import hashlib
+
+    import ingest as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    rows = _rows(5, "c")
+    # two later captures of row 0's exact payload under other urls/times
+    for i, ts in ((1, "00:30"), (2, "00:40")):
+        rows[i]["html"] = rows[0]["html"]
+        rows[i]["date"] = f"2024-01-01T{ts}:00Z"
+    warc.write_fixture_warc(str(warcs / "a.warc"), rows)
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--warc", str(warcs), "--warehouse", wh,
+                   "--snapshot-id", "crawl-cx", "--cdx", "--revisit"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_cdx"] == summary["n_pages"] == 5
+    assert summary["revisit_by_type"] == {"response": 3, "revisit": 2}
+
+    cat = SnapshotCatalog(wh)
+    cdx = {r.url: r for r in
+           cat.read_snapshot(spark, "cdx", "crawl-cx").collect()}
+    assert len(cdx) == 5
+    r0 = cdx["https://c0.example/p/0"]
+    assert r0.surt == "example,c0)/p/0"
+    assert r0.ts14 == "20240101000000"
+    assert r0.digest == hashlib.md5(rows[0]["html"]).hexdigest()
+    assert r0.n_bytes == len(rows[0]["html"])
+
+    rv = {r.url: r for r in
+          cat.read_snapshot(spark, "revisit", "crawl-cx").collect()}
+    assert rv["https://c0.example/p/0"].record_type == "response"
+    for u in ("https://c1.example/p/1", "https://c2.example/p/2"):
+        assert rv[u].record_type == "revisit"
+        assert rv[u].refers_to_url == "https://c0.example/p/0"
+
+    # idempotent: re-run commits nothing new for the sidecars either
+    assert job.main(["--warc", str(warcs), "--warehouse", wh,
+                     "--snapshot-id", "crawl-cx", "--cdx",
+                     "--revisit"]) == 0
+    for t in ("cdx", "revisit"):
+        assert len(os.listdir(os.path.join(wh, t, "snapshots"))) == 1

@@ -637,3 +637,39 @@ def test_anchor_terms_single_exchange_no_python(spark):
     assert nodes(plan, "Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
     assert nodes(plan, "HashAggregate") == 2, plan  # partial + final
+
+
+def test_cdx_index_is_narrow_scan_speed(spark):
+    """CDX generation is per-row string algebra: zero exchanges, zero
+    Python — at 10^12 captures this runs inline during the page scan;
+    sorting/bucketing by (surt, ts14) is the writer's separate choice."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["cdx_index"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_revisit_marks_single_uniform_exchange(spark):
+    """Revisit dedup shuffles ONCE, keyed on the md5 digest (uniform by
+    construction — no skew at any corpus size), and the payload bytes
+    never shuffle: the pre-window select prunes to (url, ts, digest)."""
+    from ukrainian_ocr_pipeline_spark.sources import warc
+    pages = spark.createDataFrame(
+        [("https://a.example/", "2024-01-01T00:00:00Z", "x")],
+        ["url", "ts", "html"])
+    plan = plan_of(warc.revisit_marks(pages, ts_col="ts"))
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "hashpartitioning(digest" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "html" not in plan.split("Exchange")[0], plan
+
+
+def test_wet_export_one_arrow_stage_no_shuffle(spark):
+    """WET record assembly is the one deliberate Python stage (byte
+    framing), Arrow-batched, over a three-column scan with no shuffle."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["wet_export"](
+        spark, "/root/testdata/sf0.001"))
+    assert nodes(plan, "ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
