@@ -310,3 +310,36 @@ def test_wet_and_cdx_dates_render_utc_under_any_session_tz(spark):
         assert warc.cdx_index(df).collect()[0].ts14 == "20240601120000"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_cdx_shard_boundaries_exact_ntile_and_order(spark):
+    # 10 captures into 4 shards: exact ntile sizes 3/3/2/2, boundaries
+    # contiguous and non-overlapping in (surt, ts14) order
+    rows = [(f"com,site{i % 3})/p/{i}", f"2024010100{i:02d}00",
+             f"https://site{i % 3}.com/p/{i}") for i in range(10)]
+    cdx = spark.createDataFrame(rows, "surt string, ts14 string, url string")
+    got = sorted(warc.cdx_shard_boundaries(cdx, 4).collect(),
+                 key=lambda x: x.shard)
+    assert [g.shard for g in got] == [0, 1, 2, 3]
+    assert [g.n_captures for g in got] == [3, 3, 2, 2]
+    ordered = sorted(rows)
+    # each shard's first/last == the global order's slice ends
+    sizes = [3, 3, 2, 2]
+    pos = 0
+    for g, n in zip(got, sizes):
+        assert (g.first_surt, g.first_ts14) == ordered[pos][:2]
+        assert (g.last_surt, g.last_ts14) == ordered[pos + n - 1][:2]
+        pos += n
+    # boundaries never overlap: shard i's last <= shard i+1's first
+    for a, b in zip(got, got[1:]):
+        assert (a.last_surt, a.last_ts14) <= (b.first_surt, b.first_ts14)
+
+
+def test_cdx_shard_boundaries_fewer_rows_than_shards(spark):
+    cdx = spark.createDataFrame(
+        [("com,a)/x", "20240101000000", "https://a.com/x"),
+         ("com,b)/y", "20240101000001", "https://b.com/y")],
+        "surt string, ts14 string, url string")
+    got = warc.cdx_shard_boundaries(cdx, 8).collect()
+    assert sorted(g.shard for g in got) == [0, 1]
+    assert all(g.n_captures == 1 for g in got)

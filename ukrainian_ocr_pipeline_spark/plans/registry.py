@@ -4770,20 +4770,13 @@ FROM rec
 """
 
 
-def q_cdx_index(spark, sf_dir):
-    """CDX capture index (sources/warc.py cdx_index + webnorm.surt_key):
-    five deliberately messy URL shapes per doc_id%5 — upper-case scheme/
-    host, www prefix, default and non-default ports, utm tracking
-    params, unsorted query params, SPA fragment with an embedded '?' —
-    reduced to the SURT sort key plus ts14/digest/byte-length.  The
-    DuckDB twin re-derives the SURT transform step by step (fragment
-    drop, host fold, label reversal, port policy, query sort), so a
-    hash match certifies the key's exact grammar cross-engine.
-
-    Pure built-ins, no shuffle — this runs at scan speed over the page
-    table; the (surt, ts14) pair is the archive's range-query key."""
-    from ..sources.warc import cdx_index
-
+def _synth_cdx_pages(spark, sf_dir) -> DataFrame:
+    """The documents table projected to pages with five deliberately
+    messy URL shapes per doc_id%5 — upper-case scheme/host, www prefix,
+    default and non-default ports, utm tracking params, unsorted query
+    params, SPA fragment with an embedded '?' — the shared input of the
+    cdx_index and cdx_shard_boundaries twins (_SQL_CDX_KEYED mirrors
+    it)."""
     d = F.col("doc_id")
     m = d % 5
     ds = d.cast("string")
@@ -4802,16 +4795,32 @@ def q_cdx_index(spark, sf_dir):
            .otherwise(F.concat(F.lit("https://sub."), src,
                                F.lit(".example.com/path/"), ds,
                                F.lit("?z=9&y=8&x=7"))))
-    pages = _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents").select(
         url.alias("url"),
         F.to_timestamp(_synth_warc_date(d), "yyyy-MM-dd'T'HH:mm:ss'Z'")
          .alias("warc_ts"),
         F.concat(F.lit("<html><body>"), F.coalesce(F.col("text"), F.lit("")),
                  F.lit("</body></html>")).alias("html"))
-    return cdx_index(pages)
 
 
-SQL_CDX_INDEX = f"""
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index (sources/warc.py cdx_index + webnorm.surt_key)
+    over the messy synthetic URL shapes: the SURT sort key plus
+    ts14/digest/byte-length.  The DuckDB twin re-derives the SURT
+    transform step by step (fragment drop, host fold, label reversal,
+    port policy, query sort), so a hash match certifies the key's exact
+    grammar cross-engine.
+
+    Pure built-ins, no shuffle — this runs at scan speed over the page
+    table; the (surt, ts14) pair is the archive's range-query key."""
+    from ..sources.warc import cdx_index
+
+    return cdx_index(_synth_cdx_pages(spark, sf_dir))
+
+
+# the WITH chain shared by the cdx_index and cdx_shard_boundaries twins:
+# messy synthetic URLs -> SURT key, re-derived step by step in SQL
+_SQL_CDX_KEYED = f"""
 WITH base AS (
   SELECT doc_id,
          CASE doc_id % 5
@@ -4857,14 +4866,47 @@ keyed AS (
                  list_sort(list_filter(string_split(lower(q), '&'),
                    x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\') AND x <> '')),
                  '&'), '') AS kept
-        FROM parts))
-SELECT surt,
-       replace(replace(replace(substr(warc_date, 1, 19), '-', ''), ':', ''),
-               'T', '') AS ts14,
-       url, md5(html) AS digest,
-       CAST(strlen(html) AS BIGINT) AS n_bytes
-FROM keyed
+        FROM parts)),
+cdx AS (
+  SELECT surt,
+         replace(replace(replace(substr(warc_date, 1, 19), '-', ''),
+                 ':', ''), 'T', '') AS ts14,
+         url, md5(html) AS digest,
+         CAST(strlen(html) AS BIGINT) AS n_bytes
+  FROM keyed)
 """
+
+SQL_CDX_INDEX = _SQL_CDX_KEYED + """
+SELECT surt, ts14, url, digest, n_bytes FROM cdx
+"""
+
+SQL_CDX_SHARDS = _SQL_CDX_KEYED + """
+, ranked AS (
+  SELECT surt, ts14, url,
+         ntile(8) OVER (ORDER BY surt, ts14, url) - 1 AS shard,
+         row_number() OVER (ORDER BY surt, ts14, url) AS rn
+  FROM cdx)
+SELECT shard,
+       min_by(surt, rn) AS first_surt,
+       min_by(ts14, rn) AS first_ts14,
+       max_by(surt, rn) AS last_surt,
+       max_by(ts14, rn) AS last_ts14,
+       CAST(COUNT(*) AS BIGINT) AS n_captures
+FROM ranked
+GROUP BY shard
+"""
+
+
+def q_cdx_shard_boundaries(spark, sf_dir):
+    """Two-level archive index (sources/warc.py cdx_shard_boundaries —
+    the Common Crawl cluster.idx analog): the CDX total order split
+    into 8 contiguous shards with first/last (surt, ts14) keys and
+    capture counts.  The DuckDB twin re-derives the same boundaries
+    with its own ntile/min_by, certifying the shard arithmetic and the
+    SURT total order end to end."""
+    from ..sources.warc import cdx_index, cdx_shard_boundaries
+
+    return cdx_shard_boundaries(cdx_index(_synth_cdx_pages(spark, sf_dir)), 8)
 
 
 def q_warc_revisit_dedup(spark, sf_dir):
@@ -5080,6 +5122,7 @@ QUERIES = {
     "wet_export": q_wet_export,
     "cdx_index": q_cdx_index,
     "warc_revisit_dedup": q_warc_revisit_dedup,
+    "cdx_shard_boundaries": q_cdx_shard_boundaries,
 }
 
 ORACLE_SQL = {
@@ -5217,4 +5260,5 @@ ORACLE_SQL = {
     "wet_export": SQL_WET_EXPORT,
     "cdx_index": SQL_CDX_INDEX,
     "warc_revisit_dedup": SQL_WARC_REVISIT,
+    "cdx_shard_boundaries": SQL_CDX_SHARDS,
 }

@@ -456,6 +456,65 @@ def cdx_index(pages: DataFrame, url_col: str = "url",
         F.octet_length(F.col(payload_col)).cast("bigint").alias("n_bytes"))
 
 
+def cdx_shard_boundaries(cdx: DataFrame, n_shards: int) -> DataFrame:
+    """Secondary index over a CDX table — the Common Crawl
+    ``cluster.idx`` analog: split the (surt, ts14) total order into
+    n_shards contiguous ranges and emit each shard's first/last key
+    plus capture count.  A reader binary-searches THIS tiny table
+    (n_shards rows) to find which shard files can contain a domain
+    prefix, then scans only those — the two-level lookup that makes a
+    10^12-capture archive range-queryable without a global index scan.
+
+    Exact ntile semantics WITHOUT a single-partition global window
+    (`ntile().over(Window.orderBy(...))` funnels the whole corpus
+    through one task — a non-starter at archive scale): the key
+    columns are distributed-sorted via repartitionByRange +
+    sortWithinPartitions, per-range-partition counts (one tiny
+    collect, #partitions rows) become cumulative offsets, and the
+    global rank = offset + local row_number feeds the ntile bucket
+    arithmetic (first N%n buckets take one extra row).  The sorted
+    slim projection is cached because the count pass and the rank
+    pass must see identical partitioning.  Output is n_shards rows
+    regardless of corpus size."""
+    key = ["surt", "ts14", "url"]
+    spark = cdx.sparkSession
+    k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = (cdx.select(*key)
+              .repartitionByRange(k, *key)
+              .sortWithinPartitions(*key)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())
+    counts = dict(sorted((r["_pid"], r["n"]) for r in
+                         ranked.groupBy("_pid")
+                         .agg(F.count("*").alias("n")).collect()))
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid, n in counts.items():
+        offsets[pid] = acc
+        acc += n
+    off_map = F.create_map(*[F.lit(x) for pid_off in offsets.items()
+                             for x in pid_off])
+    q, r = divmod(total, n_shards)
+    rank = (F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*key))
+            + F.coalesce(off_map[F.col("_pid")], F.lit(0)))
+    head = r * (q + 1)  # rows living in the size-(q+1) buckets
+    shard = F.when(rank <= head, F.floor((rank - 1) / (q + 1))) \
+        .otherwise(r + F.floor((rank - 1 - head) / F.lit(max(q, 1))))
+    return (ranked
+            .withColumn("shard", shard.cast("int"))
+            .groupBy("shard")
+            .agg(F.min(F.struct("surt", "ts14")).alias("_lo"),
+                 F.max(F.struct("surt", "ts14")).alias("_hi"),
+                 F.count("*").alias("n_captures"))
+            .select("shard",
+                    F.col("_lo.surt").alias("first_surt"),
+                    F.col("_lo.ts14").alias("first_ts14"),
+                    F.col("_hi.surt").alias("last_surt"),
+                    F.col("_hi.ts14").alias("last_ts14"),
+                    "n_captures"))
+
+
 def revisit_marks(pages: DataFrame, url_col: str = "url",
                   ts_col: str = "warc_ts",
                   payload_col: str = "html") -> DataFrame:
