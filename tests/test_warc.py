@@ -343,3 +343,38 @@ def test_cdx_shard_boundaries_fewer_rows_than_shards(spark):
     got = warc.cdx_shard_boundaries(cdx, 8).collect()
     assert sorted(g.shard for g in got) == [0, 1]
     assert all(g.n_captures == 1 for g in got)
+
+
+def test_cdx_shard_boundaries_empty_input(spark):
+    cdx = spark.createDataFrame([], "surt string, ts14 string, url string")
+    assert warc.cdx_shard_boundaries(cdx, 8).count() == 0
+
+
+def test_cdx_shard_boundaries_matches_python_ntile(spark):
+    # randomized invariant: for several (total, n_shards) shapes the
+    # distributed build must equal the trivial in-memory ntile
+    import random
+    rnd = random.Random(7)
+    for total, n_shards in ((1, 1), (7, 3), (32, 32), (97, 8), (200, 5)):
+        rows = [(f"com,h{rnd.randrange(9)})/p/{i:03d}",
+                 f"202401010{rnd.randrange(10)}0000", f"u{i:03d}")
+                for i in range(total)]
+        cdx = spark.createDataFrame(
+            rows, "surt string, ts14 string, url string")
+        got = {g.shard: g for g in
+               warc.cdx_shard_boundaries(cdx, n_shards).collect()}
+        ordered = sorted(rows)
+        q, r = divmod(total, n_shards)
+        pos = 0
+        for s in range(min(total, n_shards)):
+            size = (q + 1) if s < r else q
+            if size == 0:
+                assert s not in got
+                continue
+            seg = ordered[pos:pos + size]
+            g = got[s]
+            assert (g.first_surt, g.first_ts14) == seg[0][:2], (total, s)
+            assert (g.last_surt, g.last_ts14) == seg[-1][:2], (total, s)
+            assert g.n_captures == size
+            pos += size
+        assert pos == total

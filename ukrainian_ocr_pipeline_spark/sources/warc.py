@@ -465,54 +465,107 @@ def cdx_shard_boundaries(cdx: DataFrame, n_shards: int) -> DataFrame:
     prefix, then scans only those — the two-level lookup that makes a
     10^12-capture archive range-queryable without a global index scan.
 
-    Exact ntile semantics WITHOUT a single-partition global window
-    (`ntile().over(Window.orderBy(...))` funnels the whole corpus
-    through one task — a non-starter at archive scale): the key
-    columns are distributed-sorted via repartitionByRange +
-    sortWithinPartitions, per-range-partition counts (one tiny
-    collect, #partitions rows) become cumulative offsets, and the
-    global rank = offset + local row_number feeds the ntile bucket
-    arithmetic (first N%n buckets take one extra row).  The sorted
-    slim projection is cached because the count pass and the rank
-    pass must see identical partitioning.  Output is n_shards rows
-    regardless of corpus size."""
+    Exact ntile semantics with exactly ONE shuffle (no single-partition
+    global window, which would funnel the whole corpus through one
+    task): the key columns are distributed-sorted via repartitionByRange
+    + sortWithinPartitions, per-range-partition counts (one tiny
+    collect, #partitions rows) become cumulative global offsets, and a
+    single Arrow pass over the SORTED partitions emits one summary row
+    per (partition, overlapped shard) by pure position arithmetic —
+    within a sorted partition each shard occupies a contiguous slice,
+    so the pass only indexes slice endpoints, never ranks rows (no
+    second shuffle, no 32-bit row_number ceiling).  The ≤ #partitions +
+    n_shards partials then reduce driver-side.  The sorted projection
+    is cached only between the two passes and unpersisted before
+    returning: the result (min(total, n_shards) rows — shards past the
+    row count are not emitted) is materialized eagerly, which an
+    index-construction job is by nature."""
     key = ["surt", "ts14", "url"]
     spark = cdx.sparkSession
+    out_schema = ("shard int, first_surt string, first_ts14 string, "
+                  "last_surt string, last_ts14 string, n_captures long")
     k = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = (cdx.select(*key)
-              .repartitionByRange(k, *key)
-              .sortWithinPartitions(*key)
-              .withColumn("_pid", F.spark_partition_id())
-              .persist())
-    counts = dict(sorted((r["_pid"], r["n"]) for r in
-                         ranked.groupBy("_pid")
-                         .agg(F.count("*").alias("n")).collect()))
-    total = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid, n in counts.items():
-        offsets[pid] = acc
-        acc += n
-    off_map = F.create_map(*[F.lit(x) for pid_off in offsets.items()
-                             for x in pid_off])
-    q, r = divmod(total, n_shards)
-    rank = (F.row_number().over(
-                Window.partitionBy("_pid").orderBy(*key))
-            + F.coalesce(off_map[F.col("_pid")], F.lit(0)))
-    head = r * (q + 1)  # rows living in the size-(q+1) buckets
-    shard = F.when(rank <= head, F.floor((rank - 1) / (q + 1))) \
-        .otherwise(r + F.floor((rank - 1 - head) / F.lit(max(q, 1))))
-    return (ranked
-            .withColumn("shard", shard.cast("int"))
-            .groupBy("shard")
-            .agg(F.min(F.struct("surt", "ts14")).alias("_lo"),
-                 F.max(F.struct("surt", "ts14")).alias("_hi"),
-                 F.count("*").alias("n_captures"))
-            .select("shard",
-                    F.col("_lo.surt").alias("first_surt"),
-                    F.col("_lo.ts14").alias("first_ts14"),
-                    F.col("_hi.surt").alias("last_surt"),
-                    F.col("_hi.ts14").alias("last_ts14"),
-                    "n_captures"))
+    slim = (cdx.select(*key)
+            .repartitionByRange(k, *key)
+            .sortWithinPartitions(*key)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist())
+    try:
+        counts = dict(sorted((row["_pid"], row["n"]) for row in
+                             slim.groupBy("_pid")
+                             .agg(F.count("*").alias("n")).collect()))
+        total = sum(counts.values())
+        if total == 0:
+            return spark.createDataFrame([], out_schema)
+        offsets, acc = {}, 0
+        for pid, n in counts.items():
+            offsets[pid] = acc
+            acc += n
+        q, r = divmod(total, n_shards)
+        head = r * (q + 1)  # rows living in the size-(q+1) buckets
+
+        def shard_of(pos: int) -> int:  # global 0-based position
+            if pos < head:
+                return pos // (q + 1)
+            return r + (pos - head) // max(q, 1)
+
+        def shard_end(s: int) -> int:  # exclusive end position of shard s
+            return (s + 1) * (q + 1) if s < r else head + (s + 1 - r) * q
+
+        def summarize(batches):
+            import pandas as pd
+            pos = None
+            open_shard = None  # [shard, first_surt, first_ts14, cnt]
+            last_row = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if pos is None:
+                    pos = offsets[int(pdf["_pid"].iloc[0])]
+                i = 0
+                while i < len(pdf):
+                    s = shard_of(pos)
+                    take = min(shard_end(s) - pos, len(pdf) - i)
+                    if open_shard is None or open_shard[0] != s:
+                        if open_shard is not None:
+                            yield pd.DataFrame([open_shard[:3]
+                                                + last_row
+                                                + [open_shard[3]]],
+                                               columns=_SHARD_COLS)
+                        open_shard = [s, pdf["surt"].iloc[i],
+                                      pdf["ts14"].iloc[i], 0]
+                    open_shard[3] += take
+                    j = i + take - 1
+                    last_row = [pdf["surt"].iloc[j], pdf["ts14"].iloc[j]]
+                    pos += take
+                    i += take
+            if open_shard is not None:
+                yield pd.DataFrame([open_shard[:3] + last_row
+                                    + [open_shard[3]]],
+                                   columns=_SHARD_COLS)
+
+        partials = slim.mapInPandas(summarize, out_schema).collect()
+    finally:
+        slim.unpersist()
+    # driver-side reduce of <= #partitions + n_shards partials
+    merged: dict = {}
+    for p in partials:
+        m = merged.get(p.shard)
+        if m is None:
+            merged[p.shard] = [p.first_surt, p.first_ts14, p.last_surt,
+                               p.last_ts14, p.n_captures]
+        else:
+            if (p.first_surt, p.first_ts14) < (m[0], m[1]):
+                m[0], m[1] = p.first_surt, p.first_ts14
+            if (p.last_surt, p.last_ts14) > (m[2], m[3]):
+                m[2], m[3] = p.last_surt, p.last_ts14
+            m[4] += p.n_captures
+    rows = [(s, *merged[s]) for s in sorted(merged)]
+    return spark.createDataFrame(rows, out_schema)
+
+
+_SHARD_COLS = ["shard", "first_surt", "first_ts14", "last_surt",
+               "last_ts14", "n_captures"]
 
 
 def revisit_marks(pages: DataFrame, url_col: str = "url",
