@@ -88,6 +88,7 @@ HEADLINE = [
     "embedding_topk_lsh", "embedding_topk_ivf",
     "multimodal_media_meta",
     "wet_export", "cdx_index", "warc_revisit_dedup",
+    "cdx_shard_boundaries", "wat_export",
 ]
 
 

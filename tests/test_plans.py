@@ -673,3 +673,14 @@ def test_wet_export_one_arrow_stage_no_shuffle(spark):
         spark, "/root/testdata/sf0.001"))
     assert nodes(plan, "ArrowEvalPython") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_wat_export_pure_codegen_no_shuffle(spark):
+    """The WAT sidecar (unlike WET's deliberate bytes UDF) is pure
+    built-ins: zero Python, zero exchanges — a free pass during any
+    page scan regardless of corpus size."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["wat_export"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -378,3 +378,59 @@ def test_cdx_shard_boundaries_matches_python_ntile(spark):
             assert g.n_captures == size
             pos += size
         assert pos == total
+
+
+def test_wat_records_roundtrip_and_json(spark):
+    import json
+    html = ('<html><head><title> A  "B" \\ C </title></head><body>'
+            '<a href="https://x.example/p?a=1">x</a>'
+            "<a href='/rel/2'>y</a></body></html>")
+    pages = spark.createDataFrame(
+        [("https://s.example/1", "2024-01-01 00:05:00", html),
+         ("https://s.example/2", "2024-01-01 00:06:00", None)],
+        "url string, ts string, html string").selectExpr(
+        "url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    got = {r.url: r for r in warc.wat_records(pages).collect()}
+
+    r1 = got["https://s.example/1"]
+    assert r1.n_links == 2
+    # the record string parses back through the ingestion codec
+    recs = list(warc.iter_warc_records(r1.wat_record.encode("utf-8")))
+    assert len(recs) == 1 and recs[0]["error"] is None
+    assert recs[0]["warc_type"] == "metadata"
+    assert recs[0]["url"] == "https://s.example/1"
+    assert recs[0]["content_type"] == "application/json"
+    meta = json.loads(recs[0]["payload"].decode("utf-8"))
+    env = meta["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Date"] == "2024-01-01T00:05:00Z"
+    hm = env["Payload-Metadata"]["HTML-Metadata"]
+    # whitespace collapsed, quote and backslash survive the escape chain
+    assert hm["Head"]["Title"] == 'A "B" \\ C'
+    assert [l["url"] for l in hm["Links"]] == \
+        ["https://x.example/p?a=1", "/rel/2"]
+
+    # null html: zero links, empty title, still a valid record
+    r2 = got["https://s.example/2"]
+    assert r2.n_links == 0
+    recs2 = list(warc.iter_warc_records(r2.wat_record.encode("utf-8")))
+    assert recs2[0]["error"] is None
+    meta2 = json.loads(recs2[0]["payload"].decode("utf-8"))
+    pm2 = meta2["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
+    assert pm2["Head"]["Title"] == "" and pm2["Links"] == []
+
+
+def test_wat_records_content_length_counts_bytes(spark):
+    html = '<html><head><title>Ukraïna — Київ</title></head><body></body></html>'
+    pages = spark.createDataFrame(
+        [("https://s.example/u", html)],
+        "url string, html string").selectExpr(
+        "url", "CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS warc_ts", "html")
+    rec = warc.wat_records(pages).collect()[0].wat_record
+    # declared Content-Length is the utf-8 BYTE count of the payload
+    head, _, rest = rec.encode("utf-8").partition(b"\r\n\r\n")
+    declared = int(dict(
+        l.split(b": ", 1) for l in head.split(b"\r\n")[1:])[b"Content-Length"])
+    assert rest.endswith(b"\r\n\r\n")
+    payload = rest[:-4]
+    assert len(payload) == declared
+    assert declared > len(payload.decode("utf-8"))  # non-ascii present

@@ -4966,6 +4966,126 @@ FROM marked
 """
 
 
+def _synth_wat_html_col():
+    """Deterministic page markup for the WAT twin: a <title> with
+    doubled internal whitespace (exercises normalization), an embedded
+    double quote AND a backslash (exercises BOTH JSON escapes), one
+    absolute link always, plus a relative link (doc_id%3==0) and a
+    second absolute link with query params (doc_id%4==0) so link
+    counts and array order vary per row."""
+    d, s, lang = F.col("doc_id"), F.col("source"), F.col("lang")
+    ds = d.cast("string")
+    return F.concat(
+        F.lit('<html><head><title> Doc  '), ds,
+        F.lit(' "'), lang, F.lit('" \\ '), s,
+        F.lit(' </title></head><body><a href="https://out.'), s,
+        F.lit(".example/p/"), (d % 7).cast("string"), F.lit('">x</a>'),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<a href='/rel/"), (d % 5).cast("string"),
+                        F.lit("'>y</a>"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.lit('<a href="https://two.example/q?a=1&b=2">z</a>'))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+
+
+_SQL_SYNTH_WAT_HTML = """
+    '<html><head><title> Doc  ' || CAST(doc_id AS VARCHAR)
+    || ' "' || lang || '" \\ ' || source
+    || ' </title></head><body><a href="https://out.' || source
+    || '.example/p/' || CAST(doc_id % 7 AS VARCHAR) || '">x</a>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<a href=''/rel/' || CAST(doc_id % 5 AS VARCHAR)
+                 || '''>y</a>' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<a href="https://two.example/q?a=1&b=2">z</a>'
+            ELSE '' END
+    || '</body></html>'
+"""
+
+
+def q_wat_export(spark, sf_dir):
+    """WAT metadata-sidecar certification (sources/warc.py wat_records
+    — the third Common Crawl sidecar next to WET text and the CDX
+    index): per page, the WARC/1.0 metadata record whose JSON payload
+    carries the envelope headers plus the normalized <title> and every
+    href in document order.  Emits (url, n_links, byte length, md5 of
+    the record); the DuckDB twin rebuilds the record byte-for-byte —
+    title regexp + whitespace collapse, href extraction, the two-step
+    JSON escape chain, Content-Length byte arithmetic, CRLF framing —
+    so a hash match certifies the export bytes against an independent
+    construction.
+
+    Unlike WET (a bytes-UDF assembler), the WAT path is pure built-ins
+    at scan speed: no Python, no shuffle, codegen end to end."""
+    from ..sources.warc import wat_records
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/wat/"),
+                 d.cast("string")).alias("url"),
+        F.to_timestamp(_synth_warc_date(d), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         .alias("warc_ts"),
+        _synth_wat_html_col().alias("html"))
+    wat = wat_records(pages)
+    return wat.select(
+        "url", "n_links",
+        F.octet_length("wat_record").cast("bigint").alias("wat_len"),
+        F.md5("wat_record").alias("wat_md5"))
+
+
+def _sql_wat_export() -> str:
+    from ..operators.webnorm import HREF_EXTRACT_SQL
+
+    esc = ("replace(replace({col}, '\\', '\\\\'), "
+           "'\"', '\\\"')")
+    links = HREF_EXTRACT_SQL.format(col="html")
+    return f"""
+WITH base AS (
+  SELECT 'https://' || source || '.example/wat/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         {_SQL_SYNTH_WARC_DATE} AS warc_date,
+         ({_SQL_SYNTH_WAT_HTML}) AS html
+  FROM documents),
+parsed AS (
+  SELECT url, warc_date,
+         trim(regexp_replace(
+             regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1),
+             '\\s+', ' ', 'g')) AS title,
+         {links} AS links
+  FROM base),
+pay AS (
+  SELECT url, warc_date, CAST(len(links) AS INT) AS n_links,
+         '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Target-URI":"'
+           || {esc.format(col="url")}
+           || '","WARC-Date":"' || warc_date
+           || '"}},"Payload-Metadata":{{"HTML-Metadata":{{"Head":{{"Title":"'
+           || {esc.format(col="title")}
+           || '"}},"Links":['
+           || COALESCE(array_to_string(list_transform(links,
+                  l -> '{{"url":"' || {esc.format(col="l")} || '"}}'), ','),
+                '')
+           || ']}}}}}}}}' AS payload
+  FROM parsed),
+rec AS (
+  SELECT url, n_links,
+         'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: metadata' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+           || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+           || 'Content-Type: application/json' || chr(13) || chr(10)
+           || 'Content-Length: ' || CAST(strlen(payload) AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || payload || chr(13) || chr(10) || chr(13) || chr(10) AS r
+  FROM pay)
+SELECT url, n_links, CAST(strlen(r) AS BIGINT) AS wat_len, md5(r) AS wat_md5
+FROM rec
+"""
+
+
+SQL_WAT_EXPORT = _sql_wat_export()
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5123,6 +5243,7 @@ QUERIES = {
     "cdx_index": q_cdx_index,
     "warc_revisit_dedup": q_warc_revisit_dedup,
     "cdx_shard_boundaries": q_cdx_shard_boundaries,
+    "wat_export": q_wat_export,
 }
 
 ORACLE_SQL = {
@@ -5261,4 +5382,5 @@ ORACLE_SQL = {
     "cdx_index": SQL_CDX_INDEX,
     "warc_revisit_dedup": SQL_WARC_REVISIT,
     "cdx_shard_boundaries": SQL_CDX_SHARDS,
+    "wat_export": SQL_WAT_EXPORT,
 }

@@ -418,6 +418,71 @@ def wet_records(extracted: DataFrame, url_col: str = "url",
         mk(F.col(url_col), date, F.col(text_col)).alias("wet_record"))
 
 
+def _json_escaped(c) -> F.Column:
+    """JSON string-escape as a literal replace chain (backslash FIRST,
+    then the double quote) — the only two escapes the WAT payload
+    builder needs, because every string it embeds is either a captured
+    href (the capture class excludes both quote kinds) or a
+    whitespace-normalized title/URL (no control characters survive the
+    normalization).  Kept engine-portable on purpose: the DuckDB twin
+    mirrors it with the same two literal replace() calls."""
+    return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                     F.lit('"'), F.lit('\\"'))
+
+
+def wat_records(pages: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts",
+                html_col: str = "html") -> DataFrame:
+    """(url, n_links, wat_record string) over a raw pages table — the
+    WAT metadata sidecar (the third Common Crawl sidecar next to WET
+    text and the CDX index): per capture, one WARC/1.0 ``metadata``
+    record whose JSON payload carries the envelope headers
+    (Target-URI, Date) plus the parsed page metadata — the
+    whitespace-normalized <title> and every href target in document
+    order (relative links included; WAT records the raw link
+    structure, canonicalization is the link-graph consumer's job —
+    webnorm.outlink_host_edges).
+
+    Unlike the WET assembler (a bytes UDF), this is pure built-ins end
+    to end: regexp title/href extraction, a transform() over the link
+    array for the JSON objects, octet_length for Content-Length, one
+    concat for the framing — scan speed, codegen, zero Python, zero
+    shuffle, so it runs as a free sidecar pass over any corpus size.
+    Header order matches build_record (Type, Target-URI, Date,
+    Content-Type, Content-Length), so ``record.encode('utf-8')``
+    parses back through iter_warc_records — export and ingest stay
+    inverses.  The record is returned as a string column; a sink
+    UTF-8-encodes it (Content-Length already counts payload BYTES)."""
+    from ..operators.webnorm import HREF_PATTERN, TITLE_PATTERN
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    title = F.trim(F.regexp_replace(
+        F.regexp_extract(h, TITLE_PATTERN, 1), "\\s+", " "))
+    links = F.regexp_extract_all(h, F.lit(HREF_PATTERN), F.lit(1))
+    links_json = F.concat_ws(",", F.transform(
+        links, lambda l: F.concat(F.lit('{"url":"'), _json_escaped(l),
+                                  F.lit('"}'))))
+    date = _utc_date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        _json_escaped(F.col(url_col)),
+        F.lit('","WARC-Date":"'), date,
+        F.lit('"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"'),
+        _json_escaped(title),
+        F.lit('"},"Links":['), links_json, F.lit(']}}}}'))
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.size(links).cast("int").alias("n_links"),
+        record.alias("wat_record"))
+
+
 def _utc_date_format(ts: F.Column, fmt: str) -> F.Column:
     """date_format rendered in UTC regardless of the session timezone.
     Archival headers hardcode a 'Z'/UTC meaning, but date_format renders
