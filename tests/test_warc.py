@@ -434,3 +434,33 @@ def test_wat_records_content_length_counts_bytes(spark):
     payload = rest[:-4]
     assert len(payload) == declared
     assert declared > len(payload.decode("utf-8"))  # non-ascii present
+
+
+def test_wat_records_control_chars_stay_valid_json(spark):
+    import json
+    # href wrapping across source lines + a stray C0 control in the title
+    html = ('<html><head><title>A\x01B</title></head><body>'
+            '<a href="/a\n/b\tc">x</a></body></html>')
+    pages = spark.createDataFrame(
+        [("https://s.example/\r\nX-Forged: 1", html)],
+        "url string, html string").selectExpr(
+        "url", "CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS warc_ts", "html")
+    rec = warc.wat_records(pages).collect()[0].wat_record
+    parsed = list(warc.iter_warc_records(rec.encode("utf-8")))
+    assert len(parsed) == 1 and parsed[0]["error"] is None
+    # CRLF in the url cannot forge a header line
+    assert parsed[0]["url"] == "https://s.example/X-Forged: 1"
+    meta = json.loads(parsed[0]["payload"].decode("utf-8"))
+    hm = meta["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
+    assert hm["Links"][0]["url"] == "/a\n/b\tc"  # escaped, not corrupted
+    assert hm["Head"]["Title"] == "AB"           # C0 control deleted
+
+
+def test_build_record_header_values_cannot_inject_lines():
+    rec = warc.build_record(
+        "response", b"x", url="https://a.example/\r\nWARC-Type: forged",
+        date="2024-01-01T00:00:00Z")
+    out = list(warc.iter_warc_records(rec))
+    assert len(out) == 1 and out[0]["error"] is None
+    assert out[0]["warc_type"] == "response"
+    assert out[0]["url"] == "https://a.example/WARC-Type: forged"

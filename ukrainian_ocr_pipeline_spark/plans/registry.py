@@ -5020,6 +5020,7 @@ def q_wat_export(spark, sf_dir):
     at scan speed: no Python, no shuffle, codegen end to end."""
     from ..sources.warc import wat_records
 
+    _pin_utc(spark)  # WARC-Date renders UTC; the twin is naive wall time
     d = F.col("doc_id")
     pages = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/wat/"),
@@ -5035,11 +5036,16 @@ def q_wat_export(spark, sf_dir):
 
 
 def _sql_wat_export() -> str:
-    from ..operators.webnorm import HREF_EXTRACT_SQL
+    from .expected_spec import _sql_str as lit
+    from ..operators import webnorm as w
 
-    esc = ("replace(replace({col}, '\\', '\\\\'), "
-           "'\"', '\\\"')")
-    links = HREF_EXTRACT_SQL.format(col="html")
+    # the mirror of warc._json_escaped: backslash, quote, then the
+    # \r/\n/\t two-char escapes, then delete the remaining C0 controls
+    esc = ("regexp_replace(replace(replace(replace(replace(replace("
+           "{col}, '\\', '\\\\'), '\"', '\\\"'), chr(13), '\\r'), "
+           "chr(10), '\\n'), chr(9), '\\t'), "
+           "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')")
+    links = w.HREF_EXTRACT_SQL.format(col="html")
     return f"""
 WITH base AS (
   SELECT 'https://' || source || '.example/wat/' || CAST(doc_id AS VARCHAR)
@@ -5050,7 +5056,7 @@ WITH base AS (
 parsed AS (
   SELECT url, warc_date,
          trim(regexp_replace(
-             regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1),
+             regexp_extract(html, {lit(w.TITLE_PATTERN)}, 1),
              '\\s+', ' ', 'g')) AS title,
          {links} AS links
   FROM base),

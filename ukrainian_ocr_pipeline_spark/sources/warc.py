@@ -78,8 +78,11 @@ def build_record(warc_type: str, payload: bytes, *, url: str | None = None,
     for k, v in (extra_headers or {}).items():
         headers.append((k, v))
     headers.append(("Content-Length", str(len(payload))))
+    # a header VALUE carrying CR/LF (dirty crawl URL, adversarial
+    # input) would inject forged header lines — strip, never trust
     head = _MAGIC + CRLF + CRLF.join(
-        f"{k}: {v}".encode("utf-8") for k, v in headers)
+        f"{k}: {v.replace(chr(13), '').replace(chr(10), '')}"
+        .encode("utf-8") for k, v in headers)
     return head + CRLF + CRLF + payload + CRLF + CRLF
 
 
@@ -419,15 +422,19 @@ def wet_records(extracted: DataFrame, url_col: str = "url",
 
 
 def _json_escaped(c) -> F.Column:
-    """JSON string-escape as a literal replace chain (backslash FIRST,
-    then the double quote) — the only two escapes the WAT payload
-    builder needs, because every string it embeds is either a captured
-    href (the capture class excludes both quote kinds) or a
-    whitespace-normalized title/URL (no control characters survive the
-    normalization).  Kept engine-portable on purpose: the DuckDB twin
-    mirrors it with the same two literal replace() calls."""
-    return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
-                     F.lit('"'), F.lit('\\"'))
+    """JSON string-escape as a literal replace chain: backslash FIRST,
+    then the double quote, then the three controls JSON has two-char
+    escapes for (\\r, \\n, \\t — hrefs legally wrap across source
+    lines, so a captured link CAN carry them).  Any other C0 control
+    (never meaningful in a URI or a normalized title) is deleted
+    rather than \\u-encoded, keeping the whole transform a literal
+    replace chain + one character-class regexp that the DuckDB twin
+    reproduces exactly."""
+    out = c
+    for find, repl in (("\\", "\\\\"), ('"', '\\"'), ("\r", "\\r"),
+                       ("\n", "\\n"), ("\t", "\\t")):
+        out = F.replace(out, F.lit(find), F.lit(repl))
+    return F.regexp_replace(out, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
 
 
 def wat_records(pages: DataFrame, url_col: str = "url",
@@ -453,11 +460,13 @@ def wat_records(pages: DataFrame, url_col: str = "url",
     parses back through iter_warc_records — export and ingest stay
     inverses.  The record is returned as a string column; a sink
     UTF-8-encodes it (Content-Length already counts payload BYTES)."""
-    from ..operators.webnorm import HREF_PATTERN, TITLE_PATTERN
+    from ..operators.webnorm import HREF_PATTERN, TITLE_PATTERN, _norm_ws
 
     h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
-    title = F.trim(F.regexp_replace(
-        F.regexp_extract(h, TITLE_PATTERN, 1), "\\s+", " "))
+    title = _norm_ws(F.regexp_extract(h, TITLE_PATTERN, 1))
+    # a Target-URI carrying CR/LF would inject forged header lines into
+    # the record framing — strip them once, use everywhere
+    uri = F.regexp_replace(F.col(url_col), "[\\r\\n]", "")
     links = F.regexp_extract_all(h, F.lit(HREF_PATTERN), F.lit(1))
     links_json = F.concat_ws(",", F.transform(
         links, lambda l: F.concat(F.lit('{"url":"'), _json_escaped(l),
@@ -465,14 +474,14 @@ def wat_records(pages: DataFrame, url_col: str = "url",
     date = _utc_date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     payload = F.concat(
         F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
-        _json_escaped(F.col(url_col)),
+        _json_escaped(uri),
         F.lit('","WARC-Date":"'), date,
         F.lit('"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"'),
         _json_escaped(title),
         F.lit('"},"Links":['), links_json, F.lit(']}}}}'))
     record = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
-        F.col(url_col),
+        uri,
         F.lit("\r\nWARC-Date: "), date,
         F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
         F.octet_length(payload).cast("string"),
