@@ -43,6 +43,11 @@ def main(argv=None) -> int:
                    help="also commit the 'revisit' table: digest-dup "
                         "captures marked as WARC revisit records with "
                         "WARC-Refers-To pointers (URL-agnostic dedup)")
+    p.add_argument("--wat", action="store_true",
+                   help="also commit the 'wat' metadata-sidecar table: "
+                        "per capture, the WARC/1.0 metadata record whose "
+                        "JSON payload carries the normalized <title> and "
+                        "every href in document order")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -109,6 +114,9 @@ def main(argv=None) -> int:
         from ukrainian_ocr_pipeline_spark.sources.warc import revisit_marks
         cat.write_snapshot(revisit_marks(committed), "revisit",
                            args.snapshot_id)
+    if args.wat:
+        from ukrainian_ocr_pipeline_spark.sources.warc import wat_records
+        cat.write_snapshot(wat_records(committed), "wat", args.snapshot_id)
     by_type = {r["warc_type"]: r["n"] for r in
                (committed_log.groupBy("warc_type")
                 .agg(F.sum("n_records").alias("n")).collect())}
@@ -131,6 +139,11 @@ def main(argv=None) -> int:
                       F.count("*").alias("n")).collect()}
         summary["revisit_by_type"] = {k: int(v) for k, v in
                                       sorted(counts.items())}
+    if args.wat:
+        wat = cat.read_snapshot(spark, "wat", args.snapshot_id)
+        summary["n_wat"] = wat.count()
+        summary["wat_links_total"] = int(
+            wat.agg(F.sum("n_links")).collect()[0][0] or 0)
     print(json.dumps(summary, sort_keys=True))
     if existing is None:
         spark.stop()

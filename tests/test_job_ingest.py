@@ -133,3 +133,48 @@ def test_ingest_job_cdx_and_revisit_sidecars(spark, tmp_path, capsys):
                      "--revisit"]) == 0
     for t in ("cdx", "revisit"):
         assert len(os.listdir(os.path.join(wh, t, "snapshots"))) == 1
+
+
+def test_ingest_job_wat_sidecar(spark, tmp_path, capsys):
+    """--wat commits one WARC/1.0 metadata record per committed page;
+    each parses back through the codec and carries the page's title
+    and hrefs in document order."""
+    import ingest as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    rows = _rows(3, "w")
+    rows[0]["html"] = (b'<html><head><title>T zero</title></head><body>'
+                       b'<a href="https://x.example/a">x</a>'
+                       b"<a href='/rel'>y</a></body></html>")
+    warc.write_fixture_warc(str(warcs / "a.warc"), rows)
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--warc", str(warcs), "--warehouse", wh,
+                   "--snapshot-id", "crawl-wat", "--wat"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_wat"] == summary["n_pages"] == 3
+    assert summary["wat_links_total"] == 2
+
+    cat = SnapshotCatalog(wh)
+    wat = {r.url: r for r in
+           cat.read_snapshot(spark, "wat", "crawl-wat").collect()}
+    r0 = wat["https://w0.example/p/0"]
+    assert r0.n_links == 2
+    recs = list(warc.iter_warc_records(r0.wat_record.encode("utf-8")))
+    assert len(recs) == 1 and recs[0]["error"] is None
+    assert recs[0]["warc_type"] == "metadata"
+    meta = json.loads(recs[0]["payload"].decode("utf-8"))
+    env = meta["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Date"] == "2024-01-01T00:00:00Z"
+    hm = env["Payload-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "T zero"
+    assert [l["url"] for l in hm["Links"]] == ["https://x.example/a", "/rel"]
+
+    # idempotent re-run: still one committed manifest for the sidecar
+    assert job.main(["--warc", str(warcs), "--warehouse", wh,
+                     "--snapshot-id", "crawl-wat", "--wat"]) == 0
+    assert len(os.listdir(os.path.join(wh, "wat", "snapshots"))) == 1
