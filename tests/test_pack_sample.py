@@ -299,3 +299,42 @@ def test_shard_manifest_randomized_matches_python_model(spark):
                     (v[1] * 1_000_000 // total) if total else 0)
                 for s, v in model.items()}
         assert got == want, (trial, n_shards)
+
+
+def test_training_token_shards_matches_pure_python_model(spark):
+    """training_token_shards == the naive model: md5 shuffle order,
+    running token offsets, shard = start // budget — exercised over
+    randomized corpora with NULL/empty/oversized docs."""
+    import hashlib
+    import random
+
+    from ukrainian_ocr_pipeline_spark.operators import packing
+
+    rng = random.Random(77)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    for trial in range(4):
+        budget = rng.choice([8, 32, 4096])
+        rows = []
+        for d in range(rng.randint(5, 60)):
+            text = rng.choice(
+                [None, "", "   ",
+                 " ".join(rng.choice(words)
+                          for _ in range(rng.randint(1, 50)))])
+            rows.append((d, text))
+        got = {r["doc_id"]: (r["shuffle_key"], r["n_tokens"], r["shard_id"])
+               for r in packing.training_token_shards(
+                   spark.createDataFrame(rows, "doc_id long, text string"),
+                   budget=budget).collect()}
+        keyed = sorted(
+            (hashlib.md5(f"shuffle:{d}".encode()).hexdigest(), d,
+             len(text.split()) if text else 0)
+            for d, text in rows)
+        want, start = {}, 0
+        for key, d, n in keyed:
+            want[d] = (key, n, start // budget)
+            start += n
+        assert got == want, (trial, budget)
+        # contiguity: shard ids are non-decreasing along shuffle order
+        # and start at 0
+        ids = [want[d][2] for _, d, _ in keyed]
+        assert ids == sorted(ids) and (not ids or ids[0] == 0), trial

@@ -684,3 +684,44 @@ def test_wat_export_pure_codegen_no_shuffle(spark):
         spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_token_shards_two_level_prefix_sum_no_global_window(spark):
+    """training_token_shards: the corpus-side cumulative sum must window
+    per md5 bucket (parallel), with the bucket-offset side joined via
+    broadcast — a single-partition window over doc rows would funnel
+    the corpus through one task."""
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(packing.training_token_shards(docs, budget=4096))
+    assert "EvalPython" not in plan, plan
+    # corpus-side window partitions on the bucket prefix
+    assert re.search(r"windowspecdefinition\(_bucket#", plan), plan
+    assert re.search(r"hashpartitioning\(_bucket#", plan), plan
+    assert nodes(plan, "BroadcastHashJoin") == 1, plan
+    # exactly one SinglePartition exchange is allowed: the 256-row
+    # bucket-offset rollup (post-aggregation), never the doc rows
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_zipf_slope_windows_vocabulary_not_corpus(spark):
+    """term_zipf_slope: one partial-agg shuffle on (lang, term); the
+    rank window and regression run over the collapsed count table."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(textstats.term_zipf_slope(docs))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "HashAggregate") >= 2, plan  # partial + final
+    assert re.search(r"windowspecdefinition\(lang#", plan), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_source_gate_single_bounded_rollup(spark):
+    """source_quality_gate: doc verdicts are codegen over the scan;
+    the only wide op is the partial-agg rollup keyed on source."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(textstats.source_quality_gate(docs))
+    assert "EvalPython" not in plan, plan
+    assert re.search(r"hashpartitioning\(source#", plan), plan
+    assert "Exchange SinglePartition" not in plan, plan

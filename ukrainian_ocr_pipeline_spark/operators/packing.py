@@ -171,6 +171,71 @@ def shard_manifest(docs: DataFrame, text_col: str = "text",
                     "token_share_micro"))
 
 
+def training_token_shards(docs: DataFrame, text_col: str = "text",
+                          key_col: str = "doc_id",
+                          budget: int = 4096,
+                          seed: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle + token-budget CONTIGUOUS sharding —
+    the training-export step :func:`shard_manifest` deliberately is not:
+    instead of hash-mod membership (stable but token-unbalanced per
+    shard), every document gets a pseudo-random position in ONE global
+    order (md5 of its key — the corpus shuffle a trainer wants baked
+    into the data) and shards are cut at running-token-count boundaries,
+    so every shard except the last carries ~`budget` tokens regardless
+    of document length skew.
+
+    Returns (doc_id, shuffle_key, n_tokens, shard_id) with
+    shard_id = floor(start_offset / budget) where start_offset is the
+    sum of token counts of all docs BEFORE this one in shuffle order.
+    A document therefore lands in the shard where it starts; oversized
+    docs spill over their boundary rather than splitting (this operator
+    never splits a document — chunk upstream via chunk_windows).
+
+    Scale shape — the global running sum is built WITHOUT a
+    single-partition window over the corpus: md5 keys are uniform hex,
+    so the first two hex chars split the total order into 256
+    contiguous, population-balanced ranges.  The cumsum window runs
+    per-bucket (parallel, partitionBy bucket); bucket start offsets
+    come from a 256-row rollup whose own window is trivially small;
+    the offsets rejoin via broadcast.  Net: one bounded-key shuffle +
+    one broadcast join, identical output to the naive global window,
+    which the DuckDB twin uses directly.
+
+    Determinism: shuffle_key is unique per doc (md5 of a unique key;
+    doc_id tie-break pinned anyway), token counts are the canonical
+    integer word_array definition, and all arithmetic is integer —
+    byte-stable across engines and partitionings."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    counted = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))
+              .cast("binary")).alias("shuffle_key"),
+        dedup.token_count(text_col).cast("long").alias("n_tokens"))
+    counted = counted.withColumn(
+        "_bucket", F.substring("shuffle_key", 1, 2))
+    w_intra = (Window.partitionBy("_bucket")
+               .orderBy("shuffle_key", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    intra = counted.withColumn(
+        "_intra_off", F.sum("n_tokens").over(w_intra) - F.col("n_tokens"))
+    # 256-row rollup: single-partition window is fine at that
+    # cardinality (same justification as shard_manifest's OVER ())
+    w_bucket = (Window.orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bucket_offs = (counted.groupBy("_bucket")
+                   .agg(F.sum("n_tokens").alias("_btok"))
+                   .withColumn("_bucket_off",
+                               F.sum("_btok").over(w_bucket)
+                               - F.col("_btok"))
+                   .select("_bucket", "_bucket_off"))
+    return (intra.join(F.broadcast(bucket_offs), "_bucket")
+            .withColumn("_start", F.col("_bucket_off") + F.col("_intra_off"))
+            .withColumn("shard_id",
+                        F.expr(f"CAST(_start DIV {int(budget)} AS BIGINT)"))
+            .select("doc_id", "shuffle_key", "n_tokens", "shard_id"))
+
+
 def compaction_plan(files: DataFrame, part_col: str = "part",
                     file_col: str = "file_id", size_col: str = "bytes",
                     target_bytes: int = 1 << 27) -> DataFrame:

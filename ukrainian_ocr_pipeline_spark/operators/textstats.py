@@ -1069,3 +1069,83 @@ def ccnet_perplexity_tiers(docs: DataFrame, target_lang: str = "en",
                          F.when(t == 1, F.lit("head"))
                           .when(t == 2, F.lit("middle"))
                           .otherwise(F.lit("tail")).alias("tier"))
+
+
+def term_zipf_slope(docs: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang", top_n: int = 500) -> DataFrame:
+    """Zipf rank-frequency fit per language: the log-log OLS slope of
+    term frequency vs frequency rank over each language's top-`top_n`
+    terms — the classic corpus-health diagnostic (natural language sits
+    near slope -1; boilerplate/spam floods flatten it, template traps
+    steepen it; CCNet/RefinedWeb-style audits chart exactly this).
+
+    Output (lang, n_terms, zipf_slope) with
+    zipf_slope = regr_slope(ln(count), ln(rank)) rounded to 4 dp.
+
+    Scale shape: ONE partial-agg shuffle on (lang, term) — the exchange
+    carries distinct terms, not corpus positions — then a per-lang
+    top-`top_n` window over the collapsed count table and a per-lang
+    regression over <= top_n rows.  The window input is the distinct
+    vocabulary, not the corpus, so no partition scales with corpus
+    bytes.
+
+    Determinism: counts are exact integers and ranks tie-break on the
+    term string, so both engines regress the identical point set; the
+    regression itself sums ~top_n doubles whose partial-agg order may
+    differ, hence the 4-dp round (error budget ~1e-8 vs a 1e-4
+    boundary — see the tfidf 6-dp precedent; slope needs the wider
+    margin because regr_slope's cancellation amplifies reorder error).
+    """
+    from pyspark.sql import Window
+
+    from . import dedup
+    counts = (docs
+              .select(F.col(lang_col).alias("lang"),
+                      F.explode(dedup.word_array(text_col)).alias("term"))
+              .groupBy("lang", "term")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= top_n))
+    return (ranked.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.round(F.expr(
+                     "regr_slope(ln(CAST(n AS DOUBLE)),"
+                     " ln(CAST(rank AS DOUBLE)))"), 4)
+                 .alias("zipf_slope")))
+
+
+def source_quality_gate(docs: DataFrame, text_col: str = "text",
+                        source_col: str = "source",
+                        min_keep_micro: int = 500_000) -> DataFrame:
+    """Domain-level quality gate — the UT1-blocklist/RefinedWeb
+    "drop the whole domain" stage: roll the per-document
+    :func:`quality_filter` verdicts up to the `source_col` (host/feed
+    analog) and gate each SOURCE on its document keep-rate.  A domain
+    whose pages are majority-garbage is dropped wholesale, catching
+    low-quality hosts whose individual pages squeak past the
+    doc-level gate.
+
+    Output (source, n_docs, n_keep, keep_micro, keep_source) where
+    keep_micro = n_keep * 1e6 DIV n_docs (integer micro-fixed rate,
+    the cross-engine idiom) and keep_source = keep_micro >=
+    `min_keep_micro` (default: majority rule).
+
+    Composes the ONE canonical doc gate rather than re-deriving rules
+    (same reasoning as corpus_curation: a re-derived inline gate would
+    silently diverge when thresholds change).  Scale shape: the doc
+    gate is pure codegen over the scan; the rollup is one partial-agg
+    shuffle on source (bounded by domain cardinality, not corpus
+    rows)."""
+    verdicts = quality_filter(docs, text_col=text_col).select(
+        "doc_id", F.col("keep").cast("int").alias("_k"))
+    src = docs.select("doc_id", F.col(source_col).alias("source"))
+    return (src.join(verdicts, "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_k").cast("long").alias("n_keep"))
+            .withColumn("keep_micro",
+                        F.expr("CAST(n_keep * 1000000 DIV n_docs"
+                               " AS BIGINT)"))
+            .withColumn("keep_source",
+                        F.col("keep_micro") >= F.lit(int(min_keep_micro))))

@@ -5092,6 +5092,164 @@ FROM rec
 SQL_WAT_EXPORT = _sql_wat_export()
 
 
+def q_training_token_shards(spark, sf_dir):
+    """Training-export sharding (packing.training_token_shards):
+    deterministic md5 global shuffle order + CONTIGUOUS token-budget
+    shard cuts — the "shuffle the corpus, cut every ~budget tokens"
+    step of a pretraining export, complementing corpus_shard_manifest's
+    hash-mod membership with token-balanced shards.  Scale shape: the
+    global running sum is a 256-bucket two-level prefix sum (parallel
+    per-bucket windows + a 256-row offset rollup rejoined via
+    broadcast), never a single-partition window over the corpus."""
+    return packing.training_token_shards(
+        _t(spark, sf_dir, "documents"), budget=4096)
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len({dedup.WORD_ARRAY_SQL.format(col="text")}) END AS n_tokens
+  FROM documents),
+-- the oracle uses the naive global window the operator's two-level
+-- prefix sum is provably equal to
+o AS (
+  SELECT doc_id, shuffle_key, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM t)
+SELECT doc_id, shuffle_key, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // 4096 AS BIGINT) AS shard_id
+FROM o
+"""
+
+
+def q_term_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per language
+    (textstats.term_zipf_slope): log-log OLS fit over each language's
+    top-500 terms — the corpus-health diagnostic (natural text ~ -1;
+    boilerplate floods flatten, template traps steepen).  One
+    partial-agg shuffle on (lang, term); the window and regression run
+    over the collapsed vocabulary, never corpus positions."""
+    return textstats.term_zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF = f"""
+WITH words AS (
+  SELECT lang,
+         unnest({dedup.WORD_ARRAY_SQL.format(col="text")}) AS term
+  FROM documents),
+counts AS (
+  SELECT lang, term, COUNT(*) AS n FROM words GROUP BY lang, term),
+ranked AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term) AS rank
+  FROM counts)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(CAST(n AS DOUBLE)),
+                        ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+FROM ranked WHERE rank <= 500 GROUP BY lang
+"""
+
+
+def q_source_quality_gate(spark, sf_dir):
+    """Domain-level quality gate (textstats.source_quality_gate):
+    roll per-doc quality_filter verdicts up to the source and gate
+    each SOURCE on its keep-rate (majority rule) — the
+    UT1-blocklist/RefinedWeb "drop the whole domain" stage.  Composes
+    the ONE canonical doc gate; rollup shuffles on source only."""
+    return textstats.source_quality_gate(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_GATE = r"""
+WITH f AS (
+  SELECT doc_id, source, text IS NULL AS is_null,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+         length(text) - length(regexp_replace(text, '[^\p{L}\p{N} \t\n\f\r]', '', 'g')) AS n_sym,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+         length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
+         length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
+  FROM documents),
+v AS (
+  SELECT source,
+         CASE WHEN is_null OR n_words < 5 OR n_words > 100000
+               OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0
+               OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0
+               OR CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3
+               OR (n_latin * 2 > n_letters AND n_stop < 1)
+              THEN 0 ELSE 1 END AS k
+  FROM f),
+g AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(k) AS n_keep
+  FROM v GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_micro,
+       (n_keep * 1000000 // n_docs) >= 500000 AS keep_source
+FROM g
+"""
+
+
+def q_event_burst_detection(spark, sf_dir):
+    """Rate-anomaly detection over the event stream: hourly counts per
+    event_type z-scored against that type's own hourly distribution,
+    bursts flagged at z >= 3 — the traffic-spike / crawl-storm monitor
+    a pipeline runs over its ingest telemetry.  Determinism: the
+    moment sums (S, S2, H) are exact integers, and both engines then
+    evaluate the textually identical IEEE expression, so z is
+    bit-stable; degenerate types (H < 2 or zero variance) yield NULL z
+    and NULL is_burst rather than a division error.  Scale shape: two
+    partial-agg shuffles of bounded cardinality (type x hour, then
+    type) and a broadcast rejoin — nothing scales with raw event
+    rows."""
+    _pin_utc(spark)
+    e = _t(spark, sf_dir, "events")
+    hourly = (e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"))
+        .agg(F.count("*").alias("n")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.count("*").alias("h"),
+                  F.sum("n").alias("s"),
+                  F.sum(F.col("n") * F.col("n")).alias("s2")))
+    z = ("CASE WHEN h >= 2 AND (s2 - CAST(s AS DOUBLE) * s / h) > 0 "
+         "THEN (n - CAST(s AS DOUBLE) / h) / "
+         "sqrt((s2 - CAST(s AS DOUBLE) * s / h) / (h - 1)) END")
+    return (hourly.join(F.broadcast(stats), "event_type")
+            .withColumn("_z", F.expr(z))
+            .select("event_type", "bucket_hour",
+                    F.col("n").cast("long").alias("n"),
+                    F.round("_z", 6).alias("zscore"),
+                    (F.col("_z") >= 3.0).alias("is_burst")))
+
+
+SQL_BURST = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, COUNT(*) AS h, SUM(n) AS s, SUM(n * n) AS s2
+  FROM hourly GROUP BY event_type),
+j AS (
+  SELECT hourly.event_type, bucket_hour, n,
+         CASE WHEN h >= 2 AND (s2 - CAST(s AS DOUBLE) * s / h) > 0
+              THEN (n - CAST(s AS DOUBLE) / h) /
+                   sqrt((s2 - CAST(s AS DOUBLE) * s / h) / (h - 1)) END AS z
+  FROM hourly JOIN stats ON hourly.event_type = stats.event_type)
+SELECT event_type, bucket_hour, CAST(n AS BIGINT) AS n,
+       ROUND(z, 6) AS zscore, z >= 3.0 AS is_burst
+FROM j
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5250,6 +5408,10 @@ QUERIES = {
     "warc_revisit_dedup": q_warc_revisit_dedup,
     "cdx_shard_boundaries": q_cdx_shard_boundaries,
     "wat_export": q_wat_export,
+    "training_token_shards": q_training_token_shards,
+    "term_zipf_slope": q_term_zipf_slope,
+    "source_quality_gate": q_source_quality_gate,
+    "event_burst_detection": q_event_burst_detection,
 }
 
 ORACLE_SQL = {
@@ -5389,4 +5551,8 @@ ORACLE_SQL = {
     "warc_revisit_dedup": SQL_WARC_REVISIT,
     "cdx_shard_boundaries": SQL_CDX_SHARDS,
     "wat_export": SQL_WAT_EXPORT,
+    "training_token_shards": SQL_TOKEN_SHARDS,
+    "term_zipf_slope": SQL_ZIPF,
+    "source_quality_gate": SQL_SOURCE_GATE,
+    "event_burst_detection": SQL_BURST,
 }
