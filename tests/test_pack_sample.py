@@ -321,14 +321,21 @@ def test_training_token_shards_matches_pure_python_model(spark):
                  " ".join(rng.choice(words)
                           for _ in range(rng.randint(1, 50)))])
             rows.append((d, text))
+        # a NULL key must be KEPT (folded to the '' shuffle position),
+        # never dropped by the bucket join
+        rows.append((None, "null keyed doc text"))
         got = {r["doc_id"]: (r["shuffle_key"], r["n_tokens"], r["shard_id"])
                for r in packing.training_token_shards(
                    spark.createDataFrame(rows, "doc_id long, text string"),
                    budget=budget).collect()}
+        # md5 keys are unique here (one NULL row, distinct int keys),
+        # so sorting by key alone pins the order
         keyed = sorted(
-            (hashlib.md5(f"shuffle:{d}".encode()).hexdigest(), d,
-             len(text.split()) if text else 0)
-            for d, text in rows)
+            ((hashlib.md5(
+                f"shuffle:{'' if d is None else d}".encode()).hexdigest(),
+              d, len(text.split()) if text else 0)
+             for d, text in rows),
+            key=lambda t: t[0])
         want, start = {}, 0
         for key, d, n in keyed:
             want[d] = (key, n, start // budget)

@@ -717,7 +717,8 @@ def test_zipf_slope_windows_vocabulary_not_corpus(spark):
 
 
 def test_source_gate_single_bounded_rollup(spark):
-    """source_quality_gate: doc verdicts are codegen over the scan;
+    """source_quality_gate: the verdict is evaluated INLINE over ONE
+    corpus scan (no self-join on doc_id shipping per-doc verdicts);
     the only wide op is the partial-agg rollup keyed on source."""
     from ukrainian_ocr_pipeline_spark.operators import textstats
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -725,3 +726,5 @@ def test_source_gate_single_bounded_rollup(spark):
     assert "EvalPython" not in plan, plan
     assert re.search(r"hashpartitioning\(source#", plan), plan
     assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert nodes(plan, "Scan parquet") == 1, plan

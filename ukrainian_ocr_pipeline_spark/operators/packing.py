@@ -204,12 +204,18 @@ def training_token_shards(docs: DataFrame, text_col: str = "text",
     Determinism: shuffle_key is unique per doc (md5 of a unique key;
     doc_id tie-break pinned anyway), token counts are the canonical
     integer word_array definition, and all arithmetic is integer —
-    byte-stable across engines and partitionings."""
+    byte-stable across engines and partitionings.  A NULL key folds to
+    the empty string rather than a NULL md5 (which the bucket equi-join
+    would silently DROP, and whose NULLS FIRST/LAST window placement
+    differs across engines); multiple NULL-keyed rows therefore share
+    one shuffle position, ordered among themselves by doc_id."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     counted = docs.select(
         F.col(key_col).alias("doc_id"),
-        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.coalesce(F.col(key_col).cast("string"),
+                                  F.lit("")))
               .cast("binary")).alias("shuffle_key"),
         dedup.token_count(text_col).cast("long").alias("n_tokens"))
     counted = counted.withColumn(

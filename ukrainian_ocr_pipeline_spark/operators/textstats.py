@@ -172,6 +172,29 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     drop the pipeline's target-language documents wholesale.  The
     (English) stopword rule applies only to latin-majority documents;
     other scripts are exempt rather than auto-dropped."""
+    reason = quality_drop_reason(
+        text_col, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio, min_stopwords=min_stopwords)
+    return docs.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"))
+
+
+def quality_drop_reason(text_col: str = "text",
+                        min_words: int = 5, max_words: int = 100000,
+                        min_mean_word_len: float = 2.0,
+                        max_mean_word_len: float = 12.0,
+                        max_symbol_ratio: float = 0.3,
+                        min_stopwords: int = 1):
+    """THE doc-quality verdict as a reusable Column expression (NULL =
+    keep, else the first failing rule's name) — factored out so
+    :func:`quality_filter` and :func:`source_quality_gate` evaluate the
+    IDENTICAL gate inline over their own scans instead of one re-joining
+    the other's output (a corpus self-join) or re-deriving the rules
+    (silent divergence when thresholds change)."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_chars = F.length(t)
@@ -187,7 +210,7 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     latin_major = n_latin * 2 > n_letters
     n_stop = F.size(F.expr(
         f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)"))
-    reason = (
+    return (
         F.when(t.isNull(), F.lit("null_text"))
         .when(n_words < min_words, F.lit("too_short"))
         .when(n_words > max_words, F.lit("too_long"))
@@ -197,10 +220,6 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
               F.lit("symbol_ratio"))
         .when(latin_major & (n_stop < min_stopwords), F.lit("few_stopwords"))
         .otherwise(F.lit(None).cast("string")))
-    return docs.select(
-        "doc_id",
-        reason.isNull().alias("keep"),
-        reason.alias("drop_reason"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1131,16 +1150,16 @@ def source_quality_gate(docs: DataFrame, text_col: str = "text",
     the cross-engine idiom) and keep_source = keep_micro >=
     `min_keep_micro` (default: majority rule).
 
-    Composes the ONE canonical doc gate rather than re-deriving rules
-    (same reasoning as corpus_curation: a re-derived inline gate would
-    silently diverge when thresholds change).  Scale shape: the doc
-    gate is pure codegen over the scan; the rollup is one partial-agg
-    shuffle on source (bounded by domain cardinality, not corpus
-    rows)."""
-    verdicts = quality_filter(docs, text_col=text_col).select(
-        "doc_id", F.col("keep").cast("int").alias("_k"))
-    src = docs.select("doc_id", F.col(source_col).alias("source"))
-    return (src.join(verdicts, "doc_id")
+    Composes the ONE canonical verdict expression
+    (:func:`quality_drop_reason`) INLINE next to the source column —
+    never a corpus self-join on doc_id, and never a re-derived rule set
+    (same reasoning as corpus_curation: divergence when thresholds
+    change).  Scale shape: the doc gate is pure codegen over the ONE
+    scan; the rollup is one partial-agg shuffle on source (bounded by
+    domain cardinality, not corpus rows)."""
+    keep = quality_drop_reason(text_col).isNull().cast("int")
+    return (docs.select(F.col(source_col).alias("source"),
+                        keep.alias("_k"))
             .groupBy("source")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("_k").cast("long").alias("n_keep"))

@@ -975,9 +975,14 @@ def q_doc_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_t(spark, sf_dir, "documents"))
 
 
-SQL_QUALITY_FILTER = r"""
-WITH f AS (
-  SELECT doc_id, text IS NULL AS is_null,
+# THE quality-gate SQL mirror, factored once (same rationale as
+# dedup.WORD_ARRAY_SQL): a threshold/regex change in
+# textstats.quality_drop_reason has a single SQL twin to update, and the
+# three oracles that embed the gate (doc_quality_filter,
+# corpus_curation, source_quality_gate) can never silently diverge from
+# each other.
+SQL_QGATE_FEATURES = r"""
+  SELECT doc_id, source, text IS NULL AS is_null,
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
@@ -985,17 +990,21 @@ WITH f AS (
          length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
          length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
          length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
-  FROM documents),
-r AS (
-  SELECT doc_id,
-         CASE WHEN is_null THEN 'null_text'
+  FROM documents"""
+
+SQL_QGATE_DROP = """CASE WHEN is_null THEN 'null_text'
               WHEN n_words < 5 THEN 'too_short'
               WHEN n_words > 100000 THEN 'too_long'
               WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0 THEN 'short_words'
               WHEN CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0 THEN 'long_words'
               WHEN CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3 THEN 'symbol_ratio'
               WHEN n_latin * 2 > n_letters AND n_stop < 1 THEN 'few_stopwords'
-              ELSE NULL END AS drop_reason
+              ELSE NULL END"""
+
+SQL_QUALITY_FILTER = f"""
+WITH f AS ({SQL_QGATE_FEATURES}),
+r AS (
+  SELECT doc_id, {SQL_QGATE_DROP} AS drop_reason
   FROM f)
 SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
 """
@@ -1025,25 +1034,11 @@ def q_corpus_curation(spark, sf_dir):
                  F.sum(F.length("text")).cast("bigint").alias("n_chars")))
 
 
-SQL_CURATION = r"""
-WITH f AS (
-  SELECT doc_id, text IS NULL AS is_null,
-         length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
-         length(text) - length(regexp_replace(text, '[^\p{L}\p{N} \t\n\f\r]', '', 'g')) AS n_sym,
-         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
-         length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
-         length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
-  FROM documents),
+SQL_CURATION = rf"""
+WITH f AS ({SQL_QGATE_FEATURES}),
 kept AS (
   SELECT doc_id FROM f
-  WHERE NOT is_null
-    AND NOT (n_words < 5 OR n_words > 100000
-         OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0
-         OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0
-         OR CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3
-         OR (n_latin * 2 > n_letters AND n_stop < 1))),
+  WHERE ({SQL_QGATE_DROP}) IS NULL),
 winners AS (
   SELECT MIN(d.doc_id) AS doc_id
   FROM documents d JOIN kept k ON d.doc_id = k.doc_id
@@ -5108,7 +5103,7 @@ def q_training_token_shards(spark, sf_dir):
 SQL_TOKEN_SHARDS = f"""
 WITH t AS (
   SELECT doc_id,
-         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         md5('shuffle:' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS shuffle_key,
          CASE WHEN text IS NULL THEN 0
               ELSE len({dedup.WORD_ARRAY_SQL.format(col="text")}) END AS n_tokens
   FROM documents),
@@ -5164,25 +5159,11 @@ def q_source_quality_gate(spark, sf_dir):
     return textstats.source_quality_gate(_t(spark, sf_dir, "documents"))
 
 
-SQL_SOURCE_GATE = r"""
-WITH f AS (
-  SELECT doc_id, source, text IS NULL AS is_null,
-         length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
-         length(text) - length(regexp_replace(text, '[^\p{L}\p{N} \t\n\f\r]', '', 'g')) AS n_sym,
-         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
-         length(text) - length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
-         length(regexp_extract_all(text, ' (the|a|an|of|and|or|in|on|to|is) ', 1)) AS n_stop
-  FROM documents),
+SQL_SOURCE_GATE = f"""
+WITH f AS ({SQL_QGATE_FEATURES}),
 v AS (
   SELECT source,
-         CASE WHEN is_null OR n_words < 5 OR n_words > 100000
-               OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) < 2.0
-               OR CAST(n_chars AS DOUBLE) / greatest(n_words, 1) > 12.0
-               OR CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) > 0.3
-               OR (n_latin * 2 > n_letters AND n_stop < 1)
-              THEN 0 ELSE 1 END AS k
+         CASE WHEN ({SQL_QGATE_DROP}) IS NULL THEN 1 ELSE 0 END AS k
   FROM f),
 g AS (
   SELECT source, COUNT(*) AS n_docs, SUM(k) AS n_keep
