@@ -89,6 +89,8 @@ HEADLINE = [
     "multimodal_media_meta",
     "wet_export", "cdx_index", "warc_revisit_dedup",
     "cdx_shard_boundaries", "wat_export",
+    "training_token_shards", "term_zipf_slope",
+    "source_quality_gate", "event_burst_detection",
 ]
 
 

@@ -144,6 +144,16 @@ def main(argv=None) -> int:
                         " whose source host equals or sits under a"
                         " listed domain drops as 'host_blocklist';"
                         " malformed entries rejected at startup")
+    p.add_argument("--source-gate", action="store_true",
+                   help="drop WHOLE sources whose doc-level quality"
+                        " keep-rate is below --source-gate-min-keep"
+                        " (RefinedWeb-style domain-level gate; runs"
+                        " before the per-doc quality gate; NULL-source"
+                        " docs pass, same rule as the host cap)")
+    p.add_argument("--source-gate-min-keep", type=float, default=0.5,
+                   help="minimum fraction of a source's docs that must"
+                        " pass the doc quality gate for the source to"
+                        " survive --source-gate (default 0.5)")
     p.add_argument("--lm-gate-lang", default=None,
                    help="CCNet-style LM gate: train an interpolated"
                         " bigram LM on the surviving docs of this lang"
@@ -191,6 +201,11 @@ def main(argv=None) -> int:
         # pins the gutted corpus to this snapshot-id — the same footgun
         # class as a negative host cap; reject at parse time
         p.error("--lm-gate-min-logprob must be negative (log-probs are)")
+    if not (0 <= args.source_gate_min_keep <= 1):
+        # a rate above 1 drops EVERY source and idempotency pins the
+        # empty corpus to this snapshot-id — same footgun class as a
+        # negative host cap; reject at parse time
+        p.error("--source-gate-min-keep must be in [0, 1]")
     if args.host_cap < 0:
         # a negative cap keeps nothing: every survivor would be dropped
         # as host_cap and the empty snapshot committed (idempotency then
@@ -280,6 +295,31 @@ def main(argv=None) -> int:
                 "doc_id", F.lit("").alias("status"),
                 F.lit(None).cast("long").alias("keeper_doc_id"))
             docs_gated = docs
+
+        # domain-level quality gate: per-source keep-rates over the
+        # blocklist survivors (one scan, rollup bounded by domain
+        # cardinality), whole failing sources dropped BEFORE the
+        # per-doc gate — a majority-garbage domain takes its
+        # individually-passable pages down with it.  NULL-source docs
+        # pass through (join keys never match NULL), same rule as the
+        # blocklist and the host cap.
+        if args.source_gate:
+            gate = textstats.source_quality_gate(
+                docs_gated, min_keep_micro=int(
+                    args.source_gate_min_keep * 1_000_000))
+            bad_sources = (gate.where(~F.col("keep_source"))
+                           .select("source"))
+            dropped_sg = (docs_gated
+                          .join(F.broadcast(bad_sources), "source",
+                                "semi")
+                          .select("doc_id",
+                                  F.lit("source_gate").alias("status"),
+                                  F.lit(None).cast("long")
+                                  .alias("keeper_doc_id")))
+            docs_gated = docs_gated.join(
+                F.broadcast(bad_sources), "source", "left_anti")
+        else:
+            dropped_sg = dropped_hb.limit(0)
 
         # quality gate: codegen predicates, no shuffle
         qf = textstats.quality_filter(docs_gated,
@@ -457,6 +497,7 @@ def main(argv=None) -> int:
             "doc_id", F.lit("kept").alias("status"),
             F.lit(None).cast("long").alias("keeper_doc_id"))
         return (dropped_hb
+                .unionByName(dropped_sg)
                 .unionByName(dropped_q)
                 .unionByName(dropped_c).unionByName(dropped_b)
                 .unionByName(dropped_x)
@@ -533,6 +574,7 @@ def main(argv=None) -> int:
         "dropped_lm": counts.get("lm_gate", 0),
         "dropped_badwords": counts.get("badwords", 0),
         "dropped_host_blocklist": counts.get("host_blocklist", 0),
+        "dropped_source_gate": counts.get("source_gate", 0),
         "dropped_lang_sample": counts.get("lang_sample", 0),
         "docs_out": counts.get("kept", 0),
         "splits": splits,

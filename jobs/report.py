@@ -76,6 +76,16 @@ def main(argv=None) -> int:
                         " deterministic md5 shard manifest (per-shard"
                         " doc/token/byte totals + token share) a shard"
                         " writer publishes before a training epoch")
+    p.add_argument("--zipf", action="store_true",
+                   help="also commit report_zipf: per-language Zipf"
+                        " rank-frequency slope over the top-500 terms"
+                        " (textstats.term_zipf_slope) — boilerplate"
+                        " floods flatten it, template traps steepen it")
+    p.add_argument("--source-gate", action="store_true",
+                   help="also commit report_sources: per-source doc"
+                        " quality keep-rates + majority-rule verdict"
+                        " (textstats.source_quality_gate) — the"
+                        " domain-level drop candidates")
     p.add_argument("--master", default=None,
                    help="override spark master (default from session)")
     args = p.parse_args(argv)
@@ -174,12 +184,23 @@ def main(argv=None) -> int:
     def build_shards():
         return packing.shard_manifest(docs, n_shards=args.shards)
 
+    # -- corpus-health extras (opt-in) ----------------------------------------
+    def build_zipf():
+        return textstats.term_zipf_slope(docs)
+
+    def build_sources():
+        return textstats.source_quality_gate(docs)
+
     tables = [("report_lang", build_lang),
               ("report_terms", build_terms),
               ("report_mixture", build_mixture),
               ("report_summary", build_summary)]
     if args.shards > 0:
         tables.append(("report_shards", build_shards))
+    if args.zipf:
+        tables.append(("report_zipf", build_zipf))
+    if args.source_gate:
+        tables.append(("report_sources", build_sources))
     for table, build in tables:
         if not cat.is_committed(table, args.snapshot_id):
             cat.write_snapshot(build(), table, args.snapshot_id)
@@ -197,6 +218,13 @@ def main(argv=None) -> int:
         # pinned manifest, same as every other stats field)
         stats["shards"] = cat.read_snapshot(
             spark, "report_shards", args.snapshot_id).count()
+    if args.zipf:
+        stats["zipf_langs"] = cat.read_snapshot(
+            spark, "report_zipf", args.snapshot_id).count()
+    if args.source_gate:
+        src = cat.read_snapshot(spark, "report_sources", args.snapshot_id)
+        stats["sources"] = src.count()
+        stats["sources_flagged"] = src.where(~F.col("keep_source")).count()
     print(json.dumps(stats))
 
     if existing is None:

@@ -669,3 +669,59 @@ def test_curate_job_host_blocklist_stage(spark, tmp_path, capsys):
         job.main(["--docs", docs_path, "--warehouse", wh,
                   "--snapshot-id", "hb2", "--no-neardup",
                   "--host-blocklist", str(bad)])
+
+
+def test_curate_job_source_gate_stage(spark, tmp_path, capsys):
+    """--source-gate drops WHOLE majority-bad sources (including their
+    individually-passable docs), leaves majority-good sources and
+    NULL-source docs alone, and a rate outside [0, 1] is rejected at
+    parse time."""
+    import pytest
+
+    import curate as job
+
+    body = ("a perfectly reasonable sentence with enough distinct words "
+            "to clear the quality gate today")
+    rows = (
+        # badhost: 7 of 9 fail too_short -> keep-rate 2/9 < 0.5, the 2
+        # good docs must drop WITH their source
+        [(i, "tiny", "uk", "badhost", 4) for i in range(7)]
+        + [(10 + i, f"{body} alpha {i}", "uk", "badhost", 100)
+           for i in range(2)]
+        # goodhost: all pass -> survives intact
+        + [(20 + i, f"{body} beta {i}", "uk", "goodhost", 100)
+           for i in range(5)]
+        # NULL source: not a domain, passes the gate regardless
+        + [(30, f"{body} gamma", "uk", None, 100),
+           (31, "small", "uk", None, 5)])
+    docs_path = str(tmp_path / "docs.parquet")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.parquet(docs_path))
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "sg1", "--no-neardup",
+                   "--source-gate"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # all 9 badhost docs drop as source_gate (the 2 good ones included);
+    # the NULL-source 'small' doc still drops at the per-doc gate
+    assert stats["dropped_source_gate"] == 9
+    assert stats["dropped_quality"] == 1
+    assert stats["docs_out"] == 6
+
+    from pyspark.sql import functions as F
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    dec = SnapshotCatalog(wh).read_snapshot(
+        spark, "curation_decisions", "sg1")
+    gated = {r["doc_id"] for r in
+             dec.where(F.col("status") == "source_gate").collect()}
+    assert gated == set(range(7)) | {10, 11}
+
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh,
+                  "--snapshot-id", "sg2", "--source-gate",
+                  "--source-gate-min-keep", "1.5"])

@@ -179,3 +179,44 @@ def test_report_shards_table_matches_operator(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         job.main(["--docs", docs_path, "--warehouse", str(tmp_path / "w2"),
                   "--snapshot-id", "rs3", "--shards", "-1"])
+
+
+def test_report_zipf_and_sources_tables_match_operators(
+        spark, tmp_path, capsys):
+    """--zipf / --source-gate commit report_zipf == term_zipf_slope and
+    report_sources == source_quality_gate on the same corpus; default
+    runs commit neither table nor stats keys."""
+    import report as job
+
+    wh = str(tmp_path / "wh")
+    docs_path = f"{SF_DIR}/documents.parquet"
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "rz1", "--zipf", "--source-gate"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["zipf_langs"] > 0
+    assert stats["sources"] > 0
+    assert 0 <= stats["sources_flagged"] <= stats["sources"]
+
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(wh)
+    docs = spark.read.parquet(docs_path)
+    got_z = (cat.read_snapshot(spark, "report_zipf", "rz1")
+             .toPandas().sort_values("lang").reset_index(drop=True))
+    want_z = (textstats.term_zipf_slope(docs)
+              .toPandas().sort_values("lang").reset_index(drop=True))
+    assert got_z.equals(want_z)
+    got_s = (cat.read_snapshot(spark, "report_sources", "rz1")
+             .toPandas().sort_values("source").reset_index(drop=True))
+    want_s = (textstats.source_quality_gate(docs)
+              .toPandas().sort_values("source").reset_index(drop=True))
+    assert got_s.equals(want_s)
+
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "rz2"])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "zipf_langs" not in stats2 and "sources" not in stats2
+    assert not cat.is_committed("report_zipf", "rz2")
+    assert not cat.is_committed("report_sources", "rz2")
