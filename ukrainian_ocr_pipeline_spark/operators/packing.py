@@ -174,7 +174,8 @@ def shard_manifest(docs: DataFrame, text_col: str = "text",
 def training_token_shards(docs: DataFrame, text_col: str = "text",
                           key_col: str = "doc_id",
                           budget: int = 4096,
-                          seed: str = "shuffle") -> DataFrame:
+                          seed: str = "shuffle",
+                          passthrough: tuple = ()) -> DataFrame:
     """Deterministic global shuffle + token-budget CONTIGUOUS sharding —
     the training-export step :func:`shard_manifest` deliberately is not:
     instead of hash-mod membership (stable but token-unbalanced per
@@ -208,16 +209,29 @@ def training_token_shards(docs: DataFrame, text_col: str = "text",
     the empty string rather than a NULL md5 (which the bucket equi-join
     would silently DROP, and whose NULLS FIRST/LAST window placement
     differs across engines); multiple NULL-keyed rows therefore share
-    one shuffle position, ordered among themselves by doc_id."""
+    one shuffle position, ordered among themselves by doc_id.
+
+    `passthrough` names extra input columns carried through to the
+    output unchanged (e.g. ("lang", "text") for an export writer) — an
+    exporter that instead re-joined this result back to the corpus on
+    doc_id would ship one row per document through a second corpus-wide
+    join, the exact shape this operator's two-level prefix sum exists
+    to avoid."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    reserved = {"doc_id", "shuffle_key", "n_tokens", "shard_id", "_bucket"}
+    clash = reserved.intersection(passthrough)
+    if clash:
+        raise ValueError(f"passthrough columns collide with outputs: "
+                         f"{sorted(clash)}")
     counted = docs.select(
         F.col(key_col).alias("doc_id"),
         F.md5(F.concat(F.lit(seed + ":"),
                        F.coalesce(F.col(key_col).cast("string"),
                                   F.lit("")))
               .cast("binary")).alias("shuffle_key"),
-        dedup.token_count(text_col).cast("long").alias("n_tokens"))
+        dedup.token_count(text_col).cast("long").alias("n_tokens"),
+        *[F.col(c) for c in passthrough])
     counted = counted.withColumn(
         "_bucket", F.substring("shuffle_key", 1, 2))
     w_intra = (Window.partitionBy("_bucket")
@@ -239,7 +253,8 @@ def training_token_shards(docs: DataFrame, text_col: str = "text",
             .withColumn("_start", F.col("_bucket_off") + F.col("_intra_off"))
             .withColumn("shard_id",
                         F.expr(f"CAST(_start DIV {int(budget)} AS BIGINT)"))
-            .select("doc_id", "shuffle_key", "n_tokens", "shard_id"))
+            .select("doc_id", "shuffle_key", "n_tokens", "shard_id",
+                    *[F.col(c) for c in passthrough]))
 
 
 def compaction_plan(files: DataFrame, part_col: str = "part",
