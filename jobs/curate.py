@@ -304,9 +304,15 @@ def main(argv=None) -> int:
         # pass through (join keys never match NULL), same rule as the
         # blocklist and the host cap.
         if args.source_gate:
+            # same --min-words as the per-doc gate below (the rolled-up
+            # keep-rates must describe the gate actually applied);
+            # round, not int: int(0.7 * 1e6) truncates float error to
+            # 699999 and shifts the boundary by one micro
             gate = textstats.source_quality_gate(
-                docs_gated, min_keep_micro=int(
-                    args.source_gate_min_keep * 1_000_000))
+                docs_gated,
+                min_keep_micro=round(
+                    args.source_gate_min_keep * 1_000_000),
+                min_words=args.min_words)
             bad_sources = (gate.where(~F.col("keep_source"))
                            .select("source"))
             dropped_sg = (docs_gated

@@ -189,7 +189,10 @@ def main(argv=None) -> int:
         return textstats.term_zipf_slope(docs)
 
     def build_sources():
-        return textstats.source_quality_gate(docs)
+        # same --min-words as the summary's quality_pass_rate — one
+        # report must not contradict itself across tables
+        return textstats.source_quality_gate(docs,
+                                             min_words=args.min_words)
 
     tables = [("report_lang", build_lang),
               ("report_terms", build_terms),

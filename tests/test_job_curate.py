@@ -725,3 +725,17 @@ def test_curate_job_source_gate_stage(spark, tmp_path, capsys):
         job.main(["--docs", docs_path, "--warehouse", wh,
                   "--snapshot-id", "sg2", "--source-gate",
                   "--source-gate-min-keep", "1.5"])
+
+    # --min-words must flow into the SOURCE gate too: at 50 every
+    # goodhost doc (~16 words) fails, so the whole source drops as
+    # source_gate instead of surviving on the default-threshold
+    # keep-rate — the rolled-up gate must describe the gate actually
+    # applied
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "sg3", "--no-neardup",
+                   "--source-gate", "--min-words", "50"])
+    assert rc == 0
+    stats3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats3["dropped_source_gate"] == 14  # badhost 9 + goodhost 5
+    assert stats3["dropped_quality"] == 2       # the NULL-source pair
+    assert stats3["docs_out"] == 0

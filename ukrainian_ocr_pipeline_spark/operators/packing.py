@@ -219,7 +219,8 @@ def training_token_shards(docs: DataFrame, text_col: str = "text",
     to avoid."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    reserved = {"doc_id", "shuffle_key", "n_tokens", "shard_id", "_bucket"}
+    reserved = {"doc_id", "shuffle_key", "n_tokens", "shard_id",
+                "_bucket", "_intra_off", "_bucket_off", "_btok", "_start"}
     clash = reserved.intersection(passthrough)
     if clash:
         raise ValueError(f"passthrough columns collide with outputs: "

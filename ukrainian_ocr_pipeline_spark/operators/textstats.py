@@ -1136,7 +1136,12 @@ def term_zipf_slope(docs: DataFrame, text_col: str = "text",
 
 def source_quality_gate(docs: DataFrame, text_col: str = "text",
                         source_col: str = "source",
-                        min_keep_micro: int = 500_000) -> DataFrame:
+                        min_keep_micro: int = 500_000,
+                        min_words: int = 5, max_words: int = 100000,
+                        min_mean_word_len: float = 2.0,
+                        max_mean_word_len: float = 12.0,
+                        max_symbol_ratio: float = 0.3,
+                        min_stopwords: int = 1) -> DataFrame:
     """Domain-level quality gate — the UT1-blocklist/RefinedWeb
     "drop the whole domain" stage: roll the per-document
     :func:`quality_filter` verdicts up to the `source_col` (host/feed
@@ -1156,8 +1161,19 @@ def source_quality_gate(docs: DataFrame, text_col: str = "text",
     (same reasoning as corpus_curation: divergence when thresholds
     change).  Scale shape: the doc gate is pure codegen over the ONE
     scan; the rollup is one partial-agg shuffle on source (bounded by
-    domain cardinality, not corpus rows)."""
-    keep = quality_drop_reason(text_col).isNull().cast("int")
+    domain cardinality, not corpus rows).
+
+    The threshold kwargs mirror :func:`quality_filter` exactly — a
+    caller that tunes the per-doc gate MUST tune this gate with the
+    same values, or the rolled-up keep-rates describe a different gate
+    than the one actually applied (jobs/curate.py and jobs/report.py
+    plumb their --min-words through for this reason)."""
+    keep = quality_drop_reason(
+        text_col, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_stopwords=min_stopwords).isNull().cast("int")
     return (docs.select(F.col(source_col).alias("source"),
                         keep.alias("_k"))
             .groupBy("source")
