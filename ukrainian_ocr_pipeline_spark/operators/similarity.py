@@ -716,3 +716,74 @@ def semantic_dedup(emb: DataFrame, k: int = 8, n_iter: int = 3,
             .withColumn("cosine_r", _cosine_r("va", "vb", "na", "nb"))
             .where(F.col("cosine_r") >= threshold)
             .select("vec_a", "vec_b", "centroid_id", "cosine_r"))
+
+
+def pca_power(emb: DataFrame, n_iter: int = 8, dim: int = 64,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              project: bool = False) -> DataFrame:
+    """Principal component of the embedding corpus via POWER ITERATION
+    — dimensionality reduction as a DataFrame plan (corpus
+    visualization axes, embedding drift monitoring, 1-D curriculum /
+    binning keys), the linear-algebra sibling of kmeans_lloyd.
+
+    Three stages, all codegen, no Python:
+      1. Covariance: posexplode to (vec_id, pos, coord), center by the
+         per-position mean (broadcast, 64 rows), then ONE
+         co-partitioned self-join on vec_id + groupBy (i, j) builds
+         the dim x dim covariance matrix.  The exchange after map-side
+         combine is dim^2 rows TOTAL (4096 here) regardless of corpus
+         size — at 10^12 vectors the reduce side never sees more than
+         the matrix.  Entries round to 6 dp so both engines iterate
+         the identical matrix (the fixed-budget recipe of
+         graph_pagerank / embedding_kmeans / logreg_train).
+      2. Power iteration, `n_iter` fixed rounds: b' = C.b (a dim^2 x
+         dim join — trivially broadcast), normalized by its L2 norm
+         (one-row aggregate cross-joined back in-plan, no driver
+         collect), re-rounded to 6 dp.  Deterministic all-positive
+         start b0 = 1/sqrt(dim), so the eigenvector sign is a pure
+         function of the data.
+      3. Output (pos, pc1_r, eigenvalue_r) — eigenvalue_r is the final
+         round's ||C.b|| (the standard power-iteration estimate; for a
+         unit b, ||C.b|| -> lambda_1).
+
+    With project=True, adds the per-vector projection instead:
+    (vec_id, pc1_score_r) = round(dot(centered(v), b_final), 6) — the
+    1-D embedding every downstream binning/curriculum query wants; one
+    broadcast join against the 64-row component, scan-speed over the
+    corpus.
+    """
+    vp = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("pos", "coord"))
+    mu = vp.groupBy("pos").agg(F.avg("coord").alias("mu"))
+    cx = (vp.join(F.broadcast(mu), "pos")
+          .select("vec_id", "pos", (F.col("coord") - F.col("mu")).alias("cx"))
+          .localCheckpoint(eager=True))
+    n = emb.count()  # plan constant: the 1/(n-1) covariance scale
+    a, b = cx.alias("a"), cx.alias("b")
+    cov = (a.join(b, "vec_id")
+           .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+           .agg(F.round(F.sum(F.col("a.cx") * F.col("b.cx"))
+                        / F.lit(float(n - 1)), 6).alias("cov"))
+           .localCheckpoint(eager=True))
+    bvec = (cov.select(F.col("i").alias("pos")).distinct()
+            .withColumn("b", F.lit(round(1.0 / dim ** 0.5, 6))))
+    for it in range(n_iter):
+        u = (cov.join(F.broadcast(bvec.withColumnRenamed("pos", "j")), "j")
+             .groupBy(F.col("i").alias("pos"))
+             .agg(F.sum(F.col("cov") * F.col("b")).alias("u")))
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        bvec = (u.crossJoin(F.broadcast(nrm))
+                .select("pos", F.round(F.col("u") / F.col("nrm"), 6).alias("b"),
+                        F.col("nrm"))
+                .localCheckpoint(eager=True))
+    if project:
+        comp = bvec.select(F.col("pos"), F.col("b"))
+        return (cx.join(F.broadcast(comp), "pos")
+                .groupBy("vec_id")
+                .agg(F.round(F.sum(F.col("cx") * F.col("b")), 6)
+                     .alias("pc1_score_r")))
+    return bvec.select(F.col("pos").cast("int").alias("pos"),
+                       F.col("b").alias("pc1_r"),
+                       F.round(F.col("nrm"), 6).alias("eigenvalue_r"))

@@ -1184,3 +1184,92 @@ def source_quality_gate(docs: DataFrame, text_col: str = "text",
                                " AS BIGINT)"))
             .withColumn("keep_source",
                         F.col("keep_micro") >= F.lit(int(min_keep_micro))))
+
+
+def logreg_train(docs: DataFrame, target_lang: str = "en",
+                 text_col: str = "text", lang_col: str = "lang",
+                 n_buckets: int = 32, n_iter: int = 3,
+                 lr: float = 5.0) -> DataFrame:
+    """Distributed TRAINING of the quality/language classifier —
+    full-batch logistic-regression gradient descent over hashed
+    bag-of-words features, the learning step behind
+    :func:`hashed_classifier_score` (which only APPLIES weights).
+    This is the missing half of the fastText-style gate that
+    FineWeb-Edu / DCLM / CCNet-style pipelines run before filtering:
+    the classifier itself is trained ON the corpus with Spark, not
+    imported.
+
+    Model: y = 1 iff `lang_col` == `target_lang`; features are the
+    canonical tokens (dedup.word_array) hashed into `n_buckets` md5
+    buckets (the same _h32 family as dedup/scoring), feature value =
+    per-doc term-frequency cnt/n_tokens, plus a bias feature id -1
+    with value 1.0.  Zero-token docs carry only the bias feature.
+    Weights start at 0 and take `n_iter` full-batch GD steps
+    w <- round(w - lr * grad, 6); the 6-dp rounding between rounds
+    feeds both engines identical weights forward (the graph_pagerank /
+    embedding_kmeans fixed-budget recipe), so the result is a pure
+    function of the input and oracle-matchable.
+
+    Scale shape (1000 executors, 10^12 docs):
+      * The feature table (doc_id, y, feature, x) is built in ONE
+        corpus pass (explode + partial-agg groupBy) and
+        localCheckpoint'ed — the per-iteration loop never rescans or
+        re-tokenizes the corpus.
+      * Each GD step is two bounded shuffles: the margin groupBy(doc)
+        (co-partitioned with the feature table after the first round)
+        and the gradient groupBy(feature) — the gradient exchange is
+        `n_buckets`+1 rows TOTAL after map-side combine, independent
+        of corpus size.  The weight vector itself is broadcast (<=
+        a few thousand doubles even for production bucket counts).
+      * No Python anywhere: sigmoid/margins/gradients are codegen
+        expressions; fixed iteration budget, no convergence action.
+
+    Returns (feature, weight_r): `n_buckets`+1 rows, feature -1 =
+    bias.  Production then feeds these weights into the
+    hashed_classifier_score plan (broadcast weight table).
+    """
+    from . import dedup
+    y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
+         .otherwise(F.lit(0.0)))
+    base = docs.select("doc_id", y.alias("y"),
+                       dedup.word_array(text_col).alias("ws"),
+                       dedup.token_count(text_col).alias("n_tokens"))
+    term = (base.select("doc_id", "y", "n_tokens",
+                        F.explode("ws").alias("w"))
+            .groupBy("doc_id", "y", "n_tokens",
+                     (dedup._h32(F.col("w")) % n_buckets).alias("feature"))
+            .agg((F.count("*") / F.col("n_tokens")).alias("x")))
+    feats = (term.select("doc_id", "y", "feature", "x")
+             .unionByName(base.select(
+                 "doc_id", "y",
+                 F.lit(-1).cast("bigint").alias("feature"),
+                 F.lit(1.0).alias("x")))
+             .localCheckpoint(eager=True))
+    n = base.count()  # plan constant (1/N in the gradient)
+    # weight rows exist only for features PRESENT in the corpus (plus
+    # bias) — absent buckets would train to 0 anyway; DISTINCT keeps
+    # the output a pure function of the data in both engines
+    wdf = (feats.select("feature").distinct()
+           .withColumn("wt", F.lit(0.0))
+           .localCheckpoint(eager=True))
+    for it in range(n_iter):
+        z = (feats.join(F.broadcast(wdf), "feature")
+             .groupBy("doc_id", "y")
+             .agg(F.sum(F.col("x") * F.col("wt")).alias("z")))
+        err = z.select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y"))
+            .alias("err"))
+        grad = (feats.join(err, "doc_id")
+                .groupBy("feature")
+                .agg((F.sum(F.col("x") * F.col("err")) / F.lit(float(n)))
+                     .alias("g")))
+        wdf = (wdf.join(grad, "feature", "left")
+               .select("feature",
+                       F.round(F.col("wt")
+                               - F.lit(lr) * F.coalesce(F.col("g"),
+                                                        F.lit(0.0)), 6)
+                       .alias("wt"))
+               .localCheckpoint(eager=True))
+    return wdf.select(F.col("feature").cast("int").alias("feature"),
+                      F.col("wt").alias("weight_r"))

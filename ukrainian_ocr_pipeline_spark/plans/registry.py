@@ -5231,6 +5231,125 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------------
+# distributed model training: logistic-regression gate + PCA power iteration
+
+
+def q_quality_classifier_train(spark, sf_dir):
+    """TRAIN the fastText-style language/quality gate with full-batch
+    logistic-regression gradient descent (3 fixed rounds, lr=5, 32 md5
+    feature buckets + bias) — the learning half of doc_classifier_score
+    (which applies fixed weights).  Per-iteration cost at scale: one
+    corpus-sized margin groupBy + a 33-row gradient exchange."""
+    return textstats.logreg_train(_t(spark, sf_dir, "documents"),
+                                  target_lang="en", n_buckets=32,
+                                  n_iter=3, lr=5.0)
+
+
+# the gradient-descent loop unrolled as chained CTEs (the same
+# fixed-budget recipe as SQL_PAGERANK / SQL_EMBEDDING_KMEANS: 6-dp
+# weight rounding between rounds makes both engines iterate identical
+# weights, so only within-round double summation order differs —
+# orders of magnitude below the rounding grain)
+_SQL_LR_ITER = """z{i} AS (
+  SELECT f.doc_id, f.y, SUM(f.x * w.wt) AS z
+  FROM feats f JOIN wt{prev} w USING (feature) GROUP BY 1, 2),
+e{i} AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z{i}),
+g{i} AS (
+  SELECT f.feature, SUM(f.x * e.err) / (SELECT n FROM nn) AS g
+  FROM feats f JOIN e{i} e USING (doc_id) GROUP BY 1),
+wt{i} AS (
+  SELECT w.feature, ROUND(w.wt - 5.0 * COALESCE(g.g, 0), 6) AS wt
+  FROM wt{prev} w LEFT JOIN g{i} g USING (feature)),
+"""
+
+SQL_LOGREG_TRAIN = (r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+                                                       '\s+', ' ', 'g')), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents),
+words AS (
+  SELECT doc_id, y, GREATEST(len(ws), 0) AS n_tokens, unnest(ws) AS w
+  FROM base),
+term AS (
+  SELECT doc_id, y,
+         (CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32) AS feature,
+         COUNT(*) * 1.0 / n_tokens AS x
+  FROM words GROUP BY doc_id, y, n_tokens, feature),
+feats AS (
+  SELECT doc_id, y, feature, x FROM term
+  UNION ALL
+  SELECT doc_id, y, CAST(-1 AS BIGINT) AS feature, 1.0 AS x FROM base),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+wt0 AS (SELECT DISTINCT feature, 0.0 AS wt FROM feats),
+""" + "".join(_SQL_LR_ITER.format(i=i, prev=i - 1) for i in range(1, 4)) +
+"""fin AS (SELECT feature, wt FROM wt3)
+SELECT CAST(feature AS INT) AS feature, wt AS weight_r FROM fin
+""")
+
+
+def q_embedding_pca(spark, sf_dir):
+    """Top principal component of the embedding corpus by power
+    iteration (8 fixed rounds over the 6-dp-rounded covariance matrix):
+    the dim^2-row covariance exchange is corpus-size-independent, the
+    matvec loop never touches the corpus again."""
+    return similarity.pca_power(_t(spark, sf_dir, "embeddings"),
+                                n_iter=8, dim=64)
+
+
+def q_embedding_pca_scores(spark, sf_dir):
+    """Per-vector projection onto the corpus principal component — the
+    1-D embedding key for binning / curriculum ordering; one broadcast
+    join of the 64-row component against the centered corpus."""
+    return similarity.pca_power(_t(spark, sf_dir, "embeddings"),
+                                n_iter=8, dim=64, project=True)
+
+
+# MATERIALIZED is load-bearing: each iteration references its
+# predecessor twice (the matvec AND the norm scalar), so DuckDB's
+# default CTE inlining would expand the 8-round chain into 2^8 copies
+# of the covariance join — materializing pins linear evaluation (the
+# single-reference SQL_PAGERANK chain doesn't need it)
+_SQL_PCA_ITER = """u{i} AS MATERIALIZED (
+  SELECT cov.i AS pos, SUM(cov.cov * b.b) AS u
+  FROM cov JOIN b{prev} b ON cov.j = b.pos GROUP BY 1),
+n{i} AS MATERIALIZED (SELECT SQRT(SUM(u * u)) AS nrm FROM u{i}),
+b{i} AS MATERIALIZED (
+  SELECT pos, ROUND(u / (SELECT nrm FROM n{i}), 6) AS b FROM u{i}),
+"""
+
+_SQL_PCA_CHAIN = ("""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+vp AS (SELECT vec_id, t.i - 1 AS pos, vec[t.i] AS coord
+       FROM v, generate_series(1, 64) AS t(i)),
+mu AS (SELECT pos, AVG(coord) AS mu FROM vp GROUP BY pos),
+cx AS MATERIALIZED (SELECT vp.vec_id, vp.pos, vp.coord - mu.mu AS cx
+       FROM vp JOIN mu USING (pos)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+               ROUND(SUM(a.cx * b.cx) / ((SELECT n FROM nn) - 1), 6) AS cov
+        FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+b0 AS (SELECT DISTINCT i AS pos, 0.125 AS b FROM cov),
+""" + "".join(_SQL_PCA_ITER.format(i=i, prev=i - 1) for i in range(1, 9)))
+
+SQL_EMBEDDING_PCA = (_SQL_PCA_CHAIN +
+"""fin AS (SELECT pos, b FROM b8)
+SELECT CAST(pos AS INT) AS pos, b AS pc1_r,
+       ROUND((SELECT nrm FROM n8), 6) AS eigenvalue_r
+FROM fin
+""")
+
+SQL_EMBEDDING_PCA_SCORES = (_SQL_PCA_CHAIN +
+"""fin AS (SELECT pos, b FROM b8)
+SELECT cx.vec_id, ROUND(SUM(cx.cx * fin.b), 6) AS pc1_score_r
+FROM cx JOIN fin USING (pos)
+GROUP BY cx.vec_id
+""")
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5393,6 +5512,9 @@ QUERIES = {
     "term_zipf_slope": q_term_zipf_slope,
     "source_quality_gate": q_source_quality_gate,
     "event_burst_detection": q_event_burst_detection,
+    "quality_classifier_train": q_quality_classifier_train,
+    "embedding_pca": q_embedding_pca,
+    "embedding_pca_scores": q_embedding_pca_scores,
 }
 
 ORACLE_SQL = {
@@ -5536,4 +5658,7 @@ ORACLE_SQL = {
     "term_zipf_slope": SQL_ZIPF,
     "source_quality_gate": SQL_SOURCE_GATE,
     "event_burst_detection": SQL_BURST,
+    "quality_classifier_train": SQL_LOGREG_TRAIN,
+    "embedding_pca": SQL_EMBEDDING_PCA,
+    "embedding_pca_scores": SQL_EMBEDDING_PCA_SCORES,
 }
