@@ -752,6 +752,10 @@ def pca_power(emb: DataFrame, n_iter: int = 8, dim: int = 64,
     broadcast join against the 64-row component, scan-speed over the
     corpus.
     """
+    if n_iter < 1:
+        # the output schema (eigenvalue_r / a normalized component)
+        # only exists after at least one matvec round
+        raise ValueError(f"pca_power needs n_iter >= 1, got {n_iter}")
     vp = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col).cast("array<double>"))

@@ -1225,8 +1225,12 @@ def logreg_train(docs: DataFrame, target_lang: str = "en",
         expressions; fixed iteration budget, no convergence action.
 
     Returns (feature, weight_r): `n_buckets`+1 rows, feature -1 =
-    bias.  Production then feeds these weights into the
-    hashed_classifier_score plan (broadcast weight table).
+    bias.  Production applies them with the same plan shape as
+    hashed_classifier_score but scoring via a broadcast join against
+    this weight table (handle feature -1 as the bias intercept and
+    match n_buckets — the stock scorer uses fixed in-expression
+    milli-weights and no bias slot, so the tables are NOT drop-in
+    interchangeable).
     """
     from . import dedup
     y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))

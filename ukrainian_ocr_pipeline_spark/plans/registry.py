@@ -5250,7 +5250,12 @@ def q_quality_classifier_train(spark, sf_dir):
 # fixed-budget recipe as SQL_PAGERANK / SQL_EMBEDDING_KMEANS: 6-dp
 # weight rounding between rounds makes both engines iterate identical
 # weights, so only within-round double summation order differs —
-# orders of magnitude below the rounding grain)
+# orders of magnitude below the rounding grain).  MATERIALIZED on
+# feats and wt{i} is load-bearing: each round references both twice
+# (feats in z{i} and g{i}, wt{prev} in z{i} and wt{i}), so default CTE
+# inlining would re-evaluate the corpus-sized tokenize+hash subtree
+# exponentially across the unrolled chain — same hazard as
+# _SQL_PCA_ITER below.
 _SQL_LR_ITER = """z{i} AS (
   SELECT f.doc_id, f.y, SUM(f.x * w.wt) AS z
   FROM feats f JOIN wt{prev} w USING (feature) GROUP BY 1, 2),
@@ -5258,18 +5263,16 @@ e{i} AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z{i}),
 g{i} AS (
   SELECT f.feature, SUM(f.x * e.err) / (SELECT n FROM nn) AS g
   FROM feats f JOIN e{i} e USING (doc_id) GROUP BY 1),
-wt{i} AS (
+wt{i} AS MATERIALIZED (
   SELECT w.feature, ROUND(w.wt - 5.0 * COALESCE(g.g, 0), 6) AS wt
   FROM wt{prev} w LEFT JOIN g{i} g USING (feature)),
 """
 
-SQL_LOGREG_TRAIN = (r"""
+SQL_LOGREG_TRAIN = (f"""
 WITH base AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-         list_filter(string_split(lower(regexp_replace(trim(text),
-                                                       '\s+', ' ', 'g')), ' '),
-                     w -> len(w) > 0) AS ws
+         {dedup.WORD_ARRAY_SQL.format(col="text")} AS ws
   FROM documents),
 words AS (
   SELECT doc_id, y, GREATEST(len(ws), 0) AS n_tokens, unnest(ws) AS w
@@ -5279,12 +5282,12 @@ term AS (
          (CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32) AS feature,
          COUNT(*) * 1.0 / n_tokens AS x
   FROM words GROUP BY doc_id, y, n_tokens, feature),
-feats AS (
+feats AS MATERIALIZED (
   SELECT doc_id, y, feature, x FROM term
   UNION ALL
   SELECT doc_id, y, CAST(-1 AS BIGINT) AS feature, 1.0 AS x FROM base),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
-wt0 AS (SELECT DISTINCT feature, 0.0 AS wt FROM feats),
+wt0 AS MATERIALIZED (SELECT DISTINCT feature, 0.0 AS wt FROM feats),
 """ + "".join(_SQL_LR_ITER.format(i=i, prev=i - 1) for i in range(1, 4)) +
 """fin AS (SELECT feature, wt FROM wt3)
 SELECT CAST(feature AS INT) AS feature, wt AS weight_r FROM fin
