@@ -728,3 +728,30 @@ def test_source_gate_single_bounded_rollup(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan, plan
     assert nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_logreg_apply_broadcast_weights_no_python(spark):
+    """logreg_apply: scoring is JVM-only; the weight table reaches the
+    term join as a broadcast (never a shuffle keyed on feature); the
+    only nested-loop is the one-row bias crossJoin, itself broadcast."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wts = spark.createDataFrame(
+        [(-1, -0.25), (0, 0.01), (1, -0.02)], "feature int, weight_r double")
+    plan = plan_of(textstats.logreg_apply(docs, wts))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # no shuffle keyed on the feature column: the weight side broadcasts
+    assert not re.search(r"hashpartitioning\(feature#", plan), plan
+
+
+def test_logreg_train_loop_never_rescans_corpus(spark):
+    """logreg_train: the GD iterations run over the checkpointed
+    feature table — the final plan contains NO parquet scan (corpus
+    reads happened exactly once, at feature-build checkpoint time) and
+    no Python."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(textstats.logreg_train(docs, n_iter=2))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Scan parquet") == 0, plan

@@ -1186,6 +1186,34 @@ def source_quality_gate(docs: DataFrame, text_col: str = "text",
                         F.col("keep_micro") >= F.lit(int(min_keep_micro))))
 
 
+def _logreg_features(docs: DataFrame, target_lang: str, text_col: str,
+                     lang_col: str, n_buckets: int) -> DataFrame:
+    """The shared feature builder behind logreg_train / logreg_apply:
+    (doc_id, y, feature, x) with y = 1 iff lang == target_lang,
+    features = canonical tokens hashed into `n_buckets` md5 buckets
+    (value = per-doc term frequency) plus the bias feature -1 (value
+    1.0, one row per doc — zero-token docs carry only it).  Built in
+    ONE corpus pass (explode + partial-agg groupBy) and checkpointed
+    so iterative/concurrent consumers never rescan the corpus."""
+    from . import dedup
+    y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
+         .otherwise(F.lit(0.0)))
+    base = docs.select("doc_id", y.alias("y"),
+                       dedup.word_array(text_col).alias("ws"),
+                       dedup.token_count(text_col).alias("n_tokens"))
+    term = (base.select("doc_id", "y", "n_tokens",
+                        F.explode("ws").alias("w"))
+            .groupBy("doc_id", "y", "n_tokens",
+                     (dedup._h32(F.col("w")) % n_buckets).alias("feature"))
+            .agg((F.count("*") / F.col("n_tokens")).alias("x")))
+    return (term.select("doc_id", "y", "feature", "x")
+            .unionByName(base.select(
+                "doc_id", "y",
+                F.lit(-1).cast("bigint").alias("feature"),
+                F.lit(1.0).alias("x")))
+            .localCheckpoint(eager=True))
+
+
 def logreg_train(docs: DataFrame, target_lang: str = "en",
                  text_col: str = "text", lang_col: str = "lang",
                  n_buckets: int = 32, n_iter: int = 3,
@@ -1232,24 +1260,10 @@ def logreg_train(docs: DataFrame, target_lang: str = "en",
     milli-weights and no bias slot, so the tables are NOT drop-in
     interchangeable).
     """
-    from . import dedup
-    y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
-         .otherwise(F.lit(0.0)))
-    base = docs.select("doc_id", y.alias("y"),
-                       dedup.word_array(text_col).alias("ws"),
-                       dedup.token_count(text_col).alias("n_tokens"))
-    term = (base.select("doc_id", "y", "n_tokens",
-                        F.explode("ws").alias("w"))
-            .groupBy("doc_id", "y", "n_tokens",
-                     (dedup._h32(F.col("w")) % n_buckets).alias("feature"))
-            .agg((F.count("*") / F.col("n_tokens")).alias("x")))
-    feats = (term.select("doc_id", "y", "feature", "x")
-             .unionByName(base.select(
-                 "doc_id", "y",
-                 F.lit(-1).cast("bigint").alias("feature"),
-                 F.lit(1.0).alias("x")))
-             .localCheckpoint(eager=True))
-    n = base.count()  # plan constant (1/N in the gradient)
+    feats = _logreg_features(docs, target_lang, text_col, lang_col,
+                             n_buckets)
+    # plan constant (1/N in the gradient); one bias row per doc
+    n = feats.where(F.col("feature") == -1).count()
     # weight rows exist only for features PRESENT in the corpus (plus
     # bias) — absent buckets would train to 0 anyway; DISTINCT keeps
     # the output a pure function of the data in both engines
@@ -1277,3 +1291,106 @@ def logreg_train(docs: DataFrame, target_lang: str = "en",
                .localCheckpoint(eager=True))
     return wdf.select(F.col("feature").cast("int").alias("feature"),
                       F.col("wt").alias("weight_r"))
+
+
+def logreg_apply(docs: DataFrame, weights: DataFrame,
+                 target_lang: str = "en", text_col: str = "text",
+                 lang_col: str = "lang",
+                 n_buckets: int = 32) -> DataFrame:
+    """APPLY a logreg_train weight table to a corpus — the scorer the
+    trained weights actually plug into (hashed_classifier_score uses
+    fixed in-expression placeholder weights and no bias slot; this is
+    its trained-model counterpart).  Must use the SAME target_lang /
+    n_buckets the weights were trained with.
+
+    Per doc: z = bias + sum over features of tf * weight (features
+    unseen at train time count 0).  Because 6-dp decimal weights times
+    rational term frequencies can land EXACTLY on a rounding
+    half-point, a float z is summation-order-sensitive at the grid
+    boundary — so the margin accumulates EXACTLY in integer
+    micro-units (the hashed_classifier_score recipe):
+    z_num = sum(cnt_f * w_micro_f) + n_tokens * w_micro_bias, a
+    BIGINT, and z = z_num / (n_tokens * 1e6) — one correctly-rounded
+    IEEE division, identical in any engine and under any shuffle.
+    predicted = z_num >= 0 is therefore exact; p_target_r =
+    round(sigmoid(z), 6).  TOTAL over the input — zero-token docs
+    score the bias alone.  `is_target` carries the label for
+    downstream evaluation.
+
+    Scale shape: one tokenize + partial-agg corpus pass, one broadcast
+    join against the <= n_buckets-row weight table, one per-doc
+    partial agg — no corpus-wide shuffle beyond the groupBy(doc_id)
+    that every per-doc score needs.  Scoring a NEW unlabeled corpus is
+    the same plan with y constant (pass any target_lang; ignore
+    is_target).
+    """
+    from . import dedup
+    y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
+         .otherwise(F.lit(0.0)))
+    base = docs.select("doc_id", y.alias("y"),
+                       dedup.word_array(text_col).alias("ws"),
+                       dedup.token_count(text_col).alias("n_tokens"))
+    term = (base.select("doc_id", F.explode("ws").alias("w"))
+            .groupBy("doc_id",
+                     (dedup._h32(F.col("w")) % n_buckets).alias("feature"))
+            .agg(F.count("*").alias("cnt")))
+    wm = weights.select(
+        "feature",
+        F.round(F.col("weight_r") * 1e6).cast("long").alias("w_micro"))
+    tnum = (term.join(F.broadcast(wm.where(F.col("feature") >= 0)),
+                      "feature", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.coalesce(F.col("w_micro"),
+                                                 F.lit(0))).alias("num")))
+    # one-row bias (0 if the weight table has no -1 row)
+    wb = wm.agg(F.coalesce(
+        F.sum(F.when(F.col("feature") == -1, F.col("w_micro"))),
+        F.lit(0).cast("long")).alias("wb"))
+    sc = (base.select("doc_id", "y", "n_tokens")
+          .join(tnum, "doc_id", "left")
+          .crossJoin(F.broadcast(wb))
+          .withColumn("num", F.coalesce(F.col("num"),
+                                        F.lit(0).cast("long"))))
+    z_num = F.when(F.col("n_tokens") == 0, F.col("wb")).otherwise(
+        F.col("num") + F.col("n_tokens") * F.col("wb"))
+    denom = F.when(F.col("n_tokens") == 0, F.lit(1000000).cast("long"))\
+        .otherwise(F.col("n_tokens") * F.lit(1000000))
+    z = z_num.cast("double") / denom.cast("double")
+    return sc.select(
+        "doc_id",
+        (F.col("y") == 1.0).alias("is_target"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .alias("p_target_r"),
+        (z_num >= 0).alias("predicted"))
+
+
+def logreg_eval(scored: DataFrame) -> DataFrame:
+    """Confusion-matrix evaluation of logreg_apply output: one row of
+    (n_docs, tp, fp, fn, tn, base_rate_r, accuracy_r, precision_r,
+    recall_r, f1_r).  Rate columns are NULL when undefined (no
+    predicted positives -> precision NULL; no actual positives ->
+    recall NULL; either NULL or p+r = 0 -> f1 NULL) rather than
+    divide-by-zero — ANSI-mode-safe and engine-identical.  One
+    partial-agg pass, one-row exchange: eval at any corpus size is
+    scan-speed."""
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    t, p = F.col("is_target"), F.col("predicted")
+    conf = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt(t & p).alias("tp"), cnt(~t & p).alias("fp"),
+        cnt(t & ~p).alias("fn"), cnt(~t & ~p).alias("tn"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec))
+    return conf.select(
+        "n_docs", "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("fn")) / F.col("n_docs"), 6)
+        .alias("base_rate_r"),
+        F.round((F.col("tp") + F.col("tn")) / F.col("n_docs"), 6)
+        .alias("accuracy_r"),
+        F.round(prec, 6).alias("precision_r"),
+        F.round(rec, 6).alias("recall_r"),
+        F.round(f1, 6).alias("f1_r"))

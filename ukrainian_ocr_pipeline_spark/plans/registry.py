@@ -5268,7 +5268,7 @@ wt{i} AS MATERIALIZED (
   FROM wt{prev} w LEFT JOIN g{i} g USING (feature)),
 """
 
-SQL_LOGREG_TRAIN = (f"""
+_SQL_LR_CHAIN = (f"""
 WITH base AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
@@ -5288,10 +5288,101 @@ feats AS MATERIALIZED (
   SELECT doc_id, y, CAST(-1 AS BIGINT) AS feature, 1.0 AS x FROM base),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
 wt0 AS MATERIALIZED (SELECT DISTINCT feature, 0.0 AS wt FROM feats),
-""" + "".join(_SQL_LR_ITER.format(i=i, prev=i - 1) for i in range(1, 4)) +
+""" + "".join(_SQL_LR_ITER.format(i=i, prev=i - 1) for i in range(1, 4)))
+
+SQL_LOGREG_TRAIN = (_SQL_LR_CHAIN +
 """fin AS (SELECT feature, wt FROM wt3)
 SELECT CAST(feature AS INT) AS feature, wt AS weight_r FROM fin
 """)
+
+# per-doc margin against the final round's weights — accumulated
+# EXACTLY in integer micro-units (z_num BIGINT) because a float
+# sum of 6-dp weights x rational term frequencies can land exactly on
+# the rounding half-point, where summation order flips the 6th dp
+# between engines; the single z division is correctly-rounded IEEE,
+# so z and the 0-threshold are engine-identical (logreg_apply mirror)
+_SQL_LR_SCORE = """tc AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32) AS feature,
+         COUNT(*) AS cnt
+  FROM words GROUP BY 1, 2),
+wm AS (SELECT feature, CAST(ROUND(wt * 1000000) AS BIGINT) AS w_micro
+       FROM wt3),
+wb AS (SELECT COALESCE(SUM(CASE WHEN feature = -1 THEN w_micro END),
+                       0) AS wb FROM wm),
+tnum AS (
+  SELECT t.doc_id, SUM(t.cnt * COALESCE(w.w_micro, 0)) AS num
+  FROM tc t LEFT JOIN wm w ON t.feature = w.feature AND w.feature >= 0
+  GROUP BY 1),
+sc AS MATERIALIZED (
+  SELECT b.doc_id, b.y,
+         COALESCE(GREATEST(len(b.ws), 0), 0) AS nt,
+         COALESCE(t.num, 0) AS num, wb.wb AS wb
+  FROM base b LEFT JOIN tnum t USING (doc_id) CROSS JOIN wb),
+zz AS (
+  SELECT doc_id, y,
+         CASE WHEN nt = 0 THEN wb ELSE num + nt * wb END AS z_num,
+         CAST(CASE WHEN nt = 0 THEN wb ELSE num + nt * wb END AS DOUBLE)
+           / CAST(CASE WHEN nt = 0 THEN 1000000
+                       ELSE nt * 1000000 END AS DOUBLE) AS z
+  FROM sc),
+"""
+
+SQL_LOGREG_SCORES = (_SQL_LR_CHAIN + _SQL_LR_SCORE +
+"""fin AS (SELECT doc_id, y, z_num, z FROM zz)
+SELECT doc_id, y = 1.0 AS is_target,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) AS p_target_r,
+       z_num >= 0 AS predicted
+FROM fin
+""")
+
+SQL_LOGREG_EVAL = (_SQL_LR_CHAIN + _SQL_LR_SCORE +
+"""conf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN y = 1.0 AND z_num >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y <> 1.0 AND z_num >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 1.0 AND z_num < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN y <> 1.0 AND z_num < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM zz),
+rates AS (
+  SELECT *,
+         CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END AS prec,
+         CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END AS rec
+  FROM conf)
+SELECT n_docs, tp, fp, fn, tn,
+       ROUND((tp + fn) * 1.0 / n_docs, 6) AS base_rate_r,
+       ROUND((tp + tn) * 1.0 / n_docs, 6) AS accuracy_r,
+       ROUND(prec, 6) AS precision_r,
+       ROUND(rec, 6) AS recall_r,
+       ROUND(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                   AND prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) END, 6) AS f1_r
+FROM rates
+""")
+
+
+def q_quality_classifier_scores(spark, sf_dir):
+    """Train the logreg gate, then APPLY it to the same corpus — the
+    full train->score loop in one plan: per-doc margin vs the trained
+    weight table (broadcast, <= 33 rows), sigmoid score, 0-threshold
+    decision.  The scorer trained weights actually plug into."""
+    docs = _t(spark, sf_dir, "documents")
+    wts = textstats.logreg_train(docs, target_lang="en", n_buckets=32,
+                                 n_iter=3, lr=5.0)
+    return textstats.logreg_apply(docs, wts, target_lang="en",
+                                  n_buckets=32)
+
+
+def q_quality_classifier_eval(spark, sf_dir):
+    """Confusion-matrix evaluation of the trained gate on its training
+    corpus: one row of counts + NULL-guarded accuracy / precision /
+    recall / F1 — the model-quality report a curation pipeline records
+    next to every trained-filter deployment."""
+    docs = _t(spark, sf_dir, "documents")
+    wts = textstats.logreg_train(docs, target_lang="en", n_buckets=32,
+                                 n_iter=3, lr=5.0)
+    return textstats.logreg_eval(
+        textstats.logreg_apply(docs, wts, target_lang="en", n_buckets=32))
 
 
 def q_embedding_pca(spark, sf_dir):
@@ -5516,6 +5607,8 @@ QUERIES = {
     "source_quality_gate": q_source_quality_gate,
     "event_burst_detection": q_event_burst_detection,
     "quality_classifier_train": q_quality_classifier_train,
+    "quality_classifier_scores": q_quality_classifier_scores,
+    "quality_classifier_eval": q_quality_classifier_eval,
     "embedding_pca": q_embedding_pca,
     "embedding_pca_scores": q_embedding_pca_scores,
 }
@@ -5662,6 +5755,8 @@ ORACLE_SQL = {
     "source_quality_gate": SQL_SOURCE_GATE,
     "event_burst_detection": SQL_BURST,
     "quality_classifier_train": SQL_LOGREG_TRAIN,
+    "quality_classifier_scores": SQL_LOGREG_SCORES,
+    "quality_classifier_eval": SQL_LOGREG_EVAL,
     "embedding_pca": SQL_EMBEDDING_PCA,
     "embedding_pca_scores": SQL_EMBEDDING_PCA_SCORES,
 }
