@@ -743,6 +743,9 @@ def test_logreg_apply_broadcast_weights_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan
     # no shuffle keyed on the feature column: the weight side broadcasts
     assert not re.search(r"hashpartitioning\(feature#", plan), plan
+    # scoring runs over the checkpointed feature table: the corpus was
+    # read and tokenized exactly once, at feature-build time
+    assert nodes(plan, "Scan parquet") == 0, plan
 
 
 def test_logreg_train_loop_never_rescans_corpus(spark):

@@ -1187,16 +1187,20 @@ def source_quality_gate(docs: DataFrame, text_col: str = "text",
 
 
 def _logreg_features(docs: DataFrame, target_lang: str, text_col: str,
-                     lang_col: str, n_buckets: int) -> DataFrame:
+                     lang_col: str | None, n_buckets: int) -> DataFrame:
     """The shared feature builder behind logreg_train / logreg_apply:
-    (doc_id, y, feature, x) with y = 1 iff lang == target_lang,
-    features = canonical tokens hashed into `n_buckets` md5 buckets
-    (value = per-doc term frequency) plus the bias feature -1 (value
-    1.0, one row per doc — zero-token docs carry only it).  Built in
-    ONE corpus pass (explode + partial-agg groupBy) and checkpointed
-    so iterative/concurrent consumers never rescan the corpus."""
+    (doc_id, y, n_tokens, feature, cnt, x) with y = 1 iff lang ==
+    target_lang (constant 0 when lang_col is None — the unlabeled
+    scoring case), features = canonical tokens hashed into `n_buckets`
+    md5 buckets (cnt = raw term count, x = term frequency
+    cnt/n_tokens) plus the bias feature -1 (cnt 0, x 1.0, one row per
+    doc — zero-token docs carry only it).  Built in ONE corpus pass
+    (explode + partial-agg groupBy) and checkpointed so iterative /
+    downstream consumers (the GD loop, the scorer) never rescan or
+    re-tokenize the corpus."""
     from . import dedup
-    y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
+    y = (F.lit(0.0) if lang_col is None else
+         F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
          .otherwise(F.lit(0.0)))
     base = docs.select("doc_id", y.alias("y"),
                        dedup.word_array(text_col).alias("ws"),
@@ -1205,11 +1209,13 @@ def _logreg_features(docs: DataFrame, target_lang: str, text_col: str,
                         F.explode("ws").alias("w"))
             .groupBy("doc_id", "y", "n_tokens",
                      (dedup._h32(F.col("w")) % n_buckets).alias("feature"))
-            .agg((F.count("*") / F.col("n_tokens")).alias("x")))
-    return (term.select("doc_id", "y", "feature", "x")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("x", F.col("cnt") / F.col("n_tokens")))
+    return (term.select("doc_id", "y", "n_tokens", "feature", "cnt", "x")
             .unionByName(base.select(
-                "doc_id", "y",
+                "doc_id", "y", "n_tokens",
                 F.lit(-1).cast("bigint").alias("feature"),
+                F.lit(0).cast("long").alias("cnt"),
                 F.lit(1.0).alias("x")))
             .localCheckpoint(eager=True))
 
@@ -1217,7 +1223,8 @@ def _logreg_features(docs: DataFrame, target_lang: str, text_col: str,
 def logreg_train(docs: DataFrame, target_lang: str = "en",
                  text_col: str = "text", lang_col: str = "lang",
                  n_buckets: int = 32, n_iter: int = 3,
-                 lr: float = 5.0) -> DataFrame:
+                 lr: float = 5.0,
+                 feats: DataFrame | None = None) -> DataFrame:
     """Distributed TRAINING of the quality/language classifier —
     full-batch logistic-regression gradient descent over hashed
     bag-of-words features, the learning step behind
@@ -1258,10 +1265,14 @@ def logreg_train(docs: DataFrame, target_lang: str = "en",
     this weight table (handle feature -1 as the bias intercept and
     match n_buckets — the stock scorer uses fixed in-expression
     milli-weights and no bias slot, so the tables are NOT drop-in
-    interchangeable).
+    interchangeable).  Pass `feats` (a _logreg_features table) to
+    train over an already-built feature pass instead of rescanning
+    docs — logreg_apply takes the same parameter, so train + score
+    share ONE corpus read.
     """
-    feats = _logreg_features(docs, target_lang, text_col, lang_col,
-                             n_buckets)
+    if feats is None:
+        feats = _logreg_features(docs, target_lang, text_col, lang_col,
+                                 n_buckets)
     # plan constant (1/N in the gradient); one bias row per doc
     n = feats.where(F.col("feature") == -1).count()
     # weight rows exist only for features PRESENT in the corpus (plus
@@ -1295,8 +1306,9 @@ def logreg_train(docs: DataFrame, target_lang: str = "en",
 
 def logreg_apply(docs: DataFrame, weights: DataFrame,
                  target_lang: str = "en", text_col: str = "text",
-                 lang_col: str = "lang",
-                 n_buckets: int = 32) -> DataFrame:
+                 lang_col: str | None = "lang",
+                 n_buckets: int = 32,
+                 feats: DataFrame | None = None) -> DataFrame:
     """APPLY a logreg_train weight table to a corpus — the scorer the
     trained weights actually plug into (hashed_classifier_score uses
     fixed in-expression placeholder weights and no bias slot; this is
@@ -1317,28 +1329,23 @@ def logreg_apply(docs: DataFrame, weights: DataFrame,
     score the bias alone.  `is_target` carries the label for
     downstream evaluation.
 
-    Scale shape: one tokenize + partial-agg corpus pass, one broadcast
-    join against the <= n_buckets-row weight table, one per-doc
-    partial agg — no corpus-wide shuffle beyond the groupBy(doc_id)
-    that every per-doc score needs.  Scoring a NEW unlabeled corpus is
-    the same plan with y constant (pass any target_lang; ignore
-    is_target).
+    Scale shape: one tokenize + partial-agg corpus pass (the shared,
+    checkpointed _logreg_features table — pass `feats` to reuse the
+    one the trainer already built), one broadcast join against the
+    <= n_buckets-row weight table, one per-doc partial agg — no
+    corpus-wide shuffle beyond the groupBy(doc_id) that every per-doc
+    score needs.  Scoring a NEW unlabeled corpus: pass lang_col=None
+    (y is constant 0; ignore is_target).
     """
-    from . import dedup
-    y = (F.when(F.col(lang_col) == F.lit(target_lang), F.lit(1.0))
-         .otherwise(F.lit(0.0)))
-    base = docs.select("doc_id", y.alias("y"),
-                       dedup.word_array(text_col).alias("ws"),
-                       dedup.token_count(text_col).alias("n_tokens"))
-    term = (base.select("doc_id", F.explode("ws").alias("w"))
-            .groupBy("doc_id",
-                     (dedup._h32(F.col("w")) % n_buckets).alias("feature"))
-            .agg(F.count("*").alias("cnt")))
+    if feats is None:
+        feats = _logreg_features(docs, target_lang, text_col, lang_col,
+                                 n_buckets)
     wm = weights.select(
         "feature",
         F.round(F.col("weight_r") * 1e6).cast("long").alias("w_micro"))
-    tnum = (term.join(F.broadcast(wm.where(F.col("feature") >= 0)),
-                      "feature", "left")
+    tnum = (feats.where(F.col("feature") >= 0)
+            .join(F.broadcast(wm.where(F.col("feature") >= 0)),
+                  "feature", "left")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.coalesce(F.col("w_micro"),
                                                  F.lit(0))).alias("num")))
@@ -1346,15 +1353,19 @@ def logreg_apply(docs: DataFrame, weights: DataFrame,
     wb = wm.agg(F.coalesce(
         F.sum(F.when(F.col("feature") == -1, F.col("w_micro"))),
         F.lit(0).cast("long")).alias("wb"))
-    sc = (base.select("doc_id", "y", "n_tokens")
+    nt = F.col("n_tokens").cast("long")
+    sc = (feats.where(F.col("feature") == -1)  # exactly one row per doc
+          .select("doc_id", "y", "n_tokens")
           .join(tnum, "doc_id", "left")
           .crossJoin(F.broadcast(wb))
           .withColumn("num", F.coalesce(F.col("num"),
                                         F.lit(0).cast("long"))))
-    z_num = F.when(F.col("n_tokens") == 0, F.col("wb")).otherwise(
-        F.col("num") + F.col("n_tokens") * F.col("wb"))
-    denom = F.when(F.col("n_tokens") == 0, F.lit(1000000).cast("long"))\
-        .otherwise(F.col("n_tokens") * F.lit(1000000))
+    z_num = F.when(nt == 0, F.col("wb")).otherwise(
+        F.col("num") + nt * F.col("wb"))
+    # long arithmetic throughout: int n_tokens * int 1000000 would
+    # wrap 32-bit for any doc over ~2147 tokens
+    denom = F.when(nt == 0, F.lit(1000000).cast("long"))\
+        .otherwise(nt * F.lit(1000000).cast("long"))
     z = z_num.cast("double") / denom.cast("double")
     return sc.select(
         "doc_id",

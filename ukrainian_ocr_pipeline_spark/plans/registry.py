@@ -5278,14 +5278,18 @@ words AS (
   SELECT doc_id, y, GREATEST(len(ws), 0) AS n_tokens, unnest(ws) AS w
   FROM base),
 term AS (
-  SELECT doc_id, y,
+  SELECT doc_id, y, n_tokens,
          (CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32) AS feature,
+         COUNT(*) AS cnt,
          COUNT(*) * 1.0 / n_tokens AS x
   FROM words GROUP BY doc_id, y, n_tokens, feature),
 feats AS MATERIALIZED (
-  SELECT doc_id, y, feature, x FROM term
+  SELECT doc_id, y, n_tokens, feature, cnt, x FROM term
   UNION ALL
-  SELECT doc_id, y, CAST(-1 AS BIGINT) AS feature, 1.0 AS x FROM base),
+  SELECT doc_id, y, COALESCE(GREATEST(len(ws), 0), 0) AS n_tokens,
+         CAST(-1 AS BIGINT) AS feature, CAST(0 AS BIGINT) AS cnt,
+         1.0 AS x
+  FROM base),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
 wt0 AS MATERIALIZED (SELECT DISTINCT feature, 0.0 AS wt FROM feats),
 """ + "".join(_SQL_LR_ITER.format(i=i, prev=i - 1) for i in range(1, 4)))
@@ -5301,24 +5305,20 @@ SELECT CAST(feature AS INT) AS feature, wt AS weight_r FROM fin
 # the rounding half-point, where summation order flips the 6th dp
 # between engines; the single z division is correctly-rounded IEEE,
 # so z and the 0-threshold are engine-identical (logreg_apply mirror)
-_SQL_LR_SCORE = """tc AS (
-  SELECT doc_id,
-         (CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32) AS feature,
-         COUNT(*) AS cnt
-  FROM words GROUP BY 1, 2),
-wm AS (SELECT feature, CAST(ROUND(wt * 1000000) AS BIGINT) AS w_micro
-       FROM wt3),
+_SQL_LR_SCORE = """wm AS (
+  SELECT feature, CAST(ROUND(wt * 1000000) AS BIGINT) AS w_micro
+  FROM wt3),
 wb AS (SELECT COALESCE(SUM(CASE WHEN feature = -1 THEN w_micro END),
                        0) AS wb FROM wm),
 tnum AS (
-  SELECT t.doc_id, SUM(t.cnt * COALESCE(w.w_micro, 0)) AS num
-  FROM tc t LEFT JOIN wm w ON t.feature = w.feature AND w.feature >= 0
-  GROUP BY 1),
-sc AS MATERIALIZED (
-  SELECT b.doc_id, b.y,
-         COALESCE(GREATEST(len(b.ws), 0), 0) AS nt,
+  SELECT f.doc_id, SUM(f.cnt * COALESCE(w.w_micro, 0)) AS num
+  FROM feats f LEFT JOIN wm w ON f.feature = w.feature
+  WHERE f.feature >= 0 GROUP BY 1),
+sc AS (
+  SELECT d.doc_id, d.y, CAST(d.n_tokens AS BIGINT) AS nt,
          COALESCE(t.num, 0) AS num, wb.wb AS wb
-  FROM base b LEFT JOIN tnum t USING (doc_id) CROSS JOIN wb),
+  FROM (SELECT doc_id, y, n_tokens FROM feats WHERE feature = -1) d
+  LEFT JOIN tnum t USING (doc_id) CROSS JOIN wb),
 zz AS (
   SELECT doc_id, y,
          CASE WHEN nt = 0 THEN wb ELSE num + nt * wb END AS z_num,
@@ -5363,14 +5363,16 @@ FROM rates
 
 def q_quality_classifier_scores(spark, sf_dir):
     """Train the logreg gate, then APPLY it to the same corpus — the
-    full train->score loop in one plan: per-doc margin vs the trained
-    weight table (broadcast, <= 33 rows), sigmoid score, 0-threshold
-    decision.  The scorer trained weights actually plug into."""
+    full train->score loop over ONE shared feature pass (the
+    checkpointed feature table feeds both the GD loop and the scorer):
+    per-doc margin vs the trained weight table (broadcast, <= 33
+    rows), sigmoid score, 0-threshold decision."""
     docs = _t(spark, sf_dir, "documents")
+    feats = textstats._logreg_features(docs, "en", "text", "lang", 32)
     wts = textstats.logreg_train(docs, target_lang="en", n_buckets=32,
-                                 n_iter=3, lr=5.0)
+                                 n_iter=3, lr=5.0, feats=feats)
     return textstats.logreg_apply(docs, wts, target_lang="en",
-                                  n_buckets=32)
+                                  n_buckets=32, feats=feats)
 
 
 def q_quality_classifier_eval(spark, sf_dir):
@@ -5379,10 +5381,12 @@ def q_quality_classifier_eval(spark, sf_dir):
     recall / F1 — the model-quality report a curation pipeline records
     next to every trained-filter deployment."""
     docs = _t(spark, sf_dir, "documents")
+    feats = textstats._logreg_features(docs, "en", "text", "lang", 32)
     wts = textstats.logreg_train(docs, target_lang="en", n_buckets=32,
-                                 n_iter=3, lr=5.0)
+                                 n_iter=3, lr=5.0, feats=feats)
     return textstats.logreg_eval(
-        textstats.logreg_apply(docs, wts, target_lang="en", n_buckets=32))
+        textstats.logreg_apply(docs, wts, target_lang="en",
+                               n_buckets=32, feats=feats))
 
 
 def q_embedding_pca(spark, sf_dir):
