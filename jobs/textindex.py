@@ -68,22 +68,26 @@ def main(argv=None) -> int:
     doclens = textindex.doc_length_table(docs)
 
     # corpus manifest FIRST: a resume against a different corpus must
-    # fail loudly, not mix tables from two corpora into one snapshot
-    if cat.is_committed("text_stats", args.snapshot_id):
-        meta = cat.read_snapshot(spark, "text_stats",
-                                 args.snapshot_id).collect()[0].asDict()
-        got = textindex.corpus_stats_table(doclens).collect()[0].asDict()
-        if got != meta:
-            print(json.dumps({"error": "corpus differs from committed "
-                              "snapshot", "committed": meta,
-                              "requested": got}, sort_keys=True),
-                  file=sys.stderr)
-            if existing is None:
-                spark.stop()
-            return 2
-    else:
-        cat.write_snapshot(textindex.corpus_stats_table(doclens),
+    # fail loudly, not mix tables from two corpora into one snapshot.
+    # Collect the requested stats ONCE, commit from the literal row,
+    # then compare against whatever row actually won the commit — a
+    # lost race against a concurrent writer with a different corpus
+    # must also fail loudly, not proceed to build
+    stats_df = textindex.corpus_stats_table(doclens)
+    got = stats_df.collect()[0].asDict()
+    if not cat.is_committed("text_stats", args.snapshot_id):
+        cat.write_snapshot(spark.createDataFrame([got], stats_df.schema),
                            "text_stats", args.snapshot_id)
+    meta = cat.read_snapshot(spark, "text_stats",
+                             args.snapshot_id).collect()[0].asDict()
+    if got != meta:
+        print(json.dumps({"error": "corpus differs from committed "
+                          "snapshot", "committed": meta,
+                          "requested": got}, sort_keys=True),
+              file=sys.stderr)
+        if existing is None:
+            spark.stop()
+        return 2
 
     # postings first, terms derived from the COMMITTED postings so the
     # two tables can never disagree even across a crash-resume boundary

@@ -12,11 +12,15 @@ the tokenizer-then-count step of a training-data pipeline, as one
 idempotent deployable job.
 
 Output tables (all under the catalog, all per-snapshot):
-  tok_meta          (n_docs, corpus_fp, merges_requested) — committed
-                    FIRST; a resume under the same snapshot-id against
-                    a different corpus (fingerprinted over (doc_id,
-                    text), so even same-size reshuffles are caught) or
-                    a different --merges fails loudly (rc 2).
+  tok_meta          (n_docs, corpus_fp, corpus_fp2, merges_requested) —
+                    committed FIRST; a resume under the same
+                    snapshot-id against a different corpus
+                    (fingerprinted over (doc_id, text) — xor plus a
+                    multiplicity-sensitive modular sum, so even
+                    same-size reshuffles and duplicate-pair swaps are
+                    caught) or a different --merges fails loudly
+                    (rc 2), including when a concurrent writer won the
+                    meta commit with different inputs.
   bpe_merges        (rank, a, b) — the trained merge table in training
                     order (rank = priority, lower merges first); a
                     resume skips retraining.
@@ -73,25 +77,32 @@ def main(argv=None) -> int:
     # totals alone cannot distinguish reshuffled-id corpora; "trained
     # with fewer --merges" is indistinguishable from "vocab exhausted"
     # without the recorded request)
+    # corpus_fp2 (bounded modular SUM, multiplicity-sensitive) covers
+    # bit_xor's blind spot: even-count duplicate rows xor to zero
+    rowhash = F.xxhash64("doc_id", F.coalesce("text", F.lit("")))
     manifest = docs.agg(
         F.count("*").alias("n_docs"),
-        F.bit_xor(F.xxhash64("doc_id", F.coalesce("text", F.lit(""))))
-        .alias("corpus_fp"),
+        F.bit_xor(rowhash).alias("corpus_fp"),
+        F.sum(F.pmod(rowhash, F.lit(1000003))).alias("corpus_fp2"),
         F.lit(args.merges).alias("merges_requested"))
-    if cat.is_committed("tok_meta", args.snapshot_id):
-        meta = cat.read_snapshot(spark, "tok_meta",
-                                 args.snapshot_id).collect()[0].asDict()
-        got = manifest.collect()[0].asDict()
-        if got != meta:
-            print(json.dumps({"error": "corpus or merges mismatch with "
-                              "committed snapshot", "committed": meta,
-                              "requested": got}, sort_keys=True),
-                  file=sys.stderr)
-            if existing is None:
-                spark.stop()
-            return 2
-    else:
-        cat.write_snapshot(manifest, "tok_meta", args.snapshot_id)
+    # collect the requested manifest ONCE, commit it from the literal
+    # row, then compare against whatever row actually won the commit —
+    # a lost race against a concurrent writer with a different corpus
+    # or --merges must fail loudly, not proceed to train
+    got = manifest.collect()[0].asDict()
+    if not cat.is_committed("tok_meta", args.snapshot_id):
+        cat.write_snapshot(spark.createDataFrame([got], manifest.schema),
+                           "tok_meta", args.snapshot_id)
+    meta = cat.read_snapshot(spark, "tok_meta",
+                             args.snapshot_id).collect()[0].asDict()
+    if got != meta:
+        print(json.dumps({"error": "corpus or merges mismatch with "
+                          "committed snapshot", "committed": meta,
+                          "requested": got}, sort_keys=True),
+              file=sys.stderr)
+        if existing is None:
+            spark.stop()
+        return 2
 
     if cat.is_committed("bpe_merges", args.snapshot_id):
         merges = [(r["a"], r["b"]) for r in

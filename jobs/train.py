@@ -16,11 +16,14 @@ train->score->measure cycle a curation pipeline runs before enabling
 a model gate.
 
 Output tables (all under the catalog, all per-snapshot):
-  clf_meta     (n_docs, corpus_fp, target_lang, n_buckets, n_iter,
-               lr) — committed FIRST; a resume under the same
+  clf_meta     (n_docs, corpus_fp, corpus_fp2, target_lang, n_buckets,
+               n_iter, lr) — committed FIRST; a resume under the same
                snapshot-id against a different corpus (fingerprinted
-               over (doc_id, text, lang)) or different hyperparameters
-               fails loudly (rc 2).
+               over (doc_id, text, lang) — xor plus a
+               multiplicity-sensitive modular sum) or different
+               hyperparameters fails loudly (rc 2), including when a
+               concurrent writer won the meta commit with different
+               inputs.
   clf_weights  (feature, weight_r) — the trained weight table
                (feature -1 = bias); a resume skips retraining.
   clf_scores   (doc_id, is_target, p_target_r, predicted) — per-doc
@@ -59,12 +62,18 @@ def main(argv=None) -> int:
                    help="learning rate (default 5.0)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    import math
+
     if args.buckets < 1:
         p.error("--buckets must be >= 1")
     if args.iters < 1:
         p.error("--iters must be >= 1")
     if not args.target_lang:
         p.error("--target-lang must be non-empty")
+    # finite-positive also excludes NaN, which would break idempotent
+    # re-runs (NaN != NaN in the manifest comparison)
+    if not (math.isfinite(args.lr) and args.lr > 0):
+        p.error("--lr must be a finite positive number")
 
     import os
 
@@ -88,36 +97,46 @@ def main(argv=None) -> int:
     # an order-insensitive corpus fingerprint over everything the model
     # is a function of — (doc_id, text, lang) — so a resume under the
     # same snapshot-id with a different corpus or different
-    # hyperparameters fails loudly instead of mixing provenance
+    # hyperparameters fails loudly instead of mixing provenance.
+    # corpus_fp2 (a bounded modular SUM, multiplicity-sensitive) covers
+    # the bit_xor blind spot: even-count duplicate rows XOR to zero, so
+    # xor alone cannot see equal-count duplicate-pair substitutions.
+    rowhash = F.xxhash64("doc_id", F.coalesce("text", F.lit("")),
+                         F.coalesce("lang", F.lit("")))
     manifest = docs.agg(
         F.count("*").alias("n_docs"),
-        F.bit_xor(F.xxhash64("doc_id", F.coalesce("text", F.lit("")),
-                             F.coalesce("lang", F.lit(""))))
-        .alias("corpus_fp"),
+        F.bit_xor(rowhash).alias("corpus_fp"),
+        F.sum(F.pmod(rowhash, F.lit(1000003))).alias("corpus_fp2"),
         F.lit(args.target_lang).alias("target_lang"),
         F.lit(args.buckets).alias("n_buckets"),
         F.lit(args.iters).alias("n_iter"),
         F.lit(args.lr).alias("lr"))
-    if cat.is_committed("clf_meta", args.snapshot_id):
-        meta = cat.read_snapshot(spark, "clf_meta",
-                                 args.snapshot_id).collect()[0].asDict()
-        got = manifest.collect()[0].asDict()
-        if got != meta:
-            print(json.dumps({"error": "corpus or hyperparameter mismatch "
-                              "with committed snapshot", "committed": meta,
-                              "requested": got}, sort_keys=True),
-                  file=sys.stderr)
-            if existing is None:
-                spark.stop()
-            return 2
-    else:
-        cat.write_snapshot(manifest, "clf_meta", args.snapshot_id)
+    # collect the requested manifest ONCE (one corpus pass), commit it
+    # from the literal row, then compare against whatever row actually
+    # won the commit — a lost race against a concurrent writer with a
+    # different corpus/config must fail loudly, not proceed to train
+    got = manifest.collect()[0].asDict()
+    if not cat.is_committed("clf_meta", args.snapshot_id):
+        cat.write_snapshot(
+            spark.createDataFrame([got], manifest.schema),
+            "clf_meta", args.snapshot_id)
+    meta = cat.read_snapshot(spark, "clf_meta",
+                             args.snapshot_id).collect()[0].asDict()
+    if got != meta:
+        print(json.dumps({"error": "corpus or hyperparameter mismatch "
+                          "with committed snapshot", "committed": meta,
+                          "requested": got}, sort_keys=True),
+              file=sys.stderr)
+        if existing is None:
+            spark.stop()
+        return 2
 
-    # ONE tokenize pass feeds both the GD loop and the scorer; skipped
-    # entirely when every model table is already committed
-    all_done = all(cat.is_committed(t, args.snapshot_id)
-                   for t in ("clf_weights", "clf_scores", "clf_eval"))
-    if not all_done:
+    # ONE tokenize pass feeds both the GD loop and the scorer — built
+    # only when a table that actually consumes it is missing (an
+    # eval-only resume reads committed clf_scores, no corpus pass)
+    need_feats = not all(cat.is_committed(t, args.snapshot_id)
+                         for t in ("clf_weights", "clf_scores"))
+    if need_feats:
         feats = textstats._logreg_features(
             docs, args.target_lang, "text", "lang", args.buckets)
         if not cat.is_committed("clf_weights", args.snapshot_id):
@@ -134,12 +153,13 @@ def main(argv=None) -> int:
                                        target_lang=args.target_lang,
                                        n_buckets=args.buckets, feats=feats),
                 "clf_scores", args.snapshot_id)
-        if not cat.is_committed("clf_eval", args.snapshot_id):
-            cat.write_snapshot(
-                textstats.logreg_eval(
-                    cat.read_snapshot(spark, "clf_scores",
-                                      args.snapshot_id)),
-                "clf_eval", args.snapshot_id)
+
+    # eval needs only the committed scores — no feature pass
+    if not cat.is_committed("clf_eval", args.snapshot_id):
+        cat.write_snapshot(
+            textstats.logreg_eval(
+                cat.read_snapshot(spark, "clf_scores", args.snapshot_id)),
+            "clf_eval", args.snapshot_id)
 
     weights = cat.read_snapshot(spark, "clf_weights", args.snapshot_id)
     ev = cat.read_snapshot(spark, "clf_eval",

@@ -98,7 +98,8 @@ def test_train_job_corpus_mismatch_and_arg_validation(spark, tmp_path,
     assert "mismatch" in err["error"]
 
     for bad in (["--buckets", "0"], ["--iters", "0"],
-                ["--target-lang", ""]):
+                ["--target-lang", ""], ["--lr", "0"], ["--lr", "-1"],
+                ["--lr", "nan"], ["--lr", "inf"]):
         with pytest.raises(SystemExit):
             job.main(["--docs", docs_path, "--warehouse", wh,
                       "--snapshot-id", "x"] + bad)
