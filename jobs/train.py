@@ -164,10 +164,16 @@ def main(argv=None) -> int:
     weights = cat.read_snapshot(spark, "clf_weights", args.snapshot_id)
     ev = cat.read_snapshot(spark, "clf_eval",
                            args.snapshot_id).collect()[0].asDict()
+    # threshold-free ranking quality, derived from the committed scores
+    # (deterministic, so re-runs print identical stats)
+    auc = textstats.logreg_auc(
+        cat.read_snapshot(spark, "clf_scores",
+                          args.snapshot_id)).collect()[0]["auc_r"]
     stats = {"docs": ev["n_docs"], "weights": weights.count(),
              "predicted_positive": ev["tp"] + ev["fp"],
              "base_rate_r": ev["base_rate_r"],
-             "accuracy_r": ev["accuracy_r"]}
+             "accuracy_r": ev["accuracy_r"],
+             "auc_r": auc}
     print(json.dumps(stats, sort_keys=True))
     if existing is None:
         spark.stop()

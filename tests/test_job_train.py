@@ -103,3 +103,33 @@ def test_train_job_corpus_mismatch_and_arg_validation(spark, tmp_path,
         with pytest.raises(SystemExit):
             job.main(["--docs", docs_path, "--warehouse", wh,
                       "--snapshot-id", "x"] + bad)
+
+
+def test_logreg_auc_math(spark):
+    """AUC values on hand-computable score sets: perfect separation,
+    midrank tie handling, the constant classifier, and the
+    single-class NULL guard."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+
+    def auc(rows):
+        df = spark.createDataFrame(
+            [(i, t, p, p >= 0.5) for i, (t, p) in enumerate(rows)],
+            "doc_id long, is_target boolean, p_target_r double, "
+            "predicted boolean")
+        return textstats.logreg_auc(df).collect()[0]
+
+    r = auc([(True, 0.9), (True, 0.8), (False, 0.7), (False, 0.1)])
+    assert (r["n_pos"], r["n_neg"], r["auc_r"]) == (2, 2, 1.0)
+
+    # midrank tie handling: pos=[0.5] vs neg=[0.5, 0.1] — the positive
+    # fully beats 0.1 and half-credits the tied 0.5 -> (1 + 0.5)/2
+    r = auc([(True, 0.5), (False, 0.5), (False, 0.1)])
+    assert r["auc_r"] == 0.75
+
+    # constant classifier scores exactly 0.5 under midranks
+    r = auc([(True, 0.4), (False, 0.4), (True, 0.4), (False, 0.4)])
+    assert r["auc_r"] == 0.5
+
+    # single-class inputs -> NULL, not a crash or division error
+    assert auc([(True, 0.9), (True, 0.1)])["auc_r"] is None
+    assert auc([(False, 0.9)])["auc_r"] is None

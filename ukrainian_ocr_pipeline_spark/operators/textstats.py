@@ -12,7 +12,7 @@ correctness gate.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # simple cross-engine-safe character classes (identical semantics in Java
 # regex and RE2: no \b, no \w, no POSIX classes)
@@ -1373,6 +1373,48 @@ def logreg_apply(docs: DataFrame, weights: DataFrame,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         .alias("p_target_r"),
         (z_num >= 0).alias("predicted"))
+
+
+def logreg_auc(scored: DataFrame) -> DataFrame:
+    """Threshold-free ranking evaluation of logreg_apply output: the
+    exact ROC AUC via the midrank Mann-Whitney statistic —
+    AUC = (sum of positive midranks - P(P+1)/2) / (P * N), with tied
+    scores sharing their average rank (the standard tie treatment, so
+    a constant classifier scores exactly 0.5).  One row
+    (n_docs, n_pos, n_neg, auc_r); auc_r is NULL when either class is
+    absent.
+
+    Scale shape: the corpus collapses to ONE partial-agg groupBy on
+    p_target_r first, and the rank window runs over DISTINCT scores —
+    p_target_r is a 6-dp rounding of a sigmoid into [0, 1], so that
+    table is bounded at 1,000,001 rows REGARDLESS of corpus size; the
+    single-partition window is a constant-size step, never a
+    corpus-sized sort.  Everything after is a one-row aggregate.
+    """
+    g = (scored.groupBy("p_target_r")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+              .cast("long").alias("npos")))
+    w = (Window.orderBy("p_target_r")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = g.withColumn(
+        "midrank",
+        F.coalesce(F.sum("n").over(w), F.lit(0).cast("long"))
+        + (F.col("n") + 1) / 2.0)
+    agg = ranked.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("npos").alias("n_pos"),
+        (F.sum("n") - F.sum("npos")).alias("n_neg"),
+        F.sum(F.col("npos") * F.col("midrank")).alias("pos_rank_sum"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("pos_rank_sum")
+         - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+        / (F.col("n_pos") * F.col("n_neg")))
+    return agg.select(F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("n_pos").cast("long").alias("n_pos"),
+                      F.col("n_neg").cast("long").alias("n_neg"),
+                      F.round(auc, 6).alias("auc_r"))
 
 
 def logreg_eval(scored: DataFrame) -> DataFrame:

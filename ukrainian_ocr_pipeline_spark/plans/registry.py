@@ -5389,6 +5389,48 @@ def q_quality_classifier_eval(spark, sf_dir):
                                n_buckets=32, feats=feats))
 
 
+def q_quality_classifier_auc(spark, sf_dir):
+    """Threshold-free ROC AUC of the trained gate (midrank
+    Mann-Whitney) — the rank window runs over DISTINCT 6-dp scores, a
+    table bounded at ~1e6 rows at ANY corpus size, so the
+    single-partition window is a constant-size step."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textstats._logreg_features(docs, "en", "text", "lang", 32)
+    wts = textstats.logreg_train(docs, target_lang="en", n_buckets=32,
+                                 n_iter=3, lr=5.0, feats=feats)
+    return textstats.logreg_auc(
+        textstats.logreg_apply(docs, wts, target_lang="en",
+                               n_buckets=32, feats=feats))
+
+
+SQL_LOGREG_AUC = (_SQL_LR_CHAIN + _SQL_LR_SCORE +
+"""ps AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-z)), 6) AS p,
+         CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS pos
+  FROM zz),
+grp AS (SELECT p, COUNT(*) AS n, SUM(pos) AS npos FROM ps GROUP BY 1),
+rk AS (
+  SELECT n, npos,
+         COALESCE(SUM(n) OVER (ORDER BY p
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)
+           + (n + 1) / 2.0 AS midrank
+  FROM grp),
+agg AS (
+  SELECT SUM(n) AS n_docs, SUM(npos) AS n_pos,
+         SUM(n) - SUM(npos) AS n_neg,
+         SUM(npos * midrank) AS prs
+  FROM rk)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN (prs - n_pos * (n_pos + 1) / 2.0)
+                       / (n_pos * n_neg) END, 6) AS auc_r
+FROM agg
+""")
+
+
 def q_embedding_pca(spark, sf_dir):
     """Top principal component of the embedding corpus by power
     iteration (8 fixed rounds over the 6-dp-rounded covariance matrix):
@@ -5613,6 +5655,7 @@ QUERIES = {
     "quality_classifier_train": q_quality_classifier_train,
     "quality_classifier_scores": q_quality_classifier_scores,
     "quality_classifier_eval": q_quality_classifier_eval,
+    "quality_classifier_auc": q_quality_classifier_auc,
     "embedding_pca": q_embedding_pca,
     "embedding_pca_scores": q_embedding_pca_scores,
 }
@@ -5761,6 +5804,7 @@ ORACLE_SQL = {
     "quality_classifier_train": SQL_LOGREG_TRAIN,
     "quality_classifier_scores": SQL_LOGREG_SCORES,
     "quality_classifier_eval": SQL_LOGREG_EVAL,
+    "quality_classifier_auc": SQL_LOGREG_AUC,
     "embedding_pca": SQL_EMBEDDING_PCA,
     "embedding_pca_scores": SQL_EMBEDDING_PCA_SCORES,
 }
