@@ -5556,16 +5556,18 @@ QUERIES = {
     # dedup_embedding_cosine_banded) past the window, and the final
     # mixture/DSIR additions displace corpus_curation (hash-green in
     # the r2 driver artifact) and dedup_exact (hash-green in r1 AND
-    # r2).  Policy: every NEVER-witnessed query sits inside the
-    # window; displaced entries have at least one prior hash-green
-    # driver row and stay covered by the local all-query mirror at
-    # three scales) --
-    "high_volume_customers": q_high_volume_customers,
-    "nation_set_ops": q_nation_set_ops,
-    "nation_name_similarity": q_nation_name_similarity,
-    "events_by_weekday": q_events_by_weekday,
-    "order_value_ranks": q_order_value_ranks,
-    "doc_subword_tokens": q_doc_subword_tokens,
+    # r2); the training-loop additions (quality_classifier_* /
+    # embedding_pca*) displace six more r2-green TPC/textstats twins
+    # (high_volume_customers .. doc_subword_tokens).  Policy: every
+    # NEVER-witnessed query sits inside the window; displaced entries
+    # have at least one prior hash-green driver row and stay covered
+    # by the local all-query mirror at three scales) --
+    "quality_classifier_train": q_quality_classifier_train,
+    "quality_classifier_scores": q_quality_classifier_scores,
+    "quality_classifier_eval": q_quality_classifier_eval,
+    "quality_classifier_auc": q_quality_classifier_auc,
+    "embedding_pca": q_embedding_pca,
+    "embedding_pca_scores": q_embedding_pca_scores,
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
     "dedup_exact": q_dedup_exact,
@@ -5652,12 +5654,12 @@ QUERIES = {
     "term_zipf_slope": q_term_zipf_slope,
     "source_quality_gate": q_source_quality_gate,
     "event_burst_detection": q_event_burst_detection,
-    "quality_classifier_train": q_quality_classifier_train,
-    "quality_classifier_scores": q_quality_classifier_scores,
-    "quality_classifier_eval": q_quality_classifier_eval,
-    "quality_classifier_auc": q_quality_classifier_auc,
-    "embedding_pca": q_embedding_pca,
-    "embedding_pca_scores": q_embedding_pca_scores,
+    "high_volume_customers": q_high_volume_customers,
+    "nation_set_ops": q_nation_set_ops,
+    "nation_name_similarity": q_nation_name_similarity,
+    "events_by_weekday": q_events_by_weekday,
+    "order_value_ranks": q_order_value_ranks,
+    "doc_subword_tokens": q_doc_subword_tokens,
 }
 
 ORACLE_SQL = {
