@@ -345,3 +345,44 @@ def test_training_token_shards_matches_pure_python_model(spark):
         # and start at 0
         ids = [want[d][2] for _, d, _ in keyed]
         assert ids == sorted(ids) and (not ids or ids[0] == 0), trial
+
+
+def test_curriculum_stages_equal_population_and_ordered(spark):
+    """Stage cuts follow the largest-prefix rule over the distinct-score
+    distribution: stage populations differ by at most the largest tie
+    group, stage score ranges are disjoint and ascending, and budgets
+    sum to the corpus totals."""
+    from pyspark.sql import functions as F
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    rows = [(i, round(0.1 * (i % 40), 6), 10 + i % 7) for i in range(400)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long")
+    out = (packing.curriculum_stages(scored, "score", n_stages=4)
+           .orderBy("stage").toPandas())
+    assert list(out["stage"]) == [0, 1, 2, 3]
+    # 400 docs / 40 distinct scores, 10 docs per score -> exact quarters
+    assert list(out["n_docs"]) == [100, 100, 100, 100]
+    assert out["n_tokens"].sum() == sum(r[2] for r in rows)
+    # disjoint ascending ranges: each stage's min exceeds the prior max
+    for i in range(1, 4):
+        assert out["min_score"][i] > out["max_score"][i - 1]
+
+
+def test_curriculum_ties_share_stage_and_nulls_dropped(spark):
+    """All docs with one score land in one stage even when the tie group
+    straddles a cut (largest-prefix rule), and NULL scores never reach
+    any stage."""
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    # 6 docs at score 1.0, 2 at 2.0, plus a NULL: a 4-way split of 8
+    # non-null docs cuts at 2/4/6, all inside the 1.0 tie group
+    rows = ([(i, 1.0, 1) for i in range(6)]
+            + [(10 + i, 2.0, 1) for i in range(2)]
+            + [(99, None, 1)])
+    scored = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long")
+    out = (packing.curriculum_stages(scored, "score", n_stages=4)
+           .orderBy("stage").toPandas())
+    assert out["n_docs"].sum() == 8  # the NULL row is gone
+    # score 1.0 (cum_before 0 -> stage 0), score 2.0 (cum_before 6 ->
+    # 6*4 div 8 = 3): ties stay together, the cut lands between groups
+    assert [(r.stage, r.n_docs) for r in out.itertuples()] == [(0, 6), (3, 2)]

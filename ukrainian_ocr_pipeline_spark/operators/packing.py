@@ -299,3 +299,53 @@ def compaction_plan(files: DataFrame, part_col: str = "part",
                  F.sum("_sz").cast("long").alias("bin_bytes"),
                  F.min("file_id").alias("first_file"),
                  F.max("file_id").alias("last_file")))
+
+
+def curriculum_stages(scored: DataFrame, score_col: str,
+                      weight_col: str = "n_tokens",
+                      n_stages: int = 4) -> DataFrame:
+    """Curriculum-learning stage plan: split the corpus into n_stages
+    equal-population difficulty bins by a per-doc score (easy -> hard
+    training order), reporting per-stage document and token budgets —
+    the shard plan a curriculum dataloader consumes.
+
+    The naive shape (NTILE over the corpus) is a corpus-sized
+    single-partition sort.  This one never sorts the corpus: the score
+    column is a 6-dp-rounded value, so the DISTINCT-score table is
+    bounded (same boundedness argument as logreg_auc's rank window) —
+    the window runs over THAT table, stage cuts are exact integer
+    arithmetic (cum_before * n_stages div total — largest-prefix rule,
+    ties share their score's stage), and per-doc assignment is a
+    broadcast join of the tiny score->stage map back onto the corpus.
+    Two partial-agg exchanges + one constant-size window at any corpus
+    size.
+
+    NULL scores (unscorable docs, e.g. null text) are dropped up
+    front: a NULL key would silently vanish in the assignment join
+    anyway, and Spark (NULLS FIRST) and standard-SQL engines (NULLS
+    LAST) disagree on where NULL sorts in the cumulative window, so
+    keeping them would make the stage cuts engine-dependent."""
+    scored = scored.where(F.col(score_col).isNotNull())
+    dist = (scored.groupBy(score_col)
+            .agg(F.count("*").cast("long").alias("n")))
+    total = dist.agg(F.sum("n").alias("total"))
+    w = (Window.orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # `div`, not `/`: float division of two longs is correctly rounded
+    # and can round UP to the next integer near 2^53, off-by-one-ing a
+    # stage cut at exactly the corpus sizes this operator targets.
+    staged = (dist
+              .withColumn("cb", F.coalesce(F.sum("n").over(w),
+                                           F.lit(0).cast("long")))
+              .crossJoin(F.broadcast(total))
+              .select(score_col,
+                      F.least(F.lit(n_stages - 1),
+                              F.expr(f"cast((cb * {int(n_stages)}) "
+                                     "div total as int)"))
+                      .alias("stage")))
+    per = scored.join(F.broadcast(staged), score_col)
+    return (per.groupBy("stage")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(weight_col).cast("long").alias("n_tokens"),
+                 F.min(score_col).alias("min_score"),
+                 F.max(score_col).alias("max_score")))

@@ -1447,3 +1447,83 @@ def logreg_eval(scored: DataFrame) -> DataFrame:
         F.round(prec, 6).alias("precision_r"),
         F.round(rec, 6).alias("recall_r"),
         F.round(f1, 6).alias("f1_r"))
+
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text",
+                        lang_col: str = "lang",
+                        piece_chars: int = 4) -> DataFrame:
+    """Per-language tokenizer-health report: subword fertility (pieces
+    per whitespace word) and compression (chars per piece) — the two
+    numbers every multilingual-corpus paper tabulates before committing
+    to a tokenizer, because a language whose fertility is 2-3x the
+    corpus median is under-served by the merges table and will train
+    badly at a fixed sequence length.  Pieces use the same GPT-2-style
+    pretokenizer + ceil(len/piece_chars) estimator as
+    subword_token_counts; words are the canonical whitespace tokens.
+
+    Scale shape: one corpus scan, everything per-row codegen, ONE
+    partial-agg groupBy on lang (a handful of groups at any corpus
+    size) — scan-speed at 100 TB.  Ratios are NULL when the
+    denominator is 0 (empty-text language partitions), never a
+    divide-by-zero."""
+    toks = java_pretokens(text_col)
+    pieces = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / piece_chars)
+        .cast("long"))
+    trimmed = F.trim(F.col(text_col))
+    n_words = (F.when(F.length(trimmed) == 0, F.lit(0))
+               .otherwise(F.size(F.split(trimmed, r"\s+")))).cast("long")
+    per = docs.select(
+        F.col(lang_col).alias("lang"),
+        n_words.alias("w"), pieces.alias("p"),
+        F.length(F.col(text_col)).cast("long").alias("c"))
+    g = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("p").alias("n_pieces"),
+        F.sum("c").alias("n_chars"))
+    return g.select(
+        "lang", "n_docs", "n_words", "n_pieces", "n_chars",
+        F.round(F.when(F.col("n_words") > 0,
+                       F.col("n_pieces") / F.col("n_words")), 6)
+        .alias("fertility_r"),
+        F.round(F.when(F.col("n_pieces") > 0,
+                       F.col("n_chars") / F.col("n_pieces")), 6)
+        .alias("chars_per_piece_r"))
+
+
+def lang_unigram_entropy(docs: DataFrame,
+                         text_col: str = "text",
+                         lang_col: str = "lang") -> DataFrame:
+    """Per-language token diversity: Shannon entropy of the unigram
+    distribution, H = log2(N) - (1/N) * sum(c * log2(c)) — the
+    standard corpus-diversity diagnostic (a language partition whose
+    entropy collapses is template spam, however large it looks), plus
+    the vocabulary size and normalized entropy H / log2(V) in [0, 1].
+
+    Scale shape: one explode + partial-agg groupBy on (lang, word)
+    builds the per-language count table (vocab-sized — a fraction of
+    the corpus), then ONE partial-agg groupBy on lang; both exchanges
+    are combiner-backed and the second is a handful of rows.  The
+    c*log2(c) identity avoids materializing p_w = c/N per word, so no
+    broadcast-back join is needed at all (cheaper than the
+    unigram_logprob shape this derives from)."""
+    from .dedup import word_array
+    words = (docs
+             .select(F.col(lang_col).alias("lang"),
+                     F.explode(word_array(text_col)).alias("word")))
+    freq = words.groupBy("lang", "word").agg(
+        F.count("*").cast("long").alias("cnt"))
+    g = freq.groupBy("lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("clog"))
+    h = F.log2(F.col("n_tokens")) - F.col("clog") / F.col("n_tokens")
+    return g.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "vocab",
+        F.round(h, 6).alias("entropy_r"),
+        F.round(F.when(F.col("vocab") > 1, h / F.log2(F.col("vocab"))), 6)
+        .alias("entropy_norm_r"))

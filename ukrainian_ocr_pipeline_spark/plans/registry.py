@@ -5490,6 +5490,87 @@ GROUP BY cx.vec_id
 """)
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer-health report (textstats.tokenizer_
+    fertility): subword fertility (pieces/word) and compression
+    (chars/piece) per lang — the pre-tokenizer-commit sanity table of
+    every multilingual-corpus paper.  One scan, one tiny groupBy."""
+    return textstats.tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+# pieces reuse the SQL_SUBWORD_TOKENS pretokenizer expression verbatim
+# (same lambda, same trim/ceil) so the two oracles cannot diverge
+SQL_TOKENIZER_FERTILITY = r"""
+WITH toks AS (
+  SELECT lang, text,
+         coalesce(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0),
+           []) AS ts
+  FROM documents),
+per AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS w,
+         CAST(coalesce(list_sum(list_transform(ts,
+              t -> CAST(ceil(length(trim(t)) / 4.0) AS BIGINT))), 0) AS BIGINT) AS p,
+         CAST(length(text) AS BIGINT) AS c
+  FROM toks)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(p) AS BIGINT) AS n_pieces,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       ROUND(CASE WHEN SUM(w) > 0 THEN CAST(SUM(p) AS DOUBLE) / SUM(w) END, 6)
+         AS fertility_r,
+       ROUND(CASE WHEN SUM(p) > 0 THEN CAST(SUM(c) AS DOUBLE) / SUM(p) END, 6)
+         AS chars_per_piece_r
+FROM per GROUP BY lang
+"""
+
+
+def q_curriculum_stages(spark, sf_dir):
+    """Curriculum-learning stage plan (packing.curriculum_stages) over
+    the mean-word-length difficulty proxy from textstats.quality_scores
+    (6-dp-rounded, so the distinct-score table is bounded): 4
+    equal-population stages with per-stage doc/token budgets — corpus
+    never sorted, assignment is a broadcast join."""
+    scored = (textstats.quality_scores(_t(spark, sf_dir, "documents"))
+              .select("doc_id", "n_words", "mean_word_len"))
+    return packing.curriculum_stages(scored, "mean_word_len",
+                                     weight_col="n_words", n_stages=4)
+
+
+# the score expression is SQL_QUALITY's mean_word_len verbatim; the
+# stage cut mirrors the operator's exact-integer `div` with DuckDB's
+# `//` (both floor toward zero on non-negative counts)
+SQL_CURRICULUM_STAGES = r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+         ROUND(length(text) / GREATEST(
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(string_split_regex(trim(text), '\s+')) END, 1), 6)
+           AS score
+  FROM documents),
+sf AS (SELECT * FROM s WHERE score IS NOT NULL),
+dist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n FROM sf GROUP BY score),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM dist),
+st AS (SELECT score,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS cb
+       FROM dist),
+m AS (SELECT score,
+             LEAST(3, CAST((cb * 4) // total AS INT)) AS stage
+      FROM st CROSS JOIN tot)
+SELECT m.stage, COUNT(*) AS n_docs,
+       CAST(SUM(sf.n_words) AS BIGINT) AS n_tokens,
+       MIN(sf.score) AS min_score, MAX(sf.score) AS max_score
+FROM sf JOIN m USING (score)
+GROUP BY m.stage
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5660,6 +5741,8 @@ QUERIES = {
     "events_by_weekday": q_events_by_weekday,
     "order_value_ranks": q_order_value_ranks,
     "doc_subword_tokens": q_doc_subword_tokens,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "curriculum_stages": q_curriculum_stages,
 }
 
 ORACLE_SQL = {
@@ -5809,4 +5892,6 @@ ORACLE_SQL = {
     "quality_classifier_auc": SQL_LOGREG_AUC,
     "embedding_pca": SQL_EMBEDDING_PCA,
     "embedding_pca_scores": SQL_EMBEDDING_PCA_SCORES,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "curriculum_stages": SQL_CURRICULUM_STAGES,
 }
