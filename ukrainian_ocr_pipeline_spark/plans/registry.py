@@ -5571,6 +5571,39 @@ GROUP BY m.stage
 """
 
 
+def q_lang_unigram_entropy(spark, sf_dir):
+    """Per-language unigram Shannon entropy + normalized entropy
+    (textstats.lang_unigram_entropy) — the corpus-diversity diagnostic
+    (template spam collapses it).  One (lang, word) partial-agg
+    exchange over the vocabulary, then a per-lang rollup."""
+    return textstats.lang_unigram_entropy(_t(spark, sf_dir, "documents"))
+
+
+# the c*log2(c) identity keeps both engines summing the SAME exact
+# integer-derived doubles; reorder error over a vocab-sized sum is
+# ~1e-11 vs the 5e-7 round-6 boundary (see term_zipf_slope's budget)
+SQL_LANG_ENTROPY = f"""
+WITH words AS (
+  SELECT lang,
+         unnest({dedup.WORD_ARRAY_SQL.format(col="text")}) AS word
+  FROM documents),
+freq AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM words GROUP BY lang, word),
+g AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         SUM(cnt * log2(cnt)) AS clog
+  FROM freq GROUP BY lang)
+SELECT lang, n_tokens, vocab,
+       ROUND(log2(n_tokens) - clog / n_tokens, 6) AS entropy_r,
+       ROUND(CASE WHEN vocab > 1
+                  THEN (log2(n_tokens) - clog / n_tokens) / log2(vocab)
+             END, 6) AS entropy_norm_r
+FROM g
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5743,6 +5776,7 @@ QUERIES = {
     "doc_subword_tokens": q_doc_subword_tokens,
     "tokenizer_fertility": q_tokenizer_fertility,
     "curriculum_stages": q_curriculum_stages,
+    "lang_unigram_entropy": q_lang_unigram_entropy,
 }
 
 ORACLE_SQL = {
@@ -5894,4 +5928,5 @@ ORACLE_SQL = {
     "embedding_pca_scores": SQL_EMBEDDING_PCA_SCORES,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "curriculum_stages": SQL_CURRICULUM_STAGES,
+    "lang_unigram_entropy": SQL_LANG_ENTROPY,
 }
