@@ -791,3 +791,62 @@ def pca_power(emb: DataFrame, n_iter: int = 8, dim: int = 64,
     return bvec.select(F.col("pos").cast("int").alias("pos"),
                        F.col("b").alias("pc1_r"),
                        F.round(F.col("nrm"), 6).alias("eigenvalue_r"))
+
+
+def bitext_margin_pairs(emb: DataFrame, label_a: int = 0, label_b: int = 1,
+                        k: int = 4, margin_threshold: float = 1.0,
+                        n_bands: int = 8, band_planes: int = 2,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label", dim: int = 64) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix parallel-corpus
+    shape, Artetxe & Schwenk 2019 ratio margin): mine aligned pairs
+    between two embedding groups (two languages in a shared space;
+    here two label partitions) as MUTUAL nearest neighbours whose
+    cosine clears the local-density margin
+    ``cos(x,y) / ((mean_k(x) + mean_k(y)) / 2)`` — raw cosine alone
+    over-mines hubs, the margin normalizes by each side's
+    neighbourhood density.
+
+    Scale shape: candidates come from the SAME banded hyperplane-LSH
+    equi-join as cosine_near_dup_banded (never all-pairs — at 100 TB
+    the cross join of two languages is the classic mining blow-up);
+    exact cosine runs once per candidate; top-k means, mutual-best
+    ranks, and the margin all run over the candidate table with
+    per-vector windows (bounded by the per-vector candidate count).
+    The k-NN means are therefore *within-candidate* approximations of
+    the true ones — the standard trade every LSH-gated miner makes;
+    raise n_bands for recall, band_planes for selectivity.
+
+    Determinism: cosines are 6-dp rounded BEFORE ranking/means
+    (_cosine_r), rank ties break on the partner id, so both engines
+    rank the identical point set; the margin is a ratio of means of
+    <= k rounded values, rounded to 6 dp."""
+    a_emb = emb.where(F.col(label_col) == label_a)
+    b_emb = emb.where(F.col(label_col) == label_b)
+    sa = (banded_signatures(a_emb, n_bands, band_planes, id_col, vec_col, dim)
+          .select(F.col("vec_id").alias("a_id"), "band", "bucket"))
+    sb = (banded_signatures(b_emb, n_bands, band_planes, id_col, vec_col, dim)
+          .select(F.col("vec_id").alias("b_id"), "band", "bucket"))
+    cands = sa.join(sb, ["band", "bucket"]).select("a_id", "b_id").distinct()
+    na = a_emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"),
+                      _dot(vec_col, vec_col).alias("na"))
+    nb = b_emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"),
+                      _dot(vec_col, vec_col).alias("nb"))
+    scored = (cands.join(na, "a_id").join(nb, "b_id")
+              .select("a_id", "b_id",
+                      _cosine_r("va", "vb", "na", "nb").alias("cos_r")))
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos_r"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos_r"), F.asc("a_id"))
+    ranked = (scored.withColumn("ra", F.row_number().over(wa))
+              .withColumn("rb", F.row_number().over(wb)))
+    mean_a = (ranked.where(F.col("ra") <= k).groupBy("a_id")
+              .agg(F.avg("cos_r").alias("ma")))
+    mean_b = (ranked.where(F.col("rb") <= k).groupBy("b_id")
+              .agg(F.avg("cos_r").alias("mb")))
+    margin = F.round(F.col("cos_r") / ((F.col("ma") + F.col("mb")) / 2), 6)
+    return (ranked.where((F.col("ra") == 1) & (F.col("rb") == 1))
+            .join(mean_a, "a_id").join(mean_b, "b_id")
+            .withColumn("margin_r", margin)
+            .where(F.col("margin_r") >= margin_threshold)
+            .select("a_id", "b_id", F.col("cos_r").alias("cosine_r"),
+                    "margin_r"))

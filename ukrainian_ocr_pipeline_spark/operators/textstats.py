@@ -1527,3 +1527,51 @@ def lang_unigram_entropy(docs: DataFrame,
         F.round(h, 6).alias("entropy_r"),
         F.round(F.when(F.col("vocab") > 1, h / F.log2(F.col("vocab"))), 6)
         .alias("entropy_norm_r"))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   lam: float = 0.7) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM LM document scoring — the
+    next rung above unigram_logprob on the CCNet perplexity-gate
+    ladder: p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/total
+    (unigram backoff so unseen-context mass never zeroes a document),
+    each doc scored by its mean transition log-probability.  Catches
+    what the unigram gate cannot: shuffled-word salad scores exactly
+    like natural text under unigrams but collapses under transitions.
+
+    Scale shape: bigrams come straight from the token array (slice +
+    arrays_zip — no window, no self-join, pure codegen); the count
+    tables are (vocab)- and (distinct-bigram)-sized partial aggs — big
+    at web scale but a fraction of corpus positions; scoring is three
+    equi-joins of transition instances against those tables (hot words
+    are AQE skew-split) + one per-doc partial agg.  A production KenLM
+    swap ships its n-gram table into the same join shape.
+
+    Docs with < 2 tokens have no transitions and are absent (the
+    unigram gate already covers them).  Unigram counts/total are over
+    the FULL token stream (not just context positions) — simpler, and
+    mirrored exactly by the oracle twin."""
+    from .dedup import word_array
+    ws = word_array(text_col)
+    n = F.size(ws)
+    len1 = F.greatest(n - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(ws, 1, len1).alias("w1"),
+                         F.slice(ws, 2, len1).alias("w2"))
+    big = (docs.select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    words = docs.select(F.explode(word_array(text_col)).alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("double").alias("total"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cnt2"))
+    scored = (big.join(bi, ["w1", "w2"])
+              .join(uni.select(F.col("word").alias("w1"),
+                               F.col("cnt").alias("cnt1")), "w1")
+              .join(uni.select(F.col("word").alias("w2"),
+                               F.col("cnt").alias("cntw2")), "w2")
+              .crossJoin(F.broadcast(total)))
+    p = (F.lit(lam) * F.col("cnt2") / F.col("cnt1")
+         + F.lit(1.0 - lam) * F.col("cntw2") / F.col("total"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg(F.log(p)), 6).alias("avg_logprob_r")))

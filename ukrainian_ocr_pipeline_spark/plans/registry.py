@@ -5604,6 +5604,93 @@ FROM g
 """
 
 
+def q_bitext_margin_pairs(spark, sf_dir):
+    """Margin-based bitext mining between label partitions 0 and 1
+    (similarity.bitext_margin_pairs): banded-LSH candidates, mutual
+    nearest neighbours, ratio-margin >= 1.2 — the CCMatrix
+    parallel-pair mining shape, never all-pairs."""
+    return similarity.bitext_margin_pairs(
+        _t(spark, sf_dir, "embeddings"), label_a=0, label_b=1,
+        k=4, margin_threshold=1.2, n_bands=8, band_planes=2)
+
+
+# the comp/dots/sigs chain is SQL_EMB_NEAR_DUP_BANDED's with
+# band_planes=2 (16 planes, p//2, 1-bit shift); cosines are rounded
+# BEFORE ranking/means exactly as the operator does
+SQL_BITEXT_MARGIN = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT p.p, i.i,
+         CAST(concat('0x', substr(md5(concat(CAST(p.p AS VARCHAR), ':',
+              CAST(i.i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5 AS c
+  FROM generate_series(0, 15) p(p), generate_series(1, 64) i(i)),
+dots AS (
+  SELECT e.vec_id, e.label, comp.p, SUM(e.v[comp.i] * comp.c) AS d
+  FROM e, comp WHERE e.label IN (0, 1) GROUP BY e.vec_id, e.label, comp.p),
+sigs AS (
+  SELECT vec_id, label, CAST(p // 2 AS INTEGER) AS band,
+         CAST(SUM(CASE WHEN d >= 0 THEN (1 << (1 - (p % 2))) ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id, label, p // 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.label = 0 AND b.label = 1),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         ROUND(SUM(ea.v[i] * eb.v[i])
+               / SQRT(SUM(ea.v[i]*ea.v[i]) * SUM(eb.v[i]*eb.v[i])), 6) AS cos_r
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.a_id
+  JOIN e eb ON eb.vec_id = c.b_id,
+       generate_series(1, 64) t(i)
+  GROUP BY c.a_id, c.b_id),
+ranked AS (
+  SELECT a_id, b_id, cos_r,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_r DESC, a_id) AS rb
+  FROM scored),
+ma AS (SELECT a_id, AVG(cos_r) AS ma FROM ranked WHERE ra <= 4 GROUP BY a_id),
+mb AS (SELECT b_id, AVG(cos_r) AS mb FROM ranked WHERE rb <= 4 GROUP BY b_id)
+SELECT r.a_id, r.b_id, r.cos_r AS cosine_r,
+       ROUND(r.cos_r / ((ma.ma + mb.mb) / 2), 6) AS margin_r
+FROM ranked r JOIN ma ON r.a_id = ma.a_id JOIN mb ON r.b_id = mb.b_id
+WHERE r.ra = 1 AND r.rb = 1
+  AND ROUND(r.cos_r / ((ma.ma + mb.mb) / 2), 6) >= 1.2
+"""
+
+
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM scoring (textstats.bigram_logprob): the
+    transition-aware rung above doc_unigram_logprob — word salad
+    passes unigrams, collapses here.  Bigrams from slice+arrays_zip
+    (no window), counts are vocab-sized partial aggs."""
+    return textstats.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH w0 AS (
+  SELECT doc_id, {dedup.WORD_ARRAY_SQL.format(col="text")} AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w0),
+words AS (SELECT unnest(ws) AS word FROM w0),
+uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM uni),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM big GROUP BY w1, w2)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(CAST(0.7 AS DOUBLE) * bi.cnt2 / u1.cnt
+                    + CAST(0.3 AS DOUBLE) * u2.cnt / tot.total)), 6)
+         AS avg_logprob_r
+FROM big b
+JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+JOIN uni u1 ON b.w1 = u1.word
+JOIN uni u2 ON b.w2 = u2.word
+CROSS JOIN tot
+GROUP BY b.doc_id
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5777,6 +5864,8 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "curriculum_stages": q_curriculum_stages,
     "lang_unigram_entropy": q_lang_unigram_entropy,
+    "bitext_margin_pairs": q_bitext_margin_pairs,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -5929,4 +6018,6 @@ ORACLE_SQL = {
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "curriculum_stages": SQL_CURRICULUM_STAGES,
     "lang_unigram_entropy": SQL_LANG_ENTROPY,
+    "bitext_margin_pairs": SQL_BITEXT_MARGIN,
+    "doc_bigram_logprob": SQL_BIGRAM_LOGPROB,
 }
