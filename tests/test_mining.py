@@ -71,3 +71,36 @@ def test_bigram_lm_short_docs_absent(spark):
         "doc_id long, text string")
     got = {r["doc_id"] for r in textstats.bigram_logprob(docs).collect()}
     assert got == {3}
+
+
+def test_source_concentration_known_values(spark):
+    """Exact Gini/HHI on a hand-computable distribution: counts
+    (1, 1, 2, 4) -> HHI = 22/64, Gini via the sorted-rank identity
+    = 2*(1*1+2*1+3*2+4*4)/(4*8) - 5/4 = 50/32 - 40/32 = 0.3125."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    rows = [(i, "t", "en", src) for i, src in enumerate(
+        ["a", "b", "c", "c", "d", "d", "d", "d"])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = textstats.source_concentration(docs).collect()[0]
+    assert got["n_sources"] == 4 and got["n_docs"] == 8
+    assert got["hhi_r"] == round(22 / 64, 6)
+    assert got["gini_r"] == 0.3125
+    assert got["top_share_r"] == 0.5
+
+
+def test_length_drift_psi_self_is_zero_and_orders_drift(spark):
+    """The reference language's own PSI row is exactly 0 (calibration);
+    a same-shape language drifts less than a shifted one."""
+    from ukrainian_ocr_pipeline_spark.operators import textstats
+    mk = lambda n: " ".join(["w"] * n)
+    rows = ([(i, mk(4), "en", "s") for i in range(20)]
+            + [(100 + i, mk(4), "fr", "s") for i in range(18)]
+            + [(200 + i, mk(64), "fr", "s") for i in range(2)]
+            + [(300 + i, mk(64), "de", "s") for i in range(20)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r["lang"]: r["psi_r"]
+           for r in textstats.length_drift_psi(docs).collect()}
+    assert got["en"] == 0.0
+    assert 0 < got["fr"] < got["de"]

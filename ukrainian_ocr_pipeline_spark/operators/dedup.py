@@ -37,8 +37,19 @@ def _h28(col):
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast("bigint")
 
 
+# THE canonical whitespace-run pattern for every Spark-side split /
+# collapse whose DuckDB twin uses RE2 '\s+': Java's \s matches \x0B
+# where RE2's does not, so a bare r"\s+" silently diverges from the
+# oracle on control-char-bearing text (the same hazard
+# textstats.quality_drop_reason documents for its symbol class).
+# Spelled with regex ESCAPES, not literal control chars — a literal
+# newline inside the pattern would reappear verbatim in .explain()
+# output and break single-line plan assertions.
+WS_RUN = r"[ \t\n\f\r]+"
+
+
 def _canon(text_col: str):
-    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_RUN, " "))
 
 
 def word_array(text_col: str):
@@ -76,7 +87,7 @@ def word_array_keepcase(text_col: str):
     source casing while matching stays case-insensitive."""
     return F.filter(
         F.split(F.trim(F.regexp_replace(F.trim(F.col(text_col)),
-                                        r"\s+", " ")), " "),
+                                        WS_RUN, " ")), " "),
         lambda w: F.length(w) > 0)
 
 
@@ -941,3 +952,34 @@ def cluster_keepers_by_quality(clusters: DataFrame, docs: DataFrame,
     return (scored.withColumn("__rn", F.row_number().over(w))
             .select("doc_id", "cluster_id", "cluster_size", "n_chars",
                     (F.col("__rn") == 1).alias("is_keeper")))
+
+
+def split_leakage_check(docs: DataFrame, text_col: str = "text",
+                        num_hashes: int = 8, k: int = 3,
+                        band_size: int = 4,
+                        threshold: float = 0.5) -> DataFrame:
+    """Eval-contamination guard: verified near-duplicate pairs that
+    STRADDLE the train/val/test split — the leak a random doc-level
+    split always has (near-identical pages land on opposite sides of
+    the hash split, so the model is evaluated on paraphrases of its
+    training data; Lee et al.'s dedup paper measures exactly this
+    inflation).  Zero rows is the release gate.
+
+    Composes the two canonical definitions rather than re-deriving
+    either: pairs from verified_near_dups (MinHash -> LSH -> exact
+    Jaccard, never all-pairs) and membership from
+    train_val_test_split (the ONE split function jobs/curate.py
+    deploys) — so the check can never drift from what the pipeline
+    actually ships.  Adds two broadcast-shaped equi-joins of the tiny
+    split table onto the (small) verified-pair set."""
+    pairs = verified_near_dups(docs, text_col, num_hashes, k,
+                               band_size, threshold)
+    sp = docs.select("doc_id",
+                     train_val_test_split(F.col("doc_id")).alias("split"))
+    return (pairs
+            .join(sp.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("split_a")), "doc_a")
+            .join(sp.select(F.col("doc_id").alias("doc_b"),
+                            F.col("split").alias("split_b")), "doc_b")
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "jaccard_r", "split_a", "split_b"))

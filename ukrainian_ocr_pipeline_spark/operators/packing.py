@@ -349,3 +349,30 @@ def curriculum_stages(scored: DataFrame, score_col: str,
                  F.sum(weight_col).cast("long").alias("n_tokens"),
                  F.min(score_col).alias("min_score"),
                  F.max(score_col).alias("max_score")))
+
+
+def packing_efficiency(docs: DataFrame, budget: int = 128,
+                       text_col: str = "text") -> DataFrame:
+    """Per-language packing-efficiency report over sequence_pack's
+    greedy plan: sequences built, token mass, padding waste
+    (budget - fill per non-overflowing sequence), and the fill ratio —
+    the number that decides whether a packing budget fits the corpus's
+    length distribution before anyone burns accelerator hours on a
+    mis-sized one.  fill_ratio can exceed 1.0 when oversized documents
+    (single-doc sequences over budget) dominate a language: that is a
+    signal, not an error — those docs need chunking, not packing.
+
+    Scale shape: everything downstream of sequence_pack is two
+    partial-agg groupBys ((lang, seq_id), then lang) over the packed
+    assignment — no new corpus scan, no window."""
+    packed = sequence_pack(docs, budget=budget, text_col=text_col)
+    per_seq = (packed.groupBy("lang", "seq_id")
+               .agg(F.sum("n_tokens").alias("fill")))
+    return (per_seq.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_seqs"),
+                 F.sum("fill").cast("long").alias("n_tokens"),
+                 F.sum(F.greatest(F.lit(budget) - F.col("fill"),
+                                  F.lit(0))).cast("long")
+                 .alias("pad_tokens"),
+                 F.round(F.sum("fill") / (F.count("*") * budget), 6)
+                 .alias("fill_ratio_r")))

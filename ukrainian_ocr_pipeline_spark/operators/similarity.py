@@ -794,7 +794,7 @@ def pca_power(emb: DataFrame, n_iter: int = 8, dim: int = 64,
 
 
 def bitext_margin_pairs(emb: DataFrame, label_a: int = 0, label_b: int = 1,
-                        k: int = 4, margin_threshold: float = 1.0,
+                        k: int = 4, margin_threshold: float = 1.05,
                         n_bands: int = 8, band_planes: int = 2,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         label_col: str = "label", dim: int = 64) -> DataFrame:
@@ -820,7 +820,15 @@ def bitext_margin_pairs(emb: DataFrame, label_a: int = 0, label_b: int = 1,
     Determinism: cosines are 6-dp rounded BEFORE ranking/means
     (_cosine_r), rank ties break on the partner id, so both engines
     rank the identical point set; the margin is a ratio of means of
-    <= k rounded values, rounded to 6 dp."""
+    <= k rounded values, rounded to 6 dp.
+
+    A mutual-best pair's margin is >= 1.0 by construction (its cosine
+    is the max on both sides, hence >= both top-k means), so
+    margin_threshold=1.0 would mean RAW mutual-NN mining with no
+    density filtering — the default is above 1 so the gate actually
+    gates.  Ranks and both k-NN means are window functions over ONE
+    scored-candidate pass (no groupBy branches re-deriving the
+    candidate join per side)."""
     a_emb = emb.where(F.col(label_col) == label_a)
     b_emb = emb.where(F.col(label_col) == label_b)
     sa = (banded_signatures(a_emb, n_bands, band_planes, id_col, vec_col, dim)
@@ -838,14 +846,15 @@ def bitext_margin_pairs(emb: DataFrame, label_a: int = 0, label_b: int = 1,
     wa = Window.partitionBy("a_id").orderBy(F.desc("cos_r"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("cos_r"), F.asc("a_id"))
     ranked = (scored.withColumn("ra", F.row_number().over(wa))
-              .withColumn("rb", F.row_number().over(wb)))
-    mean_a = (ranked.where(F.col("ra") <= k).groupBy("a_id")
-              .agg(F.avg("cos_r").alias("ma")))
-    mean_b = (ranked.where(F.col("rb") <= k).groupBy("b_id")
-              .agg(F.avg("cos_r").alias("mb")))
+              .withColumn("rb", F.row_number().over(wb))
+              .withColumn("ma", F.avg(F.when(F.col("ra") <= k,
+                                             F.col("cos_r")))
+                          .over(Window.partitionBy("a_id")))
+              .withColumn("mb", F.avg(F.when(F.col("rb") <= k,
+                                             F.col("cos_r")))
+                          .over(Window.partitionBy("b_id"))))
     margin = F.round(F.col("cos_r") / ((F.col("ma") + F.col("mb")) / 2), 6)
     return (ranked.where((F.col("ra") == 1) & (F.col("rb") == 1))
-            .join(mean_a, "a_id").join(mean_b, "b_id")
             .withColumn("margin_r", margin)
             .where(F.col("margin_r") >= margin_threshold)
             .select("a_id", "b_id", F.col("cos_r").alias("cosine_r"),

@@ -14,6 +14,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import WS_RUN
+
 # simple cross-engine-safe character classes (identical semantics in Java
 # regex and RE2: no \b, no \w, no POSIX classes)
 PUNCT_CLASS = "[.,!?;:]"
@@ -28,13 +30,13 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (wordpieces of <=4
     chars), per document."""
     t = F.trim(F.col(text_col))
-    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, WS_RUN)))
     return docs.select(
         "doc_id",
         F.length(F.col(text_col)).alias("n_chars"),
         n_tokens.alias("n_tokens"),
         # BPE-ish upper bound: ceil(chars_sans_space / 4) subword units
-        F.ceil(F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / 4)
+        F.ceil(F.length(F.regexp_replace(F.col(text_col), WS_RUN, "")) / 4)
         .cast("bigint").alias("n_subwords"),
     )
 
@@ -133,7 +135,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, UPPER_CLASS, ""))
     trimmed = F.trim(t)
-    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, WS_RUN)))
     n_stop = F.size(F.expr(f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)"))
     return docs.select(
         "doc_id",
@@ -199,7 +201,7 @@ def quality_drop_reason(text_col: str = "text",
     trimmed = F.trim(t)
     n_chars = F.length(t)
     n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+")))
+        F.size(F.split(trimmed, WS_RUN)))
     mean_wl = n_chars / F.greatest(n_words, F.lit(1))
     # whitespace spelled out: Java's \s includes \x0B where RE2's does
     # not — an explicit class keeps the Spark operator and its DuckDB
@@ -249,9 +251,12 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base-31 rolling hash over its code points — the incremental-update
     family used for shingle fingerprinting, here as a pure aggregate()
     HOF so it runs inside whole-stage codegen."""
-    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_RUN, " "))
+    # the SQL-literal escaper turns \\t into the 2-char regex escape \t,
+    # landing on the same explicit class as WS_RUN
     rolling = F.expr(
-        f"aggregate(split(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')), ''), "
+        f"aggregate(split(lower(regexp_replace(trim({text_col}),"
+        " '[ \\\\t\\\\n\\\\f\\\\r]+', ' ')), ''), "
         "cast(0 as bigint), (acc, ch) -> (acc * 31 + ascii(ch)) % 2147483647)")
     return docs.select(
         "doc_id",
@@ -1472,8 +1477,14 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text",
         lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / piece_chars)
         .cast("long"))
     trimmed = F.trim(F.col(text_col))
-    n_words = (F.when(F.length(trimmed) == 0, F.lit(0))
-               .otherwise(F.size(F.split(trimmed, r"\s+")))).cast("long")
+    # explicit NULL branch: under legacy non-ANSI sizeOfNull,
+    # size(split(NULL)) is -1, which would SUBTRACT from the language's
+    # word sum where the DuckDB twin skips the NULL (token_count's
+    # documented hazard; here the NULL must stay NULL, not fold to 0,
+    # to mirror the twin's CASE)
+    n_words = (F.when(F.col(text_col).isNull(), F.lit(None))
+               .when(F.length(trimmed) == 0, F.lit(0))
+               .otherwise(F.size(F.split(trimmed, WS_RUN)))).cast("long")
     per = docs.select(
         F.col(lang_col).alias("lang"),
         n_words.alias("w"), pieces.alias("p"),
@@ -1575,3 +1586,90 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.round(F.avg(F.log(p)), 6).alias("avg_logprob_r")))
+
+
+def source_concentration(docs: DataFrame,
+                         source_col: str = "source") -> DataFrame:
+    """Corpus source-concentration report: Herfindahl-Hirschman index
+    (sum of squared source shares), exact Gini coefficient, and the
+    largest source's share — the one-row diversity panel a corpus data
+    card leads with (a crawl where one host owns half the documents is
+    a deduplication and memorization liability however many bytes it
+    has).
+
+    Gini uses the sorted-rank identity G = 2*sum(i*x_i)/(n*sum(x))
+    - (n+1)/n over ascending per-source counts — exact integer
+    arithmetic until the final division, and invariant to tie order
+    (equal x_i contribute the same regardless of rank assignment), so
+    both engines compute the identical value.
+
+    Scale shape: ONE partial-agg groupBy on source builds the
+    per-source count table (distinct-host-sized — a fraction of the
+    corpus); HHI and the shares are plain aggregates over it; only the
+    Gini rank is a single-partition window, over that same collapsed
+    table, never corpus rows.  NULL sources count as their own
+    bucket."""
+    per = (docs.groupBy(F.col(source_col).alias("source"))
+           .agg(F.count("*").cast("long").alias("n")))
+    w = Window.orderBy(F.asc("n"), F.asc("source"))
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return (ranked.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.round(F.sum(F.col("n") * F.col("n"))
+                / (F.sum("n") * F.sum("n")), 6).alias("hhi_r"),
+        F.round(F.lit(2) * F.sum(F.col("i") * F.col("n"))
+                / (F.count("*") * F.sum("n"))
+                - (F.count("*") + 1) / F.count("*"), 6).alias("gini_r"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_share_r")))
+
+
+def length_drift_psi(docs: DataFrame, ref_lang: str = "en",
+                     text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
+    """Population-stability-index drift of the document-length
+    distribution, per language vs a reference language — the standard
+    production monitor for "did this corpus slice change shape"
+    (PSI < 0.1 stable, > 0.25 action): docs bin by
+    floor(log2(max(n_tokens, 1))), PSI = sum over bins of
+    (p - q) * ln(p / q) with add-0.5 smoothing so bins empty on one
+    side stay finite.  Self-drift of the reference language is exactly
+    0 — the built-in calibration row.
+
+    Scale shape: one scan computes the per-doc bin in codegen; ONE
+    partial-agg groupBy on (lang, bin) collapses to a
+    langs-x-~40-bins table; the reference distribution broadcast-joins
+    back and the PSI sum is a per-lang agg over that tiny table.
+
+    Determinism: p and q are (count + 0.5) / (total + 0.5 * n_bins)
+    with counts, totals, and the GLOBAL bin census all exact integers,
+    so both engines evaluate ln on identical doubles; the per-lang sum
+    is over <= n_bins values, rounded to 6 dp."""
+    from .dedup import token_count
+    bin_col = F.floor(F.log2(F.greatest(token_count(text_col),
+                                        F.lit(1)))).cast("int")
+    binned = (docs.select(F.col(lang_col).alias("lang"),
+                          bin_col.alias("bin"))
+              .groupBy("lang", "bin")
+              .agg(F.count("*").cast("long").alias("cnt")))
+    bins = binned.select("bin").distinct()
+    n_bins = bins.agg(F.count("*").cast("long").alias("n_bins"))
+    # dense (lang x global-bin) grid so one-sided-empty bins get the
+    # smoothed mass on BOTH sides instead of silently dropping
+    langs = binned.select("lang").distinct()
+    grid = (langs.crossJoin(F.broadcast(bins))
+            .join(binned, ["lang", "bin"], "left")
+            .withColumn("cnt", F.coalesce(F.col("cnt"),
+                                          F.lit(0).cast("long"))))
+    totals = grid.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    sm = (grid.join(totals, "lang").crossJoin(F.broadcast(n_bins))
+          .select("lang", "bin",
+                  ((F.col("cnt") + 0.5)
+                   / (F.col("tot") + 0.5 * F.col("n_bins"))).alias("p")))
+    ref = (sm.where(F.col("lang") == ref_lang)
+           .select("bin", F.col("p").alias("q")))
+    return (sm.join(F.broadcast(ref), "bin")
+            .groupBy("lang")
+            .agg(F.round(F.sum((F.col("p") - F.col("q"))
+                               * F.log(F.col("p") / F.col("q"))), 6)
+                 .alias("psi_r")))

@@ -474,8 +474,10 @@ ROBOTS_NOINDEX_CONTENT_NAME = ("(?i)<meta[^>]*content=[\"'][^\"']*noindex"
 
 def _norm_ws(c: Column) -> Column:
     """Whitespace-normalized metadata string: trim + collapse internal
-    runs (titles wrap across source lines in real markup)."""
-    return F.trim(F.regexp_replace(c, "\\s+", " "))
+    runs (titles wrap across source lines in real markup).  Explicit
+    class, not \\s: see dedup.WS_RUN (Java-\\s-vs-RE2 \\x0B hazard)."""
+    from .dedup import WS_RUN
+    return F.trim(F.regexp_replace(c, WS_RUN, " "))
 
 
 def _first_of(h: Column, pat_a: str, pat_b: str) -> Column:

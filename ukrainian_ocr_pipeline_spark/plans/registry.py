@@ -5691,6 +5691,115 @@ GROUP BY b.doc_id
 """
 
 
+def q_source_concentration(spark, sf_dir):
+    """One-row corpus source-diversity panel
+    (textstats.source_concentration): HHI, exact sorted-rank Gini, top
+    source share — per-source counts collapse first, the Gini window
+    runs over the collapsed table only."""
+    return textstats.source_concentration(_t(spark, sf_dir, "documents"))
+
+
+# integer product sums (n*n, i*n) mirror Spark's long arithmetic; the
+# final divisions are the only doubles
+SQL_SOURCE_CONCENTRATION = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, source) AS i FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)), 6) AS hhi_r,
+       ROUND(2 * CAST(SUM(i * n) AS DOUBLE) / (COUNT(*) * SUM(n))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini_r,
+       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_share_r
+FROM ranked
+"""
+
+
+def q_length_drift_psi(spark, sf_dir):
+    """Per-language PSI drift of the log2-binned document-length
+    distribution vs English (textstats.length_drift_psi) — the corpus
+    shape monitor; the reference language's own row is exactly 0."""
+    return textstats.length_drift_psi(_t(spark, sf_dir, "documents"))
+
+
+SQL_LENGTH_DRIFT_PSI = f"""
+WITH binned AS (
+  SELECT lang,
+         CAST(FLOOR(log2(GREATEST(
+           len({dedup.WORD_ARRAY_SQL.format(col="text")}), 1))) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+bins AS (SELECT DISTINCT bin FROM binned),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins FROM bins),
+grid AS (
+  SELECT l.lang, b.bin, COALESCE(x.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT lang FROM binned) l
+  CROSS JOIN bins b
+  LEFT JOIN binned x ON x.lang = l.lang AND x.bin = b.bin),
+tot AS (SELECT lang, SUM(cnt) AS tot FROM grid GROUP BY lang),
+sm AS (
+  SELECT g.lang, g.bin,
+         (g.cnt + CAST(0.5 AS DOUBLE))
+           / (t.tot + CAST(0.5 AS DOUBLE) * nb.n_bins) AS p
+  FROM grid g JOIN tot t ON g.lang = t.lang CROSS JOIN nb),
+ref AS (SELECT bin, p AS q FROM sm WHERE lang = 'en')
+SELECT sm.lang, ROUND(SUM((sm.p - ref.q) * ln(sm.p / ref.q)), 6) AS psi_r
+FROM sm JOIN ref ON sm.bin = ref.bin
+GROUP BY sm.lang
+"""
+
+
+def q_split_leakage_check(spark, sf_dir):
+    """Eval-contamination guard (dedup.split_leakage_check): verified
+    near-dup pairs straddling the train/val/test split — composes the
+    canonical near-dup pipeline with the ONE deployed split function;
+    zero rows is the release gate."""
+    return dedup.split_leakage_check(_t(spark, sf_dir, "documents"))
+
+
+# the near-dup subquery is SQL_NEAR_DUP_VERIFIED verbatim; the split
+# CASE is SQL_SPLIT's bucket expression verbatim
+SQL_SPLIT_LEAKAGE = f"""
+WITH nd AS ({SQL_NEAR_DUP_VERIFIED}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS b
+        FROM documents))
+SELECT nd.doc_a, nd.doc_b, nd.jaccard_r,
+       sa.split AS split_a, sb.split AS split_b
+FROM nd JOIN splits sa ON nd.doc_a = sa.doc_id
+        JOIN splits sb ON nd.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Per-language packing-efficiency report
+    (packing.packing_efficiency over sequence_pack's greedy plan):
+    sequences, token mass, padding waste, fill ratio at budget=128."""
+    return packing.packing_efficiency(_t(spark, sf_dir, "documents"),
+                                      budget=128)
+
+
+SQL_PACKING_EFFICIENCY = f"""
+WITH packed AS ({SQL_SEQUENCE_PACK}),
+per_seq AS (
+  SELECT lang, seq_id, SUM(n_tokens) AS fill
+  FROM packed GROUP BY lang, seq_id)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(fill) AS BIGINT) AS n_tokens,
+       CAST(SUM(GREATEST(128 - fill, 0)) AS BIGINT) AS pad_tokens,
+       ROUND(CAST(SUM(fill) AS DOUBLE) / (COUNT(*) * 128), 6) AS fill_ratio_r
+FROM per_seq GROUP BY lang
+"""
+
+
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
 # never/once-witnessed backlog sits at the front and multi-round hash-green
@@ -5866,6 +5975,10 @@ QUERIES = {
     "lang_unigram_entropy": q_lang_unigram_entropy,
     "bitext_margin_pairs": q_bitext_margin_pairs,
     "doc_bigram_logprob": q_doc_bigram_logprob,
+    "source_concentration": q_source_concentration,
+    "length_drift_psi": q_length_drift_psi,
+    "split_leakage_check": q_split_leakage_check,
+    "packing_efficiency": q_packing_efficiency,
 }
 
 ORACLE_SQL = {
@@ -6020,4 +6133,8 @@ ORACLE_SQL = {
     "lang_unigram_entropy": SQL_LANG_ENTROPY,
     "bitext_margin_pairs": SQL_BITEXT_MARGIN,
     "doc_bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "source_concentration": SQL_SOURCE_CONCENTRATION,
+    "length_drift_psi": SQL_LENGTH_DRIFT_PSI,
+    "split_leakage_check": SQL_SPLIT_LEAKAGE,
+    "packing_efficiency": SQL_PACKING_EFFICIENCY,
 }
