@@ -91,6 +91,11 @@ HEADLINE = [
     "cdx_shard_boundaries", "wat_export",
     "training_token_shards", "term_zipf_slope",
     "source_quality_gate", "event_burst_detection",
+    "quality_classifier_train", "quality_classifier_auc",
+    "embedding_pca", "tokenizer_fertility", "curriculum_stages",
+    "lang_unigram_entropy", "bitext_margin_pairs", "doc_bigram_logprob",
+    "source_concentration", "length_drift_psi",
+    "split_leakage_check", "packing_efficiency",
 ]
 
 

@@ -1561,7 +1561,13 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     Docs with < 2 tokens have no transitions and are absent (the
     unigram gate already covers them).  Unigram counts/total are over
     the FULL token stream (not just context positions) — simpler, and
-    mirrored exactly by the oracle twin."""
+    mirrored exactly by the oracle twin.
+
+    vs :func:`bigram_domain_logprob` (CCNet-proper, Wenzek et al.):
+    that one trains on a REFERENCE slice and catches fluent-but-
+    off-domain text; this one trains on the corpus itself — the
+    self-perplexity twin of unigram_logprob, catching text that is
+    unlike the corpus it sits in regardless of any reference."""
     from .dedup import word_array
     ws = word_array(text_col)
     n = F.size(ws)
