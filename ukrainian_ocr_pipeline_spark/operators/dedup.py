@@ -970,8 +970,11 @@ def split_leakage_check(docs: DataFrame, text_col: str = "text",
     Jaccard, never all-pairs) and membership from
     train_val_test_split (the ONE split function jobs/curate.py
     deploys) — so the check can never drift from what the pipeline
-    actually ships.  Adds two broadcast-shaped equi-joins of the tiny
-    split table onto the (small) verified-pair set."""
+    actually ships.  Scale shape: `sp` is one row per corpus document
+    (corpus-sized, NOT broadcastable); the two equi-joins key on
+    doc_id, so at scale they run as shuffle joins against sp — or, if
+    the verified-pair set is small enough, broadcast THAT side.  AQE
+    picks correctly; never hint broadcast(sp)."""
     pairs = verified_near_dups(docs, text_col, num_hashes, k,
                                band_size, threshold)
     sp = docs.select("doc_id",

@@ -26,11 +26,21 @@ CJK_CLASS = "[一-鿿]"
 STOPWORD_PATTERN = "(the|a|an|of|and|or|in|on|to|is)"
 
 
+def _ws_token_count(trimmed):
+    """Whitespace-token count of a pre-trimmed column.  The explicit
+    NULL branch matters under spark.sql.legacy.sizeOfNull=true, where
+    size(split(NULL)) is -1 while the DuckDB twins' CASE yields NULL —
+    same hardening tokenizer_fertility carries."""
+    return (F.when(trimmed.isNull(), F.lit(None).cast("int"))
+             .when(F.length(trimmed) == 0, F.lit(0))
+             .otherwise(F.size(F.split(trimmed, WS_RUN))))
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (wordpieces of <=4
     chars), per document."""
     t = F.trim(F.col(text_col))
-    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, WS_RUN)))
+    n_tokens = _ws_token_count(t)
     return docs.select(
         "doc_id",
         F.length(F.col(text_col)).alias("n_chars"),
@@ -47,11 +57,15 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # optional-space + symbol run.  Pure-whitespace stretches between
 # matches are simply not emitted (the lookahead trick GPT-2 uses to
 # attach trailing spaces is RE2-incompatible and irrelevant for counts).
+# The negated class spells whitespace EXPLICITLY (same chars as
+# dedup.WS_RUN) instead of \s: Java \s matches \x0B where RE2 \s does
+# not, so a \s here would make the operator and its DuckDB twin
+# disagree on vertical-tab-bearing text.
 BPE_PRETOKEN_PATTERN = (
     "'(?:s|t|re|ve|m|ll|d)"
     "| ?\\p{L}+"
     "| ?\\p{N}+"
-    "| ?[^\\s\\p{L}\\p{N}]+"
+    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
 )
 
 
@@ -135,8 +149,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, UPPER_CLASS, ""))
     trimmed = F.trim(t)
-    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, WS_RUN)))
-    n_stop = F.size(F.expr(f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)"))
+    n_words = _ws_token_count(trimmed)
+    n_stop = F.when(t.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.expr(f"regexp_extract_all({text_col}, ' {STOPWORD_PATTERN} ', 1)")))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -252,11 +267,13 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     family used for shingle fingerprinting, here as a pure aggregate()
     HOF so it runs inside whole-stage codegen."""
     canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_RUN, " "))
-    # the SQL-literal escaper turns \\t into the 2-char regex escape \t,
-    # landing on the same explicit class as WS_RUN
+    # derive the SQL literal FROM WS_RUN (backslashes doubled for the
+    # SQL string-literal escaper) so this expr can never drift from the
+    # canonical class that `canon` above uses
+    ws_sql = WS_RUN.replace("\\", "\\\\")
     rolling = F.expr(
         f"aggregate(split(lower(regexp_replace(trim({text_col}),"
-        " '[ \\\\t\\\\n\\\\f\\\\r]+', ' ')), ''), "
+        f" '{ws_sql}', ' ')), ''), "
         "cast(0 as bigint), (acc, ch) -> (acc * 31 + ascii(ch)) % 2147483647)")
     return docs.select(
         "doc_id",

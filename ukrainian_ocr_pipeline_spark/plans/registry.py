@@ -1062,7 +1062,7 @@ SQL_SUBWORD_TOKENS = r"""
 WITH toks AS (
   SELECT doc_id,
          coalesce(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0),
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+', 0),
            []) AS ts
   FROM documents)
 SELECT doc_id,
@@ -3375,7 +3375,7 @@ def q_bpe_merge_candidates(spark, sf_dir):
 SQL_BPE_MERGE_CANDIDATES = r"""
 WITH pretoks AS (
   SELECT unnest(coalesce(regexp_extract_all(text,
-    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0),
+    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+', 0),
     [])) AS pretok
   FROM documents),
 vocab AS (SELECT pretok, COUNT(*) AS freq FROM pretoks GROUP BY pretok),
@@ -5504,7 +5504,7 @@ SQL_TOKENIZER_FERTILITY = r"""
 WITH toks AS (
   SELECT lang, text,
          coalesce(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0),
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+', 0),
            []) AS ts
   FROM documents),
 per AS (
