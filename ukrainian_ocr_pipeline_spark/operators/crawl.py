@@ -39,13 +39,15 @@ __all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects",
            "recrawl_candidates"]
 
 # one capture per field; inline (?i) and char classes only, so the
-# Java-regex == RE2 == DuckDB cross-engine contract holds
-SITEMAP_LOC = "(?i)<loc>\\s*([^<>]+?)\\s*</loc>"
-SITEMAP_LASTMOD = "(?i)<lastmod>\\s*([^<>]+?)\\s*</lastmod>"
-SITEMAP_PRIORITY = "(?i)<priority>\\s*([0-9.]+)\\s*</priority>"
+# Java-regex == RE2 == DuckDB cross-engine contract holds.  Whitespace
+# is spelt as the explicit class (same chars as dedup.WS_RUN), not \s:
+# Java \s matches \x0B where RE2 \s does not.
+SITEMAP_LOC = "(?i)<loc>[ \\t\\n\\f\\r]*([^<>]+?)[ \\t\\n\\f\\r]*</loc>"
+SITEMAP_LASTMOD = "(?i)<lastmod>[ \\t\\n\\f\\r]*([^<>]+?)[ \\t\\n\\f\\r]*</lastmod>"
+SITEMAP_PRIORITY = "(?i)<priority>[ \\t\\n\\f\\r]*([0-9.]+)[ \\t\\n\\f\\r]*</priority>"
 # entry separator: close of a page entry or of a nested-sitemap entry
 SITEMAP_ENTRY_SPLIT = "(?i)</url>|(?i)</sitemap>"
-SITEMAP_NESTED_OPEN = "(?i)<sitemap[\\s>]"
+SITEMAP_NESTED_OPEN = "(?i)<sitemap[ \\t\\n\\f\\r>]"
 
 
 def parse_sitemap(smaps: DataFrame, *, host_col: str = "host",

@@ -85,10 +85,12 @@ def _directive_lines(robots: DataFrame, host_col: str, txt_col: str):
             # strip comments, CR, surrounding whitespace
             .withColumn("ln", F.trim(F.regexp_replace(
                 F.regexp_replace("raw", "#.*$", ""), "\r", "")))
+            # explicit whitespace class, not \s (Java \s matches \x0B
+            # where the DuckDB twin's RE2 \s does not)
             .withColumn("key", F.lower(F.regexp_extract(
-                "ln", "^([A-Za-z-]+)\\s*:", 1)))
+                "ln", "^([A-Za-z-]+)[ \\t\\n\\f\\r]*:", 1)))
             .withColumn("val", F.trim(F.regexp_extract(
-                "ln", "^[A-Za-z-]+\\s*:(.*)$", 1)))
+                "ln", "^[A-Za-z-]+[ \\t\\n\\f\\r]*:(.*)$", 1)))
             .withColumn("is_ua", F.col("key") == "user-agent")
             # RFC 9309: comments and blank lines are ignorable
             # ANYWHERE, including between stacked User-agent lines —
