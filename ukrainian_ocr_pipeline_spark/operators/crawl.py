@@ -34,20 +34,22 @@ import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import WS_CHARS, WS_CLASS
+
 __all__ = ["parse_sitemap", "frontier_assign", "resolve_redirects",
            "resolve_frontier_urls", "allocate_crawl_budget",
            "recrawl_candidates"]
 
 # one capture per field; inline (?i) and char classes only, so the
 # Java-regex == RE2 == DuckDB cross-engine contract holds.  Whitespace
-# is spelt as the explicit class (same chars as dedup.WS_RUN), not \s:
-# Java \s matches \x0B where RE2 \s does not.
-SITEMAP_LOC = "(?i)<loc>[ \\t\\n\\f\\r]*([^<>]+?)[ \\t\\n\\f\\r]*</loc>"
-SITEMAP_LASTMOD = "(?i)<lastmod>[ \\t\\n\\f\\r]*([^<>]+?)[ \\t\\n\\f\\r]*</lastmod>"
-SITEMAP_PRIORITY = "(?i)<priority>[ \\t\\n\\f\\r]*([0-9.]+)[ \\t\\n\\f\\r]*</priority>"
+# is the explicit class DERIVED from dedup.WS_CHARS, not \s: Java \s
+# matches \x0B where RE2 \s does not.
+SITEMAP_LOC = f"(?i)<loc>{WS_CLASS}*([^<>]+?){WS_CLASS}*</loc>"
+SITEMAP_LASTMOD = f"(?i)<lastmod>{WS_CLASS}*([^<>]+?){WS_CLASS}*</lastmod>"
+SITEMAP_PRIORITY = f"(?i)<priority>{WS_CLASS}*([0-9.]+){WS_CLASS}*</priority>"
 # entry separator: close of a page entry or of a nested-sitemap entry
 SITEMAP_ENTRY_SPLIT = "(?i)</url>|(?i)</sitemap>"
-SITEMAP_NESTED_OPEN = "(?i)<sitemap[ \\t\\n\\f\\r>]"
+SITEMAP_NESTED_OPEN = f"(?i)<sitemap[{WS_CHARS}>]"
 
 
 def parse_sitemap(smaps: DataFrame, *, host_col: str = "host",

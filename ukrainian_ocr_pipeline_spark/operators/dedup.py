@@ -44,8 +44,14 @@ def _h28(col):
 # textstats.quality_drop_reason documents for its symbol class).
 # Spelled with regex ESCAPES, not literal control chars — a literal
 # newline inside the pattern would reappear verbatim in .explain()
-# output and break single-line plan assertions.
-WS_RUN = r"[ \t\n\f\r]+"
+# output and break single-line plan assertions.  WS_CHARS is the class
+# body (for building negated/extended classes), WS_CLASS the bracketed
+# class, WS_RUN the one-or-more run — derive, never re-spell: every
+# hand copy of this class is a silent-drift hazard (one already bit:
+# the BPE pretokenizer's \s survived the round-3 WS_RUN conversion).
+WS_CHARS = r" \t\n\f\r"
+WS_CLASS = f"[{WS_CHARS}]"
+WS_RUN = WS_CLASS + "+"
 
 
 def _canon(text_col: str):

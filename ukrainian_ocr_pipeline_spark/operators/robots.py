@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import WS_CLASS
+
 __all__ = ["parse_robots_rules", "parse_crawl_delay", "robots_gate",
            "parse_sitemap_directives", "rule_regex"]
 
@@ -85,12 +87,13 @@ def _directive_lines(robots: DataFrame, host_col: str, txt_col: str):
             # strip comments, CR, surrounding whitespace
             .withColumn("ln", F.trim(F.regexp_replace(
                 F.regexp_replace("raw", "#.*$", ""), "\r", "")))
-            # explicit whitespace class, not \s (Java \s matches \x0B
-            # where the DuckDB twin's RE2 \s does not)
+            # explicit whitespace class from dedup.WS_CLASS, not \s
+            # (Java \s matches \x0B where the DuckDB twin's RE2 \s
+            # does not)
             .withColumn("key", F.lower(F.regexp_extract(
-                "ln", "^([A-Za-z-]+)[ \\t\\n\\f\\r]*:", 1)))
+                "ln", f"^([A-Za-z-]+){WS_CLASS}*:", 1)))
             .withColumn("val", F.trim(F.regexp_extract(
-                "ln", "^[A-Za-z-]+[ \\t\\n\\f\\r]*:(.*)$", 1)))
+                "ln", f"^[A-Za-z-]+{WS_CLASS}*:(.*)$", 1)))
             .withColumn("is_ua", F.col("key") == "user-agent")
             # RFC 9309: comments and blank lines are ignorable
             # ANYWHERE, including between stacked User-agent lines —

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import WS_RUN
+from .dedup import WS_CHARS, WS_RUN
 
 # simple cross-engine-safe character classes (identical semantics in Java
 # regex and RE2: no \b, no \w, no POSIX classes)
@@ -57,15 +57,15 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # optional-space + symbol run.  Pure-whitespace stretches between
 # matches are simply not emitted (the lookahead trick GPT-2 uses to
 # attach trailing spaces is RE2-incompatible and irrelevant for counts).
-# The negated class spells whitespace EXPLICITLY (same chars as
-# dedup.WS_RUN) instead of \s: Java \s matches \x0B where RE2 \s does
+# The negated class spells whitespace EXPLICITLY (derived from
+# dedup.WS_CHARS) instead of \s: Java \s matches \x0B where RE2 \s does
 # not, so a \s here would make the operator and its DuckDB twin
 # disagree on vertical-tab-bearing text.
 BPE_PRETOKEN_PATTERN = (
     "'(?:s|t|re|ve|m|ll|d)"
     "| ?\\p{L}+"
     "| ?\\p{N}+"
-    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
+    f"| ?[^{WS_CHARS}\\p{{L}}\\p{{N}}]+"
 )
 
 
@@ -215,8 +215,7 @@ def quality_drop_reason(text_col: str = "text",
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_chars = F.length(t)
-    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, WS_RUN)))
+    n_words = _ws_token_count(trimmed)
     mean_wl = n_chars / F.greatest(n_words, F.lit(1))
     # whitespace spelled out: Java's \s includes \x0B where RE2's does
     # not — an explicit class keeps the Spark operator and its DuckDB
@@ -1493,15 +1492,10 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text",
         toks, F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(F.trim(t)) / piece_chars)
         .cast("long"))
-    trimmed = F.trim(F.col(text_col))
-    # explicit NULL branch: under legacy non-ANSI sizeOfNull,
-    # size(split(NULL)) is -1, which would SUBTRACT from the language's
-    # word sum where the DuckDB twin skips the NULL (token_count's
-    # documented hazard; here the NULL must stay NULL, not fold to 0,
-    # to mirror the twin's CASE)
-    n_words = (F.when(F.col(text_col).isNull(), F.lit(None))
-               .when(F.length(trimmed) == 0, F.lit(0))
-               .otherwise(F.size(F.split(trimmed, WS_RUN)))).cast("long")
+    # _ws_token_count carries the NULL branch: under legacy non-ANSI
+    # sizeOfNull, size(split(NULL)) is -1, which would SUBTRACT from
+    # the language's word sum where the DuckDB twin skips the NULL
+    n_words = _ws_token_count(F.trim(F.col(text_col))).cast("long")
     per = docs.select(
         F.col(lang_col).alias("lang"),
         n_words.alias("w"), pieces.alias("p"),
