@@ -22,6 +22,18 @@ def nodes(plan: str, name: str) -> int:
     return len(re.findall(rf"^\(\d+\) {name}", plan, flags=re.MULTILINE))
 
 
+def node_details(plan: str, name: str) -> str:
+    """The concatenated detail sections ('(n) Name' through the next
+    node header) for every node of a type — where formatted explain
+    lists Input/Arguments columns.  Asserting on the TREE portion of
+    the plan is vacuous for column checks: the tree never names
+    columns."""
+    secs = re.findall(rf"^\(\d+\) {name}\b.*?(?=^\(\d+\) |\Z)", plan,
+                      flags=re.MULTILINE | re.DOTALL)
+    assert secs, f"no {name} node in plan:\n{plan}"
+    return "\n".join(secs)
+
+
 @pytest.fixture(scope="module")
 def pages(spark):
     from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
@@ -662,7 +674,10 @@ def test_revisit_marks_single_uniform_exchange(spark):
     assert nodes(plan, "Exchange") == 1, plan
     assert "hashpartitioning(digest" in plan, plan
     assert "EvalPython" not in plan, plan
-    assert "html" not in plan.split("Exchange")[0], plan
+    # the payload column must be pruned BEFORE the shuffle: the
+    # Exchange node's own Input list (detail section, not the tree —
+    # the tree never names columns) must not carry html
+    assert "html" not in node_details(plan, "Exchange"), plan
 
 
 def test_wet_export_one_arrow_stage_no_shuffle(spark):

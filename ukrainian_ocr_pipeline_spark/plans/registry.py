@@ -4875,10 +4875,14 @@ SQL_CDX_INDEX = _SQL_CDX_KEYED + """
 SELECT surt, ts14, url, digest, n_bytes FROM cdx
 """
 
-SQL_CDX_SHARDS = _SQL_CDX_KEYED + """
+# ONE shard count shared by the Spark query and its DuckDB twin — a
+# mismatch would make the cross-engine hash comparison certify nothing
+N_CDX_SHARDS = 8
+
+SQL_CDX_SHARDS = _SQL_CDX_KEYED + f"""
 , ranked AS (
   SELECT surt, ts14, url,
-         ntile(8) OVER (ORDER BY surt, ts14, url) - 1 AS shard,
+         ntile({N_CDX_SHARDS}) OVER (ORDER BY surt, ts14, url) - 1 AS shard,
          row_number() OVER (ORDER BY surt, ts14, url) AS rn
   FROM cdx)
 SELECT shard,
@@ -4901,7 +4905,8 @@ def q_cdx_shard_boundaries(spark, sf_dir):
     SURT total order end to end."""
     from ..sources.warc import cdx_index, cdx_shard_boundaries
 
-    return cdx_shard_boundaries(cdx_index(_synth_cdx_pages(spark, sf_dir)), 8)
+    return cdx_shard_boundaries(cdx_index(_synth_cdx_pages(spark, sf_dir)),
+                                N_CDX_SHARDS)
 
 
 def q_warc_revisit_dedup(spark, sf_dir):
