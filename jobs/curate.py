@@ -91,6 +91,12 @@ def main(argv=None) -> int:
                         "rounds; identical output)")
     p.add_argument("--neardup-threshold", type=float, default=0.5,
                    help="exact-Jaccard verify threshold for near-dups")
+    p.add_argument("--cluster-max-iter", type=int, default=None,
+                   help="override the clustering round cap (label "
+                        "propagation needs graph-DIAMETER rounds — a "
+                        "long boilerplate-template chain can exceed the "
+                        "default 12 and abort; star's O(log n) default "
+                        "40 rarely needs this)")
     p.add_argument("--line-dedup", action="store_true",
                    help="strip cross-document boilerplate lines from the"
                         " curated text (C4-style line dedup)")
@@ -168,6 +174,8 @@ def main(argv=None) -> int:
 
     import os
 
+    if args.cluster_max_iter is not None and args.cluster_max_iter < 1:
+        p.error("--cluster-max-iter must be >= 1")
     if args.line_dedup_min_docs < 2:
         # at 1 every non-blank line "occurs in >= 1 document" and the
         # census would strip ALL text — reject the footgun at parse time
@@ -399,8 +407,10 @@ def main(argv=None) -> int:
             assign = (dedup.cluster_assign_star
                       if args.cluster_algo == "star"
                       else dedup.cluster_assign)
+            kw = ({} if args.cluster_max_iter is None
+                  else {"max_iter": args.cluster_max_iter})
             clusters = assign(dedup.verified_near_dups(
-                surv_docs, threshold=args.neardup_threshold))
+                surv_docs, threshold=args.neardup_threshold), **kw)
             dropped_n = (clusters.where(~F.col("is_keeper"))
                          .select("doc_id", F.lit("dup_near").alias("status"),
                                  F.col("cluster_id").alias("keeper_doc_id")))

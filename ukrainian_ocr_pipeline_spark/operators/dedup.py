@@ -494,20 +494,25 @@ def cluster_assign_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     covers chains past 10^11 vertices (the loop breaks early on every
     real graph — a bigger default costs nothing).
     """
-    # canonical undirected edge list (u > v) with self-loops dropped,
-    # materialized once so upstream pair generation never re-runs; the
-    # vertex set comes from the RAW pairs so a vertex whose only pair
-    # is a self-loop still gets its singleton-keeper row (contract
-    # parity with cluster_assign)
-    edges = (pairs.where(F.col("doc_a") != F.col("doc_b"))
+    # ONE eager checkpoint of the raw pair list, so the expensive
+    # upstream pair generation (MinHash -> LSH -> Jaccard verify)
+    # executes exactly once; edges and verts both derive from it with
+    # cheap post-checkpoint transforms.  (Two independent checkpoints
+    # here would each re-run the full upstream DAG — localCheckpoint
+    # actions share no exchange reuse across jobs.)  The vertex set
+    # comes from the RAW pairs so a vertex whose only pair is a
+    # self-loop still gets its singleton-keeper row (contract parity
+    # with cluster_assign).
+    p0 = (pairs.select("doc_a", "doc_b").distinct()
+          .localCheckpoint(eager=True))
+    edges = (p0.where(F.col("doc_a") != F.col("doc_b"))
              .select(F.greatest("doc_a", "doc_b").alias("u"),
                      F.least("doc_a", "doc_b").alias("v"))
              .distinct()
              .localCheckpoint(eager=True))
-    verts = (pairs.select(F.col("doc_a").alias("doc_id"))
-             .union(pairs.select(F.col("doc_b").alias("doc_id")))
-             .distinct()
-             .localCheckpoint(eager=True))
+    verts = (p0.select(F.col("doc_a").alias("doc_id"))
+             .union(p0.select(F.col("doc_b").alias("doc_id")))
+             .distinct())
     n_edges = edges.count()
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -885,11 +890,23 @@ def dup_passage_excise(docs: DataFrame, k: int = 5, min_docs: int = 2,
                .where(F.col("any_own") == 0)
                .groupBy("doc_id")
                .agg(F.collect_set("p").alias("covered")))
-    clean = F.filter("ws_orig", lambda w, i: ~F.array_contains(
-        F.col("covered"), i.cast("long")))
+    # linear rebuild: positions-to-keep = array_except(all positions,
+    # covered) — hash-based O(n), vs a per-word array_contains lambda
+    # which is O(n_removed * doc_len) in-row and stalls the task on a
+    # long mostly-duplicated doc (a mirrored megapage).  array_except
+    # preserves the first array's ascending order, so word order holds.
+    positions = F.when(F.size("ws_orig") == 0,
+                       F.array().cast("array<bigint>")) \
+                 .otherwise(F.sequence(F.lit(0).cast("bigint"),
+                                       (F.size("ws_orig") - 1).cast("bigint")))
+    kept = F.array_except(positions, F.col("covered"))
+    clean = F.transform(kept, lambda p: F.element_at(
+        "ws_orig", (p + 1).cast("int")))
     return (base.join(removal, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce(F.size("covered"), F.lit(0)).cast("long")
+                    # greatest-guard per token_count: legacy non-ANSI
+                    # sizeOfNull returns -1 where the twin yields 0
+                    F.greatest(F.size("covered"), F.lit(0)).cast("long")
                     .alias("n_removed_words"),
                     F.when(F.col("covered").isNull(),
                            F.coalesce(F.col("__text"), F.lit("")))
