@@ -65,7 +65,11 @@ def main(argv=None) -> int:
                                   master=args.master)
     cat = SnapshotCatalog(args.warehouse)
     docs = spark.read.parquet(args.docs)
-    doclens = textindex.doc_length_table(docs)
+    # ONE eager materialization of the tokenize pass: the stats
+    # collect, the corpus-fingerprint guard, and the doc_lengths commit
+    # all read this checkpoint instead of each re-tokenizing the corpus
+    # (postings_table below is then the only other tokenize pass)
+    doclens = textindex.doc_length_table(docs).localCheckpoint(eager=True)
 
     # corpus manifest FIRST: a resume against a different corpus must
     # fail loudly, not mix tables from two corpora into one snapshot.

@@ -77,3 +77,17 @@ def test_iteration_loop_stays_jvm_side(spark):
     plan = (graphrank.pagerank(edges, n_iter=1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
+
+
+def test_null_endpoints_dropped_mass_conserved(spark):
+    """A NULL endpoint (unresolvable crawl edge, failed id cast) must
+    be dropped at ingest — if it entered the node set it would join
+    nothing (null keys never equal), vanish from ranks after round 1,
+    and leak its share of the total mass."""
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (None, 1, 1.0), (2, None, 3.0)],
+        "src long, dst long, weight double")
+    got = {r.node: r.pr_rank for r in graphrank.pagerank(df).collect()}
+    # NULL never appears as a node; mass over the real nodes sums to 1
+    assert set(got) == {1, 2}
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)

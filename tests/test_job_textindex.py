@@ -136,3 +136,28 @@ def test_textindex_job_rejects_reshuffled_ids_same_totals(spark, tmp_path,
     assert job.main(["--docs", b, "--warehouse", wh,
                      "--snapshot-id", "t4"]) == 2
     assert "corpus differs" in capsys.readouterr().err
+
+
+def test_textindex_job_rejects_substituted_words_same_shape(spark, tmp_path,
+                                                            capsys):
+    """Shape alone — identical (doc_id, dl) pairs — can't catch a
+    resume against a corpus whose words were substituted 1:1 (an OCR
+    re-run, a different extraction); the content term in corpus_fp
+    must.  Serving corpus-A postings for corpus B would be silent
+    index staleness."""
+    import textindex as job
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1, "kyiv dnipro odesa"), (2, "lviv kharkiv")],
+                          "doc_id long, text string").write.parquet(a)
+    # same doc_ids, same per-doc token counts — every word different
+    spark.createDataFrame([(1, "red green blue"), (2, "black white")],
+                          "doc_id long, text string").write.parquet(b)
+    wh = str(tmp_path / "wh")
+    assert job.main(["--docs", a, "--warehouse", wh,
+                     "--snapshot-id", "t5"]) == 0
+    capsys.readouterr()
+    assert job.main(["--docs", b, "--warehouse", wh,
+                     "--snapshot-id", "t5"]) == 2
+    assert "corpus differs" in capsys.readouterr().err

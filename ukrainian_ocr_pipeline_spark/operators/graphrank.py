@@ -55,10 +55,15 @@ def pagerank(edges: DataFrame, d: float = 0.85, n_iter: int = 6) -> DataFrame:
     """
     # materialize the input ONCE — nodes/out-weights/normalized-edges/
     # dangling all derive from it, and the upstream plan (often a join +
-    # aggregate building the edge list) must not re-execute four times
+    # aggregate building the edge list) must not re-execute four times.
+    # NULL endpoints (including failed long casts) are dropped HERE:
+    # null keys never join, so a NULL node would otherwise enter the
+    # node set and N, then silently vanish from `ranks` after round 1 —
+    # leaking its rank mass and breaking the one-row-per-node contract.
     e = (edges.select(F.col("src").cast("long").alias("src"),
                       F.col("dst").cast("long").alias("dst"),
                       F.col("weight").cast("double").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))

@@ -122,7 +122,12 @@ def bm25_topk(docs: DataFrame, query_terms, k: int = 10,
     the (doc, term) rows as a grouping key (functionally dependent on
     doc_id), so there is NO corpus-sized doc-length join; df and the
     corpus stats (N, sum dl) are one-row broadcasts; the final cut is a
-    TakeOrderedAndProject, never a global sort.
+    TakeOrderedAndProject, never a global sort.  Honest cost note: the
+    corpus-stats aggregate and the tf branch are two separate subtrees
+    over that projection with no exchange reuse, so this STATELESS
+    spot-check tokenizes the corpus twice — the scale query path is
+    :func:`bm25_topk_from_index` over the committed tables, which
+    tokenizes nothing.
 
     Determinism: every per-row contribution is a pure double function
     of (tf, dl, df, N, sum_dl) — identical rationals in both engines —
@@ -150,10 +155,26 @@ def bm25_sql(table: str, query_terms, k: int = 10,
              k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB twin of :func:`bm25_topk` — arithmetic written in the
     same textual order so every IEEE double matches bit-for-bit before
-    the micro fixing."""
+    the micro fixing.  Two traps this encoding guards:
+
+    * bare float literals (``1.2``, ``0.5``) type as DECIMAL in DuckDB
+      and the surrounding arithmetic runs EXACT decimal, diverging from
+      Spark's double chain by ~1 ulp — every constant is cast to
+      DOUBLE, and the plan-time Python folds Spark performs
+      (``k1 + 1.0``, ``1.0 - b``) are pre-folded here the same way;
+    * an empty term set would render ``w IN ()`` (a DuckDB parse
+      error) where the Spark twin returns 0 rows — emit ``FALSE``.
+    """
     from .dedup import WORD_ARRAY_SQL
-    qt = sorted({t.lower() for t in query_terms})
+    qt = _norm_query_terms(query_terms)
     terms = ", ".join("'{}'".format(t.replace("'", "''")) for t in qt)
+    in_clause = f"w IN ({terms})" if qt else "FALSE"
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    k1d = f"CAST({k1!r} AS DOUBLE)"
+    k1p1 = f"CAST({k1 + 1.0!r} AS DOUBLE)"
+    omb = f"CAST({1.0 - b!r} AS DOUBLE)"
+    bd = f"CAST({b!r} AS DOUBLE)"
     return f"""
 WITH ws AS (
   SELECT doc_id, {WORD_ARRAY_SQL.format(col="text")} AS ws
@@ -164,16 +185,18 @@ corpus AS (
 tf AS (
   SELECT doc_id, w AS term, COUNT(*) AS tf
   FROM ws, unnest(ws) AS t(w)
-  WHERE w IN ({terms})
+  WHERE {in_clause}
   GROUP BY doc_id, w),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 contrib AS (
   SELECT tf.doc_id,
          CAST(FLOOR(
-           ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-           * (tf.tf * ({k1} + 1.0)
-              / (tf.tf + {k1} * (1.0 - {b}
-                                 + {b} * dl.dl / (corpus.sum_dl / corpus.n_docs))))
+           ln((corpus.n_docs - dfreq.df + {half}) / (dfreq.df + {half})
+              + {one})
+           * (tf.tf * {k1p1}
+              / (tf.tf + {k1d} * ({omb}
+                                  + {bd} * dl.dl
+                                    / (corpus.sum_dl / corpus.n_docs))))
            * 1e6) AS BIGINT) AS contrib_u
   FROM tf
   JOIN dfreq USING (term)
@@ -194,7 +217,6 @@ def postings_table(docs: DataFrame, text_col: str = "text",
     (the write-once artifact jobs/textindex.py commits; the bounded
     `inverted_index` view hash-witnesses the same content).  One
     explode + one partial-agg shuffle on (term, doc_id)."""
-    from .dedup import word_array
     return (docs.select(F.col(id_col).alias("doc_id"), F.explode(
         F.coalesce(word_array(text_col), F.array())).alias("term"))
         .groupBy("term", "doc_id").agg(F.count("*").alias("tf")))
@@ -202,12 +224,17 @@ def postings_table(docs: DataFrame, text_col: str = "text",
 
 def doc_length_table(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, dl) — per-doc token counts, INCLUDING zero-token docs
-    (corpus stats must count every document)."""
-    from .dedup import word_array
+    """(doc_id, dl, content_fp) — per-doc token counts, INCLUDING
+    zero-token docs (corpus stats must count every document).
+    content_fp is xxhash64 over the RAW text: the resume guard's corpus
+    fingerprint must see content, not just shape — two corpora with
+    identical (doc_id, dl) pairs but different words (a 1:1 word
+    substitution) would otherwise pass the corpus-differs check and
+    silently serve stale postings."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.coalesce(word_array(text_col), F.array())).alias("dl"))
+        F.size(F.coalesce(word_array(text_col), F.array())).alias("dl"),
+        F.xxhash64(id_col, text_col).alias("content_fp"))
 
 
 def term_stats_table(postings: DataFrame) -> DataFrame:
@@ -231,7 +258,8 @@ def bm25_topk_from_index(postings: DataFrame, doclens: DataFrame,
     stats table.  The 100 TB query path: cost ~ the query's posting
     lists, zero corpus scan."""
     qt = _norm_query_terms(query_terms)
-    tf = postings.where(F.col("term").isin(qt)).join(doclens, "doc_id")
+    tf = (postings.where(F.col("term").isin(qt))
+          .join(doclens.select("doc_id", "dl"), "doc_id"))
     dfreq = terms.where(F.col("term").isin(qt)).select("term", "df")
     return _bm25_rank(tf, dfreq,
                       stats.select("n_docs", "sum_dl"), k, k1, b)
@@ -242,13 +270,15 @@ def corpus_stats_table(doclens: DataFrame) -> DataFrame:
     sum_dl cast to double HERE so the committed value feeds
     bm25_topk_from_index with bit-identical arithmetic to the stateless
     bm25_topk.  corpus_fp is an order-insensitive fingerprint over the
-    (doc_id, dl) pairs: aggregate totals alone cannot distinguish two
-    corpora with the same size but reshuffled doc_ids, and the resume
-    guard in jobs/textindex.py must (it only ever compares Spark to
-    Spark, so engine-native xxhash64 is fine here; XOR-folded because
-    (doc_id, dl) pairs are unique and a 64-bit SUM would overflow under
-    ANSI)."""
+    (doc_id, dl, content_fp) triples: aggregate totals alone cannot
+    distinguish two corpora with the same size but reshuffled doc_ids,
+    and shape alone (doc_id, dl) cannot distinguish a 1:1 word
+    substitution — content_fp (doc_length_table's raw-text hash) closes
+    that.  It only ever compares Spark to Spark, so engine-native
+    xxhash64 is fine here; XOR-folded because the triples are unique
+    and a 64-bit SUM would overflow under ANSI."""
     return doclens.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
-        F.bit_xor(F.xxhash64("doc_id", "dl")).alias("corpus_fp"))
+        F.bit_xor(F.xxhash64("doc_id", "dl", "content_fp"))
+        .alias("corpus_fp"))
