@@ -1588,13 +1588,18 @@ def q_graph_pagerank(spark, sf_dir):
 # recursive CTE can't express a per-round SUM).  Both engines compute
 # the identical IEEE expression tree; only double summation order
 # differs, orders of magnitude below the 1e-6 rounding grain.
-_SQL_PR_ITER = """pr{i} AS (
-  SELECT n.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS pr
+# (1 - d) is PRE-FOLDED as the Python double Spark's plan embeds
+# (repr(1.0 - 0.85)) — a bare `(1.0 - 0.85)` would run EXACT decimal
+# arithmetic in DuckDB (0.15, one ulp off the double chain); the
+# 0.85 * s product is safe as-is because decimal*DOUBLE promotes.
+_SQL_PR_ITER = ("""pr{i} AS (
+  SELECT n.node, CAST(""" + repr(1.0 - 0.85) + """ AS DOUBLE)
+                 / (SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0) AS pr
   FROM nodes n LEFT JOIN (
     SELECT ne.dst AS node, SUM(ne.share * p.pr) AS s
     FROM ne JOIN pr{prev} p ON ne.src = p.node GROUP BY 1) c
   ON n.node = c.node),
-"""
+""")
 
 SQL_PAGERANK = ("""
 WITH edges0 AS (
