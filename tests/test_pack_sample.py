@@ -386,3 +386,30 @@ def test_curriculum_ties_share_stage_and_nulls_dropped(spark):
     # score 1.0 (cum_before 0 -> stage 0), score 2.0 (cum_before 6 ->
     # 6*4 div 8 = 3): ties stay together, the cut lands between groups
     assert [(r.stage, r.n_docs) for r in out.itertuples()] == [(0, 6), (3, 2)]
+
+
+def test_pack_null_lang_group_matches_oracle(spark):
+    """The DuckDB twin's recursive walk must not lose a NULL-lang
+    group: a bare t.lang = w.lang join never recurses past that
+    group's first row (NULL never equals NULL), silently dropping the
+    rest — the IS NOT DISTINCT FROM join keeps parity with Spark's
+    groupBy, which packs a NULL group like any other."""
+    import duckdb
+
+    from ukrainian_ocr_pipeline_spark.operators import packing
+    from ukrainian_ocr_pipeline_spark.plans.registry import SQL_SEQUENCE_PACK
+
+    rows = [(1, None, "a b c"), (2, None, "d e"), (3, None, "f"),
+            (4, "en", "g h"), (5, "en", "i")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(map(tuple, packing.sequence_pack(docs, budget=4).collect()))
+
+    con = duckdb.connect()
+    con.register("documents_df", pd.DataFrame(
+        rows, columns=["doc_id", "lang", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_df")
+    want = sorted(map(tuple, con.execute(
+        SQL_SEQUENCE_PACK.replace("128", "4")).fetchall()))
+    assert got == want
+    # every NULL-lang doc present on both sides
+    assert sum(1 for r in got if r[1] is None) == 3

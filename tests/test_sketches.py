@@ -255,6 +255,20 @@ def test_bloom_null_keys_excluded_and_empty_seen_set(spark):
             row0["fp_rate_r"]) == (0, 0, 0.0)
 
 
+def test_bloom_duplicate_incoming_keys_still_flagged(spark):
+    """A key occurring r times must probe as ONE key: without the
+    distinct, a true member repeated in the batch produced r*k hit
+    rows, failed the n_hit == k test, and dodged the no-false-negative
+    guarantee (observed: n_false_positives = -1)."""
+    existing = spark.createDataFrame([("a",), ("b",)], ["k"])
+    incoming = spark.createDataFrame([("a",), ("a",), ("c",)], ["k"])
+    row = sketches.bloom_probe(existing, incoming, "k", "k").collect()[0]
+    assert row["n_probed"] == 2
+    assert row["n_true_members"] == 1
+    assert row["n_flagged"] >= 1      # 'a' MUST be flagged
+    assert row["n_false_positives"] >= 0
+
+
 def test_bm25_hand_computed(spark):
     import math
     from pyspark.sql import Row

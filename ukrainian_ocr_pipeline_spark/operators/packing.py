@@ -44,10 +44,7 @@ def sequence_pack(docs: DataFrame, text_col: str = "text",
     counted = docs.select(
         "doc_id",
         F.col(group_col).alias("lang"),
-        F.size(dedup.word_array(text_col)).cast("long").alias("n_tokens"))
-    # NULL text -> size(NULL) = -1; pack as an empty doc, same as ''
-    counted = counted.withColumn(
-        "n_tokens", F.greatest(F.col("n_tokens"), F.lit(0).cast("long")))
+        dedup.token_count(text_col).cast("long").alias("n_tokens"))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -85,6 +82,12 @@ def chunk_windows(docs: DataFrame, text_col: str = "text",
     with a bounded explode of ceil(n/stride) rows per doc; no shuffle,
     no Python.  A 100 TB corpus chunks at scan speed and the output
     partitioning inherits the input's url-hash buckets."""
+    if chunk_len < 1:
+        raise ValueError(f"chunk_len must be positive, got {chunk_len}")
+    if stride < 1:
+        # stride 0 would only fail deep inside F.sequence at execution
+        # time — reject the footgun at plan time like the siblings
+        raise ValueError(f"stride must be positive, got {stride}")
     words = F.coalesce(dedup.word_array(text_col), F.array())
     wcol = F.col("__words")
     # last start = the first one whose window reaches the doc end: a
@@ -209,7 +212,10 @@ def training_token_shards(docs: DataFrame, text_col: str = "text",
     the empty string rather than a NULL md5 (which the bucket equi-join
     would silently DROP, and whose NULLS FIRST/LAST window placement
     differs across engines); multiple NULL-keyed rows therefore share
-    one shuffle position, ordered among themselves by doc_id.
+    one shuffle position, ordered among themselves by n_tokens (their
+    doc_id tiebreak is vacuous — byte-stability among NULL-keyed docs
+    holds up to the interchangeability of equal-length docs; give docs
+    real ids if that matters).
 
     `passthrough` names extra input columns carried through to the
     output unchanged (e.g. ("lang", "text") for an export writer) — an
@@ -235,8 +241,16 @@ def training_token_shards(docs: DataFrame, text_col: str = "text",
         *[F.col(c) for c in passthrough])
     counted = counted.withColumn(
         "_bucket", F.substring("shuffle_key", 1, 2))
+    # asc_nulls_first is Spark's default, spelled out because the
+    # DuckDB twin must say NULLS FIRST explicitly (its default is
+    # NULLS LAST — a NULL-keyed doc would otherwise land on the other
+    # side of an ''-keyed doc sharing the same folded shuffle_key);
+    # n_tokens is the last-resort tiebreak so two NULL-keyed docs
+    # with different lengths still cumsum in one fixed order
     w_intra = (Window.partitionBy("_bucket")
-               .orderBy("shuffle_key", "doc_id")
+               .orderBy(F.col("shuffle_key"),
+                        F.col("doc_id").asc_nulls_first(),
+                        F.col("n_tokens"))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     intra = counted.withColumn(
         "_intra_off", F.sum("n_tokens").over(w_intra) - F.col("n_tokens"))
@@ -325,6 +339,10 @@ def curriculum_stages(scored: DataFrame, score_col: str,
     anyway, and Spark (NULLS FIRST) and standard-SQL engines (NULLS
     LAST) disagree on where NULL sorts in the cumulative window, so
     keeping them would make the stage cuts engine-dependent."""
+    if n_stages < 1:
+        # n_stages 0 would assign every doc to a nonsense stage -1
+        # with no error — reject at plan time like the siblings
+        raise ValueError(f"n_stages must be positive, got {n_stages}")
     scored = scored.where(F.col(score_col).isNotNull())
     dist = (scored.groupBy(score_col)
             .agg(F.count("*").cast("long").alias("n")))

@@ -89,7 +89,13 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     of the verified output.
 
     Returns (group, n_exact, hll_estimate_r, rel_err_r) with the
-    Flajolet-et-al. estimator: E = alpha_m * m^2 / sum_j 2^(-M_j), with
+    Flajolet-et-al. estimator.  Contract: one row per group that has
+    at least one NON-NULL key, and a NULL group key produces no row
+    (NULL keys don't hash into registers, and the report join is a
+    plain equi-join — the DuckDB twin behaves identically, so parity
+    holds; consumers needing every partition present left-join this
+    onto their partition list, as jobs/report.py does).
+    Estimator: E = alpha_m * m^2 / sum_j 2^(-M_j), with
     the small-range linear-counting correction E <= 2.5m -> m*ln(m/V)
     when empty registers remain.  The 2^(-M_j) sum is scaled by 2^52
     and accumulated as an exact BIGINT (every term is an integer power
@@ -326,9 +332,15 @@ def bloom_probe(existing: DataFrame, incoming: DataFrame,
             .select("k", F.explode(seeds).alias("i"))
             .select(_bloom_bit(F.col("i"), F.col("k")).alias("bit"))
             .distinct())
+    # DISTINCT before probing (mirrors the SQL twin): a key occurring
+    # r times would otherwise produce r*k hit rows and fail the
+    # n_hit == k membership test — a duplicated frontier URL (the
+    # operator's own use case) would dodge the no-false-negative
+    # guarantee entirely
     probes = (incoming
               .select(F.col(incoming_key).alias("k"))
               .where(F.col("k").isNotNull())
+              .distinct()
               .select("k", F.explode(seeds).alias("i"))
               .select("k", _bloom_bit(F.col("i"), F.col("k")).alias("bit")))
     flagged = (probes

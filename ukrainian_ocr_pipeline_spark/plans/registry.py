@@ -3421,9 +3421,13 @@ walk AS (
               THEN CAST(0 AS BIGINT) ELSE w.fill END,
          CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 128
               THEN t.n_tokens ELSE w.fill + t.n_tokens END
-  FROM walk w JOIN t ON t.lang = w.lang AND t.rn = w.rn + 1)
+  FROM walk w JOIN t ON t.lang IS NOT DISTINCT FROM w.lang
+                    AND t.rn = w.rn + 1)
 SELECT doc_id, lang, n_tokens, seq_id, seq_offset FROM walk
 """
+# ^ null-safe lang join: Spark's groupBy packs a NULL-lang group like
+# any other, but a bare t.lang = w.lang would never recurse past that
+# group's first row and silently drop its remaining docs from the twin
 
 
 def q_hll_distinct_parts(spark, sf_dir):
@@ -5119,9 +5123,13 @@ WITH t AS (
   FROM documents),
 -- the oracle uses the naive global window the operator's two-level
 -- prefix sum is provably equal to
+-- NULLS FIRST pins the NULL-vs-''-key tie to Spark's default null
+-- ordering; n_tokens is the last-resort tiebreak for multiple
+-- NULL-keyed docs (same shuffle_key, same NULL doc_id)
 o AS (
   SELECT doc_id, shuffle_key, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+         SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id NULLS FIRST,
+             n_tokens
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - n_tokens AS start
   FROM t)
