@@ -464,3 +464,95 @@ def test_build_record_header_values_cannot_inject_lines():
     assert len(out) == 1 and out[0]["error"] is None
     assert out[0]["warc_type"] == "response"
     assert out[0]["url"] == "https://a.example/WARC-Type: forged"
+
+
+def test_gzip_bad_member_keeps_valid_prefix():
+    """CC files are per-record gzip members so records are
+    independently recoverable: a truncated LAST member must yield the
+    valid prefix's records plus ONE error row — not discard the file."""
+    recs = [warc.build_record("resource", f"r{i}".encode(),
+                              url=f"https://h/{i}",
+                              date="2024-01-01T00:00:00Z")
+            for i in range(3)]
+    data = warc.compress_warc_members(recs)
+    last = warc.compress_warc_members(recs[2:])
+    cut = data[:len(data) - len(last)] + last[:len(last) // 2]
+    rows = list(warc._records_of_file("f.warc.gz", cut))
+    oks = [r for r in rows if not r["error"]]
+    errs = [r for r in rows if r["error"]]
+    assert [r["url"] for r in oks] == ["https://h/0", "https://h/1"]
+    assert len(errs) == 1 and errs[0]["error"].startswith("gzip:")
+
+
+def test_content_length_strict_ascii_digits():
+    """int() alone accepts '1_6', '+16', and unicode digits — framings
+    conformant WARC parsers reject; all must be error rows."""
+    rec = warc.build_record("resource", b"x" * 16, url="https://h/s",
+                            date="2024-01-01T00:00:00Z")
+    for bad in (b"1_6", b"+16", "١٦".encode("utf-8")):
+        mangled = rec.replace(b"Content-Length: 16", b"Content-Length: " + bad)
+        out = list(warc.iter_warc_records(mangled))
+        assert any(r["error"] and "Content-Length" in r["error"]
+                   for r in out), bad
+
+
+def test_duplicate_content_length_first_wins():
+    """First occurrence wins (warcio/wget semantics): a crafted second
+    Content-Length must not re-frame the stream."""
+    body = b"0123456789"
+    rec = warc.build_record("resource", body, url="https://h/d",
+                            date="2024-01-01T00:00:00Z")
+    # inject a SECOND, larger Content-Length after the real one
+    mangled = rec.replace(
+        b"Content-Length: 10\r\n\r\n",
+        b"Content-Length: 10\r\nContent-Length: 200\r\n\r\n")
+    out = list(warc.iter_warc_records(mangled))
+    assert out[0]["error"] is None
+    assert out[0]["payload"] == body
+
+
+def test_bare_lf_http_head_recovered():
+    """LF-only HTTP header lines (tolerated by RFC 7230 parsers,
+    captured verbatim) must still split into status/type/body."""
+    payload = (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>x</html>")
+    status, ctype, body = warc.split_http_response(payload)
+    assert (status, ctype, body) == (200, "text/html", b"<html>x</html>")
+
+
+def test_build_record_rejects_content_length_and_strips_header_names():
+    import pytest
+    with pytest.raises(ValueError):
+        warc.build_record("resource", b"x",
+                          extra_headers={"Content-Length": "999"})
+    # CRLF in a header NAME must not inject a forged header line
+    rec = warc.build_record(
+        "resource", b"x",
+        extra_headers={"X-A\r\nWARC-Type: warcinfo": "v"})
+    parsed = list(warc.iter_warc_records(rec))
+    assert parsed[0]["warc_type"] == "resource"
+
+
+def test_pages_from_warc_ts_is_utc_under_any_session_tz(spark):
+    """A literal-'Z' parse pattern reads the wall time in the SESSION
+    timezone; the offset pattern must pin the instant to UTC."""
+    rec = warc.build_record(
+        "response", warc.build_http_response(b"<html>b</html>"),
+        url="https://h/tz", date="2024-01-05T06:07:08Z")
+    from pyspark.sql import functions as F
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Kyiv")
+        df = spark.createDataFrame(
+            [(r["url"], r["date"], r["payload"], "response", None, 200)
+             for r in warc.iter_warc_records(rec)],
+            "url string, warc_date string, payload binary, "
+            "warc_type string, error string, http_status int")
+        got = (warc.pages_from_warc(df)
+               .select(F.unix_timestamp("warc_ts").alias("epoch"))
+               .collect()[0]["epoch"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    import datetime as dt
+    want = int(dt.datetime(2024, 1, 5, 6, 7, 8,
+                           tzinfo=dt.timezone.utc).timestamp())
+    assert got == want

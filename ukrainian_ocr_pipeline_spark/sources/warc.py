@@ -76,13 +76,19 @@ def build_record(warc_type: str, payload: bytes, *, url: str | None = None,
     if content_type is not None:
         headers.append(("Content-Type", content_type))
     for k, v in (extra_headers or {}).items():
+        if k.strip().lower() == "content-length":
+            # framing-critical: the computed value below is the only
+            # one allowed — a caller-supplied one would desync parsers
+            raise ValueError("extra_headers may not set Content-Length")
         headers.append((k, v))
     headers.append(("Content-Length", str(len(payload))))
-    # a header VALUE carrying CR/LF (dirty crawl URL, adversarial
-    # input) would inject forged header lines — strip, never trust
+    # a header NAME or VALUE carrying CR/LF (dirty crawl URL,
+    # adversarial input) would inject forged header lines — strip BOTH
+    # sides, never trust
+    def _clean(s: str) -> str:
+        return s.replace(chr(13), "").replace(chr(10), "")
     head = _MAGIC + CRLF + CRLF.join(
-        f"{k}: {v.replace(chr(13), '').replace(chr(10), '')}"
-        .encode("utf-8") for k, v in headers)
+        f"{_clean(k)}: {_clean(v)}".encode("utf-8") for k, v in headers)
     return head + CRLF + CRLF + payload + CRLF + CRLF
 
 
@@ -106,11 +112,20 @@ def split_http_response(payload: bytes
     archivers store raw bodies."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
+    # CRLF-delimited head first (the spec form), bare-LF as fallback:
+    # some servers emit LF-only header lines, RFC 7230 parsers tolerate
+    # them, and archivers capture them verbatim — without the fallback
+    # such a capture got status None and vanished from the pages table
+    # with no error accounting
     sep = payload.find(b"\r\n\r\n")
-    if sep < 0:
-        return None, None, payload
-    head, body = payload[:sep], payload[sep + 4:]
-    lines = head.split(CRLF)
+    if sep >= 0:
+        head, body = payload[:sep], payload[sep + 4:]
+    else:
+        sep = payload.find(b"\n\n")
+        if sep < 0:
+            return None, None, payload
+        head, body = payload[:sep], payload[sep + 2:]
+    lines = [ln.rstrip(b"\r") for ln in head.split(b"\n")]
     parts = lines[0].split(b" ", 2)
     try:
         status = int(parts[1])
@@ -126,12 +141,17 @@ def split_http_response(payload: bytes
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
+    # FIRST occurrence wins, matching conformant parsers (warcio,
+    # wget): last-wins would let a crafted duplicate Content-Length
+    # frame records differently here than in standard replay/index
+    # tools — the classic header-smuggling desync
     headers: dict[str, str] = {}
     for ln in block.split(CRLF):
         k, sep, v = ln.partition(b":")
         if sep:
-            headers[k.strip().lower().decode("utf-8", "replace")] = \
-                v.strip().decode("utf-8", "replace")
+            headers.setdefault(
+                k.strip().lower().decode("utf-8", "replace"),
+                v.strip().decode("utf-8", "replace"))
     return headers
 
 
@@ -176,8 +196,14 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             "error": None,
         }
         try:
-            clen = int(headers["content-length"])
-            if clen < 0 or clen > MAX_RECORD_BYTES:
+            raw_cl = headers["content-length"]
+            # strict ASCII digits only: bare int() accepts underscores,
+            # '+', and non-ASCII unicode digits — framings every
+            # spec-conformant WARC parser rejects (interop desync)
+            if not (raw_cl.isascii() and raw_cl.isdigit()):
+                raise ValueError(f"non-numeric content-length {raw_cl!r}")
+            clen = int(raw_cl)
+            if clen > MAX_RECORD_BYTES:
                 raise ValueError(f"content-length {clen} out of range")
         except (KeyError, ValueError) as exc:
             rec["error"] = f"bad Content-Length: {exc}"
@@ -216,8 +242,51 @@ def _resync(data: bytes, pos: int) -> int:
 def decompress_warc(data: bytes) -> bytes:
     """Decompress a `.warc.gz` of concatenated per-record gzip members
     (the Common Crawl layout) into plain WARC bytes.  Python's gzip
-    handles member concatenation natively."""
+    handles member concatenation natively.  All-or-nothing: one bad
+    member fails the whole call — the Spark reader uses
+    :func:`decompress_warc_prefix` instead, which recovers the valid
+    prefix."""
     return gzip.decompress(data)
+
+
+# per-file decompressed-size cap: MAX_RECORD_BYTES guards a corrupt
+# Content-Length, but a small gzip bomb (~1000:1) would blow past it
+# at the decompress step; cap the accumulated output instead of dying
+MAX_DECOMPRESSED_BYTES = 4 << 30
+
+
+def decompress_warc_prefix(data: bytes) -> tuple[bytes, str | None]:
+    """Decompress a `.warc.gz` member by member, returning
+    (valid_prefix_bytes, error_or_None).
+
+    CC files are per-RECORD gzip members precisely so records are
+    independently recoverable; gzip.decompress is all-or-nothing, so a
+    single truncated/corrupt member (a cut download tail) would
+    discard ~50k good records as one error row.  Here every member
+    before the bad one survives; the bad member becomes the returned
+    error (resync past a corrupt member is not attempted — deflate
+    gives no reliable next-member boundary)."""
+    out: list[bytes] = []
+    total, pos, n = 0, 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as exc:
+            return b"".join(out), f"gzip member at byte {pos}: {exc}"
+        if not d.eof:
+            return b"".join(out), (f"gzip member at byte {pos}: "
+                                   "truncated member")
+        total += len(chunk)
+        if total > MAX_DECOMPRESSED_BYTES:
+            return b"".join(out), (f"decompressed size exceeds "
+                                   f"{MAX_DECOMPRESSED_BYTES} bytes cap")
+        out.append(chunk)
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # defensive: cannot loop in place
+            return b"".join(out), f"gzip member at byte {pos}: no progress"
+        pos += consumed
+    return b"".join(out), None
 
 
 def compress_warc_members(records: Iterable[bytes]) -> bytes:
@@ -253,20 +322,12 @@ WARC_RECORDS_SCHEMA = T.StructType([
 
 
 def _records_of_file(path: str, content: bytes) -> Iterator[dict]:
+    gz_error = None
     if path.endswith(".gz"):
-        try:
-            content = decompress_warc(content)
-        except (OSError, EOFError, zlib.error) as exc:
-            # OSError covers BadGzipFile (bad magic); a TRUNCATED
-            # member raises EOFError and corrupt deflate data raises
-            # zlib.error — neither is an OSError, and both must become
-            # an error row, not a task failure.
-            yield {"warc_file": path, "record_offset": 0,
-                   "warc_type": None, "url": None, "warc_date": None,
-                   "record_id": None, "http_status": None,
-                   "http_content_type": None, "content_length": None,
-                   "payload": None, "error": f"gzip: {exc}"}
-            return
+        # member-by-member: the valid prefix parses normally, the bad
+        # member (if any) becomes ONE trailing error row — not a
+        # whole-file loss
+        content, gz_error = decompress_warc_prefix(content)
     n_yielded = 0
     for rec in iter_warc_records(content):
         n_yielded += 1
@@ -286,6 +347,13 @@ def _records_of_file(path: str, content: bytes) -> Iterator[dict]:
             "payload": body if body is not None else rec.get("payload"),
             "error": rec.get("error"),
         }
+    if gz_error is not None:
+        n_yielded += 1
+        yield {"warc_file": path, "record_offset": len(content),
+               "warc_type": None, "url": None, "warc_date": None,
+               "record_id": None, "http_status": None,
+               "http_content_type": None, "content_length": None,
+               "payload": None, "error": f"gzip: {gz_error}"}
     if n_yielded == 0:
         # A 0-byte / record-free file must still produce one lineage
         # row, or it silently disappears from the per-file ingest log.
@@ -302,20 +370,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     binaryFile gives one input row per file (files never split —
     correct for WARC); `mapInPandas` streams each file through the
-    pure-Python parser.  For response records the HTTP block is split
-    off: `payload` is the entity body, `http_status`/
+    pure-Python parser, emitting CHUNKED DataFrames (256 records at a
+    time) so the task never holds every parsed payload of a multi-GB
+    file simultaneously.  (The decompressed byte buffer itself is
+    still whole-file — the resync parser needs one contiguous view —
+    capped by MAX_DECOMPRESSED_BYTES.)  For response records the HTTP
+    block is split off: `payload` is the entity body, `http_status`/
     `http_content_type` the response metadata."""
-    import pandas as pd
-
     bins = (spark.read.format("binaryFile").load(path)
             .select("path", "content"))
 
     def parse(batches):
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                rows = list(_records_of_file(path_, bytes(content)))
-                if rows:
-                    yield pd.DataFrame(rows)
+                buf = []
+                for row in _records_of_file(path_, bytes(content)):
+                    buf.append(row)
+                    if len(buf) >= 256:
+                        yield pd.DataFrame(buf)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf)
 
     return bins.mapInPandas(parse, WARC_RECORDS_SCHEMA)
 
@@ -338,11 +413,18 @@ def pages_from_warc(records: DataFrame) -> DataFrame:
                 # try_to_timestamp, NOT to_timestamp: under Spark 4's
                 # default ANSI mode a single malformed WARC-Date would
                 # otherwise throw and kill the whole ingest job.  The
-                # coalesce fallback accepts ISO dates with fractional
-                # seconds (WARC 1.1 allows them).
+                # pattern uses XXX (offset, accepts 'Z' AS UTC) — a
+                # literal-'Z' pattern would read the wall time in the
+                # SESSION timezone and shift every warc_ts on non-UTC
+                # sessions (reproduced: +02:00 shift under
+                # Europe/Kyiv).  The fallbacks accept fractional
+                # seconds (WARC 1.1) then anything the default parser
+                # takes.
                 F.coalesce(
                     F.try_to_timestamp(F.col("warc_date"),
-                                       F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+                                       F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                    F.try_to_timestamp(F.col("warc_date"),
+                                       F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
                     F.try_to_timestamp(F.col("warc_date")),
                 ).alias("warc_ts"),
                 F.col("payload").alias("html"),
@@ -471,7 +553,13 @@ def wat_records(pages: DataFrame, url_col: str = "url",
     links_json = F.concat_ws(",", F.transform(
         links, lambda l: F.concat(F.lit('{"url":"'), _json_escaped(l),
                                   F.lit('"}'))))
-    date = _utc_date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    # pages_from_warc keeps rows whose WARC-Date failed to parse
+    # (warc_ts NULL); concat null-propagates, so without the coalesce
+    # the ENTIRE wat_record would silently become NULL for such a row
+    # — render an empty Date value instead (record stays parseable)
+    date = F.coalesce(
+        _utc_date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(""))
     payload = F.concat(
         F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
         _json_escaped(uri),
@@ -522,7 +610,10 @@ def cdx_index(pages: DataFrame, url_col: str = "url",
 
     return pages.select(
         surt_key(url_col).alias("surt"),
-        _utc_date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        # a NULL warc_ts (unparseable WARC-Date upstream) renders as ''
+        # rather than nulling the (surt, ts14) sort key
+        F.coalesce(_utc_date_format(F.col(ts_col), "yyyyMMddHHmmss"),
+                   F.lit("")).alias("ts14"),
         F.col(url_col).alias("url"),
         F.md5(F.col(payload_col)).alias("digest"),
         # octet_length, not length: byte count for BOTH string and
