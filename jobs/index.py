@@ -124,9 +124,12 @@ def main(argv=None) -> int:
         base_ivf = cat.read_snapshot(spark, "ann_ivf", base)
         base_sigs = cat.read_snapshot(spark, "ann_signatures", base)
         new_emb = emb.join(base_ivf.select("vec_id"), "vec_id", "left_anti")
-        cent_ids = base_ivf.select(F.col("centroid_id").alias("cid")).distinct()
-        cents = (base_ivf.join(F.broadcast(cent_ids),
-                               base_ivf.vec_id == cent_ids.cid)
+        # codebook = rows with vec_id < the RECORDED centroid count
+        # (ann_meta), not the distinct assigned ids: a duplicate vector
+        # pair inside the codebook leaves the higher twin's inverted
+        # list empty, and distinct-recovery would drop that centroid,
+        # fragmenting base vs from-scratch builds
+        cents = (base_ivf.where(F.col("vec_id") < int(bmeta["centroids"]))
                  .select(F.col("vec_id").alias("centroid_id"),
                          F.col("embedding").alias("cvec"),
                          F.col("nn").alias("cn")))

@@ -200,3 +200,68 @@ def test_semantic_dedup_is_exact_subset_of_bruteforce(spark):
                    for r in truth.collect()}
     for pair, cos in got_pairs.items():
         assert truth_pairs.get(pair) == cos, pair
+
+
+def test_zero_norm_vector_does_not_crash_ansi(spark):
+    """Under the default ANSI session 0.0/0.0 throws DIVIDE_BY_ZERO;
+    every cosine site must use try_divide (NULL — matching DuckDB) so
+    one all-zero embedding cannot abort an ANN job."""
+    from pyspark.sql import functions as F
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    rows = [(0, [1.0] * DIM), (1, [0.5] * DIM), (2, [0.0] * DIM)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(emb, [0], k=3).collect()
+    # zero-norm neighbor present with NULL cosine, ranked after real ones
+    by_n = {r.neighbor_id: r.cosine_r for r in out}
+    assert by_n[1] is not None and by_n[2] is None
+    qout = similarity.quantized_topk(emb, [0], k=3).collect()
+    assert {r.neighbor_id for r in qout} == {1, 2}
+
+
+def test_quantize_emits_tinyint_elements(spark):
+    """qvec must store int8 (1 byte/element) — the narrowness IS the
+    operator's reason to exist; bigint elements would be 2x wider than
+    the float32 source."""
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame([(0, [1.0, -0.5])],
+                                "vec_id long, embedding array<double>")
+    q = similarity.quantize_int8(emb)
+    assert q.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+
+
+def test_pca_rejects_degenerate_corpus(spark):
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    one = spark.createDataFrame([(0, [1.0] * DIM)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        similarity.pca_power(one, dim=DIM)
+
+
+def test_ivf_from_index_with_duplicate_codebook_vectors(spark):
+    """Two IDENTICAL codebook vectors leave the higher twin's inverted
+    list empty; distinct-recovery drops that centroid, but passing the
+    recorded n_centroids recovers the exact frozen codebook."""
+    from pyspark.sql import functions as F
+
+    from ukrainian_ocr_pipeline_spark.operators import similarity
+
+    n_cent = 4
+    rows = [(0, [1.0] + [0.0] * (DIM - 1)),
+            (1, [1.0] + [0.0] * (DIM - 1))]  # duplicate of centroid 0
+    rows += [(i, _unit([_h(f"v{i}:{j}") for j in range(DIM)]))
+             for i in range(2, 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index = similarity.ivf_assignments(emb, n_centroids=n_cent)
+    # centroid 1's list is empty (ties break to centroid 0)
+    assigned = {r.centroid_id for r in index.select("centroid_id")
+                .distinct().collect()}
+    assert 1 not in assigned
+    want = sorted(map(tuple, similarity.ivf_topk(
+        emb, [5], k=3, n_centroids=n_cent).collect()))
+    got = sorted(map(tuple, similarity.ivf_topk_from_index(
+        index, [5], k=3, n_centroids=n_cent).collect()))
+    assert got == want

@@ -50,7 +50,8 @@ def _cosine_r(va: str, vb: str, na: str, nb: str):
     ONE ulp-exact cosine expression the DuckDB twins mirror
     (sqrt(na) * sqrt(nb) differs in the last ulp and would leak through
     the 6-dp round on ties).  Shared by every pair-scoring tail."""
-    return F.round(_dot(va, vb) / F.sqrt(F.col(na) * F.col(nb)), 6)
+    return F.round(F.try_divide(_dot(va, vb),
+                                F.sqrt(F.col(na) * F.col(nb))), 6)
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -75,7 +76,7 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     pairs = (normed.alias("n")
              .join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
              .withColumn("dot", _dot("qvec", vec_col))
-             .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
+             .withColumn("cosine_r", F.round(F.try_divide(F.col("dot"), F.sqrt(F.col("qn") * F.col("nn"))), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
     return (pairs
             .withColumn("rank", F.row_number().over(w))
@@ -97,7 +98,14 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 8,
     sig = None
     for p in range(n_planes):
         plane = _plane_array_sql(p, dim)
-        bit = F.when(F.expr(_DOT.format(a=vec_col, b=plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        # NULL-propagating bit (no `.otherwise(0)`): a dim/array-length
+        # mismatch makes zip_with pad with NULL and the dot NULL — an
+        # otherwise(0) would silently fold EVERY such vector into
+        # bucket 0 of every band, degenerating the candidate equi-join
+        # to all-pairs; a NULL bucket instead drops out of the join
+        bit = F.when(F.expr(_DOT.format(a=vec_col, b=plane)) >= 0,
+                     F.lit(1)).when(
+            F.expr(_DOT.format(a=vec_col, b=plane)) < 0, F.lit(0))
         sig = bit if sig is None else sig * 2 + bit
     return emb.select(F.col(id_col).alias("vec_id"), sig.alias("lsh_bucket"))
 
@@ -136,8 +144,11 @@ def _band_sig_cols(vec_col: str, n_bands: int, band_planes: int, dim: int) -> li
         for j in range(band_planes):
             gp = b * band_planes + j
             plane = _plane_array_sql(gp, dim)
+            # NULL-propagating bit — same dim-mismatch guard as
+            # hyperplane_signatures (see its comment)
             bit = F.when(F.expr(_DOT.format(a=vec_col, b=plane)) >= 0,
-                         F.lit(1)).otherwise(F.lit(0))
+                         F.lit(1)).when(
+                F.expr(_DOT.format(a=vec_col, b=plane)) < 0, F.lit(0))
             sig = bit if sig is None else sig * 2 + bit
         band_cols.append(sig)
     return band_cols
@@ -266,8 +277,9 @@ def cosine_near_dup_banded_materialized(emb: DataFrame, threshold: float = 0.95,
             .join(base.select(F.col("vec_id").alias("doc_b"),
                               F.col("v").alias("vb"), F.col("nrm").alias("nb")),
                   "doc_b")
-            .withColumn("cosine_r", F.round(_dot("va", "vb")
-                                            / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .withColumn("cosine_r", F.round(F.try_divide(
+                _dot("va", "vb"),
+                F.sqrt(F.col("na") * F.col("nb"))), 6))
             .where(F.col("cosine_r") >= threshold)
             .select("doc_a", "doc_b", "cosine_r"))
 
@@ -308,8 +320,9 @@ def cosine_near_dup_banded(emb: DataFrame, threshold: float = 0.95,
             .join(normed.select(F.col("vid").alias("doc_b"),
                                 F.col("v").alias("vb"), F.col("nrm").alias("nb")),
                   "doc_b")
-            .withColumn("cosine_r", F.round(_dot("va", "vb")
-                                            / F.sqrt(F.col("na") * F.col("nb")), 6))
+            .withColumn("cosine_r", F.round(F.try_divide(
+                _dot("va", "vb"),
+                F.sqrt(F.col("na") * F.col("nb"))), 6))
             .where(F.col("cosine_r") >= threshold)
             .select("doc_a", "doc_b", "cosine_r"))
 
@@ -339,9 +352,25 @@ def _score_against_codebook(normed: DataFrame, cents: DataFrame,
     the same inverted lists the base corpus was assigned to, or the
     index silently fragments across snapshots)."""
     return (normed.crossJoin(F.broadcast(cents))
-            .withColumn("sim_r", F.round(_dot(vec_col, "cvec")
-                                         / F.sqrt(F.col("nn") * F.col("cn")), 6))
+            .withColumn("sim_r", F.round(F.try_divide(
+                _dot(vec_col, "cvec"),
+                F.sqrt(F.col("nn") * F.col("cn"))), 6))
             .drop("cvec", "cn"))
+
+
+def _argmax_assign(scored: DataFrame, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """THE nearest-centroid argmax tail (max sim_r, smaller-centroid-id
+    tie-break via negated-id struct max) — one definition shared by the
+    first-build and incremental paths so their tie-break can never
+    drift (base + increment == from-scratch depends on it)."""
+    best = F.max(F.struct(F.col("sim_r"),
+                          (-F.col("centroid_id")).alias("ncid"))).alias("best")
+    return (scored.groupBy(id_col)
+            .agg(best, F.first(vec_col).alias(vec_col),
+                 F.first("nn").alias("nn"))
+            .select(id_col, vec_col, "nn",
+                    (-F.col("best.ncid")).alias("centroid_id")))
 
 
 def ivf_assign_to_codebook(emb: DataFrame, cents: DataFrame,
@@ -356,10 +385,7 @@ def ivf_assign_to_codebook(emb: DataFrame, cents: DataFrame,
     matches (pinned by test)."""
     normed = emb.withColumn("nn", _dot(vec_col, vec_col))
     scored = _score_against_codebook(normed, cents, vec_col)
-    best = F.max(F.struct(F.col("sim_r"), (-F.col("centroid_id")).alias("ncid"))).alias("best")
-    return (scored.groupBy(id_col)
-            .agg(best, F.first(vec_col).alias(vec_col), F.first("nn").alias("nn"))
-            .select(id_col, vec_col, "nn", (-F.col("best.ncid")).alias("centroid_id")))
+    return _argmax_assign(scored, id_col, vec_col)
 
 
 def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
@@ -371,10 +397,7 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = 8,
     Returns (vec_id, embedding, nn, centroid_id).
     """
     scored = _ivf_scored(emb, n_centroids, id_col, vec_col)
-    best = F.max(F.struct(F.col("sim_r"), (-F.col("centroid_id")).alias("ncid"))).alias("best")
-    return (scored.groupBy(id_col)
-            .agg(best, F.first(vec_col).alias(vec_col), F.first("nn").alias("nn"))
-            .select(id_col, vec_col, "nn", (-F.col("best.ncid")).alias("centroid_id")))
+    return _argmax_assign(scored, id_col, vec_col)
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -416,7 +439,7 @@ def _probe_and_rank(assigned: DataFrame, qprobes: DataFrame, k: int,
                    (assigned.centroid_id == qprobes.centroid_id)
                    & (F.col(id_col) != F.col("query_id")))
              .withColumn("dot", _dot("qvec", vec_col))
-             .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
+             .withColumn("cosine_r", F.round(F.try_divide(F.col("dot"), F.sqrt(F.col("qn") * F.col("nn"))), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -438,7 +461,7 @@ def lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              .join(F.broadcast(queries),
                    (F.col("lsh_bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")))
              .withColumn("dot", _dot("qvec", vec_col))
-             .withColumn("cosine_r", F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")), 6)))
+             .withColumn("cosine_r", F.round(F.try_divide(F.col("dot"), F.sqrt(F.col("qn") * F.col("nn"))), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.col(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -464,7 +487,8 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding",
                  F.count("*").alias("n_vecs")))
 
 
-_DOT_INT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+_DOT_INT = ("aggregate(zip_with({a}, {b}, "
+            "(x, y) -> cast(x as bigint) * cast(y as bigint)), "
             "cast(0 as bigint), (acc, v) -> acc + v)")
 
 
@@ -490,8 +514,11 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
     qmax = (f"greatest(aggregate({vec_col}, cast(0 as double), "
             f"(acc, x) -> greatest(acc, abs(cast(x as double)))), "
             f"cast(1e-30 as double))")
+    # stored as TINYINT (1 byte/element — the narrowness is the whole
+    # point; a bigint element would make qvec 2x WIDER than the float32
+    # source); _DOT_INT widens to bigint inside the multiply instead
     qv = (f"transform({vec_col}, x -> cast(floor(cast(x as double) "
-          f"* 127.0D / _qmax + 0.5D) as bigint))")
+          f"* 127.0D / _qmax + 0.5D) as tinyint))")
     return (emb
             .withColumn("_qmax", F.expr(qmax))
             .select(F.col(id_col).alias(id_col), F.expr(qv).alias("qvec")))
@@ -516,9 +543,10 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              .join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
              .withColumn("dot", F.expr(_DOT_INT.format(a="qq", b="qvec")))
              .withColumn("cosine_q",
-                         F.round(F.col("dot") /
-                                 F.sqrt((F.col("qn") * F.col("nn"))
-                                        .cast("double")), 6)))
+                         F.round(F.try_divide(
+                             F.col("dot"),
+                             F.sqrt((F.col("qn") * F.col("nn"))
+                                    .cast("double"))), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.col(id_col))
     return (pairs
             .withColumn("rank", F.row_number().over(w))
@@ -529,20 +557,27 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 def ivf_topk_from_index(index: DataFrame, query_ids: list[int], k: int = 5,
                         nprobe: int = 2, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        n_centroids: int | None = None) -> DataFrame:
     """IVF top-k over a PREBUILT assignment table (the output of
     ivf_assignments, typically written to storage by jobs/index.py):
     join-only -- no corpus re-scoring, no re-assignment.
 
-    The codebook is recovered from the index itself: the distinct
-    centroid_id values joined back to their own rows.  With the
-    deterministic lowest-id codebook every centroid assigns to ITSELF
-    (it scores 1.0 against itself; ties break to the smaller id), so
-    the distinct assigned ids are exactly the build-time codebook --
-    there is deliberately NO n_centroids parameter here, because a
-    caller-supplied value that disagreed with the build would silently
-    drop inverted lists (too small) or probe phantom centroids (too
-    large).
+    The codebook is recovered from the index itself.  Default
+    (n_centroids=None): the distinct centroid_id values joined back to
+    their own rows.  With the deterministic lowest-id codebook every
+    centroid assigns to ITSELF (it scores 1.0 against itself; ties
+    break to the smaller id), so the distinct assigned ids are exactly
+    the build-time codebook -- UNLESS two codebook vectors are
+    identical (pre-dedup corpora contain duplicates): then the
+    higher-id twin's inverted list is empty, distinct-recovery misses
+    it, and probe sets diverge from the stateless ivf_topk.  When the
+    caller KNOWS the build's centroid count (jobs/index.py stores it
+    in ann_meta), pass n_centroids and the codebook is recovered
+    exactly as the rows with id < n_centroids — robust to duplicate
+    codebook vectors.  A caller-supplied value that disagreed with the
+    build would silently drop inverted lists (too small) or probe
+    phantom centroids (too large) — only pass the recorded one.
 
     Queries are re-scored against the C broadcast centroids only
     (|Q| x C work); candidates and the exact rerank run through the
@@ -553,17 +588,24 @@ def ivf_topk_from_index(index: DataFrame, query_ids: list[int], k: int = 5,
     one N x C pass and is paid ONCE per corpus snapshot at index-build
     time; every query run afterwards touches only its probed inverted
     lists."""
-    cent_ids = index.select(F.col("centroid_id").alias("cid")).distinct()
-    cents = (index.join(F.broadcast(cent_ids),
-                        index[id_col] == cent_ids.cid)
-             .select("cid", F.col(vec_col).alias("cvec"),
-                     F.col("nn").alias("cn")))
+    if n_centroids is not None:
+        cents = (index.where(F.col(id_col) < n_centroids)
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cvec"),
+                         F.col("nn").alias("cn")))
+    else:
+        cent_ids = index.select(F.col("centroid_id").alias("cid")).distinct()
+        cents = (index.join(F.broadcast(cent_ids),
+                            index[id_col] == cent_ids.cid)
+                 .select("cid", F.col(vec_col).alias("cvec"),
+                         F.col("nn").alias("cn")))
     qscored = (index.where(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"), F.col("nn").alias("qn"))
                .crossJoin(F.broadcast(cents))
-               .withColumn("sim_r", F.round(_dot("qvec", "cvec")
-                                            / F.sqrt(F.col("qn") * F.col("cn")), 6)))
+               .withColumn("sim_r", F.round(F.try_divide(
+                   _dot("qvec", "cvec"),
+                   F.sqrt(F.col("qn") * F.col("cn"))), 6)))
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.col("cid"))
     qprobes = (qscored.withColumn("pr", F.row_number().over(wq))
                .where(F.col("pr") <= nprobe)
@@ -765,6 +807,11 @@ def pca_power(emb: DataFrame, n_iter: int = 8, dim: int = 64,
           .select("vec_id", "pos", (F.col("coord") - F.col("mu")).alias("cx"))
           .localCheckpoint(eager=True))
     n = emb.count()  # plan constant: the 1/(n-1) covariance scale
+    if n < 2:
+        # n=1 would divide the covariance by 0.0 (ANSI DIVIDE_BY_ZERO
+        # crash mid-job), n=0 by -1 (silently wrong sign) — the count
+        # is already driver-side, so fail loudly at plan time
+        raise ValueError(f"pca_power needs >= 2 vectors, got {n}")
     a, b = cx.alias("a"), cx.alias("b")
     cov = (a.join(b, "vec_id")
            .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
@@ -779,7 +826,7 @@ def pca_power(emb: DataFrame, n_iter: int = 8, dim: int = 64,
              .agg(F.sum(F.col("cov") * F.col("b")).alias("u")))
         nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
         bvec = (u.crossJoin(F.broadcast(nrm))
-                .select("pos", F.round(F.col("u") / F.col("nrm"), 6).alias("b"),
+                .select("pos", F.round(F.try_divide(F.col("u"), F.col("nrm")), 6).alias("b"),
                         F.col("nrm"))
                 .localCheckpoint(eager=True))
     if project:

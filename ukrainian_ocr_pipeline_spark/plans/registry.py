@@ -1880,10 +1880,14 @@ SQL_LABEL_CENTROIDS = """
 SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
        ROUND(AVG(CAST(v[i] AS DOUBLE)), 6) AS centroid_r,
        COUNT(*) AS n_vecs
-FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL),
      generate_series(1, 64) AS t(i)
 GROUP BY label, i
 """
+# ^ the NOT NULL filter matches Spark's posexplode, which drops a
+# NULL-embedding row entirely — a bare COUNT(*) over the
+# generate_series cross join would still count it for all 64 dims
 
 
 def q_doc_zscore_by_lang(spark, sf_dir):
