@@ -137,8 +137,15 @@ def main(argv=None) -> int:
             "wet", cfg.snapshot_id)
 
     stats = pipeline_stats(metrics).toPandas().iloc[0].to_dict()
-    print(json.dumps({k: (v if not hasattr(v, "item") else v.item())
-                      for k, v in stats.items()}))
+
+    def _plain(v):
+        v = v.item() if hasattr(v, "item") else v
+        # an empty/fully-filtered input makes the sum/avg aggregates
+        # NULL -> NaN through pandas; json.dumps would print the
+        # non-standard literal NaN and break strict stdout consumers
+        return 0 if isinstance(v, float) and v != v else v
+
+    print(json.dumps({k: _plain(v) for k, v in stats.items()}))
     if existing is None:
         spark.stop()
     return 0

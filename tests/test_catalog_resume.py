@@ -129,14 +129,15 @@ def test_vacuum_removes_dead_orphans_keeps_committed(spark, tmp_path):
 
     # forge a crashed attempt: orphan dir + dead-pid owner file
     root = cat._data_dir("t", "v1")
+    from ukrainian_ocr_pipeline_spark.sources.catalog import _owner_marker
     orphan = os.path.join(root, "attempt-deadbeef")
     os.makedirs(orphan)
-    with open(orphan + ".writer.json", "w") as fh:
+    with open(_owner_marker(orphan), "w") as fh:
         json.dump({"pid": 999999999}, fh)
     # and a live in-flight attempt (pid 1 is always alive)
     live = os.path.join(root, "attempt-live0001")
     os.makedirs(live)
-    with open(live + ".writer.json", "w") as fh:
+    with open(_owner_marker(live), "w") as fh:
         json.dump({"pid": 1}, fh)
 
     removed = cat.vacuum("t")
@@ -208,3 +209,74 @@ def test_read_pages_on_staging_root_follows_manifest(spark, pages, tmp_path):
     plain = str(tmp_path / "plain")
     spark.read.parquet(committed).write.parquet(plain)
     assert read_pages(spark, plain).count() == 120
+
+
+def test_inflight_tmp_manifest_is_not_a_committed_snapshot(spark, tmp_path):
+    """A writer killed between staging .tmp-*.json and the link() must
+    not leave a ghost 'committed' snapshot: snapshots() must skip
+    dot-prefixed staging files (mid-write they are partial JSON)."""
+    import json
+    import os
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pages = pages_from_fixtures(spark, 5).select("url", "lang")
+    cat.write_snapshot(pages, "t", "v1")
+    snap_dir = cat._snap_dir("t")
+    # forge a complete-but-uncommitted staging manifest AND a partial one
+    with open(os.path.join(snap_dir, ".tmp-dead.json"), "w") as fh:
+        json.dump({"snapshot_id": "ghost", "sequence": 9,
+                   "data_dir": "/nowhere", "mode": "full"}, fh)
+    with open(os.path.join(snap_dir, ".tmp-partial.json"), "w") as fh:
+        fh.write('{"snapshot_id": "gho')  # mid-write partial JSON
+    snaps = cat.snapshots("t")
+    assert [s["snapshot_id"] for s in snaps] == ["v1"]
+    assert not cat.is_committed("t", "ghost")
+
+
+def test_bucketed_resume_rejects_changed_n_buckets(spark, tmp_path):
+    """Markers are only valid under the modulus that wrote them: a
+    restart with different n_buckets must fail loudly, not silently
+    lose/duplicate rows."""
+    import pytest
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pages = pages_from_fixtures(spark, 20).select("url", "lang")
+    ident = lambda df: df
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.write_snapshot_bucketed(pages, "t", "v1", n_buckets=4,
+                                    transform=ident, fail_after_bucket=1)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        cat.write_snapshot_bucketed(pages, "t", "v1", n_buckets=8,
+                                    transform=ident)
+    # same params resume completes and commits
+    m = cat.write_snapshot_bucketed(pages, "t", "v1", n_buckets=4,
+                                    transform=ident)
+    assert m["n_buckets"] == 4
+    assert cat.read_snapshot(spark, "t", "v1").count() == 20
+
+
+def test_dangling_owner_marker_does_not_break_committed_read(spark,
+                                                             tmp_path):
+    """A writer that died before its parquet dir appeared leaves only
+    its (underscore-prefixed) owner file in the shared data root; a
+    read of the committed bucketed snapshot must ignore it."""
+    import json
+    import os
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    pages = pages_from_fixtures(spark, 10).select("url", "lang")
+    cat.write_snapshot_bucketed(pages, "t", "v1", n_buckets=2,
+                                transform=lambda df: df)
+    root = cat._data_dir("t", "v1")
+    with open(os.path.join(root, "_attempt-dead.writer.json"), "w") as fh:
+        json.dump({"pid": 999999999}, fh)
+    assert cat.read_snapshot(spark, "t", "v1").count() == 10

@@ -133,6 +133,28 @@ class TestNERBackendSeam:
             assert all(lab == ["CUSTOM"] for lab in out.labels[has_text]), mode
             assert all(len(lab) == 0 for lab in out.labels[~has_text]), mode
 
+    def test_throwing_backend_surfaces_as_failure_every_mode(self, spark):
+        """An enrich-stage exception must come out success=False with an
+        error message in EVERY mode — staged used to swallow it and
+        report success=True with silently-empty spans."""
+        from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
+        from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures
+
+        def bomb(text):
+            if text:
+                raise RuntimeError("backend exploded")
+            return []
+
+        pages = pages_from_fixtures(spark, 8)
+        for mode in ("staged", "packed", "arrow"):
+            out = (extract_pages(pages, mode=mode, ner_backend=bomb)
+                   .selectExpr("success", "error").toPandas())
+            failed = out[~out.success]
+            # every text-bearing page must fail (packed/arrow wipe the
+            # text on failure, so count failures, not text rows)
+            assert len(failed) >= 1, mode
+            assert failed.error.str.contains("backend exploded").all(), mode
+
     def test_null_backend_via_config_disables_spans(self, spark):
         from ukrainian_ocr_pipeline_spark.operators.extract import extract_pages
         from ukrainian_ocr_pipeline_spark.sources.pages import pages_from_fixtures

@@ -169,14 +169,25 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
         T.StructField("spans", T.ArrayType(SPAN_SCHEMA), False),
         T.StructField("matches", T.ArrayType(MATCH_SCHEMA), False),
         T.StructField("regions", T.ArrayType(REGION_SCHEMA), False),
+        # error/t_ms ride along so the staged assembly can (a) surface
+        # an enrich-stage failure as success=False instead of silently
+        # emitting empty spans under success=True, and (b) count this
+        # stage's cost in t_ms like packed/arrow do (staged previously
+        # timed only segmentation — metrics undercounted the NER+match
+        # stage entirely)
+        T.StructField("error", T.StringType(), True),
+        T.StructField("t_ms", T.DoubleType(), False),
     ])
 
     @F.pandas_udf(enrich_schema)
     def enrich_udf(text: pd.Series, kept: pd.Series) -> pd.DataFrame:
+        import time
         matcher = (_get_matcher(terms_t, threshold, min_length=min_length)
                    if (with_matches and terms_t) else None)
         col_spans, col_matches, col_regions = [], [], []
+        col_err, col_tms = [], []
         for doc, offsets in zip(text, kept):
+            t0 = time.perf_counter()
             try:
                 doc = doc or ""
                 spans = tagger(doc)
@@ -207,12 +218,16 @@ def make_enrich_udf(terms: list[str] | None, threshold: float = 0.8,
                     } for r in dense_regions(spans, len(doc))])
                 else:
                     col_regions.append([])
-            except Exception:
+                col_err.append(None)
+            except Exception as e:
                 col_spans.append([])
                 col_matches.append([])
                 col_regions.append([])
+                col_err.append(f"{type(e).__name__}: {e}")
+            col_tms.append((time.perf_counter() - t0) * 1000.0)
         return pd.DataFrame({"spans": col_spans, "matches": col_matches,
-                             "regions": col_regions})
+                             "regions": col_regions, "error": col_err,
+                             "t_ms": col_tms})
 
     return enrich_udf
 
@@ -264,7 +279,8 @@ def make_packed_extract_udf(terms: list[str] | None,
         for u, raw in zip(url, html):
             t0 = time.perf_counter()
             r = extract_page(u, bytes(raw) if raw is not None else None,
-                             matcher, ner=tagger)
+                             matcher, ner=tagger,
+                             with_regions=with_regions)
             cols["extracted_text"].append(r.extracted_text)
             cols["spans"].append([{
                 "text": s.text, "label": s.label, "confidence": s.confidence,
@@ -279,7 +295,7 @@ def make_packed_extract_udf(terms: list[str] | None,
             cols["regions"].append([{
                 "start": g.start, "end": g.end,
                 "n_entities": g.n_entities, "label": g.label,
-            } for g in (r.regions if with_regions else [])])
+            } for g in r.regions])
             cols["kind"].append(r.kind)
             cols["charset"].append(r.charset)
             cols["fallback_level"].append(r.fallback_level)
@@ -363,7 +379,8 @@ def make_packed_extract_arrow(terms: list[str] | None,
             rg_off = [0]
             for u, h in zip(urls, htmls):
                 t0 = time.perf_counter()
-                r = extract_page(u, h, matcher, ner=tagger)
+                r = extract_page(u, h, matcher, ner=tagger,
+                                 with_regions=with_regions)
                 texts.append(r.extracted_text)
                 kinds.append(r.kind)
                 charsets.append(r.charset)
@@ -383,7 +400,7 @@ def make_packed_extract_arrow(terms: list[str] | None,
                     ma[2].append(m.confidence); ma[3].append(m.word_idx)
                     ma[4].append(m.context)
                 ma_off.append(len(ma[0]))
-                for g in (r.regions if with_regions else []):
+                for g in r.regions:
                     rg[0].append(g.start); rg[1].append(g.end)
                     rg[2].append(g.n_entities); rg[3].append(g.label)
                 rg_off.append(len(rg[0]))

@@ -132,17 +132,26 @@ def extract_pages(pages: DataFrame, lexicon: list[str] | None = None,
         .withColumn("spans", F.col("enrich.spans"))
         .withColumn("matches", F.col("enrich.matches"))
         .withColumn("regions", F.col("enrich.regions"))
-        .drop("enrich")
     )
+    # success/error fold BOTH stages (an enrich failure used to vanish
+    # under seg.success=True with silently-empty spans), and t_ms sums
+    # them so staged metrics count the NER+match stage like packed does.
+    # Stage-granular caveat vs packed: an enrich-only failure here keeps
+    # the successful segmentation's kind/charset/text, while packed
+    # (one try around the whole page) reports kind='error' — staged
+    # attributes errors per stage, packed per page.
     return (df
-            .withColumn("success", F.col("seg.success"))
-            .withColumn("error", F.col("seg.error"))
+            .withColumn("success",
+                        F.col("seg.success") & F.col("enrich.error").isNull())
+            .withColumn("error",
+                        F.coalesce(F.col("seg.error"), F.col("enrich.error")))
             .withColumn("kind", F.col("seg.kind"))
             .withColumn("charset", F.col("seg.charset"))
             .withColumn("fallback_level", F.col("seg.fallback_level"))
             .withColumn("blocks_detected", F.size("seg.blocks"))
             .withColumn("blocks_kept", F.size("kept_offsets"))
-            .withColumn("t_ms", F.col("seg.t_ms")))
+            .withColumn("t_ms", F.col("seg.t_ms") + F.col("enrich.t_ms"))
+            .drop("enrich"))
 
 
 def extracted_table(enriched: DataFrame) -> DataFrame:
@@ -174,8 +183,13 @@ def metrics_table(enriched: DataFrame) -> DataFrame:
 def lineage_table(enriched: DataFrame, snapshot_id: int = 0) -> DataFrame:
     """Per-partition lineage (north rule): one row per output partition.
 
-    spark_partition_id() is evaluated on the final partitioning, so the
-    lineage rows describe exactly the tasks that produced the output.
+    spark_partition_id() is evaluated on the partitioning of the frame
+    it is GIVEN.  Fed the in-flight extraction frame, rows describe the
+    writer tasks; fed a re-read committed snapshot (jobs/extract.py's
+    resume-safe path), they describe the READ split layout (parquet
+    files grouped by maxPartitionBytes), which may merge or split the
+    original writer tasks — per-partition row counts, url ranges, and
+    summed t_ms stay exact either way.
     """
     return (enriched
             .select(F.spark_partition_id().alias("partition_id"),

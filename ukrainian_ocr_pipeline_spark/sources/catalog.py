@@ -64,6 +64,22 @@ def _write_owner(path: str) -> None:
         json.dump({"pid": os.getpid()}, fh)
 
 
+def _owner_marker(stage_dir: str) -> str:
+    """Sibling owner file for an attempt dir, underscore-prefixed so a
+    parquet read of the shared data root (the bucketed manifest points
+    at the root itself, recursiveFileLookup) IGNORES it — Spark skips
+    files starting with '_' or '.', so a marker dangling after a crash
+    can never make a committed snapshot unreadable."""
+    d, b = os.path.split(stage_dir)
+    return os.path.join(d, f"_{b}.writer.json")
+
+
+def _marker_attempt_dir(marker_path: str) -> str:
+    """Inverse of :func:`_owner_marker`."""
+    d, b = os.path.split(marker_path)
+    return os.path.join(d, b[1:-len(".writer.json")])
+
+
 def _lease_holder(path: str) -> int | None:
     try:
         with open(path, encoding="utf-8") as fh:
@@ -105,7 +121,11 @@ class SnapshotCatalog:
             return []
         out = []
         for f in sorted(os.listdir(d)):
-            if f.endswith(".json"):
+            # dot-prefixed names are _commit's in-flight staging files
+            # (.tmp-*.json): mid-write they are partial JSON, and one
+            # left by a killed writer is an UNCOMMITTED manifest — either
+            # way they must never read as committed snapshots
+            if f.endswith(".json") and not f.startswith("."):
                 with open(os.path.join(d, f), encoding="utf-8") as fh:
                     out.append(json.load(fh))
         # tiebreaks: concurrent commits of DIFFERENT ids can observe the
@@ -165,7 +185,7 @@ class SnapshotCatalog:
         # owner marker is a SIBLING file, not inside the dir — the
         # overwrite-mode parquet write would wipe an in-dir marker and
         # leave a live in-flight attempt looking dead to the GC below
-        owner = stage_dir + ".writer.json"
+        owner = _owner_marker(stage_dir)
         _write_owner(owner)
         df.write.mode("overwrite").parquet(stage_dir)
         try:
@@ -188,9 +208,9 @@ class SnapshotCatalog:
             path = os.path.join(stage_root, d)
             if (path != stage_dir and d.startswith("attempt-")
                     and os.path.isdir(path)
-                    and not _owner_alive(path + ".writer.json")):
+                    and not _owner_alive(_owner_marker(path))):
                 shutil.rmtree(path, ignore_errors=True)
-                _unlink_quiet(path + ".writer.json")
+                _unlink_quiet(_owner_marker(path))
         return manifest
 
     def write_snapshot_bucketed(self, pages: DataFrame, table: str,
@@ -223,9 +243,28 @@ class SnapshotCatalog:
         # lease (the crash-restart case) is broken automatically.
         lease = os.path.join(markers, ".lease.json")
         while True:
+            # the lease must be BORN with its pid: an O_EXCL create
+            # followed by a separate write leaves a window where a racer
+            # reads the empty file, concludes the holder is dead, breaks
+            # the "stale" lease, and runs concurrently with the creator —
+            # stage the content first, then link() it into place (atomic
+            # name + content)
+            stage = os.path.join(markers, f".lease-stage-{uuid.uuid4().hex}")
             try:
-                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                _write_owner(stage)
+            except FileNotFoundError:
+                # markers dir vacuumed between our makedirs and here
+                # (snapshot committed concurrently): the is_committed
+                # re-check short-circuits, else recreate and retry
+                if self.is_committed(table, snapshot_id):
+                    return next(s for s in self.snapshots(table)
+                                if s["snapshot_id"] == snapshot_id)
+                os.makedirs(markers, exist_ok=True)
+                continue
+            try:
+                os.link(stage, lease)
             except FileExistsError:
+                _unlink_quiet(stage)
                 if _lease_holder(lease) == os.getpid():
                     break  # re-entrant: our own earlier (failed) attempt
                 if _owner_alive(lease):
@@ -243,17 +282,33 @@ class SnapshotCatalog:
                     pass  # someone else broke/claimed it first; retry
                 continue
             except FileNotFoundError:
-                # markers dir vacuumed between our makedirs and here
-                # (snapshot committed concurrently): recreate and retry;
-                # the is_committed re-check below will short-circuit
+                _unlink_quiet(stage)
                 if self.is_committed(table, snapshot_id):
                     return next(s for s in self.snapshots(table)
                                 if s["snapshot_id"] == snapshot_id)
                 os.makedirs(markers, exist_ok=True)
                 continue
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                json.dump({"pid": os.getpid()}, fh)
+            _unlink_quiet(stage)
             break
+        # bucket markers are only valid under the EXACT bucketing that
+        # wrote them: a restart with a different n_buckets would skip
+        # marked buckets whose files hold a different modulus — rows
+        # silently lost AND duplicated.  Pin the params with the first
+        # lease; any later attempt must match or fail loudly.
+        params_path = os.path.join(markers, ".params.json")
+        params = {"n_buckets": int(n_buckets), "key_col": key_col}
+        if os.path.exists(params_path):
+            with open(params_path, encoding="utf-8") as fh:
+                prev = json.load(fh)
+            if prev != params:
+                raise ValueError(
+                    f"bucketed resume parameter mismatch for "
+                    f"{table}/{snapshot_id}: markers were written with "
+                    f"{prev}, this attempt uses {params} — resume with "
+                    "the original parameters or use a fresh snapshot id")
+        else:
+            with open(params_path, "w", encoding="utf-8") as fh:
+                json.dump(params, fh)
         bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
         done = 0
         for b in range(n_buckets):
@@ -278,9 +333,17 @@ class SnapshotCatalog:
             for d in os.listdir(data_dir):
                 sub = os.path.join(data_dir, d)
                 if (d.startswith("attempt-") and os.path.isdir(sub)
-                        and not _owner_alive(sub + ".writer.json")):
+                        and not _owner_alive(_owner_marker(sub))):
                     shutil.rmtree(sub, ignore_errors=True)
-                    _unlink_quiet(sub + ".writer.json")
+                    _unlink_quiet(_owner_marker(sub))
+                elif (d.startswith("_attempt-")
+                      and d.endswith(".writer.json")
+                      and not os.path.isdir(_marker_attempt_dir(sub))
+                      and not _owner_alive(sub)):
+                    # dangling owner FILE (writer died before its
+                    # parquet dir appeared): harmless to Spark reads
+                    # (underscore-prefixed) but GC it anyway
+                    _unlink_quiet(sub)
         try:
             manifest = self._commit(table, {
                 "snapshot_id": snapshot_id, "parent": None, "data_dir": data_dir,
@@ -318,13 +381,13 @@ class SnapshotCatalog:
                     apath = os.path.join(path, sub)
                     if (sub.startswith("attempt-") and os.path.isdir(apath)
                             and apath not in referenced
-                            and not _owner_alive(apath + ".writer.json")):
+                            and not _owner_alive(_owner_marker(apath))):
                         shutil.rmtree(apath, ignore_errors=True)
-                        _unlink_quiet(apath + ".writer.json")
+                        _unlink_quiet(_owner_marker(apath))
                         removed.append(apath)
-                    elif (sub.startswith("attempt-")
+                    elif (sub.startswith("_attempt-")
                           and sub.endswith(".writer.json")
-                          and not os.path.isdir(apath[:-len(".writer.json")])
+                          and not os.path.isdir(_marker_attempt_dir(apath))
                           and not _owner_alive(apath)):
                         # dangling owner file: writer died between marker
                         # creation and the parquet write creating its dir

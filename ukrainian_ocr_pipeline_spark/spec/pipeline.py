@@ -46,11 +46,13 @@ class PageResult:
 
 def extract_page(url: str, html: bytes | None,
                  matcher: LexiconMatcher | None = None,
-                 ner=None) -> PageResult:
+                 ner=None, with_regions: bool = True) -> PageResult:
     """Run the full extraction spec on one page. Never raises.
 
     ``ner`` is the backend seam (spec/ner.py NER_BACKENDS): any callable
-    text -> list[Span]; None = the rule-based default."""
+    text -> list[Span]; None = the rule-based default.  ``with_regions``
+    skips the region-clustering pass when the caller will discard it —
+    at corpus scale computing-then-filtering is real wasted CPU."""
     try:
         tagger = tag_entities if ner is None else ner
         dec = decode_page(html)
@@ -61,7 +63,7 @@ def extract_page(url: str, html: bytes | None,
         matches: list[Match] = []
         if matcher is not None and text:
             matches = matcher.find_in_text(text)
-        regions = dense_regions(spans, len(text))
+        regions = dense_regions(spans, len(text)) if with_regions else []
         return PageResult(
             url=url, success=True, error=None, extracted_text=text,
             blocks=blocks, spans=spans, matches=matches, regions=regions,
@@ -71,7 +73,12 @@ def extract_page(url: str, html: bytes | None,
             entities=len(spans), matches_found=len(matches),
         )
     except Exception as e:  # per-row error capture: core/pipeline.py:348-355
+        # kind/charset/fallback_level use the ERROR sentinels the staged
+        # mode's segment stage emits, so a failing page carries the same
+        # guaranteed-column values in every mode (the dataclass defaults
+        # 'html'/'utf-8'/0 would mislabel a page that never decoded)
         return PageResult(
             url=url, success=False, error=f"{type(e).__name__}: {e}",
-            extracted_text="",
+            extracted_text="", kind="error", charset="",
+            fallback_level=-1,
         )
