@@ -66,12 +66,42 @@ def main(argv=None) -> int:
     from ukrainian_ocr_pipeline_spark.operators.extract import (
         extract_pages, extracted_table,
     )
+    from ukrainian_ocr_pipeline_spark.sources.pages import validate_pages
     from ukrainian_ocr_pipeline_spark.streaming.dedup import dedup_stream
 
+    # the dedup choice is per-CHECKPOINT-LIFETIME, not per-invocation:
+    # flipping it on an existing checkpoint fails every later run with
+    # CANNOT_LOAD_STATE_STORE (the stateful operator expects state for
+    # committed batches).  Pin the choice with the first run and reject
+    # a flip loudly instead of wedging the ingest loop.
+    dedup_marker = os.path.join(args.checkpoint, "_dedup_choice.json")
+    choice = {"dedup": bool(args.dedup_watermark)}
+    if os.path.exists(dedup_marker):
+        with open(dedup_marker, encoding="utf-8") as fh:
+            prev = json.load(fh)
+        if prev != choice:
+            print(json.dumps({"error": "dedup-watermark choice differs "
+                              "from this checkpoint's first run",
+                              "checkpoint": prev, "requested": choice},
+                             sort_keys=True), file=sys.stderr)
+            if existing is None:
+                spark.stop()
+            return 2
+    else:
+        os.makedirs(args.checkpoint, exist_ok=True)
+        with open(dedup_marker, "w", encoding="utf-8") as fh:
+            json.dump(choice, fh)
+
+    # recursiveFileLookup + validate_pages mirror the batch reader:
+    # nested catalog attempt-dirs would otherwise be silently invisible
+    # (a {"batches": 0} run that looks like 'no new data'), and rows
+    # the batch path filters would leak into the streaming output
     stream = (spark.readStream
               .schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", 8)
+              .option("recursiveFileLookup", "true")
               .parquet(cfg.pages))
+    stream = validate_pages(stream)
     if args.dedup_watermark:
         stream = dedup_stream(stream, watermark=args.dedup_watermark)
     enriched = extract_pages(

@@ -142,3 +142,37 @@ def test_wet_export_roundtrips_extracted_text(spark, t2_rows, tmp_path):
     assert job.main(["--pages", pages_path, "--warehouse", wh,
                      "--snapshot-id", "w1", "--wet"]) == 0
     assert len(os.listdir(os.path.join(wh, "wet", "snapshots"))) == 1
+
+
+def test_stream_job_rejects_dedup_flag_flip(spark, t2_rows, tmp_path, capsys):
+    """The dedup-watermark choice is per-checkpoint-lifetime: flipping
+    it on an existing checkpoint would fail every later run with
+    CANNOT_LOAD_STATE_STORE — the job must reject the flip loudly."""
+    import stream as job
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    _stage_pages(pages_dir / "f0.parquet", t2_rows[:10])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert job.main(["--pages", str(pages_dir), "--out", out,
+                     "--checkpoint", ckpt]) == 0
+    capsys.readouterr()
+    rc = job.main(["--pages", str(pages_dir), "--out", out,
+                   "--checkpoint", ckpt, "--dedup-watermark", "1 hour"])
+    assert rc == 2
+    assert "dedup-watermark choice differs" in capsys.readouterr().err
+
+
+def test_stream_job_sees_nested_page_files(spark, t2_rows, tmp_path):
+    """Files nested under catalog-style subdirs (attempt-<id>/) must be
+    visible to the stream — without recursiveFileLookup the run
+    completed with {'batches': 0} and looked like 'no new data'."""
+    import stream as job
+
+    pages_dir = tmp_path / "pages"
+    (pages_dir / "attempt-abc123").mkdir(parents=True)
+    _stage_pages(pages_dir / "attempt-abc123" / "f0.parquet", t2_rows[:15])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert job.main(["--pages", str(pages_dir), "--out", out,
+                     "--checkpoint", ckpt]) == 0
+    assert spark.read.parquet(out).count() == 15

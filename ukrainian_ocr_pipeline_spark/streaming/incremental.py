@@ -33,12 +33,25 @@ def run_incremental_extraction(spark: SparkSession, pages_dir: str,
                                with_matches: bool = True) -> int:
     """One AvailableNow increment: extract all not-yet-processed page
     files. Returns number of micro-batches executed. Blocks until done."""
+    from ..sources.pages import validate_pages
+
+    # recursiveFileLookup + validate_pages mirror the batch reader
+    # (sources/pages.py): without the former, files nested under
+    # catalog attempt-dirs are silently invisible to the stream (a
+    # zero-row run that looks like 'no new data'); without the latter,
+    # rows the batch path filters (NULL html, non-http urls) would leak
+    # into the streaming output and break batch/stream parity
     stream = (spark.readStream
               .schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", 8)
+              .option("recursiveFileLookup", "true")
               .parquet(pages_dir))
-    enriched = extract_pages(stream, with_matches=with_matches, with_regions=False)
-    out = extracted_table(enriched).drop("spans")
+    enriched = extract_pages(validate_pages(stream),
+                             with_matches=with_matches, with_regions=False)
+    # spans KEPT: the output schema must match the batch extracted
+    # table (url, warc_ts, extracted_text, spans) — dropping it made
+    # this twin silently lose all entity data vs jobs/stream.py
+    out = extracted_table(enriched)
     n_batches = {"n": 0}
 
     def sink(batch_df, batch_id):

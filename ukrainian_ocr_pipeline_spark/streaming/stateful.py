@@ -8,8 +8,14 @@ the pattern a production crawl-ingest monitor uses for per-host quota /
 politeness accounting at 10^12-document scale (state is partitioned by
 host, the natural key).
 
-Kept deliberately minimal: one state tuple per host. Real extensions
-(rate windows, TTL via GroupStateTimeout) hang off the same skeleton.
+Kept deliberately minimal: one state tuple per host.  Scale honesty:
+NoTimeout means state cardinality equals DISTINCT HOSTS EVER SEEN and
+never shrinks — correct for the cumulative-totals contract this
+implements, but an open-web deployment whose quota logic only needs
+RECENT activity should add eviction (EventTimeTimeout + a watermark on
+warc_ts, expiring hosts idle past the horizon) off this same skeleton,
+or checkpoint state grows monotonically with one-off spam/typo
+domains.
 """
 
 from __future__ import annotations
@@ -43,11 +49,18 @@ def run_stateful_host_counts(spark: SparkSession, pages_dir: str,
     Each run emits the updated cumulative totals for hosts seen in the
     increment; totals carry over across runs through the checkpointed
     state store."""
+    # try_parse_url, NOT parse_url: under the default ANSI session one
+    # malformed URL would fail the micro-batch, and because the failed
+    # batch's offsets are already in the checkpoint WAL every restart
+    # replays the same files and crashes again — a poison pill that
+    # stops per-host accounting until the checkpoint is deleted.
+    # Hostless garbage rows are dropped (no host to account against).
     stream = (spark.readStream.schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(pages_dir)
-              .select(F.expr("parse_url(url, 'HOST')").alias("host"),
-                      F.octet_length("html").alias("page_bytes")))
+              .select(F.expr("try_parse_url(url, 'HOST')").alias("host"),
+                      F.octet_length("html").alias("page_bytes"))
+              .where(F.col("host").isNotNull()))
     counts = (stream.groupBy("host")
               .applyInPandasWithState(_update_host_state, OUTPUT_SCHEMA,
                                       STATE_SCHEMA, "update",
@@ -55,11 +68,13 @@ def run_stateful_host_counts(spark: SparkSession, pages_dir: str,
 
     def sink(batch_df, batch_id):
         # per-batch overwrite subdir: a replayed batch rewrites itself
-        # instead of appending duplicates (the batch_id partition column
-        # is recovered on read from the directory name)
-        batch_df.withColumn("batch_id", F.lit(batch_id)) \
-            .write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        # instead of appending duplicates.  The subdir name matches
+        # jobs/stream.py's batch_id=<id> layout (uniform streaming
+        # outputs); batch_id is partition-DISCOVERED on a read of the
+        # root — no physical column, which would collide with the
+        # directory key and break that read
+        batch_df.write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
 
     q = (counts.writeStream.foreachBatch(sink)
          .outputMode("update")
