@@ -71,7 +71,8 @@ HEADLINE = [
     "doc_line_dedup", "host_cap_sample",
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",
     "corpus_mixture_weights", "dsir_importance_weights",
-    "bpe_merge_candidates", "embedding_kmeans", "semantic_dedup",
+    "bpe_merge_candidates", "unigram_seed_candidates",
+    "embedding_kmeans", "semantic_dedup",
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",
     "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",

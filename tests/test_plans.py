@@ -773,3 +773,17 @@ def test_logreg_train_loop_never_rescans_corpus(spark):
     plan = plan_of(textstats.logreg_train(docs, n_iter=2))
     assert "EvalPython" not in plan, plan
     assert nodes(plan, "Scan parquet") == 0, plan
+
+
+def test_unigram_seed_candidates_is_jvm_topk(spark):
+    """Unigram seeding must stay JVM-only (java pretokenizer, substr
+    explodes) with a bounded top-k — TakeOrdered, never a global sort
+    of the full substring table."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_unigram_seed_candidates,
+    )
+    plan = plan_of(q_unigram_seed_candidates(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # map-side combine on the substring counts before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan, plan

@@ -2100,6 +2100,34 @@ def q_doc_bpe_tokens(spark, sf_dir):
                             text_col="extracted_text", id_col="url")
 
 
+def q_doc_unigram_tokens(spark, sf_dir):
+    """Unigram-LM token counts over the REAL extracted text of the
+    240-page fixture corpus (same cached extraction as the metrics /
+    BPE queries), applying the committed 400-piece table via the
+    Arrow-batched Viterbi encoder in spec/unigram.py — the
+    SentencePiece-family twin of doc_bpe_tokens."""
+    from ..operators.unigramlm import unigram_token_counts
+    return unigram_token_counts(_fixture_enriched(spark, 240),
+                                text_col="extracted_text", id_col="url")
+
+
+def _expected_unigram_sql():
+    """VALUES twin of the oracle-computed unigram token counts
+    (expected_unigram.UNIGRAM_EXPECTED — pure-Python Viterbi encode
+    over the committed piece table, regenerated only by
+    jobs/make_unigram.py)."""
+    from .expected_spec import _sql_str as lit
+    from .expected_unigram import UNIGRAM_EXPECTED
+
+    rows = ",\n".join(f"({lit(url)}, {n})" for url, n in UNIGRAM_EXPECTED)
+    return f"""
+SELECT url, CAST(n AS BIGINT) AS n_unigram_tokens
+FROM (VALUES
+{rows}
+) AS t(url, n)
+"""
+
+
 def _expected_bpe_sql():
     """VALUES twin of the oracle-computed BPE counts (expected_metrics
     .BPE_EXPECTED — pure-Python pretokenize+encode over the committed
@@ -2119,6 +2147,7 @@ FROM (VALUES
 SQL_NER_SPANS, SQL_FUZZY_MATCHES = _expected_spec_sqls()
 SQL_PIPELINE_METRICS = _expected_metrics_sql()
 SQL_BPE_TOKENS = _expected_bpe_sql()
+SQL_UNIGRAM_TOKENS = _expected_unigram_sql()
 
 
 # one cached extraction per (session, corpus size): three registry
@@ -3379,6 +3408,40 @@ def q_bpe_merge_candidates(spark, sf_dir):
     vocab-then-pairs shape every scale BPE trainer reduces to."""
     return textstats.bpe_merge_candidates(_t(spark, sf_dir, "documents"),
                                           top_k=20)
+
+
+def q_unigram_seed_candidates(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) training seed mining: top-20
+    substrings (length 2..6) of the pretoken vocabulary ranked by
+    Kudo's count*len seed heuristic — the seeding stage of
+    operators/unigramlm.unigram_train_pieces as one declarative plan
+    (positions x lengths explode over the DISTINCT pretoken table,
+    one partial-agg shuffle, TakeOrdered top-k)."""
+    from ..operators.unigramlm import unigram_seed_candidates
+    return unigram_seed_candidates(_t(spark, sf_dir, "documents"),
+                                   top_k=20)
+
+
+SQL_UNIGRAM_SEED_CANDIDATES = r"""
+WITH pretoks AS (
+  SELECT unnest(coalesce(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+', 0),
+    [])) AS pretok
+  FROM documents),
+vocab AS (SELECT pretok, COUNT(*) AS freq FROM pretoks GROUP BY pretok),
+pos AS (
+  SELECT pretok, freq, unnest(generate_series(1, length(pretok))) AS i
+  FROM vocab WHERE length(pretok) >= 2),
+lens AS (
+  SELECT pretok, freq, i,
+         unnest(generate_series(2, least(6, length(pretok) - i + 1))) AS l
+  FROM pos WHERE length(pretok) - i + 1 >= 2),
+pieces AS (SELECT substr(pretok, i, l) AS piece, freq FROM lens)
+SELECT piece, CAST(SUM(freq) AS BIGINT) AS occurrences,
+       CAST(SUM(freq) * length(piece) AS BIGINT) AS score
+FROM pieces GROUP BY piece
+ORDER BY score DESC, piece DESC LIMIT 20
+"""
 
 
 SQL_BPE_MERGE_CANDIDATES = r"""
@@ -5845,6 +5908,8 @@ QUERIES = {
     # -- new in round 3 --
     "dedup_embedding_cosine_banded_mat": q_dedup_embedding_cosine_banded_mat,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_unigram_tokens": q_doc_unigram_tokens,
+    "unigram_seed_candidates": q_unigram_seed_candidates,
     "event_asof_join": q_event_asof_join,
     "corpus_split_assign": q_corpus_split_assign,
     "event_props_json": q_event_props_json,
@@ -6063,6 +6128,8 @@ ORACLE_SQL = {
     "fuzzy_lexicon_matches": SQL_FUZZY_MATCHES,
     "extraction_pipeline_metrics": SQL_PIPELINE_METRICS,
     "doc_bpe_tokens": SQL_BPE_TOKENS,
+    "doc_unigram_tokens": SQL_UNIGRAM_TOKENS,
+    "unigram_seed_candidates": SQL_UNIGRAM_SEED_CANDIDATES,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
