@@ -26,10 +26,23 @@ Output tables (all under the catalog, all per-snapshot):
                     resume skips retraining.
   bpe_token_counts  (doc_id, n_bpe_tokens) under the committed table.
 
-Determinism: bpe_train_merges reproduces spec/bpe.py train_merges
-bit-for-bit (tie-break max((count, pair)); pinned by tests), so the
-committed table is a pure function of the corpus — re-training under a
-new snapshot-id yields the identical table.
+With ``--family unigram`` the job trains the OTHER production
+tokenizer family instead — the unigram-LM (SentencePiece-style) hard-EM
+trainer (operators/unigramlm.unigram_train_pieces; same
+corpus-read-once / bounded-vocab-table discipline) — and commits:
+  unigram_pieces         (rank, piece, count) — integer Viterbi counts
+                         in model order (count desc, piece desc).
+  unigram_token_counts   (doc_id, n_unigram_tokens) encoded under the
+                         freshly trained table.
+The tok_meta manifest records the family plus the family's size knobs,
+so resuming a snapshot-id under a different family, --merges,
+--vocab-size or --seed-pieces fails loudly (rc 2).
+
+Determinism: both trainers reproduce their pure-Python spec twins
+bit-for-bit (spec/bpe.py train_merges, spec/unigram.py train_pieces;
+pinned by tests), so each committed table is a pure function of the
+corpus — re-training under a new snapshot-id yields the identical
+table.
 """
 
 from __future__ import annotations
@@ -46,11 +59,24 @@ def main(argv=None) -> int:
     p.add_argument("--warehouse", required=True, help="output catalog root")
     p.add_argument("--snapshot-id", required=True)
     p.add_argument("--merges", type=int, default=50,
-                   help="number of merge rounds to train (default 50)")
+                   help="number of merge rounds to train (default 50; "
+                        "bpe family only)")
+    p.add_argument("--family", choices=("bpe", "unigram"), default="bpe",
+                   help="tokenizer family to train (default bpe)")
+    p.add_argument("--vocab-size", type=int, default=400,
+                   help="target piece-vocabulary size (unigram family "
+                        "only; default 400)")
+    p.add_argument("--seed-pieces", type=int, default=2000,
+                   help="multi-char seed candidates before pruning "
+                        "(unigram family only; default 2000)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if args.merges < 1:
         p.error("--merges must be >= 1")
+    if args.vocab_size < 1:
+        p.error("--vocab-size must be >= 1")
+    if args.seed_pieces < 1:
+        p.error("--seed-pieces must be >= 1")
 
     import os
 
@@ -79,12 +105,16 @@ def main(argv=None) -> int:
     # without the recorded request)
     # corpus_fp2 (bounded modular SUM, multiplicity-sensitive) covers
     # bit_xor's blind spot: even-count duplicate rows xor to zero
+    uni = args.family == "unigram"
     rowhash = F.xxhash64("doc_id", F.coalesce("text", F.lit("")))
     manifest = docs.agg(
         F.count("*").alias("n_docs"),
         F.bit_xor(rowhash).alias("corpus_fp"),
         F.sum(F.pmod(rowhash, F.lit(1000003))).alias("corpus_fp2"),
-        F.lit(args.merges).alias("merges_requested"))
+        F.lit(args.family).alias("family"),
+        F.lit(-1 if uni else args.merges).alias("merges_requested"),
+        F.lit(args.vocab_size if uni else -1).alias("vocab_requested"),
+        F.lit(args.seed_pieces if uni else -1).alias("seed_requested"))
     # collect the requested manifest ONCE, commit it from the literal
     # row, then compare against whatever row actually won the commit —
     # a lost race against a concurrent writer with a different corpus
@@ -103,6 +133,45 @@ def main(argv=None) -> int:
         if existing is None:
             spark.stop()
         return 2
+
+    if uni:
+        from ukrainian_ocr_pipeline_spark.operators import unigramlm
+
+        if cat.is_committed("unigram_pieces", args.snapshot_id):
+            pieces = [(r["piece"], r["count"]) for r in
+                      cat.read_snapshot(spark, "unigram_pieces",
+                                        args.snapshot_id)
+                      .orderBy("rank").collect()]
+        else:
+            pieces = unigramlm.unigram_train_pieces(
+                docs, vocab_size=args.vocab_size, n_seed=args.seed_pieces)
+            cat.write_snapshot(
+                spark.createDataFrame(
+                    [(i, p, c) for i, (p, c) in enumerate(pieces)],
+                    "rank long, piece string, count long"),
+                "unigram_pieces", args.snapshot_id)
+            pieces = [(r["piece"], r["count"]) for r in
+                      cat.read_snapshot(spark, "unigram_pieces",
+                                        args.snapshot_id)
+                      .orderBy("rank").collect()]
+
+        if not cat.is_committed("unigram_token_counts", args.snapshot_id):
+            cat.write_snapshot(
+                unigramlm.unigram_token_counts(docs, pieces=pieces),
+                "unigram_token_counts", args.snapshot_id)
+        counts = cat.read_snapshot(spark, "unigram_token_counts",
+                                   args.snapshot_id)
+        agg = counts.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_unigram_tokens").alias("tokens")).collect()[0]
+        print(json.dumps({"family": "unigram",
+                          "pieces_trained": len(pieces),
+                          "docs": agg["docs"],
+                          "total_unigram_tokens": int(agg["tokens"] or 0)},
+                         sort_keys=True))
+        if existing is None:
+            spark.stop()
+        return 0
 
     if cat.is_committed("bpe_merges", args.snapshot_id):
         merges = [(r["a"], r["b"]) for r in

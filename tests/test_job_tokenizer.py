@@ -72,3 +72,60 @@ def test_tokenizer_job_train_and_count(spark, tmp_path, capsys):
                    "--merges", "10"])
     assert rc == 2
     assert "mismatch" in capsys.readouterr().err
+
+
+def test_tokenizer_job_unigram_family(spark, tmp_path, capsys):
+    """--family unigram: trained-table parity with the pure-Python
+    trainer, counts parity with the spec Viterbi encoder, idempotent
+    re-run, and the family/size mismatch guards."""
+    import tokenizer as job
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    from ukrainian_ocr_pipeline_spark.spec import unigram as U
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    wh = str(tmp_path / "wh")
+    base = ["--docs", docs_path, "--warehouse", wh,
+            "--snapshot-id", "uni1", "--family", "unigram",
+            "--vocab-size", "120", "--seed-pieces", "300"]
+    rc = job.main(base)
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["family"] == "unigram"
+    assert stats["docs"] == 500
+    assert stats["total_unigram_tokens"] > 0
+
+    cat = SnapshotCatalog(wh)
+    got = [(r["piece"], r["count"]) for r in
+           cat.read_snapshot(spark, "unigram_pieces", "uni1")
+           .orderBy("rank").collect()]
+    texts = [r["text"] for r in
+             spark.read.parquet(docs_path).collect() if r["text"]]
+    want = U.train_pieces(texts, vocab_size=120, n_seed=300)
+    assert got == want
+    assert stats["pieces_trained"] == len(want)
+
+    # counts match the spec encoder under the SAME trained table
+    logp = U.model_logprobs(dict(got))
+    counts = {r["doc_id"]: r["n_unigram_tokens"] for r in
+              cat.read_snapshot(spark, "unigram_token_counts", "uni1")
+              .collect()}
+    for r in spark.read.parquet(docs_path).limit(25).collect():
+        assert counts[r["doc_id"]] == U.count_tokens(r["text"] or "", logp)
+
+    # idempotent re-run: identical stats, one manifest per table
+    rc = job.main(base)
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2 == stats
+    for t in ("tok_meta", "unigram_pieces", "unigram_token_counts"):
+        assert len(os.listdir(os.path.join(wh, t, "snapshots"))) == 1
+
+    # resume under a different family or size knob -> rc 2
+    for bad in (["--docs", docs_path, "--warehouse", wh,
+                 "--snapshot-id", "uni1", "--merges", "10"],
+                base[:-1] + ["600"],
+                base[:-3] + ["80", "--seed-pieces", "300"]):
+        rc = job.main(bad)
+        assert rc == 2, bad
+        assert "mismatch" in capsys.readouterr().err
