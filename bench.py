@@ -72,6 +72,7 @@ HEADLINE = [
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",
     "corpus_mixture_weights", "dsir_importance_weights",
     "bpe_merge_candidates", "unigram_seed_candidates",
+    "doc_hash_embeddings",
     "embedding_kmeans", "semantic_dedup",
     "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",

@@ -787,3 +787,16 @@ def test_unigram_seed_candidates_is_jvm_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # map-side combine on the substring counts before the exchange
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_hash_embeddings_jvm_doc_keyed(spark):
+    """Feature-hashing embeddings must be pure JVM (md5 kernel, HOF
+    assembly), join-free, with map-side combine on the doc-keyed
+    aggregations — the whole vocabulary never becomes a shuffle key."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_doc_hash_embeddings,
+    )
+    plan = plan_of(q_doc_hash_embeddings(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan

@@ -906,3 +906,64 @@ def bitext_margin_pairs(emb: DataFrame, label_a: int = 0, label_b: int = 1,
             .where(F.col("margin_r") >= margin_threshold)
             .select("a_id", "b_id", F.col("cos_r").alias("cosine_r"),
                     "margin_r"))
+
+
+def hashed_text_embeddings(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           dim: int = 16) -> DataFrame:
+    """Model-free document embeddings by the feature-hashing trick
+    (Weinberger et al. 2009): every canonical token hashes to one of
+    ``dim`` buckets with a ±1 sign, and the embedding is the signed
+    term-count vector — the classic fallback when no encoder model is
+    available, and the in-engine bridge from raw text into the ANN /
+    semantic-dedup layer (banded cosine, IVF, k-means all accept the
+    ``vec`` column directly).
+
+    Returns (id, vec array<bigint>, vec_norm array<double>): the raw
+    components are INTEGER sums of signed term frequencies, so the
+    vector is engine- and partitioning-exact by construction; the
+    L2-normalized view divides those exact integers by the exact
+    sqrt of their sum of squares (both IEEE correctly-rounded ops, so
+    the doubles are bit-identical cross-engine too).
+
+    Scale shape: token explode -> (doc, term) tf partial agg ->
+    (doc, bucket) partial agg -> one per-doc map assembly.  All
+    shuffles are keyed on the doc id (never the vocabulary), the
+    bucket/sign hashes are the shared md5 kernel (dedup._h32), and the
+    dense array materializes only dim cells per document.  No Python,
+    no joins, no vocabulary table.
+    """
+    from .dedup import _h32, word_array
+
+    words = (docs
+             .select(F.col(id_col).alias("id"),
+                     F.explode(F.coalesce(word_array(text_col),
+                                          F.array())).alias("w"))
+             .groupBy("id", "w").agg(F.count("*").alias("tf")))
+    comp = (words
+            .select("id",
+                    (_h32(F.col("w"), seed="b") % dim).alias("d"),
+                    (F.when(_h32(F.col("w"), seed="s") % 2 == 0, -1)
+                     .otherwise(1) * F.col("tf")).alias("v"))
+            .groupBy("id", "d").agg(F.sum("v").alias("v")))
+    assembled = (comp
+                 .groupBy("id")
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("d", "v"))).alias("m"))
+                 .select(
+                     "id",
+                     F.transform(
+                         F.sequence(F.lit(0), F.lit(dim - 1)),
+                         lambda i: F.coalesce(
+                             F.element_at("m", i.cast("long")),
+                             F.lit(0).cast("long"))).alias("vec")))
+    norm = F.sqrt(F.aggregate(
+        "vec", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (assembled
+            .select(F.col("id").alias(id_col), "vec",
+                    F.transform(
+                        "vec",
+                        lambda x: F.when(norm == 0, F.lit(0.0))
+                        .otherwise(x.cast("double") / norm))
+                    .alias("vec_norm")))

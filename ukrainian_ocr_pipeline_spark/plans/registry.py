@@ -3444,6 +3444,56 @@ ORDER BY score DESC, piece DESC LIMIT 20
 """
 
 
+def q_doc_hash_embeddings(spark, sf_dir):
+    """Model-free feature-hashing doc embeddings (16 buckets, ±1 sign
+    — Weinberger et al. 2009) in long form: integer signed-term-count
+    components plus the L2-normalized view.  The raw components are
+    exact integers and the normalization divides them by the exact
+    sqrt of their sum of squares — both IEEE correctly-rounded ops, so
+    even the doubles hash identically cross-engine with NO rounding."""
+    from ..operators.similarity import hashed_text_embeddings
+    emb = hashed_text_embeddings(_t(spark, sf_dir, "documents"), dim=16)
+    return (emb
+            .select("doc_id",
+                    F.posexplode(F.arrays_zip("vec", "vec_norm"))
+                    .alias("d", "z"))
+            .select("doc_id", F.col("d").cast("int").alias("d"),
+                    F.col("z.vec").alias("v"),
+                    F.col("z.vec_norm").alias("v_norm")))
+
+
+SQL_HASH_EMBEDDINGS = rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest({dedup.WORD_ARRAY_SQL.format(col="text")}) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+comp AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('b:', w)), 1, 8)) AS BIGINT)
+           % 16 AS d,
+         SUM(CASE WHEN CAST(concat('0x', substr(md5(concat('s:', w)), 1, 8))
+                       AS BIGINT) % 2 = 0
+                  THEN -tf ELSE tf END) AS v
+  FROM tf GROUP BY doc_id, d),
+grid AS (
+  SELECT t.doc_id, g.d
+  FROM (SELECT DISTINCT doc_id FROM tf) t,
+       (SELECT unnest(generate_series(0, 15)) AS d) g),
+dense AS (
+  SELECT g.doc_id, g.d, coalesce(c.v, 0) AS v
+  FROM grid g LEFT JOIN comp c ON g.doc_id = c.doc_id AND g.d = c.d),
+normed AS (
+  SELECT doc_id, d, CAST(v AS BIGINT) AS v,
+         sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+              OVER (PARTITION BY doc_id)) AS nrm
+  FROM dense)
+SELECT doc_id, CAST(d AS INTEGER) AS d, v,
+       CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(v AS DOUBLE) / nrm END AS v_norm
+FROM normed
+"""
+
+
 SQL_BPE_MERGE_CANDIDATES = r"""
 WITH pretoks AS (
   SELECT unnest(coalesce(regexp_extract_all(text,
@@ -5910,6 +5960,7 @@ QUERIES = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_unigram_tokens": q_doc_unigram_tokens,
     "unigram_seed_candidates": q_unigram_seed_candidates,
+    "doc_hash_embeddings": q_doc_hash_embeddings,
     "event_asof_join": q_event_asof_join,
     "corpus_split_assign": q_corpus_split_assign,
     "event_props_json": q_event_props_json,
@@ -6130,6 +6181,7 @@ ORACLE_SQL = {
     "doc_bpe_tokens": SQL_BPE_TOKENS,
     "doc_unigram_tokens": SQL_UNIGRAM_TOKENS,
     "unigram_seed_candidates": SQL_UNIGRAM_SEED_CANDIDATES,
+    "doc_hash_embeddings": SQL_HASH_EMBEDDINGS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
