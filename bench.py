@@ -74,7 +74,8 @@ HEADLINE = [
     "bpe_merge_candidates", "unigram_seed_candidates",
     "doc_hash_embeddings",
     "embedding_kmeans", "semantic_dedup",
-    "hll_distinct_parts", "heavy_hitter_terms", "doc_chunk_windows",
+    "hll_distinct_parts", "heavy_hitter_terms",
+    "orders_price_quantile_sketch", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",
     "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",
     "dup_passage_excise", "dedup_cluster_best_keeper",

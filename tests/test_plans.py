@@ -800,3 +800,19 @@ def test_hash_embeddings_jvm_doc_keyed(spark):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_hist_quantiles_two_scans_broadcast_minmax(spark):
+    """The quantile sketch must read the table exactly twice (min/max
+    probe + bin pass), broadcast the 1-row min/max (never shuffle the
+    values against it), and stay JVM-only; the only window runs over
+    the bins-x-groups table, never the raw values."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_orders_price_quantile_sketch,
+    )
+    plan = plan_of(q_orders_price_quantile_sketch(
+        spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Scan parquet") == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan

@@ -381,3 +381,53 @@ def test_badword_list_validation():
         with pytest.raises(ValueError):
             textstats.badword_filter_sql("documents", bad)
     assert textstats._validated_badwords(["B", "a", "b"]) == ["a", "b"]
+
+
+def test_hist_quantiles_within_bin_width(spark):
+    """The sketch estimate must land within one bin width of the exact
+    nearest-rank quantile on a skewed distribution."""
+    import math
+    rows = [(i, "g", float(i * i)) for i in range(1, 401)]  # quadratic skew
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    from ukrainian_ocr_pipeline_spark.operators.sketches import hist_quantiles
+    got = {r["q"]: r["est"] for r in
+           hist_quantiles(df, "v", "grp", n_bins=64,
+                          qs=(0.5, 0.9, 0.99)).collect()}
+    lo, hi = 1.0, 400.0 * 400.0
+    width = (hi - lo) / 64
+    vals = sorted(v for _, _, v in rows)
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(got[q] - exact) <= width, (q, got[q], exact)
+
+
+def test_hist_quantiles_constant_group(spark):
+    """All-equal values (width 0) estimate the constant for every q."""
+    df = spark.createDataFrame([(i, "g", 7.0) for i in range(10)],
+                               "id long, grp string, v double")
+    from ukrainian_ocr_pipeline_spark.operators.sketches import hist_quantiles
+    rows = hist_quantiles(df, "v", "grp", qs=(0.25, 0.99)).collect()
+    assert [r["est"] for r in rows] == [7.0, 7.0]
+
+
+def test_hist_quantiles_partitioning_invariant(spark):
+    """Bin counts are integer partial aggs — the estimate must be
+    bit-identical under any input partitioning (the mergeability
+    property the sketch exists for)."""
+    rows = [(i, f"g{i % 3}", float((i * 37) % 1000)) for i in range(600)]
+    df1 = spark.createDataFrame(rows, "id long, grp string, v double")
+    from ukrainian_ocr_pipeline_spark.operators.sketches import hist_quantiles
+    a = hist_quantiles(df1.coalesce(1), "v", "grp").collect()
+    b = hist_quantiles(df1.repartition(16, "id"), "v", "grp").collect()
+    assert [(r["grp"], r["q"], r["est"]) for r in a] \
+        == [(r["grp"], r["q"], r["est"]) for r in b]
+
+
+def test_hist_quantiles_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", None), (3, "g", 15.0)],
+        "id long, grp string, v double")
+    from ukrainian_ocr_pipeline_spark.operators.sketches import hist_quantiles
+    rows = hist_quantiles(df, "v", "grp", n_bins=4, qs=(0.5,)).collect()
+    # 2 non-null values; rank ceil(0.5*2)=1 -> first value's bin
+    assert len(rows) == 1 and 5.0 <= rows[0]["est"] <= 10.0

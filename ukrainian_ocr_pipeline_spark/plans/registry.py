@@ -3444,6 +3444,34 @@ ORDER BY score DESC, piece DESC LIMIT 20
 """
 
 
+def q_orders_price_quantile_sketch(spark, sf_dir):
+    """Histogram quantile SKETCH over the exact-percentile query's own
+    domain (order value in cents per priority): the mergeable
+    two-pass fixed-grid estimate that replaces the full per-group sort
+    at 100 TB — run it next to orders_price_percentiles to read the
+    bin-width error directly."""
+    from ..operators.sketches import hist_quantiles
+    o = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return hist_quantiles(
+        o.select("o_orderpriority", cents.alias("cents")),
+        value_col="cents", group_col="o_orderpriority", n_bins=64,
+        qs=(0.5, 0.9, 0.99))
+
+
+def _sql_quantile_sketch():
+    from ..operators.sketches import hist_quantiles_sql
+    return hist_quantiles_sql(
+        "(SELECT o_orderpriority, "
+        "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders)",
+        value_sql="cents", group_sql="o_orderpriority", n_bins=64,
+        qs=(0.5, 0.9, 0.99), out_group="o_orderpriority")
+
+
+SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
+
+
 def q_doc_hash_embeddings(spark, sf_dir):
     """Model-free feature-hashing doc embeddings (16 buckets, ±1 sign
     — Weinberger et al. 2009) in long form: integer signed-term-count
@@ -5961,6 +5989,7 @@ QUERIES = {
     "doc_unigram_tokens": q_doc_unigram_tokens,
     "unigram_seed_candidates": q_unigram_seed_candidates,
     "doc_hash_embeddings": q_doc_hash_embeddings,
+    "orders_price_quantile_sketch": q_orders_price_quantile_sketch,
     "event_asof_join": q_event_asof_join,
     "corpus_split_assign": q_corpus_split_assign,
     "event_props_json": q_event_props_json,
@@ -6182,6 +6211,7 @@ ORACLE_SQL = {
     "doc_unigram_tokens": SQL_UNIGRAM_TOKENS,
     "unigram_seed_candidates": SQL_UNIGRAM_SEED_CANDIDATES,
     "doc_hash_embeddings": SQL_HASH_EMBEDDINGS,
+    "orders_price_quantile_sketch": SQL_QUANTILE_SKETCH,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
