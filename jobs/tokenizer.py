@@ -12,8 +12,9 @@ the tokenizer-then-count step of a training-data pipeline, as one
 idempotent deployable job.
 
 Output tables (all under the catalog, all per-snapshot):
-  tok_meta          (n_docs, corpus_fp, corpus_fp2, merges_requested) —
-                    committed FIRST; a resume under the same
+  tok_meta          (n_docs, corpus_fp, corpus_fp2, family,
+                    merges_requested, vocab_requested, seed_requested)
+                    — committed FIRST; a resume under the same
                     snapshot-id against a different corpus
                     (fingerprinted over (doc_id, text) — xor plus a
                     multiplicity-sensitive modular sum, so even
@@ -53,7 +54,8 @@ import sys
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description="BPE tokenizer training job")
+    p = argparse.ArgumentParser(
+        description="tokenizer training job (BPE or unigram-LM family)")
     p.add_argument("--docs", required=True,
                    help="documents parquet path (doc_id, text, ...)")
     p.add_argument("--warehouse", required=True, help="output catalog root")
@@ -125,9 +127,19 @@ def main(argv=None) -> int:
                            "tok_meta", args.snapshot_id)
     meta = cat.read_snapshot(spark, "tok_meta",
                              args.snapshot_id).collect()[0].asDict()
+    if "family" not in meta:
+        # pre-family manifest (bpe-only job versions recorded 4 keys):
+        # a bpe resume with matching corpus + --merges must still work,
+        # so compare on the legacy key set and treat the snapshot as
+        # family=bpe — anything else is a real mismatch
+        meta = {**meta, "family": "bpe",
+                "vocab_requested": -1, "seed_requested": -1}
     if got != meta:
-        print(json.dumps({"error": "corpus or merges mismatch with "
-                          "committed snapshot", "committed": meta,
+        print(json.dumps({"error": "corpus or tokenizer-parameter "
+                          "mismatch with committed snapshot (corpus "
+                          "fingerprint / family / --merges / "
+                          "--vocab-size / --seed-pieces)",
+                          "committed": meta,
                           "requested": got}, sort_keys=True),
               file=sys.stderr)
         if existing is None:

@@ -129,3 +129,41 @@ def test_tokenizer_job_unigram_family(spark, tmp_path, capsys):
         rc = job.main(bad)
         assert rc == 2, bad
         assert "mismatch" in capsys.readouterr().err
+
+
+def test_tokenizer_job_legacy_manifest_resume(spark, tmp_path, capsys):
+    """A tok_meta committed by the pre-family job version (4 columns,
+    bpe-only) must still resume under identical corpus + --merges, and
+    still mismatch loudly under different parameters."""
+    import tokenizer as job
+
+    from pyspark.sql import functions as F
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(wh)
+    docs = spark.read.parquet(docs_path)
+    rowhash = F.xxhash64("doc_id", F.coalesce("text", F.lit("")))
+    legacy = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.bit_xor(rowhash).alias("corpus_fp"),
+        F.sum(F.pmod(rowhash, F.lit(1000003))).alias("corpus_fp2"),
+        F.lit(10).alias("merges_requested"))
+    cat.write_snapshot(legacy, "tok_meta", "old1")
+
+    rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                   "--snapshot-id", "old1", "--merges", "10"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["merges_trained"] == 10
+    # the legacy manifest is still the only one committed
+    assert len(os.listdir(os.path.join(wh, "tok_meta", "snapshots"))) == 1
+
+    # but a different family or merge count against it still fails
+    for bad in (["--merges", "20"], ["--family", "unigram"]):
+        rc = job.main(["--docs", docs_path, "--warehouse", wh,
+                       "--snapshot-id", "old1"] + bad)
+        assert rc == 2, bad
+        assert "mismatch" in capsys.readouterr().err

@@ -816,3 +816,21 @@ def test_hist_quantiles_two_scans_broadcast_minmax(spark):
     assert nodes(plan, "Scan parquet") == 2, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_hash_embeddings_tokenless_docs_get_zero_vectors(spark):
+    """NULL and whitespace-only text must yield the ZERO vector, not a
+    silently missing row — downstream ANN joins may never lose docs."""
+    from ukrainian_ocr_pipeline_spark.operators.similarity import (
+        hashed_text_embeddings,
+    )
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, None), (3, "   ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            hashed_text_embeddings(docs, dim=8).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (2, 3):
+        assert rows[d]["vec"] == [0] * 8
+        assert rows[d]["vec_norm"] == [0.0] * 8
+    assert any(v != 0 for v in rows[1]["vec"])

@@ -431,3 +431,14 @@ def test_hist_quantiles_nulls_excluded(spark):
     rows = hist_quantiles(df, "v", "grp", n_bins=4, qs=(0.5,)).collect()
     # 2 non-null values; rank ceil(0.5*2)=1 -> first value's bin
     assert len(rows) == 1 and 5.0 <= rows[0]["est"] <= 10.0
+
+
+def test_hist_quantiles_rejects_bad_qs(spark):
+    import pytest
+    from ukrainian_ocr_pipeline_spark.operators import sketches
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, grp string, v double")
+    for bad in ((0.0, 0.5), (0.5, 1.5), (-0.1,), ()):
+        with pytest.raises(ValueError):
+            sketches.hist_quantiles(df, "v", "grp", qs=bad)
+        with pytest.raises(ValueError):
+            sketches.hist_quantiles_sql("t", "v", "g", qs=bad)

@@ -919,12 +919,16 @@ def hashed_text_embeddings(docs: DataFrame, text_col: str = "text",
     semantic-dedup layer (banded cosine, IVF, k-means all accept the
     ``vec`` column directly).
 
-    Returns (id, vec array<bigint>, vec_norm array<double>): the raw
-    components are INTEGER sums of signed term frequencies, so the
-    vector is engine- and partitioning-exact by construction; the
-    L2-normalized view divides those exact integers by the exact
-    sqrt of their sum of squares (both IEEE correctly-rounded ops, so
-    the doubles are bit-identical cross-engine too).
+    Returns (id, vec array<bigint>, vec_norm array<double>) — one row
+    PER INPUT DOCUMENT: a doc with NULL or whitespace-only text gets
+    the zero vector (norm 0 → zero normalized view), never a silently
+    missing row, so downstream ANN / semantic-dedup joins cannot lose
+    failed-extraction docs.  The raw components are INTEGER sums of
+    signed term frequencies, so the vector is engine- and
+    partitioning-exact by construction; the L2-normalized view divides
+    those exact integers by the exact sqrt of their sum of squares
+    (both IEEE correctly-rounded ops, so the doubles are bit-identical
+    cross-engine too).
 
     Scale shape: token explode -> (doc, term) tf partial agg ->
     (doc, bucket) partial agg -> one per-doc map assembly.  All
@@ -935,16 +939,20 @@ def hashed_text_embeddings(docs: DataFrame, text_col: str = "text",
     """
     from .dedup import _h32, word_array
 
+    # explode_outer keeps token-less docs alive as one NULL-word row,
+    # folded below into a (d=0, v=0) cell — the zero vector emerges
+    # from the same aggregation path, no join needed
     words = (docs
              .select(F.col(id_col).alias("id"),
-                     F.explode(F.coalesce(word_array(text_col),
-                                          F.array())).alias("w"))
+                     F.explode_outer(word_array(text_col)).alias("w"))
              .groupBy("id", "w").agg(F.count("*").alias("tf")))
     comp = (words
             .select("id",
-                    (_h32(F.col("w"), seed="b") % dim).alias("d"),
-                    (F.when(_h32(F.col("w"), seed="s") % 2 == 0, -1)
-                     .otherwise(1) * F.col("tf")).alias("v"))
+                    F.coalesce(_h32(F.col("w"), seed="b") % dim,
+                               F.lit(0)).alias("d"),
+                    F.when(F.col("w").isNull(), F.lit(0)).otherwise(
+                        F.when(_h32(F.col("w"), seed="s") % 2 == 0, -1)
+                        .otherwise(1) * F.col("tf")).alias("v"))
             .groupBy("id", "d").agg(F.sum("v").alias("v")))
     assembled = (comp
                  .groupBy("id")

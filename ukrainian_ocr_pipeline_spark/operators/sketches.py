@@ -443,6 +443,7 @@ def hist_quantiles(df: DataFrame, value_col: str, group_col: str,
     """
     from pyspark.sql import Window
 
+    _validate_qs(qs)
     v = F.col(value_col).cast("double")
     mm = (df.where(v.isNotNull())
           .agg(F.min(v).alias("lo"), F.max(v).alias("hi")))
@@ -477,6 +478,18 @@ def hist_quantiles(df: DataFrame, value_col: str, group_col: str,
             .orderBy(group_col, "q"))
 
 
+def _validate_qs(qs) -> None:
+    """Loud failure on out-of-range quantiles: a q outside (0, 1]
+    would otherwise match NO bin (ceil(q*n) ranks past either end) and
+    silently vanish from the output — a typo'd 1.5 or 0.0 must raise,
+    not drop rows."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(f"quantile out of range (0, 1]: {q}")
+
+
 def hist_quantiles_sql(table: str, value_sql: str, group_sql: str,
                        n_bins: int = 64,
                        qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
@@ -484,7 +497,11 @@ def hist_quantiles_sql(table: str, value_sql: str, group_sql: str,
     """DuckDB twin of hist_quantiles — the same two passes and the
     same interpolation expression tree, rendered once so Spark and the
     oracle can never drift."""
-    qvals = ", ".join(repr(float(q)) for q in qs)
+    _validate_qs(qs)
+    # CAST each q: a bare 0.9 literal parses as DECIMAL(3,2) in DuckDB,
+    # which would type the q output column (and the ceil(q*total)
+    # target arithmetic) differently from Spark's IEEE double
+    qvals = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
     return f"""
 WITH vals AS (
   SELECT CAST({value_sql} AS DOUBLE) AS v, {group_sql} AS grp

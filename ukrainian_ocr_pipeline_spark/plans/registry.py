@@ -3505,8 +3505,10 @@ comp AS (
                   THEN -tf ELSE tf END) AS v
   FROM tf GROUP BY doc_id, d),
 grid AS (
+  -- every INPUT document gets a row (token-less docs -> zero vector),
+  -- mirroring the Spark side's explode_outer keep-alive
   SELECT t.doc_id, g.d
-  FROM (SELECT DISTINCT doc_id FROM tf) t,
+  FROM (SELECT DISTINCT doc_id FROM documents) t,
        (SELECT unnest(generate_series(0, 15)) AS d) g),
 dense AS (
   SELECT g.doc_id, g.d, coalesce(c.v, 0) AS v
