@@ -72,7 +72,7 @@ HEADLINE = [
     "lang_temperature_sample", "doc_classifier_score", "doc_sequence_pack",
     "corpus_mixture_weights", "dsir_importance_weights",
     "bpe_merge_candidates", "unigram_seed_candidates",
-    "doc_hash_embeddings",
+    "doc_hash_embeddings", "hash_embedding_topk",
     "embedding_kmeans", "semantic_dedup",
     "hll_distinct_parts", "heavy_hitter_terms",
     "orders_price_quantile_sketch", "doc_chunk_windows",

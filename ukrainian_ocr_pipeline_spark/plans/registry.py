@@ -3472,6 +3472,59 @@ def _sql_quantile_sketch():
 SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
 
 
+def q_hash_embedding_topk(spark, sf_dir):
+    """Text -> ANN with no model anywhere: exact cosine top-5 for three
+    query docs over the feature-hashing embeddings — the composition
+    that makes hashed_text_embeddings useful (any text corpus becomes
+    ANN-searchable in-engine).  Dot products and norms are sums of
+    INTEGER component products, exact in both engines under any
+    partitioning/join order, so ranks never wobble; zero vectors
+    (token-less docs) are excluded on both sides rather than producing
+    NULL cosines whose sort position differs across engines."""
+    from ..operators.similarity import (
+        brute_force_topk,
+        hashed_text_embeddings,
+    )
+    emb = hashed_text_embeddings(_t(spark, sf_dir, "documents"), dim=16)
+    nz = emb.where(
+        F.aggregate("vec", F.lit(0).cast("long"),
+                    lambda a, x: a + x * x) > 0)
+    return brute_force_topk(nz, query_ids=[0, 1, 2], k=5,
+                            id_col="doc_id", vec_col="vec")
+
+
+def _sql_hash_topk() -> str:
+    return f"""
+WITH emb AS ({SQL_HASH_EMBEDDINGS}),
+norms AS (SELECT doc_id, SUM(v * v) AS nn FROM emb GROUP BY doc_id),
+nz AS (SELECT doc_id FROM norms WHERE nn > 0),
+q AS (
+  SELECT e.doc_id AS query_id, e.d, e.v
+  FROM emb e JOIN nz USING (doc_id)
+  WHERE e.doc_id IN (0, 1, 2)),
+dots AS (
+  SELECT q.query_id, e.doc_id AS neighbor_id, SUM(q.v * e.v) AS dot
+  FROM q
+  JOIN emb e ON q.d = e.d
+  JOIN nz ON e.doc_id = nz.doc_id
+  WHERE e.doc_id <> q.query_id
+  GROUP BY q.query_id, e.doc_id),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / sqrt(CAST(nq.nn AS DOUBLE) * nb.nn), 6) AS cosine_r
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.doc_id
+  JOIN norms nb ON d.neighbor_id = nb.doc_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_r,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_r DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_r
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_doc_hash_embeddings(spark, sf_dir):
     """Model-free feature-hashing doc embeddings (16 buckets, ±1 sign
     — Weinberger et al. 2009) in long form: integer signed-term-count
@@ -3522,6 +3575,8 @@ SELECT doc_id, CAST(d AS INTEGER) AS d, v,
        CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(v AS DOUBLE) / nrm END AS v_norm
 FROM normed
 """
+
+SQL_HASH_TOPK = _sql_hash_topk()
 
 
 SQL_BPE_MERGE_CANDIDATES = r"""
@@ -6146,6 +6201,7 @@ QUERIES = {
     "length_drift_psi": q_length_drift_psi,
     "split_leakage_check": q_split_leakage_check,
     "packing_efficiency": q_packing_efficiency,
+    "hash_embedding_topk": q_hash_embedding_topk,
     # hash-green in CORRECTNESS_r02 — rotated behind the driver's
     # 50-entry window so never-witnessed round-3 queries
     # (quality_classifier_auc, embedding_pca) get hard-gate rows
@@ -6217,6 +6273,7 @@ ORACLE_SQL = {
     "unigram_seed_candidates": SQL_UNIGRAM_SEED_CANDIDATES,
     "doc_hash_embeddings": SQL_HASH_EMBEDDINGS,
     "orders_price_quantile_sketch": SQL_QUANTILE_SKETCH,
+    "hash_embedding_topk": SQL_HASH_TOPK,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
