@@ -64,7 +64,8 @@ HEADLINE = [
     "dedup_lsh_candidates", "contamination_check", "dedup_embedding_cosine",
     "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
     "dedup_near_dup_verified", "dedup_cluster_assign",
-    "dedup_incremental", "cross_doc_shingle_dup", "graph_pagerank",
+    "dedup_incremental", "cross_doc_shingle_dup",
+    "doc_winnow_fingerprints", "winnow_dup_candidates", "graph_pagerank",
     "doc_unigram_logprob", "doc_bigram_domain_logprob", "doc_vocab_oov",
     "doc_badword_filter",
     "url_canonical_dedup", "pii_redaction", "doc_repetition_signals",

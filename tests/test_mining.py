@@ -104,3 +104,71 @@ def test_length_drift_psi_self_is_zero_and_orders_drift(spark):
            for r in textstats.length_drift_psi(docs).collect()}
     assert got["en"] == 0.0
     assert 0 < got["fr"] < got["de"]
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003): the coverage
+    guarantee, the rightmost-tie rule, and density."""
+
+    def test_shared_run_guarantee(self, spark):
+        """Any shared run of >= w+k-1 (= 6) words must share at least
+        one fingerprint — the paper's correctness property, exercised
+        with the shared passage at different positions in each doc."""
+        from ukrainian_ocr_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        shared = "alpha beta gamma delta epsilon zeta"      # 6 words
+        docs = spark.createDataFrame(
+            [(1, f"one two three {shared} four five six"),
+             (2, f"{shared} totally different tail words here"),
+             (3, "no overlap at all with anything present")],
+            "doc_id long, text string")
+        fps = winnow_fingerprints(docs, k=3, w=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2], "shared 6-word run must collide"
+        assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+
+    def test_rightmost_tie_and_density(self, spark):
+        """Repeating the same word makes every gram hash equal: all
+        windows pick the SAME minimum, and the rightmost-tie rule makes
+        each window pick its own rightmost position — fingerprints are
+        (one hash, every window-end position), exactly n_windows picks
+        before dedup and n_windows rows after (positions differ)."""
+        from ukrainian_ocr_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        docs = spark.createDataFrame([(1, " ".join(["word"] * 10))],
+                                     "doc_id long, text string")
+        rows = winnow_fingerprints(docs, k=3, w=4).collect()
+        # 8 grams -> 5 windows; rightmost tie -> positions 4..8
+        assert sorted(r["pos"] for r in rows) == [4, 5, 6, 7, 8]
+        assert len({r["fp"] for r in rows}) == 1
+
+    def test_short_null_and_empty_docs(self, spark):
+        from ukrainian_ocr_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        docs = spark.createDataFrame(
+            [(1, "two words"), (2, None), (3, "   ")],
+            "doc_id long, text string")
+        rows = winnow_fingerprints(docs, k=3, w=4).collect()
+        assert [(r["doc_id"], r["pos"]) for r in rows] == [(1, 1)]
+
+    def test_dup_candidates_furniture_cap(self, spark):
+        """A fingerprint shared by every doc (boilerplate) must be
+        excluded by the df cap, leaving only the genuine pair."""
+        from ukrainian_ocr_pipeline_spark.operators.dedup import (
+            winnow_dup_candidates,
+        )
+        boiler = "subscribe to our newsletter for updates today"
+        pair = "the unique shared passage appears here twice verbatim"
+        docs = spark.createDataFrame(
+            [(i, f"{boiler} filler{i} padding{i} more{i}")
+             for i in range(1, 7)]
+            + [(10, f"{pair} left tail one"), (11, f"{pair} right tail two")],
+            "doc_id long, text string")
+        got = winnow_dup_candidates(docs, k=3, w=4, min_shared=1,
+                                    max_df=3).collect()
+        assert [(r["a"], r["b"]) for r in got] == [(10, 11)]

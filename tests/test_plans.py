@@ -834,3 +834,27 @@ def test_hash_embeddings_tokenless_docs_get_zero_vectors(spark):
         assert rows[d]["vec"] == [0] * 8
         assert rows[d]["vec_norm"] == [0.0] * 8
     assert any(v != 0 for v in rows[1]["vec"])
+
+
+def test_winnow_fingerprints_is_shuffle_free_scan_speed(spark):
+    """Winnowing selection is entirely in-row (staged HOF projections);
+    the fingerprint table must emerge with NO exchange and no Python."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_doc_winnow_fingerprints,
+    )
+    plan = plan_of(q_doc_winnow_fingerprints(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert nodes(plan, "Exchange") == 0, plan
+
+
+def test_winnow_dup_candidates_equi_join_no_bnlj(spark):
+    """Candidate generation must be an equi-join on the fingerprint
+    value with the df cap applied before the self-join — never a
+    nested-loop or cartesian shape."""
+    from ukrainian_ocr_pipeline_spark.plans.registry import (
+        q_winnow_dup_candidates,
+    )
+    plan = plan_of(q_winnow_dup_candidates(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1009,3 +1009,102 @@ def split_leakage_check(docs: DataFrame, text_col: str = "text",
                             F.col("split").alias("split_b")), "doc_b")
             .where(F.col("split_a") != F.col("split_b"))
             .select("doc_a", "doc_b", "jaccard_r", "split_a", "split_b"))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every ``k``-word shingle, slide a
+    window of ``w`` consecutive gram hashes, keep the minimum of each
+    window (RIGHTMOST occurrence on ties, the paper's rule), dedup the
+    selected (position, hash) pairs.  The guarantee: any shared run of
+    at least w+k-1 words between two documents shares at least one
+    fingerprint — position-robust partial-overlap detection with a
+    fingerprint density of ~2/(w+1) instead of every gram.
+
+    Returns (doc_id, pos, fp): 1-based word position of the selected
+    gram and its 28-bit md5 gram hash (_h28 — the shared minhash
+    kernel, engine-portable).
+
+    Scale shape: everything up to the final explode is IN-ROW — token
+    split, gram hashing, window minima and the rightmost-tie argmin are
+    HOF transforms over bounded arrays (the argmin is min + position-in
+    -reversed-window, the same two primitives both engines have, NOT a
+    per-window reduce), then one array_distinct before the explode, so
+    the emitted rows are the ~2n/(w+1) fingerprints, never the n·w
+    window slices.  No shuffle at all; downstream candidate joins
+    shuffle only fingerprint-sized rows.  Docs with fewer than k words
+    contribute one whole-text gram (the shingle convention shared with
+    minhash_signatures); empty/NULL docs contribute nothing.
+    """
+    # STAGED projections, not one expression tree: Catalyst does no
+    # common-subexpression elimination inside HOF lambdas, so an
+    # all-in-one formulation re-derives the md5 gram-hash array for
+    # every slice reference of every window (measured 1700x slower).
+    # Each stage references the previous alias once (CollapseProject
+    # inlines it to a single evaluation), and the per-window slice is
+    # bound to a LAMBDA VARIABLE — lambda vars are bound values, so the
+    # min / reverse / position reads inside the pick are array reads,
+    # never recomputation.
+    words = word_array(text_col)
+    grams = (docs
+             .where(F.col(text_col).isNotNull()
+                    & (F.length(F.trim(text_col)) > 0))
+             .select("doc_id", words.alias("wds"))
+             .select("doc_id", F.when(
+                 F.size("wds") < k,
+                 F.array(F.array_join("wds", " "))).otherwise(
+                 F.transform(
+                     F.sequence(F.lit(1), F.size("wds") - (k - 1)),
+                     lambda i: F.array_join(F.slice("wds", i, k), " ")))
+                 .alias("g")))
+    hashed = grams.select(
+        "doc_id", F.transform("g", lambda g: _h28(g)).alias("h"))
+    wins = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.lit(1), F.size("h") - (w - 1))),
+            lambda j: F.slice("h", j, w)).alias("ws"))
+    # per window (0-based index i): m = min, rightmost pos of m via the
+    # reversed slice's first occurrence — argmin with no reduce
+    picks = F.transform(
+        "ws",
+        lambda ws, i: F.struct(
+            (i + 1 + F.size(ws)
+             - F.array_position(F.reverse(ws), F.array_min(ws)))
+            .alias("pos"),
+            F.array_min(ws).alias("fp")))
+    return (wins
+            .select("doc_id",
+                    F.explode(F.array_distinct(picks)).alias("p"))
+            .select("doc_id", F.col("p.pos").alias("pos"),
+                    F.col("p.fp").alias("fp")))
+
+
+def winnow_dup_candidates(docs: DataFrame, text_col: str = "text",
+                          k: int = 3, w: int = 4,
+                          min_shared: int = 2,
+                          max_df: int = 50) -> DataFrame:
+    """Cross-document near-dup candidates by shared winnowing
+    fingerprints: pairs (a, b) sharing >= ``min_shared`` distinct
+    fingerprint hashes.  The candidate join is an equi-join on the
+    fingerprint value (the LSH-candidates shape — never all-pairs);
+    fingerprints shared by more than ``max_df`` docs are corpus
+    furniture (boilerplate phrases) and are dropped BEFORE the
+    self-join, which is what bounds the per-key fanout the way banding
+    bounds it for minhash."""
+    fps = (winnow_fingerprints(docs, text_col, k, w)
+           .select("doc_id", "fp").distinct())
+    df_cap = (fps.groupBy("fp")
+              .agg(F.count("*").alias("nd"))
+              .where((F.col("nd") >= 2) & (F.col("nd") <= max_df)))
+    eligible = fps.join(df_cap.select("fp"), "fp")
+    a = eligible.select(F.col("doc_id").alias("a"), "fp")
+    b = eligible.select(F.col("doc_id").alias("b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .orderBy("a", "b"))

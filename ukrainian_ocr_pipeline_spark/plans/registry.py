@@ -3472,6 +3472,70 @@ def _sql_quantile_sketch():
 SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
 
 
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): window
+    minima over 3-word-gram hashes, rightmost-tie rule — any shared
+    run of >= w+k-1 words between two docs is guaranteed to share a
+    fingerprint, at ~2/(w+1) the density of full shingling."""
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                                     k=3, w=4)
+
+
+SQL_WINNOW = rf"""
+WITH words AS (
+  SELECT doc_id, {dedup.WORD_ARRAY_SQL.format(col="text")} AS w
+  FROM documents
+  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS g
+  FROM words),
+hashed AS (
+  SELECT doc_id,
+         list_transform(g, x ->
+           CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) AS h
+  FROM grams),
+wins AS (
+  SELECT doc_id, h, unnest(generate_series(1, greatest(1, len(h) - 3))) AS j
+  FROM hashed),
+picked AS (
+  SELECT doc_id,
+         j + len(h[j:j+3])
+           - list_position(list_reverse(h[j:j+3]),
+                           list_aggregate(h[j:j+3], 'min')) AS pos,
+         list_aggregate(h[j:j+3], 'min') AS fp
+  FROM wins)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+FROM picked
+"""
+
+
+def q_winnow_dup_candidates(spark, sf_dir):
+    """Cross-doc near-dup candidates by shared winnowing fingerprints:
+    equi-join on the fingerprint value (the LSH-candidates shape), hot
+    corpus-furniture fingerprints (df > 50) dropped before the
+    self-join bounds the per-key fanout."""
+    return dedup.winnow_dup_candidates(_t(spark, sf_dir, "documents"),
+                                       k=3, w=4, min_shared=2, max_df=50)
+
+
+SQL_WINNOW_DUP = f"""
+WITH fp_rows AS ({SQL_WINNOW}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fp_rows),
+cap AS (SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+elig AS (SELECT f.doc_id, f.fp FROM fps f JOIN cap USING (fp))
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM elig a JOIN elig b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_hash_embedding_topk(spark, sf_dir):
     """Text -> ANN with no model anywhere: exact cosine top-5 for three
     query docs over the feature-hashing embeddings — the composition
@@ -6202,6 +6266,8 @@ QUERIES = {
     "split_leakage_check": q_split_leakage_check,
     "packing_efficiency": q_packing_efficiency,
     "hash_embedding_topk": q_hash_embedding_topk,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "winnow_dup_candidates": q_winnow_dup_candidates,
     # hash-green in CORRECTNESS_r02 — rotated behind the driver's
     # 50-entry window so never-witnessed round-3 queries
     # (quality_classifier_auc, embedding_pca) get hard-gate rows
@@ -6274,6 +6340,8 @@ ORACLE_SQL = {
     "doc_hash_embeddings": SQL_HASH_EMBEDDINGS,
     "orders_price_quantile_sketch": SQL_QUANTILE_SKETCH,
     "hash_embedding_topk": SQL_HASH_TOPK,
+    "doc_winnow_fingerprints": SQL_WINNOW,
+    "winnow_dup_candidates": SQL_WINNOW_DUP,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
