@@ -965,13 +965,20 @@ def hashed_text_embeddings(docs: DataFrame, text_col: str = "text",
                          lambda i: F.coalesce(
                              F.element_at("m", i.cast("long")),
                              F.lit(0).cast("long"))).alias("vec")))
-    norm = F.sqrt(F.aggregate(
-        "vec", F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return (assembled
+    # stage the norm as its own column: referenced inside the transform
+    # lambda it would be INLINED and re-evaluated per element (and per
+    # when-branch) — Catalyst does no CSE inside HOF lambdas (the
+    # winnow_fingerprints lesson, at small scale here)
+    normed = assembled.select(
+        "id", "vec",
+        F.sqrt(F.aggregate(
+            "vec", F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        .alias("nrm"))
+    return (normed
             .select(F.col("id").alias(id_col), "vec",
                     F.transform(
                         "vec",
-                        lambda x: F.when(norm == 0, F.lit(0.0))
-                        .otherwise(x.cast("double") / norm))
+                        lambda x: F.when(F.col("nrm") == 0, F.lit(0.0))
+                        .otherwise(x.cast("double") / F.col("nrm")))
                     .alias("vec_norm")))
