@@ -78,6 +78,7 @@ HEADLINE = [
     "hll_distinct_parts", "heavy_hitter_terms",
     "orders_price_quantile_sketch", "doc_chunk_windows",
     "inverted_text_index", "term_pmi_pairs", "bm25_search",
+    "hybrid_search_rrf",
     "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",
     "dup_passage_excise", "dedup_cluster_best_keeper",
     "url_host_blocklist", "host_diversity_stats",

@@ -172,3 +172,38 @@ class TestWinnowing:
         got = winnow_dup_candidates(docs, k=3, w=4, min_shared=1,
                                     max_df=3).collect()
         assert [(r["a"], r["b"]) for r in got] == [(10, 11)]
+
+
+class TestHybridRRF:
+    def test_fusion_prefers_two_channel_docs(self, spark):
+        """A doc ranked #1 in both channels must outscore a doc ranked
+        #1 in only one; missing-channel ranks surface as NULL."""
+        from ukrainian_ocr_pipeline_spark.operators.textindex import (
+            hybrid_search_rrf,
+        )
+        docs = spark.createDataFrame(
+            [(1, "spark merge vector " * 5),          # both channels
+             (2, "spark spark spark merge merge unrelated filler"),
+             (3, "totally disjoint content words only")],
+            "doc_id long, text string")
+        rows = hybrid_search_rrf(docs, ("spark", "merge", "vector"),
+                                 k=5).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert rows[0]["doc_id"] == 1
+        assert by_id[1]["rrf_r"] > by_id[2]["rrf_r"]
+        assert by_id[1]["lex_rank"] is not None
+        assert by_id[1]["sem_rank"] is not None
+        # doc 3 shares no query term: lexical NULL; it still has an
+        # embedding, so it may carry a (low) semantic rank
+        assert by_id[3]["lex_rank"] is None
+
+    def test_zero_signal_query_rejected(self, spark):
+        import pytest
+        from ukrainian_ocr_pipeline_spark.operators import textindex
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        # two terms hashing to the same bucket with opposite signs is
+        # corpus-dependent; the trivially-zero case is the empty query
+        with pytest.raises(ValueError):
+            textindex.hybrid_search_rrf(docs, (), k=5)
+        with pytest.raises(ValueError):
+            textindex.hybrid_rrf_sql("documents", "SELECT 1", ())

@@ -27,7 +27,7 @@ Scale shape (1000 executors, 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import word_array
 
@@ -282,3 +282,146 @@ def corpus_stats_table(doclens: DataFrame) -> DataFrame:
         F.sum("dl").cast("double").alias("sum_dl"),
         F.bit_xor(F.xxhash64("doc_id", "dl", "content_fp"))
         .alias("corpus_fp"))
+
+
+def _hash_query_vec(query_terms, dim: int = 16):
+    """Feature-hash the query's own terms with EXACTLY the md5 kernel
+    hashed_text_embeddings applies to documents (CPython twin of
+    dedup._h32, the _plane_component folding precedent): the query
+    vector is a driver-side constant, so its 2 md5 calls per term run
+    once, not per row.  Returns (vec list[int], squared-norm int)."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    vec = [0] * dim
+    for t in _norm_query_terms(query_terms):
+        sign = -1 if h32(f"s:{t}") % 2 == 0 else 1
+        vec[h32(f"b:{t}") % dim] += sign
+    return vec, sum(v * v for v in vec)
+
+
+def hybrid_search_rrf(docs: DataFrame, query_terms, k: int = 10,
+                      k_each: int = 20, rrf_k: int = 60, dim: int = 16,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): BM25's lexical top-``k_each`` fused with the cosine
+    top-``k_each`` over the feature-hashing embeddings of the SAME
+    query text — the standard two-channel retrieval shape, entirely
+    in-engine with no model.  Fusion score is
+    sum over channels of 1/(rrf_k + rank), docs missing from a channel
+    contribute 0; ties break on doc_id.
+
+    Determinism: BM25 ranks order by the exact micro-fixed BIGINT
+    score; cosine ranks order by round-6 cosines whose dot/norms are
+    integer sums; the two reciprocal terms are the same two doubles in
+    either engine, and their sum is order-free.  Output
+    (doc_id, rrf_r, lex_rank, sem_rank) — ranks NULL for the channel
+    that did not retrieve the doc.
+
+    Scale shape: both channels end in TakeOrdered top-``k_each``
+    cuts, so the fusion join touches at most 2*k_each rows; the global
+    rank windows run over those bounded lists only, never the corpus.
+    """
+    from .similarity import hashed_text_embeddings
+
+    qvec, qn = _hash_query_vec(query_terms, dim)
+    if qn == 0:
+        raise ValueError("query terms hash to the zero vector — no "
+                         "semantic signal to rank by")
+    lex = (bm25_topk(docs, query_terms, k=k_each,
+                     text_col=text_col, id_col=id_col)
+           .select("doc_id", "bm25_micro"))
+    wl = Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    emb = hashed_text_embeddings(docs, text_col=text_col, id_col=id_col,
+                                 dim=dim)
+    qlit = F.array(*[F.lit(v).cast("long") for v in qvec])
+    scored = (emb
+              .select(F.col(id_col).alias("doc_id"),
+                      F.aggregate(
+                          F.zip_with("vec", qlit, lambda x, y: x * y),
+                          F.lit(0).cast("long"),
+                          lambda a, x: a + x).alias("dot"),
+                      F.aggregate(
+                          "vec", F.lit(0).cast("long"),
+                          lambda a, x: a + x * x).alias("nn"))
+              .where(F.col("nn") > 0)
+              .select("doc_id",
+                      F.round(F.try_divide(
+                          F.col("dot").cast("double"),
+                          F.sqrt(F.lit(float(qn)) * F.col("nn"))), 6)
+                      .alias("cos_r")))
+    ws = Window.orderBy(F.desc("cos_r"), F.asc("doc_id"))
+    sem_ranked = (scored
+                  .select("doc_id", F.row_number().over(ws)
+                          .alias("sem_rank"))
+                  .where(F.col("sem_rank") <= k_each))
+
+    fused = lex_ranked.join(sem_ranked, "doc_id", "full")
+    rrf = (F.coalesce(F.lit(1.0) / (rrf_k + F.col("lex_rank")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (rrf_k + F.col("sem_rank")),
+                        F.lit(0.0)))
+    return (fused
+            .select("doc_id", F.round(rrf, 6).alias("rrf_r"),
+                    "lex_rank", "sem_rank")
+            .orderBy(F.desc("rrf_r"), F.asc("doc_id"))
+            .limit(k))
+
+
+def hybrid_rrf_sql(table: str, hash_emb_sql: str, query_terms,
+                   k: int = 10, k_each: int = 20, rrf_k: int = 60,
+                   dim: int = 16) -> str:
+    """DuckDB twin of :func:`hybrid_search_rrf`: BM25 CTE from
+    bm25_sql, embedding CTE passed in (the registry's
+    SQL_HASH_EMBEDDINGS), query vector rendered as a VALUES constant
+    from the same driver-side fold."""
+    qvec, qn = _hash_query_vec(query_terms, dim)
+    if qn == 0:
+        raise ValueError("query terms hash to the zero vector — no "
+                         "semantic signal to rank by")
+    qrows = ", ".join(f"({d}, {v})" for d, v in enumerate(qvec))
+    return f"""
+WITH lex_full AS ({bm25_sql(table, query_terms, k=k_each)}),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+              AS INTEGER) AS lex_rank
+  FROM lex_full),
+emb AS ({hash_emb_sql}),
+q(d, v) AS (VALUES {qrows}),
+dots AS (
+  SELECT e.doc_id, SUM(e.v * q.v) AS dot
+  FROM emb e JOIN q ON e.d = q.d
+  GROUP BY e.doc_id),
+norms AS (SELECT doc_id, SUM(v * v) AS nn FROM emb GROUP BY doc_id),
+sem_scored AS (
+  SELECT d.doc_id,
+         round(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST({qn} AS DOUBLE) * n.nn), 6) AS cos_r
+  FROM dots d JOIN norms n USING (doc_id)
+  WHERE n.nn > 0),
+sem_all AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, doc_id)
+              AS INTEGER) AS sem_rank
+  FROM sem_scored),
+sem AS (SELECT * FROM sem_all WHERE sem_rank <= {k_each}),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+SELECT doc_id,
+       round(coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + lex_rank),
+                      CAST(0.0 AS DOUBLE))
+             + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + sem_rank),
+                        CAST(0.0 AS DOUBLE)), 6) AS rrf_r,
+       lex_rank, sem_rank
+FROM fused
+ORDER BY rrf_r DESC, doc_id
+LIMIT {k}
+"""

@@ -1536,6 +1536,22 @@ def q_bm25_search(spark, sf_dir):
 SQL_BM25 = textindex.bm25_sql("documents", _BM25_QUERY_TERMS, k=10)
 
 
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Two-channel retrieval, fused: BM25 lexical top-20 + cosine
+    top-20 over feature-hashing embeddings of the SAME query text,
+    combined by reciprocal-rank fusion (Cormack et al. 2009,
+    1/(60+rank)) — the standard hybrid-search shape with no model
+    anywhere.  Both channels end in bounded top-k cuts, so fusion
+    joins at most 40 rows."""
+    return textindex.hybrid_search_rrf(_t(spark, sf_dir, "documents"),
+                                       _BM25_QUERY_TERMS, k=10)
+
+
+def _sql_hybrid_rrf():
+    return textindex.hybrid_rrf_sql("documents", SQL_HASH_EMBEDDINGS,
+                                    _BM25_QUERY_TERMS, k=10)
+
+
 def q_dedup_cluster_best_keeper(spark, sf_dir):
     """RefinedWeb-style keeper election: same star-contraction clusters,
     but the keeper is each cluster's HIGHEST-QUALITY member (longest
@@ -3641,6 +3657,7 @@ FROM normed
 """
 
 SQL_HASH_TOPK = _sql_hash_topk()
+SQL_HYBRID_RRF = _sql_hybrid_rrf()
 
 
 SQL_BPE_MERGE_CANDIDATES = r"""
@@ -6268,6 +6285,7 @@ QUERIES = {
     "hash_embedding_topk": q_hash_embedding_topk,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "winnow_dup_candidates": q_winnow_dup_candidates,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     # hash-green in CORRECTNESS_r02 — rotated behind the driver's
     # 50-entry window so never-witnessed round-3 queries
     # (quality_classifier_auc, embedding_pca) get hard-gate rows
@@ -6342,6 +6360,7 @@ ORACLE_SQL = {
     "hash_embedding_topk": SQL_HASH_TOPK,
     "doc_winnow_fingerprints": SQL_WINNOW,
     "winnow_dup_candidates": SQL_WINNOW_DUP,
+    "hybrid_search_rrf": SQL_HYBRID_RRF,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
