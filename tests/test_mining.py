@@ -207,3 +207,21 @@ class TestHybridRRF:
             textindex.hybrid_search_rrf(docs, (), k=5)
         with pytest.raises(ValueError):
             textindex.hybrid_rrf_sql("documents", "SELECT 1", ())
+
+
+def test_winnow_control_char_only_docs_contribute_nothing(spark):
+    """Tab/newline-only docs must emit NO fingerprint (the WS_CHARS
+    space-vs-\\s hazard): a ''-hash fingerprint would make all such
+    docs mutual near-dup candidates and NULL-crash the DuckDB twin."""
+    from ukrainian_ocr_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    docs = spark.createDataFrame(
+        [(1, "\t\n"), (2, " \f \r "), (3, "real words in here"),
+         # \x0b is NOT whitespace in the RE2-compatible WS_CHARS
+         # convention — it is a legitimate 1-char token in BOTH
+         # engines, so it keeps its (consistent) fingerprint
+         (4, "\x0b")],
+        "doc_id long, text string")
+    rows = winnow_fingerprints(docs, k=3, w=4).collect()
+    assert {r["doc_id"] for r in rows} == {3, 4}

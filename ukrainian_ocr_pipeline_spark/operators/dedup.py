@@ -1046,17 +1046,27 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     # bound to a LAMBDA VARIABLE — lambda vars are bound values, so the
     # min / reverse / position reads inside the pick are array reads,
     # never recomputation.
-    words = word_array(text_col)
+    # token-count gate, NOT a trim-length gate: trim strips only
+    # spaces, so a tab/newline-only doc would reach the whole-text-gram
+    # branch with an empty token array and emit a bogus ''-hash
+    # fingerprint (and NULL-crash the DuckDB twin) — the WS_CHARS
+    # hazard this file documents.  Grams build from k O(1) element_at
+    # lookups per position (the _word_shingles perf note: slice()+
+    # array_join copies a sub-array per position, measured 5x slower).
+    wcol = F.col("wds")
     grams = (docs
-             .where(F.col(text_col).isNotNull()
-                    & (F.length(F.trim(text_col)) > 0))
-             .select("doc_id", words.alias("wds"))
+             .select("doc_id",
+                     F.coalesce(word_array(text_col), F.array())
+                     .alias("wds"))
+             .where(F.size("wds") > 0)
              .select("doc_id", F.when(
                  F.size("wds") < k,
                  F.array(F.array_join("wds", " "))).otherwise(
                  F.transform(
                      F.sequence(F.lit(1), F.size("wds") - (k - 1)),
-                     lambda i: F.array_join(F.slice("wds", i, k), " ")))
+                     lambda i: F.concat_ws(
+                         " ", *[F.element_at(wcol, i + j)
+                                for j in range(k)])))
                  .alias("g")))
     hashed = grams.select(
         "doc_id", F.transform("g", lambda g: _h28(g)).alias("h"))

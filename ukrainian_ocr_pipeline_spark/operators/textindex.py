@@ -375,13 +375,19 @@ def hybrid_search_rrf(docs: DataFrame, query_terms, k: int = 10,
 
 
 def hybrid_rrf_sql(table: str, hash_emb_sql: str, query_terms,
-                   k: int = 10, k_each: int = 20, rrf_k: int = 60,
-                   dim: int = 16) -> str:
+                   k: int = 10, k_each: int = 20,
+                   rrf_k: int = 60) -> str:
     """DuckDB twin of :func:`hybrid_search_rrf`: BM25 CTE from
     bm25_sql, embedding CTE passed in (the registry's
     SQL_HASH_EMBEDDINGS), query vector rendered as a VALUES constant
-    from the same driver-side fold."""
-    qvec, qn = _hash_query_vec(query_terms, dim)
+    from the same driver-side fold.
+
+    No ``dim`` knob here ON PURPOSE: the passed-in embedding CTE
+    hardcodes 16 buckets (``% 16`` / generate_series(0,15)), so a
+    divergent query-vector dim would silently drop query mass at the
+    bucket join — the renderer pins 16 to stay self-consistent with
+    the one CTE it is documented to take."""
+    qvec, qn = _hash_query_vec(query_terms, 16)
     if qn == 0:
         raise ValueError("query terms hash to the zero vector — no "
                          "semantic signal to rank by")

@@ -3498,10 +3498,12 @@ def q_doc_winnow_fingerprints(spark, sf_dir):
 
 
 SQL_WINNOW = rf"""
-WITH words AS (
+WITH words0 AS (
   SELECT doc_id, {dedup.WORD_ARRAY_SQL.format(col="text")} AS w
-  FROM documents
-  WHERE text IS NOT NULL AND len(trim(text)) > 0),
+  FROM documents),
+-- token-count gate (NOT trim-length): tab/newline-only docs must
+-- contribute nothing, mirroring the Spark side
+words AS (SELECT doc_id, w FROM words0 WHERE len(w) > 0),
 grams AS (
   SELECT doc_id,
          CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
