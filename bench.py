@@ -82,7 +82,8 @@ HEADLINE = [
     "bloom_seen_urls", "dedup_cluster_assign_star", "dup_passage_ranges",
     "dup_passage_excise", "dedup_cluster_best_keeper",
     "url_host_blocklist", "host_diversity_stats",
-    "corpus_shard_manifest", "compaction_plan", "host_link_graph",
+    "corpus_shard_manifest", "compaction_plan", "orders_zorder_layout",
+    "host_link_graph",
     "host_pagerank", "corpus_snapshot_drift", "canonical_link_dedup",
     "doc_html_metadata", "title_dup_groups", "anchor_text_terms",
     "host_boilerplate_lines", "url_redirect_resolve",

@@ -413,3 +413,53 @@ def test_pack_null_lang_group_matches_oracle(spark):
     assert got == want
     # every NULL-lang doc present on both sides
     assert sum(1 for r in got if r[1] is None) == 3
+
+
+class TestZOrder:
+    def test_interleave_bit_exact(self, spark):
+        """zkey must be the exact Morton interleave of the quantized
+        coordinates (za bit b at position 2b+1, zb at 2b)."""
+        from ukrainian_ocr_pipeline_spark.operators.packing import zorder_keys
+        rows = [(i, float(i), float((i * 7) % 256)) for i in range(256)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        got = zorder_keys(df, "a", "b", bits=8).collect()
+        for r in got:
+            want = 0
+            for bit in range(8):
+                want |= ((r["za"] >> bit) & 1) << (2 * bit + 1)
+                want |= ((r["zb"] >> bit) & 1) << (2 * bit)
+            assert r["zkey"] == want
+
+    def test_zorder_bounds_both_dims_where_sort_does_not(self, spark):
+        """The layout property itself: on a uniform 2-D grid, Z-order
+        file ranges bound BOTH dimensions (max span well under the full
+        range), while a single-column sort leaves the secondary
+        dimension at full range in every file."""
+        from pyspark.sql import functions as F
+        from ukrainian_ocr_pipeline_spark.operators.packing import (
+            zorder_keys,
+            zorder_layout_stats,
+        )
+        rows = [(x * 64 + y, float(x), float(y))
+                for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        stats = zorder_layout_stats(df, "a", "b", bits=8,
+                                    n_files=16).collect()
+        assert sum(r["n_rows"] for r in stats) == 64 * 64
+        worst = max(max(r["a_max"] - r["a_min"],
+                        r["b_max"] - r["b_min"]) for r in stats)
+        assert worst <= 128, worst          # both dims bounded
+        # the single-column-sort counterfactual: files = ranges of a
+        keyed = zorder_keys(df, "a", "b", bits=8)
+        by_a = (keyed.groupBy(F.floor(F.col("za") / 16).alias("f"))
+                .agg((F.max("zb") - F.min("zb")).alias("bspan")).collect())
+        assert min(r["bspan"] for r in by_a) > 128   # secondary dim unbounded
+
+    def test_null_dims_yield_null_key(self, spark):
+        from ukrainian_ocr_pipeline_spark.operators.packing import zorder_keys
+        df = spark.createDataFrame(
+            [(1, 1.0, 2.0), (2, None, 2.0), (3, 1.0, None)],
+            "id long, a double, b double")
+        got = {r["id"]: r["zkey"] for r in
+               zorder_keys(df, "a", "b").collect()}
+        assert got[1] is not None and got[2] is None and got[3] is None

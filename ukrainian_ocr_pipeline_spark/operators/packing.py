@@ -394,3 +394,78 @@ def packing_efficiency(docs: DataFrame, budget: int = 128,
                  .alias("pad_tokens"),
                  F.round(F.sum("fill") / (F.count("*") * budget), 6)
                  .alias("fill_ratio_r")))
+
+
+def zorder_keys(df: DataFrame, col_a: str, col_b: str,
+                bits: int = 8) -> DataFrame:
+    """Z-order (Morton) clustering keys over two numeric dimensions —
+    the data-layout primitive behind Delta OPTIMIZE ZORDER BY /
+    Iceberg's sort-order rewrites: quantize each dimension to
+    ``bits`` bits against its global min/max, then interleave the bits
+    so rows close in BOTH dimensions get close keys.  Files written in
+    zkey order carry tight min/max ranges on BOTH columns, which is
+    what lets a scan prune files for predicates on either dimension —
+    a single-column sort gives that for one dimension only.
+
+    Returns the input plus (za, zb, zkey): the two quantized
+    coordinates and the interleaved key (za's bit b lands at position
+    2b+1, zb's at 2b).  All arithmetic is integer (quantization uses
+    the same two-pass broadcast min/max shape as the histogram sketch;
+    the interleave is shifts and masks), so keys are engine- and
+    partitioning-exact.  NULL in either dimension yields a NULL zkey
+    (sorts last, the convention for unclusterable rows).
+
+    Scale shape: one 1-row min/max agg broadcast back (no collect),
+    then pure narrow expressions — the actual rewrite is
+    ``df.repartitionByRange(n, "zkey")`` + write, whose cost is the
+    one range shuffle any clustering rewrite pays.
+    """
+    top = (1 << bits) - 1
+    va, vb = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+    mm = df.agg(F.min(va).alias("__alo"), F.max(va).alias("__ahi"),
+                F.min(vb).alias("__blo"), F.max(vb).alias("__bhi"))
+
+    def quant(v, lo, hi):
+        # explicit NULL guard FIRST: Spark's least() SKIPS nulls, so
+        # without it a NULL value would quantize to `top`, not NULL;
+        # all-equal dimension -> 0 (same guard as the histogram sketch)
+        return F.when(v.isNull(), F.lit(None)).when(
+            F.col(hi) == F.col(lo), F.lit(0)).otherwise(
+            F.least(F.lit(top),
+                    F.floor((v - F.col(lo)) * (top + 1)
+                            / (F.col(hi) - F.col(lo))))).cast("long")
+
+    quantized = (df.crossJoin(F.broadcast(mm))
+                 .withColumn("za", quant(va, "__alo", "__ahi"))
+                 .withColumn("zb", quant(vb, "__blo", "__bhi"))
+                 .drop("__alo", "__ahi", "__blo", "__bhi"))
+    zkey = None
+    for b in range(bits):
+        term = (F.shiftleft(F.shiftright("za", b).bitwiseAND(F.lit(1)),
+                            2 * b + 1)
+                + F.shiftleft(F.shiftright("zb", b).bitwiseAND(F.lit(1)),
+                              2 * b))
+        zkey = term if zkey is None else zkey + term
+    return quantized.withColumn("zkey", zkey.cast("long"))
+
+
+def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
+                        bits: int = 8, n_files: int = 16) -> DataFrame:
+    """The proof the clustering works, as a table: split the zkey space
+    into ``n_files`` equal-width key ranges (the planned file
+    boundaries) and report each planned file's row count plus min/max
+    of BOTH quantized dimensions — with Z-ordering every file shows a
+    bounded span in both columns, where a single-column sort shows
+    full-range spans on the secondary column.  (Equal-width key ranges
+    rather than ntile: a pure projection, no global window — real
+    rewrites range-partition by zkey for the same reason.)"""
+    keyed = zorder_keys(df, col_a, col_b, bits).where(
+        F.col("zkey").isNotNull())
+    span = 1 << (2 * bits)
+    file_id = F.floor(F.col("zkey") * n_files / span).cast("int")
+    return (keyed
+            .groupBy(file_id.alias("file_id"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("za").alias("a_min"), F.max("za").alias("a_max"),
+                 F.min("zb").alias("b_min"), F.max("zb").alias("b_max"))
+            .orderBy("file_id"))

@@ -3607,6 +3607,53 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_orders_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout clustering over (o_custkey,
+    o_totalprice): the planned-file stats table — every equal-width
+    zkey range shows a BOUNDED min/max span in both quantized
+    dimensions, the property that lets a scan prune files on either
+    predicate column (Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+    rewrite semantics).  Integer bit-interleave arithmetic,
+    engine-exact."""
+    from ..operators.packing import zorder_layout_stats
+    return zorder_layout_stats(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        col_a="o_custkey", col_b="o_totalprice", bits=8, n_files=16)
+
+
+def _sql_zorder() -> str:
+    terms = " + ".join(
+        f"(((za >> {b}) & 1) << {2 * b + 1}) + (((zb >> {b}) & 1) << {2 * b})"
+        for b in range(8))
+    return f"""
+WITH mm AS (
+  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS alo,
+         MAX(CAST(o_custkey AS DOUBLE)) AS ahi,
+         MIN(CAST(o_totalprice AS DOUBLE)) AS blo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS bhi
+  FROM orders),
+q AS (
+  SELECT CAST(CASE WHEN ahi = alo THEN 0
+              ELSE least(255, floor((CAST(o_custkey AS DOUBLE) - alo)
+                                    * 256 / (ahi - alo)))
+         END AS BIGINT) AS za,
+         CAST(CASE WHEN bhi = blo THEN 0
+              ELSE least(255, floor((CAST(o_totalprice AS DOUBLE) - blo)
+                                    * 256 / (bhi - blo)))
+         END AS BIGINT) AS zb
+  FROM orders, mm),
+k AS (SELECT za, zb, CAST({terms} AS BIGINT) AS zkey FROM q)
+SELECT CAST(floor(zkey * 16 / 65536) AS INTEGER) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(za) AS a_min, MAX(za) AS a_max,
+       MIN(zb) AS b_min, MAX(zb) AS b_max
+FROM k GROUP BY file_id
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder()
+
+
 def q_doc_hash_embeddings(spark, sf_dir):
     """Model-free feature-hashing doc embeddings (16 buckets, ±1 sign
     — Weinberger et al. 2009) in long form: integer signed-term-count
@@ -6288,6 +6335,7 @@ QUERIES = {
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "winnow_dup_candidates": q_winnow_dup_candidates,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "orders_zorder_layout": q_orders_zorder_layout,
     # hash-green in CORRECTNESS_r02 — rotated behind the driver's
     # 50-entry window so never-witnessed round-3 queries
     # (quality_classifier_auc, embedding_pca) get hard-gate rows
@@ -6363,6 +6411,7 @@ ORACLE_SQL = {
     "doc_winnow_fingerprints": SQL_WINNOW,
     "winnow_dup_candidates": SQL_WINNOW_DUP,
     "hybrid_search_rrf": SQL_HYBRID_RRF,
+    "orders_zorder_layout": SQL_ZORDER_LAYOUT,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
