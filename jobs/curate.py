@@ -16,7 +16,9 @@ classifier, exact integer margins) -> optional C4 blocklist gate
 (--badwords FILE: whole-token match against an in-plan literal list;
 malformed entries rejected at startup) -> exact dedup (content-digest
 keeper) -> near-dup dedup (MinHash -> LSH -> exact Jaccard verify ->
-connected-component clusters) -> optional DSIR domain selection
+connected-component clusters; or --neardup-algo winnow to pair on
+shared winnowing fingerprints, catching partial-overlap/containment
+that whole-set Jaccard under-scores) -> optional DSIR domain selection
 (--dsir-select N: keep the N survivors most like the
 --dsir-target-lang domain by hashed-ngram importance weight, the
 Xie et al. 2023 recipe as a deterministic top-N) -> optional CCNet LM
@@ -91,6 +93,18 @@ def main(argv=None) -> int:
                         "rounds; identical output)")
     p.add_argument("--neardup-threshold", type=float, default=0.5,
                    help="exact-Jaccard verify threshold for near-dups")
+    p.add_argument("--neardup-algo", choices=["minhash", "winnow"],
+                   default="minhash",
+                   help="near-dup pair family: 'minhash' (MinHash -> LSH "
+                        "-> exact Jaccard at --neardup-threshold — "
+                        "whole-document set similarity, the default) or "
+                        "'winnow' (winnowing-fingerprint pairs sharing "
+                        ">= --winnow-min-shared window minima — catches "
+                        "PARTIAL overlap and containment that whole-set "
+                        "Jaccard scores below threshold)")
+    p.add_argument("--winnow-min-shared", type=int, default=2,
+                   help="winnow family: minimum shared fingerprints for "
+                        "a candidate pair (default 2)")
     p.add_argument("--cluster-max-iter", type=int, default=None,
                    help="override the clustering round cap (label "
                         "propagation needs graph-DIAMETER rounds — a "
@@ -176,6 +190,8 @@ def main(argv=None) -> int:
 
     if args.cluster_max_iter is not None and args.cluster_max_iter < 1:
         p.error("--cluster-max-iter must be >= 1")
+    if args.winnow_min_shared < 1:
+        p.error("--winnow-min-shared must be >= 1")
     if args.line_dedup_min_docs < 2:
         # at 1 every non-blank line "occurs in >= 1 document" and the
         # census would strip ALL text — reject the footgun at parse time
@@ -409,8 +425,15 @@ def main(argv=None) -> int:
                       else dedup.cluster_assign)
             kw = ({} if args.cluster_max_iter is None
                   else {"max_iter": args.cluster_max_iter})
-            clusters = assign(dedup.verified_near_dups(
-                surv_docs, threshold=args.neardup_threshold), **kw)
+            if args.neardup_algo == "winnow":
+                pairs = (dedup.winnow_dup_candidates(
+                    surv_docs, min_shared=args.winnow_min_shared)
+                    .select(F.col("a").alias("doc_a"),
+                            F.col("b").alias("doc_b")))
+            else:
+                pairs = dedup.verified_near_dups(
+                    surv_docs, threshold=args.neardup_threshold)
+            clusters = assign(pairs, **kw)
             dropped_n = (clusters.where(~F.col("is_keeper"))
                          .select("doc_id", F.lit("dup_near").alias("status"),
                                  F.col("cluster_id").alias("keeper_doc_id")))

@@ -739,3 +739,54 @@ def test_curate_job_source_gate_stage(spark, tmp_path, capsys):
     assert stats3["dropped_source_gate"] == 14  # badhost 9 + goodhost 5
     assert stats3["dropped_quality"] == 2       # the NULL-source pair
     assert stats3["docs_out"] == 0
+
+
+def test_curate_job_winnow_neardup_algo(spark, tmp_path, capsys):
+    """--neardup-algo winnow: partial-overlap docs (a long shared
+    passage inside otherwise-different documents) dedup under the
+    winnow family but survive the whole-set-Jaccard default; the
+    cluster keeper rule is unchanged; the flag is validated."""
+    import curate as job
+
+    import pytest
+
+    shared = ("the quick brown fox jumps over the lazy dog near the "
+              "quiet river bank every single morning without fail")
+    filler_a = " ".join(f"alpha{i}" for i in range(80))
+    filler_b = " ".join(f"beta{i}" for i in range(80))
+    rows = [(1, f"{filler_a} {shared}", "en", "s1", 1),
+            (2, f"{shared} {filler_b}", "en", "s1", 1),
+            (3, " ".join(f"gamma{i}" for i in range(90)), "en", "s1", 1)]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int").write.parquet(docs_path)
+
+    # default minhash family: whole-set Jaccard of docs 1/2 is far
+    # below 0.5 -> nothing drops as near-dup
+    wh1 = str(tmp_path / "wh1")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh1,
+                   "--snapshot-id", "m1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_near_dup"] == 0
+
+    # winnow family: the 19-word shared passage guarantees shared
+    # fingerprints -> doc 2 collapses onto keeper doc 1
+    wh2 = str(tmp_path / "wh2")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh2,
+                   "--snapshot-id", "w1", "--neardup-algo", "winnow"])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["dropped_near_dup"] == 1
+
+    from ukrainian_ocr_pipeline_spark.sources.catalog import SnapshotCatalog
+    dec = SnapshotCatalog(wh2).read_snapshot(
+        spark, "curation_decisions", "w1")
+    dropped = dec.where(F.col("status") == "dup_near").collect()
+    assert [(r["doc_id"], r["keeper_doc_id"]) for r in dropped] == [(2, 1)]
+
+    with pytest.raises(SystemExit):
+        job.main(["--docs", docs_path, "--warehouse", wh2,
+                  "--snapshot-id", "w2", "--neardup-algo", "winnow",
+                  "--winnow-min-shared", "0"])
