@@ -91,8 +91,9 @@ def main(argv=None) -> int:
                         "rounds on any graph — the scale default) or "
                         "'label' (min-label propagation, diameter-bound "
                         "rounds; identical output)")
-    p.add_argument("--neardup-threshold", type=float, default=0.5,
-                   help="exact-Jaccard verify threshold for near-dups")
+    p.add_argument("--neardup-threshold", type=float, default=None,
+                   help="exact-Jaccard verify threshold for near-dups "
+                        "(minhash family only; default 0.5)")
     p.add_argument("--neardup-algo", choices=["minhash", "winnow"],
                    default="minhash",
                    help="near-dup pair family: 'minhash' (MinHash -> LSH "
@@ -101,10 +102,22 @@ def main(argv=None) -> int:
                         "'winnow' (winnowing-fingerprint pairs sharing "
                         ">= --winnow-min-shared window minima — catches "
                         "PARTIAL overlap and containment that whole-set "
-                        "Jaccard scores below threshold)")
-    p.add_argument("--winnow-min-shared", type=int, default=2,
+                        "Jaccard scores below threshold). CAVEAT: a "
+                        "fingerprint shared by more than --winnow-max-df "
+                        "docs is dropped as corpus furniture, so a "
+                        "duplicate FAMILY larger than that cap pairs "
+                        "sparsely under winnow — raise the cap for "
+                        "template-spam corpora, or rely on exact dedup "
+                        "(which runs first) / the minhash family for "
+                        "whole-doc mass duplication")
+    p.add_argument("--winnow-min-shared", type=int, default=None,
                    help="winnow family: minimum shared fingerprints for "
                         "a candidate pair (default 2)")
+    p.add_argument("--winnow-max-df", type=int, default=None,
+                   help="winnow family: fingerprints shared by more docs "
+                        "than this are dropped as furniture before the "
+                        "pair join (default 50 — bounds per-key fanout, "
+                        "see --neardup-algo caveat)")
     p.add_argument("--cluster-max-iter", type=int, default=None,
                    help="override the clustering round cap (label "
                         "propagation needs graph-DIAMETER rounds — a "
@@ -190,8 +203,28 @@ def main(argv=None) -> int:
 
     if args.cluster_max_iter is not None and args.cluster_max_iter < 1:
         p.error("--cluster-max-iter must be >= 1")
-    if args.winnow_min_shared < 1:
+    # family/knob coherence at parse time (the --lm-gate-* convention:
+    # a silently ignored knob is a wrong-output footgun)
+    if args.neardup_algo == "winnow":
+        if args.neardup_threshold is not None:
+            p.error("--neardup-threshold applies to the minhash family "
+                    "only; with --neardup-algo winnow use "
+                    "--winnow-min-shared / --winnow-max-df")
+    else:
+        if args.winnow_min_shared is not None or args.winnow_max_df is not None:
+            p.error("--winnow-min-shared/--winnow-max-df apply to "
+                    "--neardup-algo winnow only")
+    if args.winnow_min_shared is not None and args.winnow_min_shared < 1:
         p.error("--winnow-min-shared must be >= 1")
+    if args.winnow_max_df is not None and args.winnow_max_df < 2:
+        p.error("--winnow-max-df must be >= 2 (a fingerprint needs two "
+                "docs to form a pair)")
+    if args.neardup_threshold is None:
+        args.neardup_threshold = 0.5
+    if args.winnow_min_shared is None:
+        args.winnow_min_shared = 2
+    if args.winnow_max_df is None:
+        args.winnow_max_df = 50
     if args.line_dedup_min_docs < 2:
         # at 1 every non-blank line "occurs in >= 1 document" and the
         # census would strip ALL text — reject the footgun at parse time
@@ -427,7 +460,8 @@ def main(argv=None) -> int:
                   else {"max_iter": args.cluster_max_iter})
             if args.neardup_algo == "winnow":
                 pairs = (dedup.winnow_dup_candidates(
-                    surv_docs, min_shared=args.winnow_min_shared)
+                    surv_docs, min_shared=args.winnow_min_shared,
+                    max_df=args.winnow_max_df)
                     .select(F.col("a").alias("doc_a"),
                             F.col("b").alias("doc_b")))
             else:

@@ -790,3 +790,52 @@ def test_curate_job_winnow_neardup_algo(spark, tmp_path, capsys):
         job.main(["--docs", docs_path, "--warehouse", wh2,
                   "--snapshot-id", "w2", "--neardup-algo", "winnow",
                   "--winnow-min-shared", "0"])
+
+
+def test_curate_winnow_flag_coherence_and_family_cap(spark, tmp_path,
+                                                     capsys):
+    """Incoherent family/knob combos are rejected at parse time, and a
+    duplicate family larger than --winnow-max-df pairs again once the
+    cap is raised (the documented furniture-cap caveat)."""
+    import curate as job
+
+    import pytest
+
+    # the template needs real stopwords or the QUALITY gate (which
+    # runs first) drops the whole family as few_stopwords before the
+    # near-dup stage ever sees it
+    shared = ("we all go to the old market in the town and it is the "
+              "best place of all because the people there are kind and "
+              "the bread is warm in the morning light")
+    rows = [(i, f"{shared} unique{i} tail{i} extra{i}", "en", "s1", 1)
+            for i in range(60)]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int").write.parquet(docs_path)
+
+    for bad in (["--neardup-algo", "winnow", "--neardup-threshold", "0.9"],
+                ["--winnow-min-shared", "5"],
+                ["--winnow-max-df", "10"],
+                ["--neardup-algo", "winnow", "--winnow-max-df", "1"]):
+        with pytest.raises(SystemExit):
+            job.main(["--docs", docs_path, "--warehouse",
+                      str(tmp_path / "whx"), "--snapshot-id", "x"] + bad)
+
+    # 60-doc family, default cap 50: every shared fingerprint is
+    # "furniture", family survives near-dup almost untouched
+    wh1 = str(tmp_path / "wh1")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh1,
+                   "--snapshot-id", "c1", "--neardup-algo", "winnow"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["dropped_near_dup"] < 10
+
+    # raised cap: the whole family collapses onto one keeper
+    wh2 = str(tmp_path / "wh2")
+    rc = job.main(["--docs", docs_path, "--warehouse", wh2,
+                   "--snapshot-id", "c2", "--neardup-algo", "winnow",
+                   "--winnow-max-df", "100"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["dropped_near_dup"] == 59

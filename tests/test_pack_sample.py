@@ -463,3 +463,12 @@ class TestZOrder:
         got = {r["id"]: r["zkey"] for r in
                zorder_keys(df, "a", "b").collect()}
         assert got[1] is not None and got[2] is None and got[3] is None
+
+
+def test_zorder_bits_validated(spark):
+    import pytest
+    from ukrainian_ocr_pipeline_spark.operators.packing import zorder_keys
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, a double, b double")
+    for bad in (0, -1, 32):
+        with pytest.raises(ValueError):
+            zorder_keys(df, "a", "b", bits=bad)

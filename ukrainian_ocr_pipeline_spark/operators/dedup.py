@@ -1112,9 +1112,12 @@ def winnow_dup_candidates(docs: DataFrame, text_col: str = "text",
     eligible = fps.join(df_cap.select("fp"), "fp")
     a = eligible.select(F.col("doc_id").alias("a"), "fp")
     b = eligible.select(F.col("doc_id").alias("b"), "fp")
+    # no presentation orderBy: the registry compare sorts rows itself,
+    # and a trailing sort would survive the optimizer into consumers'
+    # plans (curate's clustering re-shuffles by vertex id immediately —
+    # a full extra exchange+sort of the pair table for nothing)
     return (a.join(b, "fp")
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count("*").alias("n_shared"))
-            .where(F.col("n_shared") >= min_shared)
-            .orderBy("a", "b"))
+            .where(F.col("n_shared") >= min_shared))

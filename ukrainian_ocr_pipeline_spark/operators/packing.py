@@ -420,6 +420,11 @@ def zorder_keys(df: DataFrame, col_a: str, col_b: str,
     ``df.repartitionByRange(n, "zkey")`` + write, whose cost is the
     one range shuffle any clustering rewrite pays.
     """
+    if not 1 <= bits <= 31:
+        # 0 would build no interleave terms (obscure NoneType crash);
+        # >31 shifts the top bit into the long sign bit — negative
+        # keys and file ids with no error
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     top = (1 << bits) - 1
     va, vb = F.col(col_a).cast("double"), F.col(col_b).cast("double")
     mm = df.agg(F.min(va).alias("__alo"), F.max(va).alias("__ahi"),

@@ -3641,7 +3641,11 @@ q AS (
               ELSE least(255, floor((CAST(o_totalprice AS DOUBLE) - blo)
                                     * 256 / (bhi - blo)))
          END AS BIGINT) AS zb
-  FROM orders, mm),
+  FROM orders, mm
+  -- NULL-dim rows get NULL zkeys on the Spark side and are filtered by
+  -- zorder_layout_stats; DuckDB's least() ALSO skips NULLs (the same
+  -- hazard packing.py guards), so mirror the filter explicitly
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
 k AS (SELECT za, zb, CAST({terms} AS BIGINT) AS zkey FROM q)
 SELECT CAST(floor(zkey * 16 / 65536) AS INTEGER) AS file_id,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
