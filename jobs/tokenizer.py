@@ -60,19 +60,40 @@ def main(argv=None) -> int:
                    help="documents parquet path (doc_id, text, ...)")
     p.add_argument("--warehouse", required=True, help="output catalog root")
     p.add_argument("--snapshot-id", required=True)
-    p.add_argument("--merges", type=int, default=50,
+    p.add_argument("--merges", type=int, default=None,
                    help="number of merge rounds to train (default 50; "
                         "bpe family only)")
     p.add_argument("--family", choices=("bpe", "unigram"), default="bpe",
                    help="tokenizer family to train (default bpe)")
-    p.add_argument("--vocab-size", type=int, default=400,
+    p.add_argument("--vocab-size", type=int, default=None,
                    help="target piece-vocabulary size (unigram family "
                         "only; default 400)")
-    p.add_argument("--seed-pieces", type=int, default=2000,
+    p.add_argument("--seed-pieces", type=int, default=None,
                    help="multi-char seed candidates before pruning "
                         "(unigram family only; default 2000)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    # family/knob coherence (the curate.py --neardup-threshold pattern):
+    # a silently ignored knob is a wrong-output footgun, so an explicit
+    # knob for the OTHER family is a parse-time error; defaults resolve
+    # only after the check.
+    if args.family == "unigram":
+        if args.merges is not None:
+            p.error("--merges applies to the bpe family only "
+                    "(got --family unigram)")
+    else:
+        if args.vocab_size is not None:
+            p.error("--vocab-size applies to the unigram family only "
+                    "(got --family bpe)")
+        if args.seed_pieces is not None:
+            p.error("--seed-pieces applies to the unigram family only "
+                    "(got --family bpe)")
+    if args.merges is None:
+        args.merges = 50
+    if args.vocab_size is None:
+        args.vocab_size = 400
+    if args.seed_pieces is None:
+        args.seed_pieces = 2000
     if args.merges < 1:
         p.error("--merges must be >= 1")
     if args.vocab_size < 1:

@@ -167,3 +167,24 @@ def test_tokenizer_job_legacy_manifest_resume(spark, tmp_path, capsys):
                        "--snapshot-id", "old1"] + bad)
         assert rc == 2, bad
         assert "mismatch" in capsys.readouterr().err
+
+
+def test_tokenizer_job_cross_family_knobs_rejected(capsys):
+    """An explicit knob for the OTHER family is a parse-time error
+    (argparse p.error -> SystemExit 2), not a silently ignored flag —
+    the jobs/curate.py --neardup-threshold coherence convention."""
+    import pytest
+
+    import tokenizer as job
+
+    for bad in (["--family", "unigram", "--merges", "5"],
+                ["--family", "bpe", "--vocab-size", "100"],
+                ["--vocab-size", "100"],     # family defaults to bpe
+                ["--family", "bpe", "--seed-pieces", "50"]):
+        with pytest.raises(SystemExit) as exc:
+            job.main(["--docs", f"{SF_DIR}/documents.parquet",
+                      "--warehouse", "/tmp/never-used",
+                      "--snapshot-id", "x"] + bad)
+        assert exc.value.code == 2, bad
+        err = capsys.readouterr().err
+        assert "applies to the" in err, (bad, err)

@@ -472,3 +472,31 @@ def test_zorder_bits_validated(spark):
     for bad in (0, -1, 32):
         with pytest.raises(ValueError):
             zorder_keys(df, "a", "b", bits=bad)
+
+
+def test_zorder_layout_n_files_validated(spark):
+    import pytest
+    from ukrainian_ocr_pipeline_spark.operators.packing import (
+        zorder_layout_stats,
+    )
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, a double, b double")
+    # non-divisor widths and out-of-range counts fail at plan-build time
+    for bad in (7, 100_000, 0):
+        with pytest.raises(ValueError):
+            zorder_layout_stats(df, "a", "b", bits=8, n_files=bad)
+
+
+def test_zorder_layout_no_bigint_wrap_at_high_bits(spark):
+    """bits=31 drives zkey to ~2^62; the multiply form floor(zkey *
+    n_files / span) wraps BIGINT and yields negative file_ids.  The
+    divide-first form must keep every file_id in [0, n_files)."""
+    from ukrainian_ocr_pipeline_spark.operators.packing import (
+        zorder_layout_stats,
+    )
+    df = spark.createDataFrame(
+        [(i, float(i), float(100 - i)) for i in range(100)],
+        "id long, a double, b double")
+    stats = zorder_layout_stats(df, "a", "b", bits=31, n_files=16).collect()
+    assert stats, "expected at least one planned file"
+    for r in stats:
+        assert 0 <= r["file_id"] < 16, r

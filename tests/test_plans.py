@@ -858,3 +858,21 @@ def test_winnow_dup_candidates_equi_join_no_bnlj(spark):
     assert "EvalPython" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_semantic_channel_is_take_ordered(spark):
+    """Both RRF channels must end in bounded TakeOrderedAndProject cuts
+    BEFORE any rank window runs: a global row_number() over the whole
+    scored-cosine table is a single-partition sort of the corpus.  The
+    only Window nodes allowed are over the already-cut <=k_each lists
+    (tiny), and the plan must contain the two top-k cuts."""
+    from ukrainian_ocr_pipeline_spark.plans import registry
+    plan = plan_of(registry.QUERIES["hybrid_search_rrf"](
+        spark, "/root/testdata/sf0.001"))
+    # one TakeOrdered per channel plus the final fused top-k
+    assert nodes(plan, "TakeOrderedAndProject") >= 2, plan
+    # every Window must sit ABOVE a TakeOrdered (bounded input): assert
+    # no Window consumes an un-cut Exchange of the scored table by
+    # checking the plan has no rangepartitioning exchange feeding a sort
+    # for the window (TakeOrdered needs no Sort+Exchange pair)
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -464,10 +464,24 @@ def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
     full-range spans on the secondary column.  (Equal-width key ranges
     rather than ntile: a pure projection, no global window — real
     rewrites range-partition by zkey for the same reason.)"""
+    span = 1 << (2 * bits) if 1 <= bits <= 31 else 0
+    if span and not 1 <= n_files <= span:
+        raise ValueError(f"n_files must be in [1, {span}], got {n_files}")
+    if span and span % n_files != 0:
+        # the equal-width boundaries floor(zkey * n_files / span) only
+        # reduce to the overflow-free divide-first form when the widths
+        # are integral; a non-divisor n_files would need the multiply,
+        # which wraps BIGINT at bits ~>= 27 (zkey up to 2^62 * n_files)
+        raise ValueError(
+            f"n_files ({n_files}) must divide the key span 4^bits "
+            f"({span}) so file widths are integral")
     keyed = zorder_keys(df, col_a, col_b, bits).where(
         F.col("zkey").isNotNull())
-    span = 1 << (2 * bits)
-    file_id = F.floor(F.col("zkey") * n_files / span).cast("int")
+    # divide BEFORE multiplying: zkey reaches 2^(2*bits)-1 (~2^62 at
+    # bits=31), so zkey * n_files silently wraps the BIGINT and yields
+    # negative file_ids; zkey / (span / n_files) is the same boundary
+    # arithmetic with no overflow for any permitted bits
+    file_id = F.floor(F.col("zkey") / F.lit(span // n_files)).cast("int")
     return (keyed
             .groupBy(file_id.alias("file_id"))
             .agg(F.count("*").alias("n_rows"),

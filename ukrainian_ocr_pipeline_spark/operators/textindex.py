@@ -356,11 +356,16 @@ def hybrid_search_rrf(docs: DataFrame, query_terms, k: int = 10,
                           F.col("dot").cast("double"),
                           F.sqrt(F.lit(float(qn)) * F.col("nn"))), 6)
                       .alias("cos_r")))
+    # Cut to the top-k_each FIRST (orderBy+limit compiles to a
+    # TakeOrderedAndProject — per-partition heaps, no global sort), then
+    # rank the bounded list; the rank window runs over <= k_each rows.
+    # Selection order (cos_r DESC, doc_id ASC) is identical to the rank
+    # order, so the assigned ranks match the rank-then-filter form the
+    # DuckDB twin uses.
+    sem_top = scored.orderBy(F.desc("cos_r"), F.asc("doc_id")).limit(k_each)
     ws = Window.orderBy(F.desc("cos_r"), F.asc("doc_id"))
-    sem_ranked = (scored
-                  .select("doc_id", F.row_number().over(ws)
-                          .alias("sem_rank"))
-                  .where(F.col("sem_rank") <= k_each))
+    sem_ranked = sem_top.select(
+        "doc_id", F.row_number().over(ws).alias("sem_rank"))
 
     fused = lex_ranked.join(sem_ranked, "doc_id", "full")
     rrf = (F.coalesce(F.lit(1.0) / (rrf_k + F.col("lex_rank")),
