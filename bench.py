@@ -62,7 +62,11 @@ HEADLINE = [
     "doc_subword_tokens", "doc_quality_filter", "corpus_curation",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
     "dedup_lsh_candidates", "contamination_check", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_banded", "dedup_embedding_cosine_banded_mat",
+    # materialized-signature banded cosine is the headline (the 100-TB
+    # shape: signature table computed once, reused across bands); the
+    # stateless twin evaluates the signature subtree on BOTH self-join
+    # sides, so it stays in the correctness gate only (VERDICT r3 #3)
+    "dedup_embedding_cosine_banded_mat",
     "dedup_near_dup_verified", "dedup_cluster_assign",
     "dedup_incremental", "cross_doc_shingle_dup",
     "doc_winnow_fingerprints", "winnow_dup_candidates", "graph_pagerank",
@@ -185,6 +189,16 @@ def main() -> None:
     spark = None if scaling_only else get_spark(app="bench", master=f"local[{CPUS}]")
 
     # -- headline queries ---------------------------------------------------
+    if spark is not None:
+        # one-time Python-worker pool warm-up (untimed): long-lived
+        # executors reuse spawned pyspark daemon workers, so per-query
+        # timings must not attribute the one-off fork cost to whichever
+        # query happens to cross the Arrow boundary first (the per-query
+        # warm pass below runs count(), which PRUNES projected UDF
+        # columns and therefore never forks the workers itself)
+        (spark.range(CPUS * 4).repartition(CPUS)
+         .mapInPandas(lambda it: it, "id long")
+         .write.format("noop").mode("overwrite").save())
     qtimes: dict[str, float] = {}
     for name in HEADLINE if not scaling_only else []:
         fn = QUERIES[name]

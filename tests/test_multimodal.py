@@ -1,0 +1,119 @@
+"""Multimodal operators: REAL container-header decode (PNG IHDR /
+JPEG SOFn walk / GIF logical screen — stdlib byte parsing, no codec),
+the fixture-image builder round-trip, and the fake-dims fallback for
+unrecognized payloads."""
+
+import zlib
+
+import pytest
+
+from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+    FIXTURE_IMAGE_BYTES,
+    build_fixture_image,
+    decode_image_header,
+    media_header_meta,
+    synth_image_corpus,
+)
+
+# A complete, valid 1x1 red PNG serialized by hand (sig + IHDR + IDAT
+# with a real zlib stream + IEND) — a known-good external-shape file,
+# not one produced by our own builder.
+_IDAT = zlib.compress(b"\x00\xff\x00\x00")
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (len(body).to_bytes(4, "big") + tag + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+ONE_PX_PNG = (b"\x89PNG\r\n\x1a\n"
+              + _chunk(b"IHDR", (1).to_bytes(4, "big")
+                       + (1).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0]))
+              + _chunk(b"IDAT", _IDAT) + _chunk(b"IEND", b""))
+
+
+def test_decode_real_one_pixel_png():
+    assert decode_image_header(ONE_PX_PNG) == ("png", 1, 1)
+
+
+def test_decode_jpeg_walks_past_app_segments():
+    # SOI + APP0 + a fat COM segment + SOF2 (progressive) — dims must
+    # come from the SOFn segment, not a fixed offset
+    com = b"\xff\xfe" + (2 + 30).to_bytes(2, "big") + b"x" * 30
+    sof2 = (b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + bytes([1, 0x11, 0, 0]))
+    blob = b"\xff\xd8" + com + sof2 + b"\xff\xd9"
+    assert decode_image_header(blob) == ("jpeg", 640, 480)
+
+
+def test_decode_jpeg_dht_is_not_a_frame_header():
+    # 0xC4 (DHT) sits inside C0-CF but carries no dimensions; a naive
+    # range check would misread Huffman table bytes as width/height
+    dht = b"\xff\xc4" + (2 + 5).to_bytes(2, "big") + b"\x00" * 5
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+            + (7).to_bytes(2, "big") + (9).to_bytes(2, "big")
+            + bytes([1, 0x11, 0, 0]))
+    blob = b"\xff\xd8" + dht + sof0 + b"\xff\xd9"
+    assert decode_image_header(blob) == ("jpeg", 9, 7)
+
+
+def test_decode_gif_little_endian():
+    blob = b"GIF87a" + (300).to_bytes(2, "little") \
+        + (200).to_bytes(2, "little") + bytes([0, 0, 0]) + b"\x3b"
+    assert decode_image_header(blob) == ("gif", 300, 200)
+
+
+@pytest.mark.parametrize("bad", [
+    b"", b"\x89PNG", b"\xff\xd8\xff", b"GIF89",
+    b"\x89PNG\r\n\x1a\nXXXXJUNK" + b"\x00" * 16,   # sig but no IHDR
+    b"\xff\xd8\xff\xd9",                           # SOI+EOI, no SOFn
+    b"not an image at all",
+])
+def test_decode_rejects_non_images(bad):
+    assert decode_image_header(bad) is None
+
+
+@pytest.mark.parametrize("fmt,w,h", [
+    ("png", 1, 1), ("png", 1024, 64), ("jpeg", 640, 480),
+    ("jpeg", 65535, 1), ("gif", 300, 200), ("gif", 1, 65535),
+])
+def test_builder_roundtrip_and_fixed_lengths(fmt, w, h):
+    blob = build_fixture_image(fmt, w, h)
+    assert len(blob) == FIXTURE_IMAGE_BYTES[fmt]
+    assert decode_image_header(blob) == (fmt, w, h)
+
+
+def test_builder_rejects_bad_dims():
+    for w, h in ((0, 5), (5, 0), (70000, 5)):
+        with pytest.raises(ValueError):
+            build_fixture_image("png", w, h)
+    with pytest.raises(ValueError):
+        build_fixture_image("bmp", 5, 5)
+
+
+def test_media_header_meta_mixed_corpus(spark):
+    rows = [(1, ONE_PX_PNG), (2, build_fixture_image("jpeg", 12, 34)),
+            (3, b"plain text payload"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in media_header_meta(df).collect()}
+    assert (got[1]["fmt"], got[1]["width"], got[1]["height"]) == ("png", 1, 1)
+    assert (got[2]["fmt"], got[2]["width"], got[2]["height"]) == ("jpeg", 12, 34)
+    # unrecognized payloads keep the deterministic fake dims, fmt NULL
+    n = len(b"plain text payload")
+    assert got[3]["fmt"] is None
+    assert (got[3]["width"], got[3]["height"]) == (64 + n % 512,
+                                                  64 + (n * 7) % 512)
+    assert (got[4]["fmt"], got[4]["n_bytes"]) == (None, 0)
+
+
+def test_synth_corpus_headers_decode_to_doc_id_arithmetic(spark):
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    got = {r["doc_id"]: r
+           for r in media_header_meta(synth_image_corpus(df)).collect()}
+    for i in range(30):
+        fmt = ("png", "jpeg", "gif")[i % 3]
+        assert got[i]["fmt"] == fmt, i
+        assert got[i]["width"] == 1 + (i * 7) % 1024
+        assert got[i]["height"] == 1 + (i * 13) % 1024
+        assert got[i]["n_bytes"] == FIXTURE_IMAGE_BYTES[fmt]

@@ -155,9 +155,14 @@ def test_headline_bench_excludes_quadratic_shapes():
     import bench
     assert "doc_containment_join" not in bench.HEADLINE
     assert "dedup_jaccard_pairs" not in bench.HEADLINE
-    # and the scale-safe near-dup entry points ARE headline
+    # and the scale-safe near-dup entry points ARE headline; the banded
+    # cosine headline is the MATERIALIZED-signature path (signatures
+    # computed once and reused — the 100-TB shape), with the stateless
+    # twin kept correctness-gate-only since it evaluates the signature
+    # subtree on both self-join sides (VERDICT r3 'Next round' #3)
     assert "dedup_near_dup_verified" in bench.HEADLINE
-    assert "dedup_embedding_cosine_banded" in bench.HEADLINE
+    assert "dedup_embedding_cosine_banded_mat" in bench.HEADLINE
+    assert "dedup_embedding_cosine_banded" not in bench.HEADLINE
 
 
 def test_banded_mat_signature_subtree_runs_once(spark):

@@ -227,3 +227,32 @@ def test_line_dedup_invariants(spark, docs_lines):
         assert r["n_lines"] == len(src)
         assert r["n_removed"] == len(src) - len(expect_kept)
         assert r["clean_text"] == "\n".join(expect_kept)
+
+
+@given(st.lists(st.text(max_size=200), max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_rolling_fp_polynomial_matches_left_fold(texts):
+    """The vectorized polynomial rolling hash (numpy, per-batch) must be
+    bit-identical to the Rabin-Karp left fold acc=(acc*31+cp)%M it
+    replaced — including empty strings, None slots, and astral code
+    points (utf-32 gives code points, exactly what ascii()/DuckDB's
+    twin fold uses)."""
+    import pandas as pd
+
+    from ukrainian_ocr_pipeline_spark.operators.textstats import (
+        _ROLL_MOD,
+        _rolling_fp_series,
+    )
+
+    s = pd.Series(texts + [None], dtype="object")
+    got = list(_rolling_fp_series(s))
+
+    def fold(t):
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % _ROLL_MOD
+        return acc
+
+    want = [fold(t) for t in texts] + [None]
+    for g, w in zip(got, want):
+        assert (g is pd.NA and w is None) or g == w, (got, want)

@@ -109,3 +109,99 @@ def test_null_text_pages_are_not_false_duplicates(spark, tmp_path):
     _run(spark, pages_dir, out_dir, ckpt)
     got = spark.read.parquet(out_dir).toPandas()
     assert set(got.url) == {"n1", "n2", "n3", "h1", "h2"}
+
+
+# --------------------------------------------------------------------------
+# streaming NEAR-dup (SimHash band keys as the watermarked dedup key)
+
+
+def _run_neardup(spark, pages_dir, out_dir, ckpt, watermark="10 minutes"):
+    from ukrainian_ocr_pipeline_spark.functions.schemas import PAGES_SCHEMA
+    from ukrainian_ocr_pipeline_spark.streaming.dedup import neardup_stream
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(pages_dir)))
+    novel = neardup_stream(stream, watermark=watermark)
+    q = (novel.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def test_rowwise_simhash_matches_batch_operator(spark):
+    """The streamable per-row SimHash must be bit-identical to the
+    batch explode+groupBy operator (same word hash, same bit-majority
+    tie rule), and NULL for word-less docs where batch emits no row."""
+    from ukrainian_ocr_pipeline_spark.operators.dedup import simhash
+    from ukrainian_ocr_pipeline_spark.streaming.dedup import (
+        with_rowwise_simhash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r["simhash"] for r in
+           with_rowwise_simhash(docs).select("doc_id", "simhash").collect()}
+    want = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert set(want) <= set(got)
+    for d, s in want.items():
+        assert got[d] == s, d
+    empty = spark.createDataFrame([(1, None), (2, "   ")],
+                                  "doc_id long, text string")
+    vals = {r["doc_id"]: r["simhash"] for r in
+            with_rowwise_simhash(empty).collect()}
+    assert vals[1] is None and vals[2] is None
+
+    import pytest
+    with pytest.raises(ValueError):
+        with_rowwise_simhash(docs, bits=30)   # not nibble-aligned
+    with pytest.raises(ValueError):
+        with_rowwise_simhash(docs, bits=64)   # conv() BIGINT overflow
+
+
+def test_streaming_neardup_suppresses_within_watermark(spark, tmp_path):
+    """A NEAR-duplicate (one word changed out of eleven: hamming <=
+    n_bands-1 by construction, so >= 1 band agrees exactly) arriving in
+    the horizon is suppressed even though its exact digest differs; an
+    unrelated document passes.  Emission is append-mode, so each batch's
+    novelty verdicts surface once a later batch advances the watermark
+    past their window."""
+    base = ("the quick brown fox jumps over the lazy sleeping dog "
+            "tonight")
+    near = ("the quick brown fox jumps over the lazy sleeping cat "
+            "tonight")
+    other = ("completely different subject matter entirely unrelated "
+             "payload body")
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # verify the fixture really is a near-dup at the operator's params
+    from ukrainian_ocr_pipeline_spark.streaming.dedup import (
+        with_rowwise_simhash,
+    )
+    rows = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in with_rowwise_simhash(rows).collect()}
+    assert bin(sigs[1] ^ sigs[2]).count("1") <= 3, "fixture drifted"
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 3
+
+    # batch 1: original; batch 2: near-dup + fresh doc (in-horizon);
+    # batch 3: a far-future row advances the watermark so every earlier
+    # window's verdict emits
+    _write_pages([_row("u1", 0, base)], str(pages_dir / "f0.parquet"))
+    _run_neardup(spark, pages_dir, out_dir, ckpt)
+    _write_pages([_row("u2-near", 2, near), _row("u3", 3, other)],
+                 str(pages_dir / "f1.parquet"))
+    _run_neardup(spark, pages_dir, out_dir, ckpt)
+    _write_pages([_row("u4-flush", 240, "late watermark advancer row")],
+                 str(pages_dir / "f2.parquet"))
+    _run_neardup(spark, pages_dir, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert "u1" in set(got.url)
+    assert "u3" in set(got.url)
+    assert "u2-near" not in set(got.url), got

@@ -1,9 +1,12 @@
 """Multimodal column operators — image/audio/video as opaque binary.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind a deterministic fake (and a clearly-marked NotImplementedError
-for the real path), while the Spark-side plumbing — schema, batch shape,
-mapInPandas signature, partitioning — is real and tested.
+Container-header decode is REAL: PNG/JPEG/GIF dimensions are parsed
+straight from the published byte layouts with the stdlib
+(:func:`decode_image_header`) — no codec library needed.  Only the
+full PIXEL decode (PIL/cv2/ffmpeg, absent from this container) stays
+stubbed behind a deterministic fake and a clearly-marked
+NotImplementedError; the Spark-side plumbing — schema, batch shape,
+mapInPandas signature, partitioning — is real and tested either way.
 
 At 100 TB the pattern is: binary column + typed metadata struct; decode /
 feature-extract in Arrow-batched mapInPandas (bounded by
@@ -30,13 +33,163 @@ REAL_CODECS_AVAILABLE = False  # no PIL/cv2/ffmpeg in this container
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for image decode: derives a fake (w, h)
-    from the payload length. The real implementation would be
-    PIL.Image.open(io.BytesIO(blob)).size."""
+    """Deterministic stand-in for PIXEL decode: derives a fake (w, h)
+    from the payload length.  Used only when the blob is not a
+    recognized image container (see :func:`decode_image_header`) — the
+    full-pixel path (PIL.Image.open(...).size / cv2.imdecode) stays
+    behind REAL_CODECS_AVAILABLE."""
     if REAL_CODECS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("real codec path requires PIL/cv2")
     n = len(blob)
     return 64 + n % 512, 64 + (n * 7) % 512
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOFn markers carrying frame dimensions: C0-CF minus the non-frame
+# C4 (DHT), C8 (JPG extension), CC (DAC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_header(blob: bytes):
+    """Parse real (format, width, height) from the container header of
+    a PNG / JPEG / GIF payload using nothing but the published byte
+    layouts — no codec library needed for dimensions (reference analog:
+    utils/io.py:20-45 loads full images via PIL; here only the header
+    arithmetic is required).  Returns None for anything unrecognized
+    or truncated.
+
+    - PNG (RFC 2083): 8-byte signature, then the IHDR chunk is required
+      first — width/height are big-endian u32 at bytes 16..24.
+    - GIF (87a/89a): 6-byte version tag, then the logical screen
+      descriptor — width/height little-endian u16 at bytes 6..10.
+    - JPEG (ITU T.81): SOI, then a marker walk — each segment is
+      0xFF <marker> <be16 length includes itself>; the first SOFn
+      segment carries height (be16 at +5) then width (be16 at +7).
+    """
+    n = len(blob)
+    if n >= 24 and blob[:8] == _PNG_SIG and blob[12:16] == b"IHDR":
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        return ("png", w, h)
+    if n >= 10 and blob[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        return ("gif", w, h)
+    if n >= 4 and blob[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if blob[i] != 0xFF:
+                return None  # desynchronized marker stream
+            marker = blob[i + 1]
+            if marker == 0xFF:  # fill byte, resync
+                i += 1
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOFn seen
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(blob[i + 5:i + 7], "big")
+                w = int.from_bytes(blob[i + 7:i + 9], "big")
+                return ("jpeg", w, h)
+            seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+            if seglen < 2:
+                return None
+            i += 2 + seglen
+    return None
+
+
+def _decode_dims(blob: bytes) -> tuple[int, int]:
+    """Real header decode when the container is recognized, the
+    deterministic fake otherwise (text-as-blob plumbing tests keep
+    their established arithmetic)."""
+    parsed = decode_image_header(blob)
+    if parsed is not None:
+        return parsed[1], parsed[2]
+    return _fake_decode(blob)
+
+
+def build_fixture_image(fmt: str, w: int, h: int) -> bytes:
+    """Serialize a minimal VALID image container of the given pixel
+    dimensions — fixed-length per format so byte counts are
+    SQL-computable constants: PNG 33 B (sig + IHDR), JPEG 35 B
+    (SOI + APP0/JFIF + SOF0 + EOI; exercises the marker walk), GIF
+    14 B (header + logical screen + trailer).  Used to synthesize
+    deterministic image corpora for the header-decode round-trip."""
+    import struct
+    import zlib
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError(f"dims out of u16 range: {w}x{h}")
+    if fmt == "png":
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (_PNG_SIG + struct.pack(">I", len(ihdr)) + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+            [1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+        sof0 = b"\xff\xc0" + struct.pack(">HB", 11, 8) + struct.pack(
+            ">HH", h, w) + bytes([1, 0x11, 0, 0])
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    if fmt == "gif":
+        return (b"GIF89a" + struct.pack("<HH", w, h)
+                + bytes([0, 0, 0]) + b"\x3b")
+    raise ValueError(f"unknown fixture format: {fmt}")
+
+
+FIXTURE_IMAGE_BYTES = {"png": 33, "jpeg": 35, "gif": 14}
+
+
+def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) image corpus: one REAL serialized
+    container per row — format cycles png/jpeg/gif by doc_id % 3, pixel
+    dims are 1 + (doc_id*7) % 1024 by 1 + (doc_id*13) % 1024 — so the
+    header-decode round-trip is oracle-checkable with pure arithmetic
+    (the SQL twin recomputes fmt/width/height/n_bytes from doc_id)."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                did = int(did)
+                fmt = ("png", "jpeg", "gif")[did % 3]
+                blobs.append(build_fixture_image(
+                    fmt, 1 + (did * 7) % 1024, 1 + (did * 13) % 1024))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+HEADER_META_SCHEMA = ("doc_id bigint, fmt string, width int, height int, "
+                      "n_bytes int")
+
+
+def media_header_meta(df: DataFrame, blob_col: str = "blob",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Real container-header decode over a binary column via
+    mapInPandas: (doc_id, fmt, width, height, n_bytes), fmt NULL and
+    fake dims for unrecognized payloads.  The 100-TB shape is identical
+    to media_metadata — one Arrow-batched pass, no blob re-reads
+    downstream."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "width": [], "height": [],
+                   "n_bytes": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = decode_image_header(b)
+                if parsed is None:
+                    fmt, (w, h) = None, _fake_decode(b)
+                else:
+                    fmt, w, h = parsed
+                out["doc_id"].append(int(did))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract,
+                                                   HEADER_META_SCHEMA)
 
 
 def media_metadata(df: DataFrame, blob_col: str = "blob",
@@ -49,7 +202,7 @@ def media_metadata(df: DataFrame, blob_col: str = "blob",
         import hashlib
         for pdf in batches:
             blobs = [bytes(b) if b is not None else b"" for b in pdf[blob_col]]
-            dims = [_fake_decode(b) for b in blobs]
+            dims = [_decode_dims(b) for b in blobs]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "n_bytes": [len(b) for b in blobs],
@@ -79,7 +232,7 @@ def resize_plan(df: DataFrame, target: int = 256, blob_col: str = "blob",
                    ("doc_id", "orig_w", "orig_h", "out_w", "out_h", "scale_r")}
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
-                w, h = _fake_decode(b)
+                w, h = _decode_dims(b)
                 scale = target / max(w, h)
                 out["doc_id"].append(int(did))
                 out["orig_w"].append(w)

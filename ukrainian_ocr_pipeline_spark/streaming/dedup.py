@@ -9,8 +9,10 @@ keys state by the digest and expires it once the event-time watermark
 passes, so state size is (arrival rate x watermark horizon), not the
 corpus — the only shape that works at 10^12 documents.
 
-Exact-hash keying matches operators/dedup.exact_duplicates; near-dup
-streaming would key on a MinHash band bucket the same way.  No reference
+Exact-hash keying (dedup_stream) matches operators/dedup.
+exact_duplicates; NEAR-dup streaming (neardup_stream) keys on SimHash
+band buckets the same way — per-row signatures, banded state, a
+windowed count recovering the document-level verdict.  No reference
 twin (the reference is batch-only, SURVEY §2.9); verified by
 tests/test_streaming_dedup.py: duplicates inside the watermark horizon
 are suppressed, re-appearances after watermark expiry pass through (by
@@ -49,3 +51,92 @@ def dedup_stream(pages: DataFrame, watermark: str = "1 hour",
                                    F.concat(F.lit("url:"), F.col("url"))))
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["digest"]))
+
+
+def with_rowwise_simhash(df: DataFrame, text_col: str = "text",
+                         bits: int = 32, out: str = "simhash") -> DataFrame:
+    """Per-ROW SimHash — a narrow projection with no aggregation, so it
+    is streamable (the batch operators/dedup.simhash shape is
+    explode + two groupBys, which a continuous stream cannot run
+    per-arrival).  Bit-for-bit identical to the batch operator at the
+    same ``bits`` (pinned by tests/test_streaming_dedup.py): distinct
+    canonical words, the same md5-prefix word hash, bit-majority with
+    ties set.  NULL for word-less documents (the batch operator emits
+    no row for those; their dedup identity is content_digest's job).
+
+    The shift counts are SQL lambdas (``h >> i`` with a lambda-bound
+    ``i``), which the pyspark shiftright() API cannot express — hence
+    the F.expr body over a temp column."""
+    if bits % 4 != 0 or not 4 <= bits <= 60:
+        # hex-prefix hashing needs nibble alignment; >60 bits would
+        # overflow the BIGINT conv() under ANSI
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
+    from ..operators.dedup import word_array
+    hs = F.transform(
+        F.array_distinct(word_array(text_col)),
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")),
+                                     1, bits // 4), 16, 10).cast("bigint"))
+    df = df.withColumn("__sim_hs", hs)
+    sim = F.expr(f"""
+      CASE WHEN size(__sim_hs) > 0 THEN
+        aggregate(
+          transform(
+            aggregate(__sim_hs, array_repeat(0, {bits}),
+                      (acc, h) -> transform(acc,
+                                  (c, i) -> c + CAST((h >> i) & 1 AS INT))),
+            (ones, i) -> IF(2 * ones >= size(__sim_hs),
+                            shiftleft(CAST(1 AS BIGINT), i),
+                            CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, x) -> a + x)
+      END""")
+    return df.withColumn(out, sim).drop("__sim_hs")
+
+
+def neardup_stream(pages: DataFrame, watermark: str = "1 hour",
+                   ts_col: str = "warc_ts", text_col: str = "text",
+                   bits: int = 32, n_bands: int = 4,
+                   bucket_window: str = "1 minute") -> DataFrame:
+    """Streaming NEAR-duplicate suppression (the round-3 VERDICT gap):
+    SimHash band keys as the watermarked dedup key.
+
+    Shape: per-row SimHash (no aggregation) -> explode into ``n_bands``
+    contiguous bands -> dropDuplicatesWithinWatermark on
+    (band, band_val) -> windowed per-document count of SURVIVING bands.
+    A document is emitted as novel iff all ``n_bands`` of its band rows
+    were first-seen; by the Manku/Jain/Sarma pigeonhole, any document
+    within Hamming distance < n_bands of an in-horizon predecessor
+    agrees exactly on >= 1 band and is therefore suppressed — recall
+    1.0 for near-dups, with the same bounded (rate x horizon) state as
+    the exact path.
+
+    Emission is APPEND-mode: the per-document count is a windowed
+    aggregation after the dedup operator (a chained-stateful-operator
+    plan), so novel documents emit once the watermark passes their
+    ``bucket_window`` — the horizon/latency trade a continuous ingest
+    pipeline already makes.
+
+    Precision caveat (inherent to band-keyed suppression without a
+    verify pass): two genuinely distant documents that collide on one
+    ``bits/n_bands``-wide band value false-suppress the later one.  At
+    32/4 the band is 8 bits — fine for tests, too narrow for a 10^12
+    crawl; production uses bits=60, n_bands=4 (15-bit bands) and a
+    periodic batch reconciliation (operators/dedup.simhash_hamming_pairs
+    verifies with bit_count), exactly like the batch twin.
+    """
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = (with_rowwise_simhash(pages, text_col, bits)
+              .where(F.col("simhash").isNotNull())
+              .select("url", ts_col, "simhash",
+                      F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+                      .alias("band"))
+              .withColumn("band_val",
+                          F.expr(f"(simhash >> (band * {width})) & {mask}"))
+              .withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark(["band", "band_val"]))
+    return (banded
+            .groupBy(F.window(ts_col, bucket_window).alias("w"),
+                     "url", "simhash")
+            .agg(F.count("*").alias("new_bands"))
+            .where(F.col("new_bands") == n_bands)
+            .select("url", F.col("w.start").alias("window_start"), "simhash"))
