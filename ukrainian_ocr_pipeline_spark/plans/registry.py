@@ -1198,6 +1198,18 @@ FROM maj GROUP BY doc_id
 """
 
 
+def q_doc_rowwise_simhash(spark, sf_dir):
+    """Streamable per-ROW SimHash (streaming/dedup.with_rowwise_simhash)
+    run in batch: must be bit-identical to the explode+groupBy batch
+    operator, so its oracle IS the batch simhash SQL — a hash mismatch
+    here means the streaming near-dup path diverged from the verified
+    batch semantics."""
+    from ..streaming.dedup import with_rowwise_simhash
+    return (with_rowwise_simhash(_t(spark, sf_dir, "documents"))
+            .where(F.col("simhash").isNotNull())
+            .select("doc_id", "simhash"))
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """Word-set Jaccard within (lang, source) candidate buckets.
 
@@ -6260,6 +6272,7 @@ QUERIES = {
     #    never-witnessed entries; displacing one mid-round trades
     #    unwitnessed for unwitnessed) --
     "multimodal_header_decode": q_multimodal_header_decode,
+    "doc_rowwise_simhash": q_doc_rowwise_simhash,
     # -- driver-witnessed veterans (>=1 hash-green row in r01-r03),
     #    relative order preserved; every query regardless of position
     #    stays covered by the local all-query tri-scale mirror
@@ -6436,6 +6449,7 @@ ORACLE_SQL = {
     "hybrid_search_rrf": SQL_HYBRID_RRF,
     "orders_zorder_layout": SQL_ZORDER_LAYOUT,
     "multimodal_header_decode": SQL_HEADER_DECODE,
+    "doc_rowwise_simhash": SQL_SIMHASH,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
