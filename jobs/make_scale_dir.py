@@ -23,8 +23,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from ukrainian_ocr_pipeline_spark.oraclecompare import (  # noqa: E402
+    TESTDATA_TABLES as TABLES,
+)
 
 # id-bearing columns (shifted per replica); everything else is payload
 KEY_SUFFIX = "key"

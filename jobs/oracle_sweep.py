@@ -21,37 +21,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _normalize(df):
-    import pandas as pd
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            try:
-                df[c] = pd.to_numeric(df[c])
-            except (ValueError, TypeError):
-                df[c] = df[c].astype(str)
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
 def compare(spark, ddb, queries, oracles, name, sf_dir) -> dict:
-    import pandas as pd
-    got = _normalize(queries[name](spark, sf_dir).toPandas())
-    want = _normalize(ddb.execute(oracles[name]).df())
+    from ukrainian_ocr_pipeline_spark.oraclecompare import (
+        normalize_frame,
+        values_equal,
+    )
+    got = normalize_frame(queries[name](spark, sf_dir).toPandas())
+    want = normalize_frame(ddb.execute(oracles[name]).df())
     res = {"rows": len(got), "oracle_rows": len(want),
            "columns_match": list(got.columns) == list(want.columns),
            "rows_match": len(got) == len(want), "values_match": None}
     if res["columns_match"] and res["rows_match"]:
-        ok = True
-        for c in got.columns:
-            if pd.api.types.is_float_dtype(got[c]):
-                ok = ok and bool((got[c].fillna(-1) == want[c].fillna(-1)).all())
-            else:
-                ok = ok and bool((got[c].values == want[c].values).all())
-        res["values_match"] = ok
+        res["values_match"] = values_equal(got, want)
     return res
 
 
@@ -85,11 +66,10 @@ def main(argv=None) -> int:
 
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark(app="oracle-sweep", master=args.master)
+    from ukrainian_ocr_pipeline_spark.oraclecompare import register_views
+
     ddb = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        ddb.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{args.sf_dir}/{t}.parquet')")
+    register_views(ddb, args.sf_dir)
     results = {}
     n_fail = 0
     try:

@@ -74,6 +74,40 @@ def test_decode_rejects_non_images(bad):
     assert decode_image_header(bad) is None
 
 
+def test_decode_rejects_corrupt_dims():
+    """Zero or int32-overflowing declared dims are corrupt headers, not
+    decodable images: a 0x0 PNG would divide-by-zero aspect math and a
+    4-billion-pixel-wide PNG would fail the Arrow int cast mid-job."""
+    import struct
+    zero_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II5B", 0, 0, 8, 2, 0, 0, 0) + b"\x00" * 4)
+    huge_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II5B", 4_000_000_000, 5, 8, 2, 0, 0, 0)
+                + b"\x00" * 4)
+    zero_gif = b"GIF89a" + struct.pack("<HH", 0, 200) + bytes([0, 0, 0])
+    zero_jpeg = (b"\xff\xd8\xff\xc0" + struct.pack(">HB", 11, 8)
+                 + struct.pack(">HH", 0, 640) + bytes([1, 0x11, 0, 0])
+                 + b"\xff\xd9")
+    for blob in (zero_png, huge_png, zero_gif, zero_jpeg):
+        assert decode_image_header(blob) is None, blob[:8]
+
+
+def test_fake_columns_keep_byte_length_semantics(spark):
+    """media_metadata's fake_* columns are byte-length arithmetic by
+    contract (their SQL oracle), even for a payload that happens to
+    start with an ASCII image signature — text beginning 'GIF87a' must
+    NOT be header-parsed there (that's media_header_meta's job)."""
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        media_metadata,
+    )
+    trap = "GIF87a and the rest is ordinary prose".encode()
+    df = spark.createDataFrame([(1, trap)], "doc_id long, blob binary")
+    r = media_metadata(df).collect()[0]
+    n = len(trap)
+    assert (r["fake_width"], r["fake_height"]) == (64 + n % 512,
+                                                   64 + (n * 7) % 512)
+
+
 @pytest.mark.parametrize("fmt,w,h", [
     ("png", 1, 1), ("png", 1024, 64), ("jpeg", 640, 480),
     ("jpeg", 65535, 1), ("gif", 300, 200), ("gif", 1, 65535),

@@ -484,6 +484,10 @@ def test_zorder_layout_n_files_validated(spark):
     for bad in (7, 100_000, 0):
         with pytest.raises(ValueError):
             zorder_layout_stats(df, "a", "b", bits=8, n_files=bad)
+    # n_files above int32 passes the span bound at bits=31 but would
+    # wrap the int-cast file_id — must be rejected too
+    with pytest.raises(ValueError):
+        zorder_layout_stats(df, "a", "b", bits=31, n_files=1 << 32)
 
 
 def test_zorder_layout_no_bigint_wrap_at_high_bits(spark):

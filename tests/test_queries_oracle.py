@@ -20,28 +20,17 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
+from ukrainian_ocr_pipeline_spark.oraclecompare import (  # noqa: E402
+    normalize_frame as _normalize,
+    register_views,
+)
+
+
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    register_views(con, SF_DIR)
     return con
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            try:
-                df[c] = pd.to_numeric(df[c])
-            except (ValueError, TypeError):
-                df[c] = df[c].astype(str)
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))

@@ -34,14 +34,27 @@ REAL_CODECS_AVAILABLE = False  # no PIL/cv2/ffmpeg in this container
 
 def _fake_decode(blob: bytes) -> tuple[int, int]:
     """Deterministic stand-in for PIXEL decode: derives a fake (w, h)
-    from the payload length.  Used only when the blob is not a
-    recognized image container (see :func:`decode_image_header`) — the
-    full-pixel path (PIL.Image.open(...).size / cv2.imdecode) stays
-    behind REAL_CODECS_AVAILABLE."""
+    from the payload length.  media_metadata/resize_plan use it
+    UNCONDITIONALLY — their fake_* column contracts (and SQL oracles)
+    are pure byte-length arithmetic by design; real header-parsed dims
+    are media_header_meta's job (running the real parser on arbitrary
+    text-as-blob payloads would mis-trigger on text that merely starts
+    with an ASCII 'GIF87a').  The full-pixel path
+    (PIL.Image.open(...).size / cv2.imdecode) stays behind
+    REAL_CODECS_AVAILABLE."""
     if REAL_CODECS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("real codec path requires PIL/cv2")
     n = len(blob)
     return 64 + n % 512, 64 + (n * 7) % 512
+
+
+# declared dims outside (0, 2^31) are corrupt/crafted headers: 0 would
+# divide-by-zero aspect math, larger overflows the int32 output schemas
+_MAX_DIM = 0x7FFFFFFF
+
+
+def _sane_dims(w: int, h: int) -> bool:
+    return 0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -65,16 +78,23 @@ def decode_image_header(blob: bytes):
     - JPEG (ITU T.81): SOI, then a marker walk — each segment is
       0xFF <marker> <be16 length includes itself>; the first SOFn
       segment carries height (be16 at +5) then width (be16 at +7).
+
+    Dimension sanity (review fix): zero or implausibly-huge declared
+    dims mark the header corrupt/crafted and the blob unrecognized —
+    a zero dim would divide-by-zero any aspect math downstream, and a
+    PNG u32 dim above the int32 schema range would fail the Arrow cast
+    mid-job.  PNG requires nonzero dims; JPEG height 0 (DNL-deferred)
+    is not a parseable dimension either.
     """
     n = len(blob)
     if n >= 24 and blob[:8] == _PNG_SIG and blob[12:16] == b"IHDR":
         w = int.from_bytes(blob[16:20], "big")
         h = int.from_bytes(blob[20:24], "big")
-        return ("png", w, h)
+        return ("png", w, h) if _sane_dims(w, h) else None
     if n >= 10 and blob[:6] in (b"GIF87a", b"GIF89a"):
         w = int.from_bytes(blob[6:8], "little")
         h = int.from_bytes(blob[8:10], "little")
-        return ("gif", w, h)
+        return ("gif", w, h) if _sane_dims(w, h) else None
     if n >= 4 and blob[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= n:
@@ -91,22 +111,12 @@ def decode_image_header(blob: bytes):
                     return None
                 h = int.from_bytes(blob[i + 5:i + 7], "big")
                 w = int.from_bytes(blob[i + 7:i + 9], "big")
-                return ("jpeg", w, h)
+                return ("jpeg", w, h) if _sane_dims(w, h) else None
             seglen = int.from_bytes(blob[i + 2:i + 4], "big")
             if seglen < 2:
                 return None
             i += 2 + seglen
     return None
-
-
-def _decode_dims(blob: bytes) -> tuple[int, int]:
-    """Real header decode when the container is recognized, the
-    deterministic fake otherwise (text-as-blob plumbing tests keep
-    their established arithmetic)."""
-    parsed = decode_image_header(blob)
-    if parsed is not None:
-        return parsed[1], parsed[2]
-    return _fake_decode(blob)
 
 
 def build_fixture_image(fmt: str, w: int, h: int) -> bytes:
@@ -159,6 +169,7 @@ def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
 
+
 HEADER_META_SCHEMA = ("doc_id bigint, fmt string, width int, height int, "
                       "n_bytes int")
 
@@ -202,7 +213,7 @@ def media_metadata(df: DataFrame, blob_col: str = "blob",
         import hashlib
         for pdf in batches:
             blobs = [bytes(b) if b is not None else b"" for b in pdf[blob_col]]
-            dims = [_decode_dims(b) for b in blobs]
+            dims = [_fake_decode(b) for b in blobs]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "n_bytes": [len(b) for b in blobs],
@@ -232,7 +243,7 @@ def resize_plan(df: DataFrame, target: int = 256, blob_col: str = "blob",
                    ("doc_id", "orig_w", "orig_h", "out_w", "out_h", "scale_r")}
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
-                w, h = _decode_dims(b)
+                w, h = _fake_decode(b)
                 scale = target / max(w, h)
                 out["doc_id"].append(int(did))
                 out["orig_w"].append(w)

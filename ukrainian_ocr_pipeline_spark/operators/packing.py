@@ -465,8 +465,13 @@ def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
     rather than ntile: a pure projection, no global window — real
     rewrites range-partition by zkey for the same reason.)"""
     span = 1 << (2 * bits) if 1 <= bits <= 31 else 0
-    if span and not 1 <= n_files <= span:
-        raise ValueError(f"n_files must be in [1, {span}], got {n_files}")
+    # upper bound is ALSO int32-capped: file_id is cast to int, so a
+    # permitted n_files above 2^31-1 would wrap/NULL the ids the same
+    # way the multiply-form overflow did
+    max_files = min(span, 0x7FFFFFFF)
+    if span and not 1 <= n_files <= max_files:
+        raise ValueError(
+            f"n_files must be in [1, {max_files}], got {n_files}")
     if span and span % n_files != 0:
         # the equal-width boundaries floor(zkey * n_files / span) only
         # reduce to the overflow-free divide-first form when the widths

@@ -25,24 +25,31 @@ import os
 import re
 
 # the persistently-expensive headline set (r03 bench walls) plus the
-# queries whose shape regressed before (banded-mat, hybrid RRF)
+# queries whose shape regressed before (banded-mat, hybrid RRF).
+# graph_pagerank / semantic_dedup are deliberately ABSENT: their
+# iterative cores run behind localCheckpoint, so explain() shows only a
+# bare post-checkpoint scan — an empty signature that pins nothing while
+# still paying the full iteration per regeneration (review finding);
+# their shapes are pinned by dedicated tests in test_plans.py instead.
 TOP_QUERIES = [
     "dedup_embedding_cosine_banded_mat",
-    "graph_pagerank",
     "hll_distinct_parts",
-    "semantic_dedup",
     "dedup_cluster_best_keeper",
     "dedup_cluster_assign_star",
     "winnow_dup_candidates",
     "hybrid_search_rrf",
     "doc_fingerprints",
     "dedup_near_dup_verified",
+    "cdx_shard_boundaries",
+    "url_host_blocklist",
 ]
 
 # node kinds whose count is scale-critical; keys are display names,
 # values the regex matched against '(n) Name' detail headers
 _SHAPE_NODES = {
-    "Exchange": r"Exchange(?! )|Exchange ",
+    # plain word: detail headers are '(n) Exchange'; BroadcastExchange
+    # starts with 'Broadcast' so it can't collide at the anchor
+    "Exchange": r"Exchange",
     "BroadcastExchange": r"BroadcastExchange",
     "BroadcastHashJoin": r"BroadcastHashJoin",
     "SortMergeJoin": r"SortMergeJoin",

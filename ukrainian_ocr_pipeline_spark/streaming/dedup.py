@@ -58,11 +58,16 @@ def with_rowwise_simhash(df: DataFrame, text_col: str = "text",
     """Per-ROW SimHash — a narrow projection with no aggregation, so it
     is streamable (the batch operators/dedup.simhash shape is
     explode + two groupBys, which a continuous stream cannot run
-    per-arrival).  Bit-for-bit identical to the batch operator at the
-    same ``bits`` (pinned by tests/test_streaming_dedup.py): distinct
-    canonical words, the same md5-prefix word hash, bit-majority with
-    ties set.  NULL for word-less documents (the batch operator emits
-    no row for those; their dedup identity is content_digest's job).
+    per-arrival).  Bit-for-bit identical to the batch operator AT
+    bits=32 (pinned by tests/test_streaming_dedup.py and the
+    doc_rowwise_simhash oracle): distinct canonical words, the same
+    md5-prefix word hash, bit-majority with ties set.  At other widths
+    the word hash is the bits-wide md5 prefix, which the batch
+    operator's fixed 32-bit hash cannot express — batch jobs needing
+    wider signatures (e.g. a 60-bit reconciliation pass) should run
+    THIS function in batch, not operators/dedup.simhash.  NULL for
+    word-less documents (the batch operator emits no row for those;
+    their dedup identity is content_digest's job).
 
     The shift counts are SQL lambdas (``h >> i`` with a lambda-bound
     ``i``), which the pyspark shiftright() API cannot express — hence
@@ -120,8 +125,10 @@ def neardup_stream(pages: DataFrame, watermark: str = "1 hour",
     ``bits/n_bands``-wide band value false-suppress the later one.  At
     32/4 the band is 8 bits — fine for tests, too narrow for a 10^12
     crawl; production uses bits=60, n_bands=4 (15-bit bands) and a
-    periodic batch reconciliation (operators/dedup.simhash_hamming_pairs
-    verifies with bit_count), exactly like the batch twin.
+    periodic batch reconciliation that recomputes THESE signatures in
+    batch (with_rowwise_simhash at the same bits — the 32-bit-hash
+    batch operator cannot reproduce 60-bit signatures) and verifies
+    candidates with bit_count, the simhash_hamming_pairs discipline.
     """
     width = bits // n_bands
     mask = (1 << width) - 1
