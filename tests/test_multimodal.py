@@ -74,6 +74,33 @@ def test_decode_rejects_non_images(bad):
     assert decode_image_header(bad) is None
 
 
+def test_decode_webp_vp8l_and_lossy_bitstreams():
+    """The VP8L 14-bit packed fields and the VP8 lossy start-code path
+    are decoded from hand-built bitstreams (the builder only emits
+    VP8X, so these pin the other two chunk layouts independently)."""
+    import struct
+
+    def riff(payload):
+        return b"RIFF" + struct.pack("<I", len(payload) + 4) + b"WEBP" + payload
+
+    # VP8L: w=259, h=77 -> minus-one fields 258 / 76 packed 14+14 bits
+    wm, hm = 258, 76
+    bits = wm | (hm << 14)
+    vp8l_body = b"\x2f" + bits.to_bytes(4, "little")
+    vp8l = riff(b"VP8L" + struct.pack("<I", len(vp8l_body)) + vp8l_body)
+    assert decode_image_header(vp8l) == ("webp", 259, 77)
+
+    # VP8 lossy: 3-byte frame tag, 9D 01 2A start code, u16le dims
+    vp8_body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", 320, 240))
+    vp8 = riff(b"VP8 " + struct.pack("<I", len(vp8_body)) + vp8_body)
+    assert decode_image_header(vp8) == ("webp", 320, 240)
+
+    # RIFF/WEBP with an unknown first chunk is unrecognized
+    junk = riff(b"JUNK" + struct.pack("<I", 10) + b"\x00" * 10)
+    assert decode_image_header(junk) is None
+
+
 def test_decode_rejects_corrupt_dims():
     """Zero or int32-overflowing declared dims are corrupt headers, not
     decodable images: a 0x0 PNG would divide-by-zero aspect math and a
@@ -111,6 +138,7 @@ def test_fake_columns_keep_byte_length_semantics(spark):
 @pytest.mark.parametrize("fmt,w,h", [
     ("png", 1, 1), ("png", 1024, 64), ("jpeg", 640, 480),
     ("jpeg", 65535, 1), ("gif", 300, 200), ("gif", 1, 65535),
+    ("webp", 1, 1), ("webp", 1024, 64), ("webp", 65535, 65535),
 ])
 def test_builder_roundtrip_and_fixed_lengths(fmt, w, h):
     blob = build_fixture_image(fmt, w, h)
@@ -146,7 +174,7 @@ def test_synth_corpus_headers_decode_to_doc_id_arithmetic(spark):
     got = {r["doc_id"]: r
            for r in media_header_meta(synth_image_corpus(df)).collect()}
     for i in range(30):
-        fmt = ("png", "jpeg", "gif")[i % 3]
+        fmt = ("png", "jpeg", "gif", "webp")[i % 4]
         assert got[i]["fmt"] == fmt, i
         assert got[i]["width"] == 1 + (i * 7) % 1024
         assert got[i]["height"] == 1 + (i * 13) % 1024

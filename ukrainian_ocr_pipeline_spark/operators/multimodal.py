@@ -95,6 +95,13 @@ def decode_image_header(blob: bytes):
         w = int.from_bytes(blob[6:8], "little")
         h = int.from_bytes(blob[8:10], "little")
         return ("gif", w, h) if _sane_dims(w, h) else None
+    # 25 = the smallest decodable WebP (VP8L: 20-byte headers + 1-byte
+    # signature + 4 packed dim bytes); VP8X/VP8 check their own 30
+    if n >= 25 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        parsed = _webp_dims(blob)
+        if parsed is not None and _sane_dims(*parsed):
+            return ("webp", *parsed)
+        return None
     if n >= 4 and blob[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= n:
@@ -116,6 +123,35 @@ def decode_image_header(blob: bytes):
             if seglen < 2:
                 return None
             i += 2 + seglen
+    return None
+
+
+def _webp_dims(blob: bytes):
+    """Dimensions from the first WebP chunk (RFC 9649 byte layouts) —
+    caller has already verified the RIFF/WEBP container tags.
+
+    - VP8X (extended): canvas width/height as 24-bit little-endian
+      minus-one fields at chunk offsets 4..10.
+    - VP8L (lossless): 1-byte 0x2F signature, then 14-bit minus-one
+      width/height packed little-endian-bitstream-first.
+    - "VP8 " (lossy): 3-byte frame tag, the 9D 01 2A start code, then
+      width/height as 14-bit fields of two u16le.
+    """
+    tag = blob[12:16]
+    if tag == b"VP8X" and len(blob) >= 30:
+        w = 1 + int.from_bytes(blob[24:27], "little")
+        h = 1 + int.from_bytes(blob[27:30], "little")
+        return (w, h)
+    if tag == b"VP8L" and len(blob) >= 25 and blob[20] == 0x2F:
+        b = blob[21:25]
+        w = 1 + (b[0] | (b[1] & 0x3F) << 8)
+        h = 1 + ((b[1] >> 6) | b[2] << 2 | (b[3] & 0x0F) << 10)
+        return (w, h)
+    if tag == b"VP8 " and len(blob) >= 30 \
+            and blob[23:26] == b"\x9d\x01\x2a":
+        w = int.from_bytes(blob[26:28], "little") & 0x3FFF
+        h = int.from_bytes(blob[28:30], "little") & 0x3FFF
+        return (w, h)
     return None
 
 
@@ -144,24 +180,32 @@ def build_fixture_image(fmt: str, w: int, h: int) -> bytes:
     if fmt == "gif":
         return (b"GIF89a" + struct.pack("<HH", w, h)
                 + bytes([0, 0, 0]) + b"\x3b")
+    if fmt == "webp":
+        # VP8X extended header: canvas dims as 24-bit LE minus-one
+        vp8x = (bytes([0, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        payload = b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
     raise ValueError(f"unknown fixture format: {fmt}")
 
 
-FIXTURE_IMAGE_BYTES = {"png": 33, "jpeg": 35, "gif": 14}
+FIXTURE_IMAGE_BYTES = {"png": 33, "jpeg": 35, "gif": 14, "webp": 30}
 
 
 def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic (doc_id, blob) image corpus: one REAL serialized
-    container per row — format cycles png/jpeg/gif by doc_id % 3, pixel
-    dims are 1 + (doc_id*7) % 1024 by 1 + (doc_id*13) % 1024 — so the
-    header-decode round-trip is oracle-checkable with pure arithmetic
-    (the SQL twin recomputes fmt/width/height/n_bytes from doc_id)."""
+    container per row — format cycles png/jpeg/gif/webp by doc_id % 4,
+    pixel dims are 1 + (doc_id*7) % 1024 by 1 + (doc_id*13) % 1024 — so
+    the header-decode round-trip is oracle-checkable with pure
+    arithmetic (the SQL twin recomputes fmt/width/height/n_bytes from
+    doc_id)."""
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for did in pdf[id_col]:
                 did = int(did)
-                fmt = ("png", "jpeg", "gif")[did % 3]
+                fmt = ("png", "jpeg", "gif", "webp")[did % 4]
                 blobs.append(build_fixture_image(
                     fmt, 1 + (did * 7) % 1024, 1 + (did * 13) % 1024))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),

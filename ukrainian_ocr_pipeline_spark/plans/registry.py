@@ -1998,11 +1998,12 @@ FROM documents d, generate_series(0, 7) AS i(i)
 
 def q_multimodal_header_decode(spark, sf_dir):
     """REAL image-header decode round-trip (VERDICT r3 'Next round' #2):
-    synthesize a valid PNG/JPEG/GIF container per doc (format and pixel
-    dims deterministic functions of doc_id), then parse width/height
-    back out of the raw bytes with the stdlib header parser — PNG IHDR
-    big-endian u32s, a JPEG SOFn marker walk past the APP0 segment, GIF
-    little-endian logical screen.  The oracle recomputes the header
+    synthesize a valid PNG/JPEG/GIF/WebP container per doc (format and
+    pixel dims deterministic functions of doc_id), then parse
+    width/height back out of the raw bytes with the stdlib header
+    parser — PNG IHDR big-endian u32s, a JPEG SOFn marker walk past the
+    APP0 segment, GIF little-endian logical screen, WebP VP8X 24-bit
+    minus-one canvas fields.  The oracle recomputes the header
     arithmetic from doc_id, so a parser that misreads any byte offset
     hash-mismatches."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2012,12 +2013,12 @@ def q_multimodal_header_decode(spark, sf_dir):
 
 SQL_HEADER_DECODE = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-            ELSE 'gif' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE 'webp' END AS fmt,
        CAST(1 + (doc_id * 7) % 1024 AS INTEGER) AS width,
        CAST(1 + (doc_id * 13) % 1024 AS INTEGER) AS height,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 35
-            ELSE 14 END AS INTEGER) AS n_bytes
+       CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 35
+            WHEN 2 THEN 14 ELSE 30 END AS INTEGER) AS n_bytes
 FROM documents
 """
 
