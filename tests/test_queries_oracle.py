@@ -21,6 +21,7 @@ ORACLES = entry_mod.oracle_sql()
 
 
 from ukrainian_ocr_pipeline_spark.oraclecompare import (  # noqa: E402
+    first_mismatch,
     normalize_frame as _normalize,
     register_views,
 )
@@ -40,11 +41,10 @@ def test_query_matches_oracle(spark, ddb, name):
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}")
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-    for c in got.columns:
-        if pd.api.types.is_float_dtype(got[c]):
-            assert (got[c].fillna(-1) == want[c].fillna(-1)).all(), f"{name}.{c}"
-        else:
-            assert (got[c].values == want[c].values).all(), f"{name}.{c}"
+    # the SHARED comparison convention (oraclecompare) — the sweep CLI
+    # uses the same function, so the gate and the sweeps cannot drift
+    bad = first_mismatch(got, want)
+    assert bad is None, f"{name}.{bad}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

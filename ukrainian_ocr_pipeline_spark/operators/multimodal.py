@@ -1,6 +1,6 @@
 """Multimodal column operators — image/audio/video as opaque binary.
 
-Container-header decode is REAL: PNG/JPEG/GIF dimensions are parsed
+Container-header decode is REAL: PNG/JPEG/GIF/WebP dimensions are parsed
 straight from the published byte layouts with the stdlib
 (:func:`decode_image_header`) — no codec library needed.  Only the
 full PIXEL decode (PIL/cv2/ffmpeg, absent from this container) stays
@@ -65,7 +65,7 @@ _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
 def decode_image_header(blob: bytes):
     """Parse real (format, width, height) from the container header of
-    a PNG / JPEG / GIF payload using nothing but the published byte
+    a PNG / JPEG / GIF / WebP payload using nothing but the published byte
     layouts — no codec library needed for dimensions (reference analog:
     utils/io.py:20-45 loads full images via PIL; here only the header
     arithmetic is required).  Returns None for anything unrecognized
@@ -78,6 +78,8 @@ def decode_image_header(blob: bytes):
     - JPEG (ITU T.81): SOI, then a marker walk — each segment is
       0xFF <marker> <be16 length includes itself>; the first SOFn
       segment carries height (be16 at +5) then width (be16 at +7).
+    - WebP (RFC 9649): RIFF/WEBP container, dims from the first chunk —
+      VP8X / VP8L / "VP8 " layouts, see :func:`_webp_dims`.
 
     Dimension sanity (review fix): zero or implausibly-huge declared
     dims mark the header corrupt/crafted and the blob unrecognized —
@@ -160,8 +162,9 @@ def build_fixture_image(fmt: str, w: int, h: int) -> bytes:
     dimensions — fixed-length per format so byte counts are
     SQL-computable constants: PNG 33 B (sig + IHDR), JPEG 35 B
     (SOI + APP0/JFIF + SOF0 + EOI; exercises the marker walk), GIF
-    14 B (header + logical screen + trailer).  Used to synthesize
-    deterministic image corpora for the header-decode round-trip."""
+    14 B (header + logical screen + trailer), WebP 30 B (RIFF + VP8X
+    canvas fields).  Used to synthesize deterministic image corpora
+    for the header-decode round-trip."""
     import struct
     import zlib
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):

@@ -44,15 +44,23 @@ def normalize_frame(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def values_equal(got, want) -> bool:
-    """Column-wise equality of two normalized frames with the shared
-    NULL convention (floats compare through fillna(-1))."""
+def first_mismatch(got, want):
+    """Name of the first column whose values differ between two
+    normalized frames (None if all equal) — THE one comparison
+    convention (floats through fillna(-1)); exposed by name so the
+    pytest mirror can keep per-column assert messages."""
     import pandas as pd
     for c in got.columns:
         if pd.api.types.is_float_dtype(got[c]):
             if not (got[c].fillna(-1) == want[c].fillna(-1)).all():
-                return False
+                return c
         else:
             if not (got[c].values == want[c].values).all():
-                return False
-    return True
+                return c
+    return None
+
+
+def values_equal(got, want) -> bool:
+    """Column-wise equality of two normalized frames with the shared
+    NULL convention — first_mismatch() is None."""
+    return first_mismatch(got, want) is None

@@ -26,11 +26,15 @@ import re
 
 # the persistently-expensive headline set (r03 bench walls) plus the
 # queries whose shape regressed before (banded-mat, hybrid RRF).
-# graph_pagerank / semantic_dedup are deliberately ABSENT: their
-# iterative cores run behind localCheckpoint, so explain() shows only a
-# bare post-checkpoint scan — an empty signature that pins nothing while
-# still paying the full iteration per regeneration (review finding);
-# their shapes are pinned by dedicated tests in test_plans.py instead.
+# Eagerly-materializing queries are deliberately ABSENT:
+# graph_pagerank / semantic_dedup run their iterative cores behind
+# localCheckpoint and cdx_shard_boundaries is a two-pass driver-built
+# frame, so explain() shows only a bare post-materialization scan — an
+# empty signature that pins nothing while still paying the full job per
+# regeneration (review finding); their shapes are pinned by dedicated
+# tests instead (tests/test_graphrank.py for pagerank,
+# tests/test_plans.py for semantic_dedup, tests/test_warc.py for the
+# cdx boundary arithmetic).
 TOP_QUERIES = [
     "dedup_embedding_cosine_banded_mat",
     "hll_distinct_parts",
@@ -40,7 +44,7 @@ TOP_QUERIES = [
     "hybrid_search_rrf",
     "doc_fingerprints",
     "dedup_near_dup_verified",
-    "cdx_shard_boundaries",
+    "dup_passage_excise",
     "url_host_blocklist",
 ]
 
