@@ -179,3 +179,99 @@ def test_synth_corpus_headers_decode_to_doc_id_arithmetic(spark):
         assert got[i]["width"] == 1 + (i * 7) % 1024
         assert got[i]["height"] == 1 + (i * 13) % 1024
         assert got[i]["n_bytes"] == FIXTURE_IMAGE_BYTES[fmt]
+
+
+# --------------------------------------------------------------------------
+# audio/video header decode (WAV RIFF chunks, MP4 ISO-BMFF mvhd)
+
+
+def test_decode_wav_walks_past_extra_chunks():
+    """A LIST chunk before fmt/data (common in real recorders) must be
+    skipped by the chunk walk, including the word-alignment pad byte
+    after an odd-sized chunk."""
+    import struct
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        decode_av_header,
+        build_fixture_wav,
+    )
+
+    plain = build_fixture_wav(16000, 2, 8000)
+    assert decode_av_header(plain) == ("wav", 16000, 2, 500)
+
+    odd_list = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    spliced = plain[:12] + odd_list + plain[12:]
+    fixed = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    assert decode_av_header(fixed) == ("wav", 16000, 2, 500)
+
+
+def test_decode_mp4_mvhd_v0_and_v1():
+    import struct
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_mp4,
+        decode_av_header,
+    )
+
+    assert decode_av_header(build_fixture_mp4(1000, 90500)) == (
+        "mp4", None, None, 90500)
+    assert decode_av_header(build_fixture_mp4(600, 90000)) == (
+        "mp4", None, None, 150000)
+
+    # version-1 mvhd: u64 timestamps and duration
+    body = (bytes([1, 0, 0, 0]) + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 48000) + struct.pack(">Q", 4_800_000)
+            + bytes(80))
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    assert decode_av_header(ftyp + moov) == ("mp4", None, None, 100000)
+
+
+def test_decode_av_rejects_corrupt():
+    import struct
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_mp4,
+        build_fixture_wav,
+        decode_av_header,
+    )
+
+    wav = build_fixture_wav(8000, 1, 100)
+    no_fmt = wav[:12] + wav[36:]          # data chunk only
+    no_fmt = no_fmt[:4] + struct.pack("<I", len(no_fmt) - 8) + no_fmt[8:]
+    zero_ts = build_fixture_mp4(1, 5)
+    zero_ts = zero_ts.replace(struct.pack(">II", 1, 5),
+                              struct.pack(">II", 0, 5))
+    for bad in (b"", b"RIFF", b"RIFF1234WAVE", no_fmt, zero_ts,
+                b"not a container at all padded out to length 44!!"):
+        assert decode_av_header(bad) is None, bad[:12]
+
+
+def test_synth_av_corpus_decodes_to_doc_id_arithmetic(spark):
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        media_av_meta,
+        synth_av_corpus,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {r["doc_id"]: r
+           for r in media_av_meta(synth_av_corpus(df)).collect()}
+    for i in range(20):
+        r = got[i]
+        if i % 2 == 0:
+            rate = 8000 + (i % 5) * 4000
+            ch = 1 + (i // 2) % 2
+            ns = 100 + i % 900
+            assert (r["kind"], r["sample_rate"], r["channels"]) == (
+                "wav", rate, ch)
+            assert r["duration_ms"] == ns * 1000 // rate
+            assert r["n_bytes"] == 44 + ns * ch * 2
+        else:
+            ts = 1000 + (i % 7) * 500
+            dur = 10000 + i % 90000
+            assert (r["kind"], r["sample_rate"], r["channels"]) == (
+                "mp4", None, None)
+            assert r["duration_ms"] == dur * 1000 // ts
+            assert r["n_bytes"] == 132

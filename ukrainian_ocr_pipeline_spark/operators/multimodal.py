@@ -157,6 +157,157 @@ def _webp_dims(blob: bytes):
     return None
 
 
+def decode_av_header(blob: bytes):
+    """Parse real audio/video container metadata with the stdlib —
+    (kind, sample_rate, channels, duration_ms); sample_rate/channels
+    NULL for video.  None for anything unrecognized or truncated.
+
+    - WAV (RIFF/WAVE): walk chunks for ``fmt `` (channels u16le at +2,
+      sample rate u32le at +4, block align u16le at +12) and ``data``
+      (payload byte count); duration_ms = data_bytes * 1000 div
+      byte_rate, exact integer arithmetic.
+    - MP4 (ISO BMFF): walk top-level boxes to ``moov``, its children to
+      ``mvhd``; version 0 carries timescale/duration as u32be after
+      2x u32 timestamps, version 1 after 2x u64; duration_ms =
+      duration * 1000 div timescale.
+    """
+    n = len(blob)
+    if n >= 44 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        i = 12
+        rate = channels = block_align = data_bytes = None
+        while i + 8 <= n:
+            tag = blob[i:i + 4]
+            size = int.from_bytes(blob[i + 4:i + 8], "little")
+            if tag == b"fmt " and i + 8 + 16 <= n:
+                channels = int.from_bytes(blob[i + 10:i + 12], "little")
+                rate = int.from_bytes(blob[i + 12:i + 16], "little")
+                block_align = int.from_bytes(blob[i + 20:i + 22], "little")
+            elif tag == b"data":
+                data_bytes = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if not rate or not block_align or data_bytes is None \
+                or not channels:
+            return None
+        return ("wav", rate, channels,
+                data_bytes * 1000 // (rate * block_align))
+    if n >= 16 and blob[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= n:
+            size = int.from_bytes(blob[i:i + 4], "big")
+            tag = blob[i + 4:i + 8]
+            if size < 8:
+                return None
+            if tag == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    csize = int.from_bytes(blob[j:j + 4], "big")
+                    ctag = blob[j + 4:j + 8]
+                    if csize < 8:
+                        return None
+                    if ctag == b"mvhd" and j + 8 + 4 <= end:
+                        ver = blob[j + 8]
+                        if ver == 0 and j + 8 + 20 <= end:
+                            ts = int.from_bytes(blob[j + 20:j + 24], "big")
+                            dur = int.from_bytes(blob[j + 24:j + 28], "big")
+                        elif ver == 1 and j + 8 + 32 <= end:
+                            ts = int.from_bytes(blob[j + 28:j + 32], "big")
+                            dur = int.from_bytes(blob[j + 32:j + 40], "big")
+                        else:
+                            return None
+                        if ts == 0:
+                            return None
+                        return ("mp4", None, None, dur * 1000 // ts)
+                    j += csize
+                return None
+            i += size
+    return None
+
+
+def build_fixture_wav(rate: int, channels: int, n_samples: int,
+                      bits: int = 16) -> bytes:
+    """Minimal VALID 44-byte-header PCM WAV with a real zero-filled
+    data payload — byte count 44 + n_samples*channels*bits/8 is
+    SQL-computable."""
+    import struct
+    block = channels * bits // 8
+    data = bytes(n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_fixture_mp4(timescale: int, duration: int) -> bytes:
+    """Minimal VALID 132-byte ISO-BMFF container: ftyp + moov/mvhd v0
+    with the given timescale/duration (the standard 108-byte mvhd)."""
+    import struct
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_body = (bytes([0, 0, 0, 0])                     # version+flags
+                 + struct.pack(">II", 0, 0)              # creation/mod
+                 + struct.pack(">II", timescale, duration)
+                 + struct.pack(">I", 0x00010000)         # rate 1.0
+                 + struct.pack(">H", 0x0100) + bytes(10)  # volume+rsvd
+                 + bytes(36) + bytes(24)                 # matrix+predef
+                 + struct.pack(">I", 2))                 # next track id
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+AV_META_SCHEMA = ("doc_id bigint, kind string, sample_rate int, "
+                  "channels int, duration_ms bigint, n_bytes int")
+
+
+def media_av_meta(df: DataFrame, blob_col: str = "blob",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Real audio/video container-header decode over a binary column
+    via mapInPandas — the audio/video twin of media_header_meta; kind
+    NULL (and NULL metadata) for unrecognized payloads."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "sample_rate": [],
+                   "channels": [], "duration_ms": [], "n_bytes": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = decode_av_header(b)
+                kind, rate, ch, dur = parsed if parsed else (None,) * 4
+                out["doc_id"].append(int(did))
+                out["kind"].append(kind)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["duration_ms"].append(dur)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, AV_META_SCHEMA)
+
+
+def synth_av_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) audio/video corpus: even doc_ids a
+    real PCM WAV (rate 8000 + (doc_id%5)*4000, channels 1 + (doc_id
+    div 2) % 2, 100 + doc_id % 900 samples), odd doc_ids a real MP4
+    (timescale 1000 + (doc_id%7)*500, duration 10000 + doc_id % 90000)
+    — every output column of media_av_meta is pure doc_id arithmetic
+    for the SQL twin."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                did = int(did)
+                if did % 2 == 0:
+                    blobs.append(build_fixture_wav(
+                        8000 + (did % 5) * 4000, 1 + (did // 2) % 2,
+                        100 + did % 900))
+                else:
+                    blobs.append(build_fixture_mp4(
+                        1000 + (did % 7) * 500, 10000 + did % 90000))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
 def build_fixture_image(fmt: str, w: int, h: int) -> bytes:
     """Serialize a minimal VALID image container of the given pixel
     dimensions — fixed-length per format so byte counts are

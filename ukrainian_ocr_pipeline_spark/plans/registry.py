@@ -2011,6 +2011,38 @@ def q_multimodal_header_decode(spark, sf_dir):
     return multimodal.media_header_meta(blobs)
 
 
+def q_multimodal_av_metadata(spark, sf_dir):
+    """REAL audio/video header decode round-trip: synthesize a valid
+    PCM WAV (even doc_ids) or ISO-BMFF MP4 (odd) per doc with
+    doc_id-arithmetic parameters, then parse sample rate / channels /
+    duration back out of the raw bytes — RIFF chunk walk + fmt/data
+    fields for WAV, the box walk to moov/mvhd for MP4.  The oracle
+    recomputes every field from doc_id, so a byte-offset mistake in
+    either parser hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_av_meta(multimodal.synth_av_corpus(d))
+
+
+SQL_AV_METADATA = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 1 + (doc_id // 2) % 2 END AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN ((100 + doc_id % 900) * 1000)
+                 // (8000 + (doc_id % 5) * 4000)
+            ELSE ((10000 + doc_id % 90000) * 1000)
+                 // (1000 + (doc_id % 7) * 500)
+            END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 44 + (100 + doc_id % 900) * (1 + (doc_id // 2) % 2) * 2
+            ELSE 132 END AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
 SQL_HEADER_DECODE = """
 SELECT doc_id,
        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -6274,6 +6306,7 @@ QUERIES = {
     #    unwitnessed for unwitnessed) --
     "multimodal_header_decode": q_multimodal_header_decode,
     "doc_rowwise_simhash": q_doc_rowwise_simhash,
+    "multimodal_av_metadata": q_multimodal_av_metadata,
     # -- driver-witnessed veterans (>=1 hash-green row in r01-r03),
     #    relative order preserved; every query regardless of position
     #    stays covered by the local all-query tri-scale mirror
@@ -6451,6 +6484,7 @@ ORACLE_SQL = {
     "orders_zorder_layout": SQL_ZORDER_LAYOUT,
     "multimodal_header_decode": SQL_HEADER_DECODE,
     "doc_rowwise_simhash": SQL_SIMHASH,
+    "multimodal_av_metadata": SQL_AV_METADATA,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
