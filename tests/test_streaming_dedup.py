@@ -205,3 +205,16 @@ def test_streaming_neardup_suppresses_within_watermark(spark, tmp_path):
     assert "u1" in set(got.url)
     assert "u3" in set(got.url)
     assert "u2-near" not in set(got.url), got
+
+    # bounded-state design: u4-flush advanced the watermark far past the
+    # 10-minute horizon, expiring every band's state — the SAME near-dup
+    # text now re-enters as novel (state is rate x horizon, not corpus);
+    # one more far-future row flushes its window
+    _write_pages([_row("u5-latecrawl", 245, near)],
+                 str(pages_dir / "f3.parquet"))
+    _run_neardup(spark, pages_dir, out_dir, ckpt)
+    _write_pages([_row("u6-flush", 480, "final watermark advancer")],
+                 str(pages_dir / "f4.parquet"))
+    _run_neardup(spark, pages_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert "u5-latecrawl" in set(got.url), got
