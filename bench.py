@@ -106,6 +106,8 @@ HEADLINE = [
     "lang_unigram_entropy", "bitext_margin_pairs", "doc_bigram_logprob",
     "source_concentration", "length_drift_psi",
     "split_leakage_check", "packing_efficiency",
+    "multimodal_header_decode", "doc_rowwise_simhash",
+    "multimodal_av_metadata",
 ]
 
 
