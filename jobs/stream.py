@@ -13,6 +13,11 @@ sink).  Re-run on a schedule, this is the resumable ingest loop the
 north rule's checkpoint-resume criterion describes, on Structured
 Streaming's native offset tracking.
 
+--neardup-watermark switches the job to VERDICT mode: it emits the
+SimHash-band novelty table (url, window_start, simhash) instead of
+extracting — the composable near-dup shape where suppression is a later
+batch join against the verdicts (streaming/dedup.neardup_stream).
+
 --dedup-watermark enables in-stream exact dedup keyed on the html
 digest — NOTE it weakens the exactly-once-per-page contract for LATE
 data: the horizon is also a late-arrival cutoff, so a page whose
@@ -36,8 +41,17 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
     p.add_argument("--dedup-watermark", default=None,
                    help='enable in-stream exact dedup, e.g. "1 hour"')
+    p.add_argument("--neardup-watermark", default=None,
+                   help='NEAR-dup verdict mode: instead of extracting, '
+                        'emit the SimHash-band novelty table (url, '
+                        'window_start, simhash) a downstream batch join '
+                        'consumes; e.g. "10 minutes"')
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.dedup_watermark and args.neardup_watermark:
+        p.error("--dedup-watermark and --neardup-watermark are separate "
+                "pipelines (exact suppression inline vs a novelty-verdict "
+                "table) — run two jobs with two checkpoints")
 
     from pyspark.sql import SparkSession
 
@@ -67,7 +81,9 @@ def main(argv=None) -> int:
         extract_pages, extracted_table,
     )
     from ukrainian_ocr_pipeline_spark.sources.pages import validate_pages
-    from ukrainian_ocr_pipeline_spark.streaming.dedup import dedup_stream
+    from ukrainian_ocr_pipeline_spark.streaming.dedup import (
+        dedup_stream, neardup_stream,
+    )
 
     # the dedup choice is per-CHECKPOINT-LIFETIME, not per-invocation:
     # flipping it on an existing checkpoint fails every later run with
@@ -75,10 +91,14 @@ def main(argv=None) -> int:
     # committed batches).  Pin the choice with the first run and reject
     # a flip loudly instead of wedging the ingest loop.
     dedup_marker = os.path.join(args.checkpoint, "_dedup_choice.json")
-    choice = {"dedup": bool(args.dedup_watermark)}
+    choice = {"dedup": bool(args.dedup_watermark),
+              "neardup": bool(args.neardup_watermark)}
     if os.path.exists(dedup_marker):
         with open(dedup_marker, encoding="utf-8") as fh:
             prev = json.load(fh)
+        # markers written before the neardup mode existed lack the key;
+        # their checkpoints are by definition non-neardup
+        prev.setdefault("neardup", False)
         if prev != choice:
             print(json.dumps({"error": "dedup-watermark choice differs "
                               "from this checkpoint's first run",
@@ -102,6 +122,35 @@ def main(argv=None) -> int:
               .option("recursiveFileLookup", "true")
               .parquet(cfg.pages))
     stream = validate_pages(stream)
+
+    if args.neardup_watermark:
+        # verdict mode: the output is the novelty table itself — the
+        # composable production shape (suppression happens in a later
+        # batch join against these verdicts), keeping THIS job's
+        # exactly-once extraction contract untouched.  warc_ts is
+        # carried as the dedup event time; text comes from the page
+        # text column (extraction runs downstream of the verdict).
+        novel = neardup_stream(stream, watermark=args.neardup_watermark)
+        n_rows = {"n": 0, "batches": 0}
+
+        def vsink(batch_df, batch_id):
+            n_rows["batches"] += 1
+            path = os.path.join(args.out, f"batch_id={batch_id}")
+            batch_df.write.mode("overwrite").parquet(path)
+            n_rows["n"] += spark.read.parquet(path).count()
+
+        q = (novel.writeStream
+             .foreachBatch(vsink)
+             .option("checkpointLocation", args.checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        print(json.dumps({"batches": n_rows["batches"],
+                          "novel_rows": n_rows["n"]}))
+        if existing is None:
+            spark.stop()
+        return 0
+
     if args.dedup_watermark:
         stream = dedup_stream(stream, watermark=args.dedup_watermark)
     enriched = extract_pages(

@@ -176,3 +176,80 @@ def test_stream_job_sees_nested_page_files(spark, t2_rows, tmp_path):
     assert job.main(["--pages", str(pages_dir), "--out", out,
                      "--checkpoint", ckpt]) == 0
     assert spark.read.parquet(out).count() == 15
+
+
+def test_stream_job_neardup_verdict_mode(spark, tmp_path, capsys):
+    """jobs/stream.py --neardup-watermark: verdict mode emits the
+    novelty table (near-dup suppressed after a flush batch advances the
+    watermark), re-runs are exactly-once no-ops, and flipping the mode
+    on an existing checkpoint is rejected with rc 2."""
+    import datetime
+    import json as _json
+
+    import stream as job
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    base = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    near = "the quick brown fox jumps over the lazy sleeping cat tonight"
+
+    def row(url, minutes, text):
+        # validate_pages requires an https?:// url shape
+        return {"url": f"https://ex.org/{url}",
+                "warc_ts": t0 + datetime.timedelta(minutes=minutes),
+                "html": f"<p>{text}</p>".encode(), "text": text, "lang": "en"}
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _stage_pages(pages_dir / "f0.parquet", [row("u1", 0, base)])
+
+    rc = job.main(["--pages", str(pages_dir), "--out", out,
+                   "--checkpoint", ckpt, "--neardup-watermark", "10 minutes"])
+    assert rc == 0
+    _stage_pages(pages_dir / "f1.parquet",
+                 [row("u2-near", 2, near),
+                  row("u3", 3, "completely different subject matter here")])
+    rc = job.main(["--pages", str(pages_dir), "--out", out,
+                   "--checkpoint", ckpt, "--neardup-watermark", "10 minutes"])
+    assert rc == 0
+    # append-mode emission lags one batch: the watermark advances only
+    # AFTER the batch carrying the late row commits, so closed windows
+    # flush in the NEXT batch — two advancer files, two runs
+    for name, minutes in (("f2", 240), ("f3", 480)):
+        _stage_pages(pages_dir / f"{name}.parquet",
+                     [row(f"u-{name}-flush", minutes,
+                          "late watermark advancer row")])
+        rc = job.main(["--pages", str(pages_dir), "--out", out,
+                       "--checkpoint", ckpt,
+                       "--neardup-watermark", "10 minutes"])
+        assert rc == 0
+    capsys.readouterr()
+
+    import glob
+    files = glob.glob(os.path.join(out, "batch_id=*", "*.parquet"))
+    got = pd.concat(pd.read_parquet(f) for f in files)
+    assert set(got.columns) == {"url", "window_start", "simhash"}
+    urls = {u.rsplit("/", 1)[-1] for u in got.url}
+    assert "u1" in urls and "u3" in urls
+    assert "u2-near" not in urls
+
+    # exactly-once: an empty re-run emits no batches/rows
+    rc = job.main(["--pages", str(pages_dir), "--out", out,
+                   "--checkpoint", ckpt, "--neardup-watermark", "10 minutes"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"batches": 0, "novel_rows": 0}
+
+    # mode flip on a committed checkpoint -> rc 2, loud
+    rc = job.main(["--pages", str(pages_dir), "--out", out,
+                   "--checkpoint", ckpt])
+    assert rc == 2
+    assert "differs" in capsys.readouterr().err
+
+    # both modes at once -> parse-time error
+    import pytest
+    with pytest.raises(SystemExit) as exc:
+        job.main(["--pages", str(pages_dir), "--out", out,
+                  "--checkpoint", ckpt, "--neardup-watermark", "1 hour",
+                  "--dedup-watermark", "1 hour"])
+    assert exc.value.code == 2
