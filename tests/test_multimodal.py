@@ -275,3 +275,55 @@ def test_synth_av_corpus_decodes_to_doc_id_arithmetic(spark):
                 "mp4", None, None)
             assert r["duration_ms"] == dur * 1000 // ts
             assert r["n_bytes"] == 132
+
+
+# --------------------------------------------------------------------------
+# decoder total-safety fuzz: these parsers run inside hot mapInPandas
+# tasks — an uncaught exception on a hostile/corrupt blob would kill the
+# whole Spark job, so the contract is parse-or-None, NEVER raise.
+
+from hypothesis import given, settings, strategies as st
+
+_SIGS = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"\xff\xd8",
+         b"RIFF", b"RIFFxxxxWEBP", b"RIFFxxxxWAVE",
+         b"\x00\x00\x00\x10ftyp", b"RIFFxxxxWEBPVP8L", b"RIFFxxxxWEBPVP8X",
+         b"RIFFxxxxWAVEfmt ", b"\x00\x00\x00\x08moov"]
+
+
+@given(st.sampled_from(_SIGS), st.binary(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_decoders_never_raise_on_arbitrary_bytes(prefix, junk):
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        decode_av_header,
+        decode_image_header,
+    )
+    blob = prefix + junk
+    for fn in (decode_image_header, decode_av_header):
+        out = fn(blob)  # must return a tuple or None, never raise
+        assert out is None or (isinstance(out, tuple) and len(out) == 4
+                               or len(out) == 3)
+
+
+@given(st.binary(min_size=0, max_size=60),
+       st.integers(min_value=0, max_value=59),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=300, deadline=None)
+def test_decoders_survive_single_byte_mutations(tail, pos, val):
+    """Mutate one byte of each VALID container at a random position —
+    headers with corrupted length/size fields must parse or reject,
+    never raise (the truncated/oversized-segment paths)."""
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_image,
+        build_fixture_mp4,
+        build_fixture_wav,
+        decode_av_header,
+        decode_image_header,
+    )
+    blobs = [build_fixture_image(f, 13, 7)
+             for f in ("png", "jpeg", "gif", "webp")]
+    blobs += [build_fixture_wav(8000, 1, 10), build_fixture_mp4(1000, 777)]
+    for blob in blobs:
+        b = bytearray(blob + tail)
+        b[pos % len(b)] = val
+        decode_image_header(bytes(b))
+        decode_av_header(bytes(b))
