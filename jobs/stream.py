@@ -33,6 +33,23 @@ import json
 import sys
 
 
+def _make_sink(spark, out_dir, counter):
+    """THE idempotent per-batch sink both modes share: overwrite by
+    batch_id (re-delivered batches rewrite, never duplicate), and count
+    from the WRITTEN parquet (footer metadata) — counting the
+    unpersisted batch would run the whole upstream chain a second
+    time."""
+    import os
+
+    def sink(batch_df, batch_id):
+        counter["batches"] += 1
+        path = os.path.join(out_dir, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)
+        counter["n"] += spark.read.parquet(path).count()
+
+    return sink
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="incremental web-text extraction")
     p.add_argument("--config", default=None, help="YAML/JSON job config")
@@ -131,22 +148,15 @@ def main(argv=None) -> int:
         # carried as the dedup event time; text comes from the page
         # text column (extraction runs downstream of the verdict).
         novel = neardup_stream(stream, watermark=args.neardup_watermark)
-        n_rows = {"n": 0, "batches": 0}
-
-        def vsink(batch_df, batch_id):
-            n_rows["batches"] += 1
-            path = os.path.join(args.out, f"batch_id={batch_id}")
-            batch_df.write.mode("overwrite").parquet(path)
-            n_rows["n"] += spark.read.parquet(path).count()
-
+        counter = {"n": 0, "batches": 0}
         q = (novel.writeStream
-             .foreachBatch(vsink)
+             .foreachBatch(_make_sink(spark, args.out, counter))
              .option("checkpointLocation", args.checkpoint)
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
-        print(json.dumps({"batches": n_rows["batches"],
-                          "novel_rows": n_rows["n"]}))
+        print(json.dumps({"batches": counter["batches"],
+                          "novel_rows": counter["n"]}))
         if existing is None:
             spark.stop()
         return 0
@@ -167,18 +177,8 @@ def main(argv=None) -> int:
 
     n_rows = {"n": 0, "batches": 0}
 
-    def sink(batch_df, batch_id):
-        # idempotent by batch_id (same contract as streaming/incremental).
-        # Count from the WRITTEN parquet (footer metadata), not
-        # batch_df.count() — counting the unpersisted batch would run the
-        # whole extraction UDF chain a second time
-        n_rows["batches"] += 1
-        path = os.path.join(args.out, f"batch_id={batch_id}")
-        batch_df.write.mode("overwrite").parquet(path)
-        n_rows["n"] += spark.read.parquet(path).count()
-
     q = (out_df.writeStream
-         .foreachBatch(sink)
+         .foreachBatch(_make_sink(spark, args.out, n_rows))
          .option("checkpointLocation", args.checkpoint)
          .trigger(availableNow=True)
          .start())

@@ -229,6 +229,40 @@ def test_decode_mp4_mvhd_v0_and_v1():
     assert decode_av_header(ftyp + moov) == ("mp4", None, None, 100000)
 
 
+def test_decode_wav_uses_header_byte_rate_not_pcm_arithmetic():
+    """Review regression: duration must come from nAvgBytesPerSec (the
+    header's authoritative byte rate) — rate * block_align is wrong for
+    compressed formats.  An ADPCM-style fmt (format tag 0x11, byte rate
+    4055) must yield data*1000//4055, and a declared data size that
+    overruns the blob (truncated download) must reject."""
+    import struct
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_wav,
+        decode_av_header,
+    )
+
+    data = bytes(8110)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    adpcm = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_av_header(adpcm) == ("wav", 8000, 1, 2000)
+
+    # truncated: declared data size exceeds what the blob holds
+    whole = build_fixture_wav(8000, 1, 1000)
+    assert decode_av_header(whole) == ("wav", 8000, 1, 125)
+    assert decode_av_header(whole[:100]) is None
+    # 0xFFFFFFFF streaming placeholder
+    streaming = whole.replace(struct.pack("<I", 2000),
+                              struct.pack("<I", 0xFFFFFFFF))
+    assert decode_av_header(streaming) is None
+    # fmt chunk declaring fewer than the 16 standard bytes
+    shortfmt = whole.replace(b"fmt " + struct.pack("<I", 16),
+                             b"fmt " + struct.pack("<I", 4))
+    assert decode_av_header(shortfmt) is None
+
+
 def test_decode_av_rejects_corrupt():
     import struct
 
@@ -300,8 +334,8 @@ def test_decoders_never_raise_on_arbitrary_bytes(prefix, junk):
     blob = prefix + junk
     for fn in (decode_image_header, decode_av_header):
         out = fn(blob)  # must return a tuple or None, never raise
-        assert out is None or (isinstance(out, tuple) and len(out) == 4
-                               or len(out) == 3)
+        assert out is None or (isinstance(out, tuple)
+                               and len(out) in (3, 4))
 
 
 @given(st.binary(min_size=0, max_size=60),

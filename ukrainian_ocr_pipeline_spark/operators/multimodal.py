@@ -163,9 +163,14 @@ def decode_av_header(blob: bytes):
     NULL for video.  None for anything unrecognized or truncated.
 
     - WAV (RIFF/WAVE): walk chunks for ``fmt `` (channels u16le at +2,
-      sample rate u32le at +4, block align u16le at +12) and ``data``
-      (payload byte count); duration_ms = data_bytes * 1000 div
-      byte_rate, exact integer arithmetic.
+      sample rate u32le at +4, nAvgBytesPerSec u32le at +8) and
+      ``data`` (payload byte count); duration_ms = data_bytes * 1000
+      div nAvgBytesPerSec — the header's authoritative byte rate, so
+      the arithmetic holds for compressed (non-PCM) formats too, where
+      rate * block_align is NOT the byte rate.  A fmt chunk declaring
+      fewer than the 16 standard bytes, a zero byte rate, or a data
+      chunk whose declared size overruns the blob (truncated download,
+      or the 0xFFFFFFFF streaming placeholder) is corrupt -> None.
     - MP4 (ISO BMFF): walk top-level boxes to ``moov``, its children to
       ``mvhd``; version 0 carries timescale/duration as u32be after
       2x u32 timestamps, version 1 after 2x u64; duration_ms =
@@ -174,22 +179,32 @@ def decode_av_header(blob: bytes):
     n = len(blob)
     if n >= 44 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         i = 12
-        rate = channels = block_align = data_bytes = None
+        rate = channels = byte_rate = data_bytes = None
         while i + 8 <= n:
             tag = blob[i:i + 4]
             size = int.from_bytes(blob[i + 4:i + 8], "little")
-            if tag == b"fmt " and i + 8 + 16 <= n:
+            if tag == b"fmt ":
+                # the standard fmt block is 16 bytes; a smaller declared
+                # size means the rate/byte-rate fields would be read
+                # from the NEXT chunk's bytes — corrupt
+                if size < 16 or i + 8 + 16 > n:
+                    return None
                 channels = int.from_bytes(blob[i + 10:i + 12], "little")
                 rate = int.from_bytes(blob[i + 12:i + 16], "little")
-                block_align = int.from_bytes(blob[i + 20:i + 22], "little")
+                byte_rate = int.from_bytes(blob[i + 16:i + 20], "little")
             elif tag == b"data":
+                # declared payload must actually be present: a size
+                # overrunning the blob is a truncated download (or the
+                # 0xFFFFFFFF streaming placeholder) and any duration
+                # derived from it would be confidently wrong
+                if i + 8 + size > n:
+                    return None
                 data_bytes = size
             i += 8 + size + (size & 1)  # chunks are word-aligned
-        if not rate or not block_align or data_bytes is None \
+        if not rate or not byte_rate or data_bytes is None \
                 or not channels:
             return None
-        return ("wav", rate, channels,
-                data_bytes * 1000 // (rate * block_align))
+        return ("wav", rate, channels, data_bytes * 1000 // byte_rate)
     if n >= 16 and blob[4:8] == b"ftyp":
         i = 0
         while i + 8 <= n:
