@@ -28,6 +28,7 @@ batch instead (operators/dedup.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -69,32 +70,44 @@ def with_rowwise_simhash(df: DataFrame, text_col: str = "text",
     word-less documents (the batch operator emits no row for those;
     their dedup identity is content_digest's job).
 
-    The shift counts are SQL lambdas (``h >> i`` with a lambda-bound
-    ``i``), which the pyspark shiftright() API cannot express — hence
-    the F.expr body over a temp column."""
+    Split of labor: canonicalization + tokenization + distinct stay
+    JVM-side (word_array — the ONE token definition, no Python regex
+    twin to drift), while hashing + bit-majority run in a vectorized
+    pandas UDF: md5 per distinct word, then one numpy broadcast
+    (hs[:,None] >> shifts) & 1 per document.  A first formulation did
+    the fold with SQL higher-order lambdas; HOF lambdas are
+    interpreted per element and allocated a bits-wide array per WORD —
+    10x slower on the ingest hot path this operator exists for."""
     if bits % 4 != 0 or not 4 <= bits <= 60:
-        # hex-prefix hashing needs nibble alignment; >60 bits would
-        # overflow the BIGINT conv() under ANSI
+        # hex-prefix hashing keeps parity with the batch operator's
+        # md5-prefix word hash and needs nibble alignment; cap 60 so
+        # the signature stays positive BIGINT
         raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
+    from pyspark.sql.functions import pandas_udf
+
     from ..operators.dedup import word_array
-    hs = F.transform(
-        F.array_distinct(word_array(text_col)),
-        lambda w: F.conv(F.substring(F.md5(w.cast("binary")),
-                                     1, bits // 4), 16, 10).cast("bigint"))
-    df = df.withColumn("__sim_hs", hs)
-    sim = F.expr(f"""
-      CASE WHEN size(__sim_hs) > 0 THEN
-        aggregate(
-          transform(
-            aggregate(__sim_hs, array_repeat(0, {bits}),
-                      (acc, h) -> transform(acc,
-                                  (c, i) -> c + CAST((h >> i) & 1 AS INT))),
-            (ones, i) -> IF(2 * ones >= size(__sim_hs),
-                            shiftleft(CAST(1 AS BIGINT), i),
-                            CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (a, x) -> a + x)
-      END""")
-    return df.withColumn(out, sim).drop("__sim_hs")
+    nhex = bits // 4
+
+    def sim_series(words: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+        shifts = np.arange(bits, dtype=np.int64)
+        out_vals = []
+        for ws in words:
+            if ws is None or len(ws) == 0:
+                out_vals.append(None)
+                continue
+            hs = np.fromiter(
+                (int(hashlib.md5(w.encode("utf-8")).hexdigest()[:nhex], 16)
+                 for w in ws), dtype=np.int64, count=len(ws))
+            ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+            mask = 2 * ones >= len(hs)  # ties set, the batch rule
+            out_vals.append(int((mask.astype(np.int64) << shifts).sum()))
+        return pd.Series(out_vals, dtype="Int64")
+
+    sim = pandas_udf(sim_series, "long")
+    return df.withColumn(out, sim(F.array_distinct(word_array(text_col))))
 
 
 def neardup_stream(pages: DataFrame, watermark: str = "1 hour",
