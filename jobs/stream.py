@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -39,8 +40,6 @@ def _make_sink(spark, out_dir, counter):
     from the WRITTEN parquet (footer metadata) — counting the
     unpersisted batch would run the whole upstream chain a second
     time."""
-    import os
-
     def sink(batch_df, batch_id):
         counter["batches"] += 1
         path = os.path.join(out_dir, f"batch_id={batch_id}")
@@ -82,7 +81,6 @@ def main(argv=None) -> int:
         cfg.master = args.master
     if cfg.pages is None:
         p.error("--pages is required (flag or config file)")
-    import os
 
     from ukrainian_ocr_pipeline_spark.sources.pages import is_checkable_local_path
     if is_checkable_local_path(cfg.pages) and not os.path.isdir(cfg.pages):
