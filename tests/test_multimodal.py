@@ -289,12 +289,12 @@ def test_synth_av_corpus_decodes_to_doc_id_arithmetic(spark):
         synth_av_corpus,
     )
 
-    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    df = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
     got = {r["doc_id"]: r
            for r in media_av_meta(synth_av_corpus(df)).collect()}
-    for i in range(20):
+    for i in range(24):
         r = got[i]
-        if i % 2 == 0:
+        if i % 3 == 0:
             rate = 8000 + (i % 5) * 4000
             ch = 1 + (i // 2) % 2
             ns = 100 + i % 900
@@ -302,13 +302,20 @@ def test_synth_av_corpus_decodes_to_doc_id_arithmetic(spark):
                 "wav", rate, ch)
             assert r["duration_ms"] == ns * 1000 // rate
             assert r["n_bytes"] == 44 + ns * ch * 2
-        else:
+        elif i % 3 == 1:
             ts = 1000 + (i % 7) * 500
             dur = 10000 + i % 90000
             assert (r["kind"], r["sample_rate"], r["channels"]) == (
                 "mp4", None, None)
             assert r["duration_ms"] == dur * 1000 // ts
             assert r["n_bytes"] == 132
+        else:
+            rate = 16000 + (i % 4) * 8000
+            ns = 50000 + i % 1000000
+            assert (r["kind"], r["sample_rate"], r["channels"]) == (
+                "flac", rate, 1 + i % 2)
+            assert r["duration_ms"] == ns * 1000 // rate
+            assert r["n_bytes"] == 42
 
 
 # --------------------------------------------------------------------------
@@ -356,8 +363,34 @@ def test_decoders_survive_single_byte_mutations(tail, pos, val):
     blobs = [build_fixture_image(f, 13, 7)
              for f in ("png", "jpeg", "gif", "webp")]
     blobs += [build_fixture_wav(8000, 1, 10), build_fixture_mp4(1000, 777)]
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_flac,
+    )
+    blobs += [build_fixture_flac(44100, 2, 441000)]
     for blob in blobs:
         b = bytearray(blob + tail)
         b[pos % len(b)] = val
         decode_image_header(bytes(b))
         decode_av_header(bytes(b))
+
+
+def test_decode_flac_streaminfo_bitfield():
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_flac,
+        decode_av_header,
+    )
+    blob = build_fixture_flac(44100, 2, 441000)
+    assert len(blob) == 42
+    assert decode_av_header(blob) == ("flac", 44100, 2, 10000)
+    # 20-bit rate and 36-bit sample-count extremes round-trip
+    assert decode_av_header(build_fixture_flac((1 << 20) - 1, 8,
+                                               (1 << 36) - 1)) == (
+        "flac", (1 << 20) - 1, 8, ((1 << 36) - 1) * 1000 // ((1 << 20) - 1))
+    # zero rate / zero samples are corrupt (duration would be a lie)
+    raw = bytearray(blob)
+    raw[18:26] = (0).to_bytes(8, "big")
+    assert decode_av_header(bytes(raw)) is None
+    # a first block that is NOT STREAMINFO (type 4 = VORBIS_COMMENT)
+    raw = bytearray(blob)
+    raw[4] = 0x04
+    assert decode_av_header(bytes(raw)) is None

@@ -175,6 +175,12 @@ def decode_av_header(blob: bytes):
       ``mvhd``; version 0 carries timescale/duration as u32be after
       2x u32 timestamps, version 1 after 2x u64; duration_ms =
       duration * 1000 div timescale.
+    - FLAC: ``fLaC`` magic, then the mandatory first STREAMINFO block —
+      a big-endian bitfield at byte 18 packing sample_rate (20 bits),
+      channels-1 (3), bits_per_sample-1 (5), total_samples (36);
+      duration_ms = total_samples * 1000 div sample_rate (0 total
+      samples means unknown -> duration NULL would be a lie, so the
+      blob is rejected like a zero timescale).
     """
     n = len(blob)
     if n >= 44 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
@@ -205,6 +211,17 @@ def decode_av_header(blob: bytes):
                 or not channels:
             return None
         return ("wav", rate, channels, data_bytes * 1000 // byte_rate)
+    if n >= 42 and blob[:4] == b"fLaC" and blob[4] & 0x7F == 0:
+        # first metadata block must be STREAMINFO (type 0); the packed
+        # rate/channels/samples bitfield starts at byte 18 (magic 4 +
+        # block header 4 + blocksize/framesize bounds 10)
+        field = int.from_bytes(blob[18:26], "big")
+        rate = field >> 44
+        channels = ((field >> 41) & 0x7) + 1
+        total_samples = field & ((1 << 36) - 1)
+        if rate == 0 or total_samples == 0:
+            return None
+        return ("flac", rate, channels, total_samples * 1000 // rate)
     if n >= 16 and blob[4:8] == b"ftyp":
         i = 0
         while i + 8 <= n:
@@ -253,6 +270,22 @@ def build_fixture_wav(rate: int, channels: int, n_samples: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def build_fixture_flac(rate: int, channels: int,
+                       total_samples: int) -> bytes:
+    """Minimal VALID 42-byte FLAC header: magic + a last-block
+    STREAMINFO with the given rate/channels/total_samples (16-bit
+    depth, zeroed bounds and md5 — legal per the spec)."""
+    import struct
+    if not (0 < rate < (1 << 20) and 1 <= channels <= 8
+            and 0 < total_samples < (1 << 36)):
+        raise ValueError("flac fields out of range")
+    field = (rate << 44) | ((channels - 1) << 41) | (15 << 36) \
+        | total_samples
+    body = (struct.pack(">HH", 0, 0) + bytes(6)   # blocksize/framesize
+            + field.to_bytes(8, "big") + bytes(16))  # bitfield + md5
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
 def build_fixture_mp4(timescale: int, duration: int) -> bytes:
     """Minimal VALID 132-byte ISO-BMFF container: ftyp + moov/mvhd v0
     with the given timescale/duration (the standard 108-byte mvhd)."""
@@ -299,24 +332,29 @@ def media_av_meta(df: DataFrame, blob_col: str = "blob",
 
 
 def synth_av_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic (doc_id, blob) audio/video corpus: even doc_ids a
-    real PCM WAV (rate 8000 + (doc_id%5)*4000, channels 1 + (doc_id
-    div 2) % 2, 100 + doc_id % 900 samples), odd doc_ids a real MP4
-    (timescale 1000 + (doc_id%7)*500, duration 10000 + doc_id % 90000)
-    — every output column of media_av_meta is pure doc_id arithmetic
-    for the SQL twin."""
+    """Deterministic (doc_id, blob) audio/video corpus cycling by
+    doc_id % 3: a real PCM WAV (rate 8000 + (doc_id%5)*4000, channels
+    1 + (doc_id div 2) % 2, 100 + doc_id % 900 samples), a real MP4
+    (timescale 1000 + (doc_id%7)*500, duration 10000 + doc_id % 90000),
+    a real FLAC (rate 16000 + (doc_id%4)*8000, channels 1 + doc_id % 2,
+    50000 + doc_id % 1000000 total samples) — every output column of
+    media_av_meta is pure doc_id arithmetic for the SQL twin."""
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for did in pdf[id_col]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     blobs.append(build_fixture_wav(
                         8000 + (did % 5) * 4000, 1 + (did // 2) % 2,
                         100 + did % 900))
-                else:
+                elif did % 3 == 1:
                     blobs.append(build_fixture_mp4(
                         1000 + (did % 7) * 500, 10000 + did % 90000))
+                else:
+                    blobs.append(build_fixture_flac(
+                        16000 + (did % 4) * 8000, 1 + did % 2,
+                        50000 + did % 1000000))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "blob": blobs})
 

@@ -2013,10 +2013,11 @@ def q_multimodal_header_decode(spark, sf_dir):
 
 def q_multimodal_av_metadata(spark, sf_dir):
     """REAL audio/video header decode round-trip: synthesize a valid
-    PCM WAV (even doc_ids) or ISO-BMFF MP4 (odd) per doc with
+    PCM WAV / ISO-BMFF MP4 / FLAC per doc (cycling doc_id % 3) with
     doc_id-arithmetic parameters, then parse sample rate / channels /
     duration back out of the raw bytes — RIFF chunk walk + fmt/data
-    fields for WAV, the box walk to moov/mvhd for MP4.  The oracle
+    fields for WAV, the box walk to moov/mvhd for MP4, the STREAMINFO
+    bitfield for FLAC.  The oracle
     recomputes every field from doc_id, so a byte-offset mistake in
     either parser hash-mismatches."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2025,20 +2026,28 @@ def q_multimodal_av_metadata(spark, sf_dir):
 
 SQL_AV_METADATA = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0
-            THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER) AS sample_rate,
-       CAST(CASE WHEN doc_id % 2 = 0
-            THEN 1 + (doc_id // 2) % 2 END AS INTEGER) AS channels,
-       CAST(CASE WHEN doc_id % 2 = 0
-            THEN ((100 + doc_id % 900) * 1000)
+       CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+            ELSE 'flac' END AS kind,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 8000 + (doc_id % 5) * 4000
+            WHEN 2 THEN 16000 + (doc_id % 4) * 8000
+            END AS INTEGER) AS sample_rate,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 1 + (doc_id // 2) % 2
+            WHEN 2 THEN 1 + doc_id % 2
+            END AS INTEGER) AS channels,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN ((100 + doc_id % 900) * 1000)
                  // (8000 + (doc_id % 5) * 4000)
-            ELSE ((10000 + doc_id % 90000) * 1000)
+            WHEN 1 THEN ((10000 + doc_id % 90000) * 1000)
                  // (1000 + (doc_id % 7) * 500)
+            ELSE ((50000 + doc_id % 1000000) * 1000)
+                 // (16000 + (doc_id % 4) * 8000)
             END AS BIGINT) AS duration_ms,
-       CAST(CASE WHEN doc_id % 2 = 0
-            THEN 44 + (100 + doc_id % 900) * (1 + (doc_id // 2) % 2) * 2
-            ELSE 132 END AS INTEGER) AS n_bytes
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 44 + (100 + doc_id % 900) * (1 + (doc_id // 2) % 2) * 2
+            WHEN 1 THEN 132
+            ELSE 42 END AS INTEGER) AS n_bytes
 FROM documents
 """
 
