@@ -6236,20 +6236,83 @@ FROM per_seq GROUP BY lang
 
 # Ordering matters: the driver's CORRECTNESS artifact checks the FIRST 50
 # entries of this dict.  Window policy: at ROUND START, rotate so the
-# never/once-witnessed backlog sits at the front and multi-round hash-green
-# queries fill the tail; DURING a round, new queries are APPENDED (the window
-# is already full of never-witnessed round-3 entries — displacing them
-# mid-round would just trade one unwitnessed query for another while churning
-# the set the round's artifacts describe).  With 120+ queries and a 50-entry
-# window, most round-3 additions necessarily queue for the round-4 rotation;
-# every query regardless of position is covered by the local all-query mirror
-# (tests/test_queries_oracle.py) at sf0.001/sf0.01/sf0.1.
+# never/oldest-witnessed backlog sits at the front and multi-round hash-green
+# queries fill the tail; DURING a round, new queries are APPENDED.  Round-5
+# rotation: 9 never-witnessed + 41 oldest (r01/r02-only) re-witness queries;
+# with 159 queries this closes the sweep: every registry entry now has a
+# driver witness, the oldest from r02, and 150/159 from r03-r05.
 QUERIES = {
-    # -- ROUND-4 ROTATION (VERDICT r3 'Next round' #1): the 50 window
-    #    slots go to never-driver-witnessed queries (diff of
-    #    CORRECTNESS_r0{1,2,3} keys vs this registry).  The whole
-    #    crawl/robots/sitemap/WARC layer, winnow, Z-order, BM25/RRF,
-    #    passage excision, star clustering and token shards sit here. --
+    # -- ROUND-5 ROTATION (VERDICT r4 "Next round" #1): the 9 queries
+    #    with NO driver witness in any round (r3 mid-round + r4
+    #    additions) go first, then the 41 oldest re-witness queries
+    #    (last hash-green row r01/r02), closing the witness sweep:
+    #    after this round every registry query has a driver hash row,
+    #    and none is older than r02. --
+    "doc_bigram_logprob": q_doc_bigram_logprob,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "curriculum_stages": q_curriculum_stages,
+    "lang_unigram_entropy": q_lang_unigram_entropy,
+    "source_concentration": q_source_concentration,
+    "event_burst_detection": q_event_burst_detection,
+    "multimodal_header_decode": q_multimodal_header_decode,
+    "doc_rowwise_simhash": q_doc_rowwise_simhash,
+    "multimodal_av_metadata": q_multimodal_av_metadata,
+    # -- re-witness set: last driver row r01/r02, oldest-first --
+    "doc_quality_filter": q_doc_quality_filter,
+    "corpus_curation": q_corpus_curation,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_lsh_candidates": q_dedup_lsh_candidates,
+    "contamination_check": q_contamination_check,
+    "dedup_near_dup_verified": q_dedup_near_dup_verified,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "dedup_embedding_cosine_banded": q_dedup_embedding_cosine_banded,
+    "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
+    "embedding_label_stats": q_embedding_label_stats,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize_plan": q_multimodal_resize_plan,
+    "multimodal_feature_extract": q_multimodal_feature_extract,
+    "doc_zscore_by_lang": q_doc_zscore_by_lang,
+    "session_window_rollup": q_session_window_rollup,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_quality_scores": q_doc_quality_scores,
+    "doc_language_id": q_doc_language_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "orders_price_percentiles": q_orders_price_percentiles,
+    "lineitem_rollup": q_lineitem_rollup,
+    "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
+    "user_sessionization": q_user_sessionization,
+    "hourly_event_rollup": q_hourly_event_rollup,
+    "docs_per_lang_concat": q_docs_per_lang_concat,
+    "doc_containment_join": q_doc_containment_join,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "event_context_window": q_event_context_window,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_parts": q_top_parts,
+    "orders_price_histogram": q_orders_price_histogram,
+    "event_category_rollup": q_event_category_rollup,
+    "doc_subword_tokens": q_doc_subword_tokens,
+    "ner_entity_spans": q_ner_entity_spans,
+    "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
+    # -- past the 50-entry window: 9 simplest r02-witnessed TPC-H-style
+    #    veterans (each already hash-green twice), then the r03/r04
+    #    witnessed queries in prior relative order.  Every query stays
+    #    covered by the local tri-scale oracle mirror
+    #    (tests/test_queries_oracle.py) regardless of position. --
+    "customers_without_orders": q_customers_without_orders,
+    "big_spender_customers": q_big_spender_customers,
+    "event_pairs_60s": q_event_pairs_60s,
+    "trading_nations_union": q_trading_nations_union,
+    "high_volume_customers": q_high_volume_customers,
+    "nation_set_ops": q_nation_set_ops,
+    "nation_name_similarity": q_nation_name_similarity,
+    "events_by_weekday": q_events_by_weekday,
+    "order_value_ranks": q_order_value_ranks,
     "embedding_pca_scores": q_embedding_pca_scores,
     "dedup_cluster_assign_star": q_dedup_cluster_assign_star,
     "bm25_search": q_bm25_search,
@@ -6300,26 +6363,6 @@ QUERIES = {
     "winnow_dup_candidates": q_winnow_dup_candidates,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "orders_zorder_layout": q_orders_zorder_layout,
-    # -- still-unwitnessed but past the 50-entry window (6 of 56;
-    #    round-5 sweep): textstats variants whose sibling queries have
-    #    prior hash-green driver rows (doc_unigram_logprob,
-    #    doc_subword_tokens, lang_temperature_sample, ...). --
-    "doc_bigram_logprob": q_doc_bigram_logprob,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "curriculum_stages": q_curriculum_stages,
-    "lang_unigram_entropy": q_lang_unigram_entropy,
-    "source_concentration": q_source_concentration,
-    "event_burst_detection": q_event_burst_detection,
-    # -- ROUND-4 ADDITIONS APPEND HERE (window is full of
-    #    never-witnessed entries; displacing one mid-round trades
-    #    unwitnessed for unwitnessed) --
-    "multimodal_header_decode": q_multimodal_header_decode,
-    "doc_rowwise_simhash": q_doc_rowwise_simhash,
-    "multimodal_av_metadata": q_multimodal_av_metadata,
-    # -- driver-witnessed veterans (>=1 hash-green row in r01-r03),
-    #    relative order preserved; every query regardless of position
-    #    stays covered by the local all-query tri-scale mirror
-    #    (tests/test_queries_oracle.py). --
     "extraction_pipeline_metrics": q_extraction_pipeline_metrics,
     "match_stats": q_match_stats,
     "match_top_terms": q_match_top_terms,
@@ -6370,56 +6413,6 @@ QUERIES = {
     "quality_classifier_eval": q_quality_classifier_eval,
     "quality_classifier_auc": q_quality_classifier_auc,
     "embedding_pca": q_embedding_pca,
-    "doc_quality_filter": q_doc_quality_filter,
-    "corpus_curation": q_corpus_curation,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_signatures": q_dedup_minhash_signatures,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_lsh_candidates": q_dedup_lsh_candidates,
-    "contamination_check": q_contamination_check,
-    "dedup_near_dup_verified": q_dedup_near_dup_verified,
-    "embedding_label_centroids": q_embedding_label_centroids,
-    "dedup_embedding_cosine_banded": q_dedup_embedding_cosine_banded,
-    "embedding_topk_bruteforce": q_embedding_topk_bruteforce,
-    "embedding_label_stats": q_embedding_label_stats,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "multimodal_media_meta": q_multimodal_media_meta,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "multimodal_resize_plan": q_multimodal_resize_plan,
-    "multimodal_feature_extract": q_multimodal_feature_extract,
-    "doc_zscore_by_lang": q_doc_zscore_by_lang,
-    "session_window_rollup": q_session_window_rollup,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "doc_token_counts": q_doc_token_counts,
-    "doc_quality_scores": q_doc_quality_scores,
-    "doc_language_id": q_doc_language_id,
-    "doc_fingerprints": q_doc_fingerprints,
-    "orders_price_percentiles": q_orders_price_percentiles,
-    "lineitem_rollup": q_lineitem_rollup,
-    "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
-    "user_sessionization": q_user_sessionization,
-    "hourly_event_rollup": q_hourly_event_rollup,
-    "docs_per_lang_concat": q_docs_per_lang_concat,
-    "doc_containment_join": q_doc_containment_join,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "event_context_window": q_event_context_window,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "top_parts": q_top_parts,
-    "orders_price_histogram": q_orders_price_histogram,
-    "customers_without_orders": q_customers_without_orders,
-    "big_spender_customers": q_big_spender_customers,
-    "event_pairs_60s": q_event_pairs_60s,
-    "event_category_rollup": q_event_category_rollup,
-    "trading_nations_union": q_trading_nations_union,
-    "high_volume_customers": q_high_volume_customers,
-    "nation_set_ops": q_nation_set_ops,
-    "nation_name_similarity": q_nation_name_similarity,
-    "events_by_weekday": q_events_by_weekday,
-    "order_value_ranks": q_order_value_ranks,
-    "doc_subword_tokens": q_doc_subword_tokens,
-    "ner_entity_spans": q_ner_entity_spans,
-    "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
 }
 
 ORACLE_SQL = {
