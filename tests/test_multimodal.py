@@ -283,6 +283,65 @@ def test_decode_av_rejects_corrupt():
         assert decode_av_header(bad) is None, bad[:12]
 
 
+def _wav_with_rate(rate: int, byte_rate: int) -> bytes:
+    import struct
+    data = bytes(32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, rate, byte_rate, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4_v1(timescale: int, duration: int) -> bytes:
+    import struct
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_body = (bytes([1, 0, 0, 0])                 # version 1 + flags
+                 + struct.pack(">QQ", 0, 0)          # creation/mod u64
+                 + struct.pack(">I", timescale)
+                 + struct.pack(">Q", duration)
+                 + bytes(80))                        # rate..next-track
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_decode_av_rejects_schema_overflowing_fields():
+    # ADVICE r4: structurally valid headers whose DECLARED fields blow
+    # the output schema must parse to None, not wrap negative through
+    # the int32 Arrow cast (WAV rate) or raise at Arrow conversion and
+    # kill the mapInPandas job (MP4 v1 u64 duration)
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        decode_av_header,
+    )
+
+    assert decode_av_header(_wav_with_rate(16000, 32000)) == (
+        "wav", 16000, 1, 1)                        # control: sane parses
+    assert decode_av_header(_wav_with_rate(3_000_000_000, 32000)) is None
+    assert decode_av_header(_wav_with_rate(1 << 31, 32000)) is None
+
+    assert decode_av_header(_mp4_v1(600, 90000)) == (
+        "mp4", None, None, 150000)                 # control: v1 parses
+    # duration * 1000 // 1 = 9.2e21 > int64
+    assert decode_av_header(_mp4_v1(1, 1 << 63)) is None
+    assert decode_av_header(_mp4_v1(1, (1 << 64) - 1)) is None
+
+
+def test_decode_jpeg_standalone_markers_have_no_length():
+    # VERDICT r4 wrong-#3: TEM (0x01) and RSTn (0xD0-D7) are standalone
+    # markers (ITU T.81 B.1.1.3) — the walk must skip exactly 2 bytes,
+    # not read payload bytes as a segment length and desync
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        decode_image_header,
+    )
+
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+            + (7).to_bytes(2, "big") + (9).to_bytes(2, "big")
+            + bytes([1, 0x11, 0, 0]))
+    blob = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + b"\xff\xd7" \
+        + sof0 + b"\xff\xd9"
+    assert decode_image_header(blob) == ("jpeg", 9, 7)
+
+
 def test_synth_av_corpus_decodes_to_doc_id_arithmetic(spark):
     from ukrainian_ocr_pipeline_spark.operators.multimodal import (
         media_av_meta,

@@ -51,10 +51,23 @@ def _fake_decode(blob: bytes) -> tuple[int, int]:
 # declared dims outside (0, 2^31) are corrupt/crafted headers: 0 would
 # divide-by-zero aspect math, larger overflows the int32 output schemas
 _MAX_DIM = 0x7FFFFFFF
+_MAX_I64 = (1 << 63) - 1
 
 
 def _sane_dims(w: int, h: int) -> bool:
     return 0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM
+
+
+def _sane_av(rate: int, channels: int, duration_ms: int) -> bool:
+    """The AV mirror of :func:`_sane_dims` — a structurally valid header
+    whose declared fields blow the output schema is corrupt/crafted:
+    a WAV u32 sample rate above 2^31 would wrap negative through the
+    'sample_rate int' Arrow cast, and an MP4 v1 mvhd can declare a u64
+    duration whose *1000 product exceeds int64 and raises at Arrow
+    conversion — killing the whole mapInPandas job on one hostile blob,
+    the exact failure the parse-or-None contract exists to exclude."""
+    return (0 < rate <= _MAX_DIM and 0 < channels <= _MAX_DIM
+            and 0 <= duration_ms <= _MAX_I64)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -115,6 +128,13 @@ def decode_image_header(blob: bytes):
                 continue
             if marker in (0xD9, 0xDA):  # EOI / SOS: no SOFn seen
                 return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn standalone markers carry NO length field
+                # (ITU T.81 B.1.1.3) — reading two payload bytes as a
+                # length desyncs the walk and wrongly rejects exotic
+                # but valid pre-SOF streams
+                i += 2
+                continue
             if marker in _JPEG_SOF:
                 if i + 9 > n:
                     return None
@@ -210,7 +230,9 @@ def decode_av_header(blob: bytes):
         if not rate or not byte_rate or data_bytes is None \
                 or not channels:
             return None
-        return ("wav", rate, channels, data_bytes * 1000 // byte_rate)
+        dur = data_bytes * 1000 // byte_rate
+        return ("wav", rate, channels, dur) \
+            if _sane_av(rate, channels, dur) else None
     if n >= 42 and blob[:4] == b"fLaC" and blob[4] & 0x7F == 0:
         # first metadata block must be STREAMINFO (type 0); the packed
         # rate/channels/samples bitfield starts at byte 18 (magic 4 +
@@ -221,7 +243,9 @@ def decode_av_header(blob: bytes):
         total_samples = field & ((1 << 36) - 1)
         if rate == 0 or total_samples == 0:
             return None
-        return ("flac", rate, channels, total_samples * 1000 // rate)
+        dur = total_samples * 1000 // rate
+        return ("flac", rate, channels, dur) \
+            if _sane_av(rate, channels, dur) else None
     if n >= 16 and blob[4:8] == b"ftyp":
         i = 0
         while i + 8 <= n:
@@ -248,7 +272,10 @@ def decode_av_header(blob: bytes):
                             return None
                         if ts == 0:
                             return None
-                        return ("mp4", None, None, dur * 1000 // ts)
+                        dur_ms = dur * 1000 // ts
+                        if not 0 <= dur_ms <= _MAX_I64:
+                            return None
+                        return ("mp4", None, None, dur_ms)
                     j += csize
                 return None
             i += size
