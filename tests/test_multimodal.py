@@ -453,3 +453,130 @@ def test_decode_flac_streaminfo_bitfield():
     raw = bytearray(blob)
     raw[4] = 0x04
     assert decode_av_header(bytes(raw)) is None
+
+
+# --------------------------------------------------------------------------
+# round-5: REAL PNG pixel decode (stdlib zlib + RFC 2083 unfiltering)
+
+def test_png_pixel_roundtrip_every_filter_and_layout():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_png_pixels,
+        decode_png_pixels,
+    )
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        for (w, h) in ((1, 1), (2, 3), (17, 23)):
+            px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+            for fts in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4],
+                        [4, 3, 2, 1, 0]):
+                got = decode_png_pixels(build_fixture_png_pixels(px, fts))
+                assert got is not None, (ch, w, h, fts)
+                gw, gh, gch, arr = got
+                assert (gw, gh, gch) == (w, h, ch)
+                assert np.array_equal(arr, px), (ch, w, h, fts)
+
+
+def test_png_pixel_decode_rejects_unsupported_and_corrupt():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_png_pixels,
+        decode_png_pixels,
+    )
+    px = np.full((4, 5, 3), 9, np.uint8)
+    blob = build_fixture_png_pixels(px, [4])
+    assert decode_png_pixels(blob) is not None
+    for mutate in (
+            lambda b: b[:25] + bytes([3]) + b[26:],    # palette ctype
+            lambda b: b[:24] + bytes([16]) + b[25:],   # 16-bit depth
+            lambda b: b[:28] + bytes([1]) + b[29:],    # Adam7 interlace
+            lambda b: b[:40],                          # cut mid-IDAT
+            # huge declared height: inflated stream length mismatches
+            lambda b: b[:20] + (1 << 20).to_bytes(4, "big") + b[24:],
+    ):
+        assert decode_png_pixels(mutate(blob)) is None
+    # header-only fixture (33 B, no IDAT) has no pixels to decode
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_image,
+    )
+    assert decode_png_pixels(build_fixture_image("png", 5, 4)) is None
+
+
+def test_png_pixel_decode_bomb_cap():
+    # a tiny blob declaring a gigapixel canvas must be rejected BEFORE
+    # any allocation, not inflate-and-die inside an executor
+    import struct
+    import zlib
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">II5B", 60000, 60000, 8, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b""))
+    assert decode_png_pixels(blob) is None
+
+
+@given(st.binary(min_size=0, max_size=80),
+       st.integers(min_value=0, max_value=200),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=200, deadline=None)
+def test_png_pixel_decode_never_raises(tail, pos, val):
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_png_pixels,
+        decode_png_pixels,
+    )
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    b = bytearray(build_fixture_png_pixels(px, [0, 4]) + tail)
+    b[pos % len(b)] = val
+    out = decode_png_pixels(bytes(b))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+
+def test_media_pixel_stats_matches_closed_form(spark):
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        media_pixel_stats,
+        synth_png_pixel_corpus,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {r["doc_id"]: r
+           for r in media_pixel_stats(synth_png_pixel_corpus(df)).collect()}
+    for d in range(20):
+        w, h = 16 + d % 13, 16 + (d * 5) % 11
+        if d % 2 == 0:
+            vals = [(3 * x + 7 * y + d) % 251
+                    for x in range(w) for y in range(h)]
+            ch = 1
+        else:
+            vals = [v for x in range(w) for y in range(h)
+                    for v in ((x + d) % 251, (2 * y + d) % 251,
+                              (x + y + d) % 251)]
+            ch = 3
+        r = got[d]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["px_sum"] == sum(vals)
+        assert r["px_min"] == min(vals)
+        assert r["px_max"] == max(vals)
+
+
+def test_media_pixel_stats_null_row_for_undecodable(spark):
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        media_pixel_stats,
+    )
+    df = spark.createDataFrame(
+        [(1, b"not a png"), (2, None)], "doc_id long, blob binary")
+    rows = {r["doc_id"]: r for r in media_pixel_stats(df).collect()}
+    assert len(rows) == 2
+    for d in (1, 2):
+        assert rows[d]["width"] is None and rows[d]["px_sum"] is None

@@ -2,11 +2,15 @@
 
 Container-header decode is REAL: PNG/JPEG/GIF/WebP dimensions are parsed
 straight from the published byte layouts with the stdlib
-(:func:`decode_image_header`) — no codec library needed.  Only the
-full PIXEL decode (PIL/cv2/ffmpeg, absent from this container) stays
-stubbed behind a deterministic fake and a clearly-marked
-NotImplementedError; the Spark-side plumbing — schema, batch shape,
-mapInPandas signature, partitioning — is real and tested either way.
+(:func:`decode_image_header`) — no codec library needed.  PNG PIXEL
+decode is ALSO real (:func:`decode_png_pixels`: zlib inflate + RFC 2083
+per-scanline unfiltering including Paeth — feeding
+:func:`media_pixel_stats`).  Only JPEG/GIF/WebP pixel decode (genuinely
+codec-bound: DCT/LZW/VP8 entropy coding; PIL/cv2/ffmpeg absent from
+this container) stays stubbed behind a deterministic fake and a
+clearly-marked NotImplementedError; the Spark-side plumbing — schema,
+batch shape, mapInPandas signature, partitioning — is real and tested
+either way.
 
 At 100 TB the pattern is: binary column + typed metadata struct; decode /
 feature-extract in Arrow-batched mapInPandas (bounded by
@@ -425,6 +429,252 @@ def build_fixture_image(fmt: str, w: int, h: int) -> bytes:
 
 
 FIXTURE_IMAGE_BYTES = {"png": 33, "jpeg": 35, "gif": 14, "webp": 30}
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel codec (round-5: retires _fake_decode for the PNG path).
+# PNG is the one raster format fully decodable with nothing but stdlib
+# zlib + the RFC 2083 per-scanline unfilter arithmetic — no codec
+# library.  JPEG/GIF/WebP pixels stay genuinely codec-bound (DCT/LZW/VP8
+# entropy coding) and keep the documented fake.  Reference analog:
+# utils/io.py:20-45 loads full pixel arrays via PIL.
+
+# decoded-size cap: a 100-byte IDAT can declare a 2^31-square canvas
+# and zlib-bomb the executor; cap the reconstructed array well above
+# any sane thumbnail but far below executor memory
+_MAX_DECODED_BYTES = 64 * 1024 * 1024
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png_pixels(blob: bytes):
+    """Full PNG pixel decode with the stdlib: chunk walk -> IDAT concat
+    -> zlib inflate -> per-scanline unfilter (types 0-4 including
+    Paeth) -> (width, height, channels, uint8 ndarray[h, w, channels]).
+
+    Supports the non-interlaced 8-bit-depth gray / RGB / gray+alpha /
+    RGBA layouts (color types 0/2/4/6); palette (3), 1/2/4/16-bit
+    depths, and Adam7 interlace return None — as does anything
+    truncated, corrupt, oversized (decompression-bomb cap), or with an
+    inflated stream that disagrees with (stride+1)*height.  Same
+    parse-or-None, never-raise contract as the header decoders: this
+    runs inside hot mapInPandas tasks.
+    """
+    import numpy as np
+    try:
+        n = len(blob)
+        if n < 45 or blob[:8] != _PNG_SIG:
+            return None
+        i, w, h = 8, None, None
+        depth = ctype = interlace = None
+        idat = bytearray()
+        while i + 8 <= n:
+            clen = int.from_bytes(blob[i:i + 4], "big")
+            ctag = blob[i + 4:i + 8]
+            start, end = i + 8, i + 8 + clen
+            if end + 4 > n:  # chunk data + CRC must be present
+                return None
+            if ctag == b"IHDR":
+                if clen != 13:
+                    return None
+                w = int.from_bytes(blob[start:start + 4], "big")
+                h = int.from_bytes(blob[start + 4:start + 8], "big")
+                depth, ctype = blob[start + 8], blob[start + 9]
+                interlace = blob[start + 12]
+            elif ctag == b"IDAT":
+                idat += blob[start:end]
+            elif ctag == b"IEND":
+                break
+            i = end + 4
+        channels = _PNG_CHANNELS.get(ctype)
+        if (not w or not h or depth != 8 or channels is None
+                or interlace != 0 or not _sane_dims(w, h)
+                or w * h * channels > _MAX_DECODED_BYTES):
+            return None
+        import zlib
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) != (stride + 1) * h:
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        bpp = channels  # bytes per pixel at depth 8
+        pos = 0
+        for y in range(h):
+            ft = raw[pos]
+            row = np.frombuffer(raw, np.uint8, stride, pos + 1) \
+                .astype(np.int32)
+            pos += 1 + stride
+            prior = out[y - 1].astype(np.int32) if y else \
+                np.zeros(stride, np.int32)
+            if ft == 0:
+                rec = row
+            elif ft == 2:
+                rec = (row + prior) & 0xFF
+            elif ft in (1, 3, 4):
+                # left-neighbor dependency makes these inherently
+                # sequential per byte (RFC 2083 §6); rows here are
+                # thumbnail-sized — production full-res pixel work
+                # belongs behind a real codec (REAL_CODECS_AVAILABLE)
+                rec = np.empty(stride, np.int32)
+                for k in range(stride):
+                    a = rec[k - bpp] if k >= bpp else 0
+                    b = prior[k]
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = prior[k - bpp] if k >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else \
+                            (b if pb <= pc else c)
+                    rec[k] = (row[k] + pred) & 0xFF
+            else:
+                return None
+            out[y] = rec.astype(np.uint8)
+        return w, h, channels, out.reshape(h, w, channels)
+    except Exception:
+        return None
+
+
+def build_fixture_png_pixels(pixels, filter_types) -> bytes:
+    """Serialize a REAL full PNG (8-bit, non-interlaced) from a uint8
+    array of shape (h, w, channels in {1,2,3,4}) — signature, IHDR,
+    one zlib IDAT of filtered scanlines, IEND, CRCs and all.
+    ``filter_types[y % len]`` picks each scanline's filter (0-4), so a
+    fixture can force every unfilter path including Paeth; the decoder
+    must invert them all to recover the array bit-for-bit."""
+    import struct
+    import zlib
+
+    import numpy as np
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"pixels must be (h, w, 1|2|3|4), got {arr.shape}")
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    zeros = np.zeros(ch, np.int32)
+    body = bytearray()
+    for y in range(h):
+        ft = int(filter_types[y % len(filter_types)])
+        raw = flat[y]
+        prior = flat[y - 1] if y else np.zeros(stride, np.int32)
+        left = np.concatenate([zeros, raw[:-ch]]) if stride > ch \
+            else np.zeros(stride, np.int32)
+        ul = np.concatenate([zeros, prior[:-ch]]) if stride > ch \
+            else np.zeros(stride, np.int32)
+        if ft == 0:
+            f = raw
+        elif ft == 1:
+            f = (raw - left) & 0xFF
+        elif ft == 2:
+            f = (raw - prior) & 0xFF
+        elif ft == 3:
+            f = (raw - ((left + prior) >> 1)) & 0xFF
+        elif ft == 4:
+            p = left + prior - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            f = (raw - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        body.append(ft)
+        body += f.astype(np.uint8).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+            + chunk(b"IEND", b""))
+
+
+def synth_png_pixel_corpus(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) REAL-pixel PNG corpus: per doc,
+    width 16 + doc_id % 13, height 16 + (doc_id*5) % 11; even doc_ids
+    are 8-bit GRAY with pixel (3x + 7y + doc_id) % 251, odd are RGB
+    with r=(x+doc_id)%251, g=(2y+doc_id)%251, b=(x+y+doc_id)%251; the
+    scanline filter type cycles (y + doc_id) % 5 so every unfilter
+    path (none/sub/up/average/Paeth) is on the decode path of every
+    document.  Every pixel statistic is therefore closed-form doc_id
+    arithmetic for the SQL twin — the oracle recomputes sums over the
+    (x, y) grid without ever seeing a PNG byte, so a wrong unfilter,
+    a wrong stride, or a swapped channel hash-mismatches."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 16 + d % 13, 16 + (d * 5) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                if d % 2 == 0:
+                    px = ((3 * xs + 7 * ys + d) % 251)[:, :, None]
+                else:
+                    px = np.stack(
+                        [np.broadcast_to((xs + d) % 251, (h, w)),
+                         np.broadcast_to((2 * ys + d) % 251, (h, w)),
+                         (xs + ys + d) % 251], axis=2)
+                fts = [(y + d) % 5 for y in range(h)]
+                blobs.append(build_fixture_png_pixels(
+                    px.astype(np.uint8), fts))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
+PIXEL_STATS_SCHEMA = ("doc_id bigint, width int, height int, "
+                      "channels int, px_sum bigint, px_min int, "
+                      "px_max int")
+
+
+def media_pixel_stats(df: DataFrame, blob_col: str = "blob",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel-level feature extraction over a PNG binary column via
+    mapInPandas: full decode (inflate + unfilter), then exact integer
+    stats over every sample — (width, height, channels, px_sum,
+    px_min, px_max); all-NULL stats for undecodable payloads (the
+    parse-or-None contract — a corrupt blob must never fail the task).
+    Same 100-TB shape as media_header_meta: one Arrow-batched pass,
+    batch memory bounded by arrow.maxRecordsPerBatch, everything
+    downstream reads the stats, never the blob."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "channels": [], "px_sum": [], "px_min": [],
+                   "px_max": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                parsed = decode_png_pixels(
+                    bytes(blob) if blob is not None else b"")
+                out["doc_id"].append(int(did))
+                if parsed is None:
+                    for k in ("width", "height", "channels", "px_sum",
+                              "px_min", "px_max"):
+                        out[k].append(None)
+                    continue
+                w, h, ch, arr = parsed
+                a = arr.astype(np.int64)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(int(a.sum()))
+                out["px_min"].append(int(a.min()))
+                out["px_max"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract,
+                                                   PIXEL_STATS_SCHEMA)
 
 
 def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

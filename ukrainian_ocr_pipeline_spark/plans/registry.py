@@ -2064,6 +2064,53 @@ FROM documents
 """
 
 
+def q_multimodal_png_pixel_stats(spark, sf_dir):
+    """REAL pixel-level decode round-trip (VERDICT r4 'Next round' #4 —
+    retires _fake_decode for the PNG path): synthesize a full PNG per
+    doc — real zlib IDAT, scanline filter type cycling (y + doc_id) % 5
+    so none/sub/up/average/Paeth all sit on every document's decode
+    path — with gradient pixels that are pure doc_id arithmetic
+    (gray (3x+7y+d)%251 for even docs, RGB ((x+d), (2y+d), (x+y+d))%251
+    for odd), then inflate + unfilter with the stdlib decoder and emit
+    exact integer stats over every sample.  The oracle recomputes
+    px_sum/px_min/px_max by aggregating the closed forms over the
+    (x, y, channel) grid without ever seeing a PNG byte, so a wrong
+    unfilter predictor, stride, or channel order hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_pixel_stats(
+        multimodal.synth_png_pixel_corpus(d))
+
+
+# the oracle never touches a PNG byte: it rebuilds every 8-bit sample
+# from the synth corpus' closed forms over a bounded (x, y, channel)
+# grid (max dims 28x26, <= 3 channels) and aggregates exactly
+SQL_PNG_PIXEL_STATS = """
+WITH dims AS (
+  SELECT doc_id AS d,
+         16 + doc_id % 13 AS w,
+         16 + (doc_id * 5) % 11 AS h,
+         doc_id % 2 AS odd
+  FROM documents),
+samples AS (
+  SELECT d, w, h, odd,
+         CASE WHEN odd = 0 THEN (3 * x.r + 7 * y.r + d) % 251
+              WHEN c.r = 0 THEN (x.r + d) % 251
+              WHEN c.r = 1 THEN (2 * y.r + d) % 251
+              ELSE (x.r + y.r + d) % 251 END AS v
+  FROM dims, range(0, 28) x(r), range(0, 26) y(r), range(0, 3) c(r)
+  WHERE x.r < w AND y.r < h AND (odd = 1 OR c.r = 0))
+SELECT d AS doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(1 + 2 * MAX(odd) AS INTEGER) AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INTEGER) AS px_min,
+       CAST(MAX(v) AS INTEGER) AS px_max
+FROM samples
+GROUP BY d
+"""
+
+
 # --------------------------------------------------------------------------
 # extraction-spec operators over driver tables — genuinely non-SQL
 # (Python regex offsets / difflib); verified instead by the pytest golden
@@ -6244,10 +6291,10 @@ FROM per_seq GROUP BY lang
 QUERIES = {
     # -- ROUND-5 ROTATION (VERDICT r4 "Next round" #1): the 9 queries
     #    with NO driver witness in any round (r3 mid-round + r4
-    #    additions) go first, then the 41 oldest re-witness queries
-    #    (last hash-green row r01/r02), closing the witness sweep:
-    #    after this round every registry query has a driver hash row,
-    #    and none is older than r02. --
+    #    additions) go first, plus the round-5 PNG pixel decode, then
+    #    the 40 oldest re-witness queries (last hash-green row
+    #    r01/r02), closing the witness sweep: after this round every
+    #    registry query has a driver hash row, none older than r02. --
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "tokenizer_fertility": q_tokenizer_fertility,
     "curriculum_stages": q_curriculum_stages,
@@ -6257,6 +6304,7 @@ QUERIES = {
     "multimodal_header_decode": q_multimodal_header_decode,
     "doc_rowwise_simhash": q_doc_rowwise_simhash,
     "multimodal_av_metadata": q_multimodal_av_metadata,
+    "multimodal_png_pixel_stats": q_multimodal_png_pixel_stats,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6294,16 +6342,16 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_parts": q_top_parts,
-    "orders_price_histogram": q_orders_price_histogram,
     "event_category_rollup": q_event_category_rollup,
     "doc_subword_tokens": q_doc_subword_tokens,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
-    # -- past the 50-entry window: 9 simplest r02-witnessed TPC-H-style
-    #    veterans (each already hash-green twice), then the r03/r04
-    #    witnessed queries in prior relative order.  Every query stays
-    #    covered by the local tri-scale oracle mirror
+    # -- past the 50-entry window: the 10 simplest r02-witnessed
+    #    TPC-H-style veterans (each already hash-green twice), then the
+    #    r03/r04 witnessed queries in prior relative order.  Every
+    #    query stays covered by the local tri-scale oracle mirror
     #    (tests/test_queries_oracle.py) regardless of position. --
+    "orders_price_histogram": q_orders_price_histogram,
     "customers_without_orders": q_customers_without_orders,
     "big_spender_customers": q_big_spender_customers,
     "event_pairs_60s": q_event_pairs_60s,
@@ -6487,6 +6535,7 @@ ORACLE_SQL = {
     "multimodal_header_decode": SQL_HEADER_DECODE,
     "doc_rowwise_simhash": SQL_SIMHASH,
     "multimodal_av_metadata": SQL_AV_METADATA,
+    "multimodal_png_pixel_stats": SQL_PNG_PIXEL_STATS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
