@@ -40,6 +40,7 @@ TOP_QUERIES = [
     "hll_distinct_parts",
     "dedup_cluster_best_keeper",
     "dedup_cluster_assign_star",
+    "doc_winnow_fingerprints",
     "winnow_dup_candidates",
     "hybrid_search_rrf",
     "doc_fingerprints",
