@@ -48,6 +48,16 @@ def scale_table(src_path: str, out_path: str, replicas: int) -> int:
             col = t.column(name)
             if name.endswith(KEY_SUFFIX) or name in KEY_NAMES:
                 step = INT32_STEP if pa.types.is_int32(col.type) else INT64_STEP
+                # the per-replica offset only preserves referential
+                # integrity if no source value reaches the next
+                # replica's band — fail loudly instead of silently
+                # colliding keys across replicas (review finding)
+                mx = pc.max(col).as_py()
+                if mx is not None and mx >= step:
+                    raise ValueError(
+                        f"{os.path.basename(src_path)}.{name}: max value "
+                        f"{mx} >= replica step {step}; keys would collide "
+                        f"across replicas — raise the step for this dtype")
                 col = pc.add(col, pa.scalar(k * step, type=col.type))
             cols.append(col)
         parts.append(pa.table(cols, names=t.column_names))

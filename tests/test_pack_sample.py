@@ -480,14 +480,35 @@ def test_zorder_layout_n_files_validated(spark):
         zorder_layout_stats,
     )
     df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, a double, b double")
-    # non-divisor widths and out-of-range counts fail at plan-build time
-    for bad in (7, 100_000, 0):
+    # out-of-range counts fail at plan-build time (span at bits=8 is
+    # 65536, so 100k planned files exceeds the key space)
+    for bad in (100_000, 0):
         with pytest.raises(ValueError):
             zorder_layout_stats(df, "a", "b", bits=8, n_files=bad)
     # n_files above int32 passes the span bound at bits=31 but would
     # wrap the int-cast file_id — must be rejected too
     with pytest.raises(ValueError):
         zorder_layout_stats(df, "a", "b", bits=31, n_files=1 << 32)
+
+
+def test_zorder_layout_non_divisor_n_files(spark):
+    """Non-divisor n_files are supported again (r4 ADVICE): exact
+    integer `div` where the multiply fits BIGINT, clamped double math
+    at extreme bits — every file_id stays in [0, n_files) and every
+    row is counted exactly once on both paths."""
+    from ukrainian_ocr_pipeline_spark.operators.packing import (
+        zorder_layout_stats,
+    )
+    df = spark.createDataFrame(
+        [(i, float(i), float(100 - i)) for i in range(100)],
+        "id long, a double, b double")
+    for bits, n_files in ((8, 10), (8, 7), (31, 10)):
+        stats = zorder_layout_stats(df, "a", "b",
+                                    bits=bits, n_files=n_files).collect()
+        assert stats, (bits, n_files)
+        assert sum(r["n_rows"] for r in stats) == 100
+        for r in stats:
+            assert 0 <= r["file_id"] < n_files, (bits, n_files, r)
 
 
 def test_zorder_layout_no_bigint_wrap_at_high_bits(spark):

@@ -472,21 +472,33 @@ def zorder_layout_stats(df: DataFrame, col_a: str, col_b: str,
     if span and not 1 <= n_files <= max_files:
         raise ValueError(
             f"n_files must be in [1, {max_files}], got {n_files}")
-    if span and span % n_files != 0:
-        # the equal-width boundaries floor(zkey * n_files / span) only
-        # reduce to the overflow-free divide-first form when the widths
-        # are integral; a non-divisor n_files would need the multiply,
-        # which wraps BIGINT at bits ~>= 27 (zkey up to 2^62 * n_files)
-        raise ValueError(
-            f"n_files ({n_files}) must divide the key span 4^bits "
-            f"({span}) so file widths are integral")
     keyed = zorder_keys(df, col_a, col_b, bits).where(
         F.col("zkey").isNotNull())
-    # divide BEFORE multiplying: zkey reaches 2^(2*bits)-1 (~2^62 at
-    # bits=31), so zkey * n_files silently wraps the BIGINT and yields
-    # negative file_ids; zkey / (span / n_files) is the same boundary
-    # arithmetic with no overflow for any permitted bits
-    file_id = F.floor(F.col("zkey") / F.lit(span // n_files)).cast("int")
+    # boundary arithmetic floor(zkey * n_files / span), overflow-aware
+    # (zkey reaches 2^(2*bits)-1 ~ 2^62 at bits=31, where the naive
+    # BIGINT multiply silently wraps negative).  Three exact-first
+    # forms, widest applicability last (review finding — the original
+    # divisor-only rejection broke external callers like bits=8,
+    # n_files=10 that the multiply era accepted):
+    if span % n_files == 0:
+        # integral widths: divide-first, exact at every permitted bits
+        file_id = F.floor(F.col("zkey") / F.lit(span // n_files)).cast("int")
+    elif (span - 1) * n_files <= 0x7FFFFFFFFFFFFFFF:
+        # non-divisor but the multiply provably fits BIGINT (all
+        # bits <= 27 with int32 n_files land here): integer `div`,
+        # still exact
+        file_id = F.expr(
+            f"CAST((zkey * CAST({n_files} AS BIGINT)) "
+            f"div CAST({span} AS BIGINT) AS INT)")
+    else:
+        # non-divisor AND the exact product would wrap: double math
+        # clamped into range — zkey above 2^53 rounds in the mantissa,
+        # so rows within ~2^(2*bits-53) of a boundary may land one
+        # file off; acceptable for a layout STATS report (documented),
+        # never a negative/overflowed id
+        file_id = F.least(
+            F.floor(F.col("zkey") * F.lit(n_files / span)),
+            F.lit(n_files - 1)).cast("int")
     return (keyed
             .groupBy(file_id.alias("file_id"))
             .agg(F.count("*").alias("n_rows"),
