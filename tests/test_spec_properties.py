@@ -107,6 +107,21 @@ def test_pdf_extractor_total_function(doc):
 
 
 @settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256), st.booleans())
+def test_pdf_flate_path_total_function(junk, declare_flate):
+    """The inflate path never raises on arbitrary stream bytes —
+    garbage that isn't valid zlib keeps the raw segment (no text);
+    chars above latin-1 in the body hit the encode guard."""
+    from ukrainian_ocr_pipeline_spark.spec.pdfmini import extract_pdf_text
+    filt = "/Filter /FlateDecode " if declare_flate else ""
+    doc = ("<< " + filt + "/Length " + str(len(junk)) + " >>\nstream\n"
+           + junk.decode("latin-1") + "\nendstream\nBT (tail) Tj ET")
+    out = extract_pdf_text(doc)
+    assert isinstance(out, str)
+    assert out.endswith("tail")
+
+
+@settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=2048))
 def test_pdf_routed_pages_total_function(data):
     """Pages whose bytes start %PDF- go down the PDF seam end-to-end

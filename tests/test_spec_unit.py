@@ -268,6 +268,53 @@ class TestPDF:
         doc = r"%PDF-1.4 BT (par\(en\)s \\ ok) Tj ET"
         assert extract_pdf_text(doc) == r"par(en)s \ ok"
 
+    def test_flate_stream_inflated(self):
+        from ukrainian_ocr_pipeline_spark.spec.pdfmini import (
+            build_fixture_pdf,
+        )
+        texts = ["hello world", "par(en)s \\ ok", "third line"]
+        for compress in (True, False):
+            doc = build_fixture_pdf(texts, compress=compress) \
+                .decode("latin-1")
+            assert extract_pdf_text(doc) == " ".join(texts), compress
+
+    def test_flate_corrupt_stream_extracts_nothing(self):
+        from ukrainian_ocr_pipeline_spark.spec.pdfmini import (
+            build_fixture_pdf,
+        )
+        doc = build_fixture_pdf(["abc def"]).decode("latin-1")
+        i = doc.index("stream\n") + 10
+        assert extract_pdf_text(doc[:i] + "X" + doc[i + 1:]) == ""
+
+    def test_flate_bomb_capped(self):
+        # 100 MB of zeros behind a tiny Flate stream: must yield ''
+        # quickly, never inflate past the cap inside a task
+        import zlib
+        bomb = zlib.compress(b"BT (boom) Tj ET" + b"\x00" * (100 << 20), 9)
+        doc = (f"<< /Length {len(bomb)} /Filter /FlateDecode >>\nstream\n"
+               + bomb.decode("latin-1") + "\nendstream")
+        assert extract_pdf_text(doc) == ""
+
+    def test_flate_filter_chain_left_untouched(self):
+        # multi-filter chains ([/ASCII85Decode /FlateDecode]) are not
+        # sole-Flate: inflating one stage would hand garbage onward
+        import zlib
+        data = zlib.compress(b"BT (nope) Tj ET")
+        doc = ("<< /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+               + data.decode("latin-1") + "\nendstream")
+        assert extract_pdf_text(doc) == ""
+        doc2 = ("<< /Filter /FlateDecode /DecodeParms null >>\nstream\n"
+                + data.decode("latin-1") + "\nendstream")
+        assert extract_pdf_text(doc2) == "nope"
+
+    def test_flate_and_raw_streams_in_document_order(self):
+        import zlib
+        inner = zlib.compress(b"BT (first) Tj ET")
+        doc = ("%PDF-1.4\n<< /Filter /FlateDecode >>\nstream\n"
+               + inner.decode("latin-1") + "\nendstream\n"
+               + "BT (second) Tj ET")
+        assert extract_pdf_text(doc) == "first second"
+
 
 class TestExtractPage:
     def test_error_capture(self):

@@ -202,6 +202,18 @@ def _soup_head_page(rng: random.Random, url: str, lang: str) -> bytes:
             f"<p>{_salad(rng, rng.randint(20, 50))}</p>").encode("utf-8")
 
 
+def _pdf_flate_page(rng: random.Random) -> bytes:
+    """Flate-compressed PDF (round 5): a well-formed mini PDF whose
+    content stream is zlib-deflated — the layout that dominates real
+    crawls.  Exercises the latin-1 shadow -> inflate -> BT/ET pass
+    through the ENTIRE pipeline (decode, segment, classify, render,
+    golden corpus), not just the pdfmini unit seam."""
+    from .spec.pdfmini import build_fixture_pdf
+    texts = [_salad(rng, rng.randint(8, 20))
+             for _ in range(rng.randint(2, 5))]
+    return build_fixture_pdf(texts, compress=True)
+
+
 def _pdf_variant_page(rng: random.Random) -> bytes:
     """PDF seam variants beyond the plain-Tj corpus: TJ arrays with
     kerning numbers, escaped parens/octal in literals, 'ET' inside a
@@ -245,6 +257,8 @@ def page_row(i: int, seed: int = 42) -> dict:
         html = _soup_head_page(rng, url, lang)
     elif i % 113 == 29:
         html = _pdf_variant_page(rng)
+    elif i % 127 == 31:
+        html = _pdf_flate_page(rng)
     else:
         html = _standard_page(rng, url, lang)
 

@@ -827,3 +827,62 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction over a binary column (round 5: the north rule's
+# "PDF/layout parse" leg as a standalone scan operator — the extraction
+# pipeline reaches the same seam via spec/segment.segment_blocks).
+
+PDF_TEXT_SCHEMA = "doc_id bigint, pdf_text string, n_chars int"
+
+
+def synth_pdf_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) PDF corpus: a well-formed two-line
+    PDF per doc whose text is pure doc_id arithmetic — lines
+    ``pdf doc {d} alpha{d%7}`` and ``beta{d%11} gamma delta{d%5}`` —
+    with the content stream Flate-COMPRESSED for doc_id % 3 != 2 and
+    raw otherwise, so the oracle exercises both the inflate path and
+    the legacy uncompressed path in one table."""
+    from ..spec.pdfmini import build_fixture_pdf
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                blobs.append(build_fixture_pdf(
+                    [f"pdf doc {d} alpha{d % 7}",
+                     f"beta{d % 11} gamma delta{d % 5}"],
+                    compress=(d % 3 != 2)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
+def pdf_text_meta(df: DataFrame, blob_col: str = "blob",
+                  id_col: str = "doc_id") -> DataFrame:
+    """REAL PDF text extraction over a binary column via mapInPandas:
+    latin-1 byte shadow (the spec/decode.py convention for PDF
+    payloads) -> sole-FlateDecode streams inflated with stdlib zlib ->
+    BT/ET text-object pass — (doc_id, pdf_text, n_chars), empty text
+    for payloads with no parseable text objects (the parse-or-None
+    discipline: a corrupt or bomb stream never fails the task).  Same
+    100-TB shape as the other media scans: one Arrow-batched pass,
+    downstream reads the text, never the blob."""
+    from ..spec.pdfmini import extract_pdf_text
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_text": [], "n_chars": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                doc = (bytes(blob) if blob is not None else b"") \
+                    .decode("latin-1")
+                txt = extract_pdf_text(doc)
+                out["doc_id"].append(int(did))
+                out["pdf_text"].append(txt)
+                out["n_chars"].append(len(txt))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, PDF_TEXT_SCHEMA)

@@ -2111,6 +2111,37 @@ GROUP BY d
 """
 
 
+def q_pdf_flate_text_extract(spark, sf_dir):
+    """REAL PDF text extraction round-trip (round 5 — the north rule's
+    'PDF/layout parse' leg, now covering the compressed layout that
+    dominates real crawls): synthesize a well-formed PDF per doc
+    (catalog/pages/page/contents, real xref) whose two text lines are
+    pure doc_id arithmetic, Flate-compressing the content stream for
+    doc_id % 3 != 2 and leaving it raw otherwise; then extract via the
+    latin-1 shadow -> stdlib zlib inflate -> BT/ET text-object pass.
+    The oracle rebuilds the expected text by string arithmetic from
+    doc_id, identically for both layouts — so a broken inflate path
+    (or a regression in the uncompressed path) hash-mismatches on a
+    third of the corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.pdf_text_meta(multimodal.synth_pdf_corpus(d))
+
+
+SQL_PDF_FLATE_TEXT = """
+SELECT doc_id,
+       'pdf doc ' || CAST(doc_id AS VARCHAR)
+         || ' alpha' || CAST(doc_id % 7 AS VARCHAR)
+         || ' beta' || CAST(doc_id % 11 AS VARCHAR)
+         || ' gamma delta' || CAST(doc_id % 5 AS VARCHAR) AS pdf_text,
+       CAST(LENGTH('pdf doc ' || CAST(doc_id AS VARCHAR)
+         || ' alpha' || CAST(doc_id % 7 AS VARCHAR)
+         || ' beta' || CAST(doc_id % 11 AS VARCHAR)
+         || ' gamma delta' || CAST(doc_id % 5 AS VARCHAR))
+         AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # extraction-spec operators over driver tables — genuinely non-SQL
 # (Python regex offsets / difflib); verified instead by the pytest golden
@@ -6305,6 +6336,7 @@ QUERIES = {
     "doc_rowwise_simhash": q_doc_rowwise_simhash,
     "multimodal_av_metadata": q_multimodal_av_metadata,
     "multimodal_png_pixel_stats": q_multimodal_png_pixel_stats,
+    "pdf_flate_text_extract": q_pdf_flate_text_extract,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6342,7 +6374,6 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_parts": q_top_parts,
-    "event_category_rollup": q_event_category_rollup,
     "doc_subword_tokens": q_doc_subword_tokens,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
@@ -6352,6 +6383,7 @@ QUERIES = {
     #    query stays covered by the local tri-scale oracle mirror
     #    (tests/test_queries_oracle.py) regardless of position. --
     "orders_price_histogram": q_orders_price_histogram,
+    "event_category_rollup": q_event_category_rollup,
     "customers_without_orders": q_customers_without_orders,
     "big_spender_customers": q_big_spender_customers,
     "event_pairs_60s": q_event_pairs_60s,
@@ -6536,6 +6568,7 @@ ORACLE_SQL = {
     "doc_rowwise_simhash": SQL_SIMHASH,
     "multimodal_av_metadata": SQL_AV_METADATA,
     "multimodal_png_pixel_stats": SQL_PNG_PIXEL_STATS,
+    "pdf_flate_text_extract": SQL_PDF_FLATE_TEXT,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
