@@ -268,6 +268,27 @@ class TestPDF:
         doc = r"%PDF-1.4 BT (par\(en\)s \\ ok) Tj ET"
         assert extract_pdf_text(doc) == r"par(en)s \ ok"
 
+    def test_hex_strings(self):
+        # <4865 6C6C 6F> == 'Hello'; odd digit count implies tail '0';
+        # mixed literal + hex keep document order
+        assert extract_pdf_text("BT <48656C6C6F> Tj ET") == "Hello"
+        assert extract_pdf_text("BT <4865 6c6c 6F> Tj ET") == "Hello"
+        assert extract_pdf_text("BT <48656C6C6F7> Tj ET") == "Hellop"
+        assert extract_pdf_text("BT (lit) Tj <686578> Tj ET") == "lit hex"
+        assert extract_pdf_text("BT [(a) <62> (c)] TJ ET") == "a b c"
+        # empty hex string contributes nothing; '<<' dicts never match
+        assert extract_pdf_text("BT <> Tj (x) Tj ET") == "x"
+
+    def test_hex_fixture_builder_roundtrip(self):
+        from ukrainian_ocr_pipeline_spark.spec.pdfmini import (
+            build_fixture_pdf,
+        )
+        texts = ["hex one", "two (parens) \\ three"]
+        for compress in (True, False):
+            doc = build_fixture_pdf(texts, compress=compress,
+                                    hex_strings=True).decode("latin-1")
+            assert extract_pdf_text(doc) == " ".join(texts), compress
+
     def test_flate_stream_inflated(self):
         from ukrainian_ocr_pipeline_spark.spec.pdfmini import (
             build_fixture_pdf,

@@ -842,8 +842,10 @@ def synth_pdf_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     PDF per doc whose text is pure doc_id arithmetic — lines
     ``pdf doc {d} alpha{d%7}`` and ``beta{d%11} gamma delta{d%5}`` —
     with the content stream Flate-COMPRESSED for doc_id % 3 != 2 and
-    raw otherwise, so the oracle exercises both the inflate path and
-    the legacy uncompressed path in one table."""
+    raw otherwise, and text operands as HEX strings for doc_id % 4 == 1
+    and literal strings otherwise — so the oracle exercises the inflate
+    path, the legacy uncompressed path, and both string forms in one
+    table."""
     from ..spec.pdfmini import build_fixture_pdf
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -854,7 +856,8 @@ def synth_pdf_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(build_fixture_pdf(
                     [f"pdf doc {d} alpha{d % 7}",
                      f"beta{d % 11} gamma delta{d % 5}"],
-                    compress=(d % 3 != 2)))
+                    compress=(d % 3 != 2),
+                    hex_strings=(d % 4 == 1)))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "blob": blobs})
 

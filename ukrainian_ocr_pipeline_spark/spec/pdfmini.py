@@ -14,10 +14,12 @@ the same function signature.
 Semantics:
   * BT/ET are matched as standalone tokens (\\bBT\\b), so 'ET' inside a
     string literal like (NET gain) does not terminate the text object.
-  * Within a text object, ALL string literals are emitted in document
-    order — this covers Tj and TJ operands uniformly (the only
-    string-literal operators inside text objects), keeps reading order
-    when a page mixes Tj and TJ, and is immune to ']' inside literals.
+  * Within a text object, ALL strings — literal (...) AND hex <4865>
+    (round 5) — are emitted in document order; this covers Tj and TJ
+    operands uniformly (the only string operators inside text objects),
+    keeps reading order when a page mixes Tj and TJ, and is immune to
+    ']' inside literals.  Hex bytes decode through the same latin-1
+    shadow as the rest of the document.
   * Escapes follow the PDF spec: named escapes, octal \\ooo with octal
     digits only ('\\8' is a literal '8'), and backslash+other → other.
   * Never raises: any internal error yields ''.
@@ -28,7 +30,12 @@ from __future__ import annotations
 import re
 
 _BT_ET_RE = re.compile(r"\bBT\b(.*?)\bET\b", re.DOTALL)
-_STR_RE = re.compile(r"\((?:[^()\\]|\\.)*\)")
+# both PDF string forms, matched in document order: literal (...) with
+# escapes, and hex <4865...> (ISO 32000 §7.3.4.3 — whitespace allowed
+# between digits, odd digit count implies a trailing '0').  '<<' dict
+# delimiters cannot match: the char after the first '<' must be a hex
+# digit, whitespace, or the closing '>'.
+_STR_RE = re.compile(r"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
 _OCTAL_DIGITS = "01234567"
 
 _NAMED_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
@@ -131,7 +138,14 @@ def extract_pdf_text(doc: str) -> str:
         parts: list[str] = []
         for obj in _BT_ET_RE.finditer(doc):
             for m in _STR_RE.finditer(obj.group(1)):
-                parts.append(_unescape_pdf(m.group(0)[1:-1]))
+                s = m.group(0)
+                if s[0] == "(":
+                    parts.append(_unescape_pdf(s[1:-1]))
+                else:  # hex string: bytes -> the same latin-1 shadow
+                    digits = "".join(s[1:-1].split())
+                    if len(digits) % 2:
+                        digits += "0"
+                    parts.append(bytes.fromhex(digits).decode("latin-1"))
         return " ".join(p for p in parts if p)
     except Exception:
         return ""
@@ -141,17 +155,25 @@ def _escape_pdf_literal(s: str) -> str:
     return (s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)"))
 
 
-def build_fixture_pdf(texts, compress: bool = True) -> bytes:
+def build_fixture_pdf(texts, compress: bool = True,
+                      hex_strings: bool = False) -> bytes:
     """Serialize a minimal well-formed PDF (catalog / pages / page /
     contents, real xref offsets, trailer) whose single content stream
     draws ``texts`` as one Tj line each — Flate-compressed by default,
-    raw when ``compress=False``.  Deterministic for fixture corpora;
-    extract_pdf_text must recover ``' '.join(texts)`` from either
-    form."""
+    raw when ``compress=False``; operands as literal strings by
+    default, hex strings when ``hex_strings=True``.  Deterministic for
+    fixture corpora; extract_pdf_text must recover
+    ``' '.join(texts)`` from every combination."""
     import zlib
+
+    def operand(t: str) -> str:
+        if hex_strings:
+            return "<" + t.encode("latin-1").hex().upper() + ">"
+        return "(" + _escape_pdf_literal(t) + ")"
+
     content = "".join(
         f"BT /F1 12 Tf 72 {700 - 20 * i} Td "
-        f"({_escape_pdf_literal(t)}) Tj ET\n"
+        f"{operand(t)} Tj ET\n"
         for i, t in enumerate(texts)).encode("latin-1")
     if compress:
         # 'endstream' appearing inside compressed bytes would truncate
