@@ -580,3 +580,72 @@ def test_media_pixel_stats_null_row_for_undecodable(spark):
     assert len(rows) == 2
     for d in (1, 2):
         assert rows[d]["width"] is None and rows[d]["px_sum"] is None
+
+
+# --------------------------------------------------------------------------
+# round-5: perceptual aHash over decoded PNG pixels
+
+def test_ahash_bits_known_patterns():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import ahash_bits
+
+    # uniform image: no block exceeds the mean -> all zero
+    assert ahash_bits(np.full((16, 16, 1), 7, np.uint8)) == "0" * 64
+    # left half dark, right half bright: right 4 block-columns set
+    a = np.zeros((16, 16, 1), np.uint8)
+    a[:, 8:] = 200
+    got = ahash_bits(a)
+    assert got == ("0000" + "1111") * 8
+    # top half bright: first 32 bits (4 block-rows) set
+    b = np.zeros((16, 16, 3), np.uint8)
+    b[:8, :] = 200
+    assert ahash_bits(b) == "1" * 32 + "0" * 32
+
+
+def test_ahash_non_divisible_dims_partition_all_pixels():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import ahash_bits
+
+    # 17x23: blocks get uneven pixel counts; the cross-multiplied mean
+    # comparison must stay exact (a float mean could flip ties)
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(23, 17, 3)).astype(np.uint8)
+    got = ahash_bits(a)
+    assert len(got) == 64 and set(got) <= {"0", "1"}
+    # brute-force reference
+    s = a.astype(np.int64).sum(axis=2)
+    tsum, tpx = int(s.sum()), s.size
+    ref = []
+    for by in range(8):
+        for bx in range(8):
+            ys = [y for y in range(23) if (y * 8) // 23 == by]
+            xs = [x for x in range(17) if (x * 8) // 17 == bx]
+            bsum = int(s[np.ix_(ys, xs)].sum())
+            ref.append("1" if bsum * tpx > tsum * len(ys) * len(xs)
+                       else "0")
+    assert got == "".join(ref)
+
+
+def test_image_ahash_seeded_corpus_groups_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        image_ahash,
+        synth_png_pixel_corpus,
+    )
+
+    df = (spark.range(40).withColumnRenamed("id", "doc_id")
+          .withColumn("seed", F.col("doc_id") % 8))
+    hashed = image_ahash(synth_png_pixel_corpus(df, seed_col="seed"))
+    rows = hashed.collect()
+    assert len(rows) == 40 and all(r["ahash"] is not None for r in rows)
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r["doc_id"] % 8, set()).add(r["ahash"])
+    # identical seed -> identical image -> identical hash
+    assert all(len(v) == 1 for v in by_seed.values())
+    # undecodable payloads yield NULL hash
+    junk = spark.createDataFrame([(1, b"nope")], "doc_id long, blob binary")
+    assert image_ahash(junk).collect()[0]["ahash"] is None

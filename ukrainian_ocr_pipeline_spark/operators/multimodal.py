@@ -596,8 +596,8 @@ def build_fixture_png_pixels(pixels, filter_types) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def synth_png_pixel_corpus(df: DataFrame,
-                           id_col: str = "doc_id") -> DataFrame:
+def synth_png_pixel_corpus(df: DataFrame, id_col: str = "doc_id",
+                           seed_col: str | None = None) -> DataFrame:
     """Deterministic (doc_id, blob) REAL-pixel PNG corpus: per doc,
     width 16 + doc_id % 13, height 16 + (doc_id*5) % 11; even doc_ids
     are 8-bit GRAY with pixel (3x + 7y + doc_id) % 251, odd are RGB
@@ -607,12 +607,20 @@ def synth_png_pixel_corpus(df: DataFrame,
     document.  Every pixel statistic is therefore closed-form doc_id
     arithmetic for the SQL twin — the oracle recomputes sums over the
     (x, y) grid without ever seeing a PNG byte, so a wrong unfilter,
-    a wrong stride, or a swapped channel hash-mismatches."""
+    a wrong stride, or a swapped channel hash-mismatches.
+
+    ``seed_col`` (optional) decouples pixel content from identity:
+    pixels derive from the seed value while doc_id passes through —
+    rows sharing a seed carry IDENTICAL images, the controlled
+    duplicate structure the perceptual-dedup queries group on."""
+    cols = [id_col] if seed_col is None else [id_col, seed_col]
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for pdf in batches:
             blobs = []
-            for did in pdf[id_col]:
+            seeds = pdf[seed_col] if seed_col is not None else pdf[id_col]
+            for did in seeds:
                 d = int(did)
                 w, h = 16 + d % 13, 16 + (d * 5) % 11
                 xs = np.arange(w)[None, :]
@@ -630,7 +638,7 @@ def synth_png_pixel_corpus(df: DataFrame,
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "blob": blobs})
 
-    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+    return df.select(*cols).mapInPandas(build, "doc_id bigint, blob binary")
 
 
 PIXEL_STATS_SCHEMA = ("doc_id bigint, width int, height int, "
@@ -889,3 +897,72 @@ def pdf_text_meta(df: DataFrame, blob_col: str = "blob",
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(extract, PDF_TEXT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing over decoded pixels (round 5): the image-side
+# analog of the text near-dup family — LAION-style training-data image
+# dedup is exact-groupBy on a perceptual fingerprint, never pairwise.
+
+def ahash_bits(arr) -> str:
+    """64-bit average hash (aHash) of a decoded uint8 pixel array
+    (h, w, channels) as a 64-char '0'/'1' string, block (by, bx) at
+    index by*8+bx.  Exact integer arithmetic throughout so the DuckDB
+    oracle can rebuild the hash from closed-form pixel values:
+    pixel (x, y) belongs to block (x*8 // w, y*8 // h); a block's bit
+    is set iff block_sum * total_pixels > total_sum * block_pixels
+    (the mean comparison cross-multiplied — no float rounding).
+    Channel values are summed per pixel (a monotone luma proxy that
+    avoids per-pixel division); the string form sidesteps int64 sign
+    issues at bit 63 and group-bys just as well."""
+    import numpy as np
+    a = arr.astype(np.int64).sum(axis=2)          # (h, w) channel sums
+    h, w = a.shape
+    bx = (np.arange(w) * 8) // w                  # pixel -> block col
+    by = (np.arange(h) * 8) // h
+    blocks = np.zeros((8, 8), np.int64)
+    counts = np.zeros((8, 8), np.int64)
+    np.add.at(blocks, (by[:, None], bx[None, :]), a)
+    np.add.at(counts, (by[:, None], bx[None, :]), np.ones_like(a))
+    total_sum = int(a.sum())
+    total_px = h * w
+    bits = blocks * total_px > total_sum * counts
+    return "".join("1" if b else "0" for b in bits.reshape(64))
+
+
+AHASH_SCHEMA = ("doc_id bigint, width int, height int, ahash string, "
+                "ones int")
+
+
+def image_ahash(df: DataFrame, blob_col: str = "blob",
+                id_col: str = "doc_id") -> DataFrame:
+    """Decode PNG pixels and emit the 64-bit average-hash fingerprint
+    per doc — (doc_id, width, height, ahash, ones); all-NULL for
+    undecodable payloads.  Downstream image dedup is then a plain
+    groupBy on `ahash` (see the dup-groups query): digest-keyed partial
+    aggregation, the only shape that survives 10^12 images."""
+    import numpy as np  # noqa: F401  (ahash_bits imports lazily)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "ahash": [], "ones": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                parsed = decode_png_pixels(
+                    bytes(blob) if blob is not None else b"")
+                out["doc_id"].append(int(did))
+                if parsed is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ahash"].append(None)
+                    out["ones"].append(None)
+                    continue
+                w, h, _ch, arr = parsed
+                bits = ahash_bits(arr)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(bits)
+                out["ones"].append(bits.count("1"))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, AHASH_SCHEMA)

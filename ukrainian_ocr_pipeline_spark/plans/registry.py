@@ -2111,6 +2111,92 @@ GROUP BY d
 """
 
 
+def q_image_ahash_fingerprints(spark, sf_dir):
+    """Perceptual image fingerprints over REAL decoded pixels (round 5):
+    decode the gradient PNG corpus (inflate + unfilter), then the
+    64-bit average hash — pixel (x, y) in block (x*8 div w, y*8 div h),
+    bit set iff block_sum * total_px > total_sum * block_px (the mean
+    comparison cross-multiplied, exact integers end to end).  The
+    oracle rebuilds every bit from the closed-form pixel values over
+    the (x, y) grid, so a wrong block boundary, a wrong comparison, or
+    a decode bug flips bits and hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_ahash(multimodal.synth_png_pixel_corpus(d))
+
+
+def q_image_ahash_dup_groups(spark, sf_dir):
+    """Image-level exact-perceptual dedup — the LAION-style shape:
+    fingerprint every image (aHash over decoded pixels), then a plain
+    groupBy on the hash; docs sharing seed doc_id % 50 carry identical
+    images, so groups re-discover the planted duplicate structure.
+    Digest-keyed partial aggregation — never pairwise — the only image
+    dedup shape that survives 10^12 rows.  The oracle computes the same
+    hash per doc from the closed forms and groups identically (by the
+    HASH, not the seed, so accidental cross-seed hash collisions — if
+    the gradient family ever produced one — stay engine-agnostic)."""
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .withColumn("seed", F.col("doc_id") % 50))
+    hashed = multimodal.image_ahash(
+        multimodal.synth_png_pixel_corpus(d, seed_col="seed"))
+    return (hashed.where(F.col("ahash").isNotNull())
+            .groupBy("ahash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"))
+            .where(F.col("n_docs") >= 2))
+
+
+# shared closed-form: per-doc 8x8 block sums/counts over the gradient
+# grid; {SEED} is the pixel-content key (doc_id for fingerprints,
+# doc_id % 50 for the planted-duplicate corpus)
+_SQL_AHASH_BITS = """
+dims AS (
+  SELECT doc_id,
+         {SEED} AS e,
+         16 + ({SEED}) % 13 AS w,
+         16 + (({SEED}) * 5) % 11 AS h,
+         ({SEED}) % 2 AS odd
+  FROM documents),
+px AS (
+  SELECT doc_id, e, w, h,
+         (x.r * 8) // w AS bx, (y.r * 8) // h AS by,
+         CASE WHEN odd = 0 THEN (3 * x.r + 7 * y.r + e) % 251
+              ELSE (x.r + e) % 251 + (2 * y.r + e) % 251
+                   + (x.r + y.r + e) % 251 END AS v
+  FROM dims, range(0, 28) x(r), range(0, 26) y(r)
+  WHERE x.r < w AND y.r < h),
+blocks AS (
+  SELECT doc_id, w, h, by, bx, SUM(v) AS bsum, COUNT(*) AS bcnt
+  FROM px GROUP BY doc_id, w, h, by, bx),
+tot AS (
+  SELECT doc_id, SUM(bsum) AS tsum, SUM(bcnt) AS tcnt
+  FROM blocks GROUP BY doc_id),
+bits AS (
+  SELECT b.doc_id, b.w, b.h, b.by * 8 + b.bx AS idx,
+         CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+              THEN '1' ELSE '0' END AS bit
+  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+hashes AS (
+  SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+         STRING_AGG(bit, '' ORDER BY idx) AS ahash,
+         SUM(CASE WHEN bit = '1' THEN 1 ELSE 0 END) AS ones
+  FROM bits GROUP BY doc_id)
+"""
+
+SQL_IMAGE_AHASH = ("WITH " + _SQL_AHASH_BITS.format(SEED="doc_id") + """
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       ahash, CAST(ones AS INTEGER) AS ones
+FROM hashes
+""")
+
+SQL_IMAGE_AHASH_DUPS = ("WITH "
+                        + _SQL_AHASH_BITS.format(SEED="doc_id % 50") + """
+SELECT ahash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM hashes
+GROUP BY ahash
+HAVING COUNT(*) >= 2
+""")
+
+
 def q_pdf_flate_text_extract(spark, sf_dir):
     """REAL PDF text extraction round-trip (round 5 — the north rule's
     'PDF/layout parse' leg, now covering the compressed layout that
@@ -6337,6 +6423,8 @@ QUERIES = {
     "multimodal_av_metadata": q_multimodal_av_metadata,
     "multimodal_png_pixel_stats": q_multimodal_png_pixel_stats,
     "pdf_flate_text_extract": q_pdf_flate_text_extract,
+    "image_ahash_fingerprints": q_image_ahash_fingerprints,
+    "image_ahash_dup_groups": q_image_ahash_dup_groups,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6362,8 +6450,6 @@ QUERIES = {
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
-    "orders_price_percentiles": q_orders_price_percentiles,
-    "lineitem_rollup": q_lineitem_rollup,
     "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "user_sessionization": q_user_sessionization,
     "hourly_event_rollup": q_hourly_event_rollup,
@@ -6383,6 +6469,8 @@ QUERIES = {
     #    query stays covered by the local tri-scale oracle mirror
     #    (tests/test_queries_oracle.py) regardless of position. --
     "orders_price_histogram": q_orders_price_histogram,
+    "orders_price_percentiles": q_orders_price_percentiles,
+    "lineitem_rollup": q_lineitem_rollup,
     "event_category_rollup": q_event_category_rollup,
     "customers_without_orders": q_customers_without_orders,
     "big_spender_customers": q_big_spender_customers,
@@ -6569,6 +6657,8 @@ ORACLE_SQL = {
     "multimodal_av_metadata": SQL_AV_METADATA,
     "multimodal_png_pixel_stats": SQL_PNG_PIXEL_STATS,
     "pdf_flate_text_extract": SQL_PDF_FLATE_TEXT,
+    "image_ahash_fingerprints": SQL_IMAGE_AHASH,
+    "image_ahash_dup_groups": SQL_IMAGE_AHASH_DUPS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
