@@ -268,6 +268,30 @@ class TestPDF:
         doc = r"%PDF-1.4 BT (par\(en\)s \\ ok) Tj ET"
         assert extract_pdf_text(doc) == r"par(en)s \ ok"
 
+    def test_layout_positions(self):
+        from ukrainian_ocr_pipeline_spark.spec.pdfmini import (
+            build_fixture_pdf,
+            extract_pdf_layout,
+        )
+        # fixture places line i at (72, 700 - 20i) — both layouts
+        for compress in (True, False):
+            doc = build_fixture_pdf(["one", "two", "three"],
+                                    compress=compress).decode("latin-1")
+            assert extract_pdf_layout(doc) == [
+                (72.0, 700.0, "one"), (72.0, 680.0, "two"),
+                (72.0, 660.0, "three")], compress
+        # Td is cumulative within a text object; Tm sets absolutely;
+        # BT resets the origin
+        d2 = ("BT 10 700 Td (a) Tj 0 -20 Td (b) Tj "
+              "1 0 0 1 50 100 Tm (c) Tj ET BT (d) Tj ET")
+        assert extract_pdf_layout(d2) == [
+            (10.0, 700.0, "a"), (10.0, 680.0, "b"),
+            (50.0, 100.0, "c"), (0.0, 0.0, "d")]
+        # hex operands carry positions too; junk yields []
+        assert extract_pdf_layout("BT 5 6 Td <4869> Tj ET") == [
+            (5.0, 6.0, "Hi")]
+        assert extract_pdf_layout("no pdf here") == []
+
     def test_hex_strings(self):
         # <4865 6C6C 6F> == 'Hello'; odd digit count implies tail '0';
         # mixed literal + hex keep document order

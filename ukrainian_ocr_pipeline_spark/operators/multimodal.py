@@ -966,3 +966,37 @@ def image_ahash(df: DataFrame, blob_col: str = "blob",
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(extract, AHASH_SCHEMA)
+
+
+PDF_LAYOUT_SCHEMA = ("doc_id bigint, line_idx int, x double, y double, "
+                     "line_text string")
+
+
+def pdf_layout_meta(df: DataFrame, blob_col: str = "blob",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Layout-aware PDF parse over a binary column (the north rule's
+    'layout parse' leg): per string operand, the text-line origin in
+    effect — Td/TD cumulative, Tm absolute, Flate streams inflated
+    first — exploded to one row per placed string in document order,
+    (doc_id, line_idx, x, y, line_text).  Downstream reading-order
+    reconstruction is then a plain sort by (-y, x) per doc; no rows
+    for payloads with no positioned text."""
+    from ..spec.pdfmini import extract_pdf_layout
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "line_idx": [], "x": [], "y": [],
+                   "line_text": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                doc = (bytes(blob) if blob is not None else b"") \
+                    .decode("latin-1")
+                for i, (x, y, t) in enumerate(extract_pdf_layout(doc)):
+                    out["doc_id"].append(int(did))
+                    out["line_idx"].append(i)
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["line_text"].append(t)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract,
+                                                   PDF_LAYOUT_SCHEMA)

@@ -2197,6 +2197,33 @@ HAVING COUNT(*) >= 2
 """)
 
 
+def q_pdf_layout_blocks(spark, sf_dir):
+    """Layout-aware PDF parse round-trip (the north rule's 'layout
+    parse' leg): over the same mixed compressed/raw, literal/hex PDF
+    corpus, emit one row per PLACED string with the text-line origin in
+    effect — Td/TD cumulative, Tm absolute.  The fixture places line i
+    at (72, 700 - 20i), so the oracle rebuilds (line_idx, x, y, text)
+    per doc by pure arithmetic; a broken position tracker, a missed
+    inflate, or an operand-order bug hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.pdf_layout_meta(multimodal.synth_pdf_corpus(d))
+
+
+SQL_PDF_LAYOUT = """
+SELECT doc_id,
+       CAST(l.r AS INTEGER) AS line_idx,
+       CAST(72 AS DOUBLE) AS x,
+       CAST(700 - 20 * l.r AS DOUBLE) AS y,
+       CASE l.r
+            WHEN 0 THEN 'pdf doc ' || CAST(doc_id AS VARCHAR)
+                 || ' alpha' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE 'beta' || CAST(doc_id % 11 AS VARCHAR)
+                 || ' gamma delta' || CAST(doc_id % 5 AS VARCHAR)
+       END AS line_text
+FROM documents, range(0, 2) l(r)
+"""
+
+
 def q_pdf_flate_text_extract(spark, sf_dir):
     """REAL PDF text extraction round-trip (round 5 — the north rule's
     'PDF/layout parse' leg, now covering the compressed layout that
@@ -6425,6 +6452,7 @@ QUERIES = {
     "pdf_flate_text_extract": q_pdf_flate_text_extract,
     "image_ahash_fingerprints": q_image_ahash_fingerprints,
     "image_ahash_dup_groups": q_image_ahash_dup_groups,
+    "pdf_layout_blocks": q_pdf_layout_blocks,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6459,16 +6487,17 @@ QUERIES = {
     "event_context_window": q_event_context_window,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "top_parts": q_top_parts,
     "doc_subword_tokens": q_doc_subword_tokens,
     "ner_entity_spans": q_ner_entity_spans,
     "fuzzy_lexicon_matches": q_fuzzy_lexicon_matches,
-    # -- past the 50-entry window: the 10 simplest r02-witnessed
-    #    TPC-H-style veterans (each already hash-green twice), then the
+    # -- past the 50-entry window: the simplest r02-witnessed
+    #    TPC-H-style veterans (each already hash-green twice; they
+    #    yielded window slots to the round-5 additions), then the
     #    r03/r04 witnessed queries in prior relative order.  Every
     #    query stays covered by the local tri-scale oracle mirror
     #    (tests/test_queries_oracle.py) regardless of position. --
     "orders_price_histogram": q_orders_price_histogram,
+    "top_parts": q_top_parts,
     "orders_price_percentiles": q_orders_price_percentiles,
     "lineitem_rollup": q_lineitem_rollup,
     "event_category_rollup": q_event_category_rollup,
@@ -6659,6 +6688,7 @@ ORACLE_SQL = {
     "pdf_flate_text_extract": SQL_PDF_FLATE_TEXT,
     "image_ahash_fingerprints": SQL_IMAGE_AHASH,
     "image_ahash_dup_groups": SQL_IMAGE_AHASH_DUPS,
+    "pdf_layout_blocks": SQL_PDF_LAYOUT,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,

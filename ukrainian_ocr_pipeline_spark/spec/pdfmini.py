@@ -138,14 +138,7 @@ def extract_pdf_text(doc: str) -> str:
         parts: list[str] = []
         for obj in _BT_ET_RE.finditer(doc):
             for m in _STR_RE.finditer(obj.group(1)):
-                s = m.group(0)
-                if s[0] == "(":
-                    parts.append(_unescape_pdf(s[1:-1]))
-                else:  # hex string: bytes -> the same latin-1 shadow
-                    digits = "".join(s[1:-1].split())
-                    if len(digits) % 2:
-                        digits += "0"
-                    parts.append(bytes.fromhex(digits).decode("latin-1"))
+                parts.append(_string_operand_text(m.group(0)))
         return " ".join(p for p in parts if p)
     except Exception:
         return ""
@@ -209,3 +202,54 @@ def build_fixture_pdf(texts, compress: bool = True,
     trailer = (b"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n"
                + str(pos).encode("latin-1") + b"\n%%EOF")
     return header + b"".join(objs) + xref + trailer
+
+
+_NUM = r"-?\d+(?:\.\d+)?"
+# inside a text object, the three position-bearing events in document
+# order: Tm (set text matrix absolutely; e/f are the translation), Td /
+# TD (translate relative to the previous line origin; TD also sets
+# leading, same translation semantics), and string operands
+_LAYOUT_RE = re.compile(
+    rf"({_NUM})\s+({_NUM})\s+({_NUM})\s+({_NUM})\s+({_NUM})\s+({_NUM})\s+Tm\b"
+    rf"|({_NUM})\s+({_NUM})\s+T[dD]\b"
+    rf"|\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>",
+    re.DOTALL)
+
+
+def _string_operand_text(s: str) -> str:
+    if s[0] == "(":
+        return _unescape_pdf(s[1:-1])
+    digits = "".join(s[1:-1].split())
+    if len(digits) % 2:
+        digits += "0"
+    return bytes.fromhex(digits).decode("latin-1")
+
+
+def extract_pdf_layout(doc: str) -> list:
+    """Layout-aware extraction: [(x, y, text)] per string operand with
+    the text-line origin in effect — ISO 32000 §9.4.2 semantics for the
+    operators fixtures and simple real streams use: each BT resets the
+    origin to (0, 0); Td/TD translate RELATIVE to the previous line
+    origin (cumulative); Tm sets it ABSOLUTELY from the matrix's e/f.
+    T*/leading and full-matrix composition are out of scope (the
+    production seam — a real layout engine tracks the whole CTM).
+    Flate streams are inflated first, like extract_pdf_text.  Never
+    raises; [] on any internal error."""
+    try:
+        if "/FlateDecode" in doc:
+            doc = _inflate_flate_streams(doc)
+        out: list = []
+        for obj in _BT_ET_RE.finditer(doc):
+            x = y = 0.0
+            for m in _LAYOUT_RE.finditer(obj.group(1)):
+                if m.group(1) is not None:       # Tm: absolute e, f
+                    x, y = float(m.group(5)), float(m.group(6))
+                elif m.group(7) is not None:     # Td/TD: relative
+                    x, y = x + float(m.group(7)), y + float(m.group(8))
+                else:
+                    t = _string_operand_text(m.group(0))
+                    if t:
+                        out.append((x, y, t))
+        return out
+    except Exception:
+        return []
