@@ -2,13 +2,15 @@
 
 Container-header decode is REAL: PNG/JPEG/GIF/WebP dimensions are parsed
 straight from the published byte layouts with the stdlib
-(:func:`decode_image_header`) — no codec library needed.  PNG PIXEL
-decode is ALSO real (:func:`decode_png_pixels`: zlib inflate + RFC 2083
-per-scanline unfiltering including Paeth — feeding
-:func:`media_pixel_stats`).  Only JPEG/GIF/WebP pixel decode (genuinely
-codec-bound: DCT/LZW/VP8 entropy coding; PIL/cv2/ffmpeg absent from
-this container) stays stubbed behind a deterministic fake and a
-clearly-marked NotImplementedError; the Spark-side plumbing — schema,
+(:func:`decode_image_header`) — no codec library needed.  PNG and GIF
+PIXEL decode are ALSO real (:func:`decode_png_pixels`: zlib inflate +
+RFC 2083 per-scanline unfiltering including Paeth;
+:func:`decode_gif_pixels`: pure-Python GIF-LZW + 4-pass deinterlace +
+palette map — both feeding :func:`media_pixel_stats` and
+:func:`image_ahash` via :func:`decode_pixels`).  Only JPEG/WebP pixel
+decode (genuinely codec-bound: DCT / VP8 entropy coding; PIL/cv2/ffmpeg
+absent from this container) stays stubbed behind a deterministic fake
+and a clearly-marked NotImplementedError; the Spark-side plumbing — schema,
 batch shape, mapInPandas signature, partitioning — is real and tested
 either way.
 
@@ -648,8 +650,9 @@ PIXEL_STATS_SCHEMA = ("doc_id bigint, width int, height int, "
 
 def media_pixel_stats(df: DataFrame, blob_col: str = "blob",
                       id_col: str = "doc_id") -> DataFrame:
-    """REAL pixel-level feature extraction over a PNG binary column via
-    mapInPandas: full decode (inflate + unfilter), then exact integer
+    """REAL pixel-level feature extraction over a PNG/GIF binary column
+    via mapInPandas: full decode (PNG inflate + unfilter, or GIF LZW +
+    palette map, by signature dispatch), then exact integer
     stats over every sample — (width, height, channels, px_sum,
     px_min, px_max); all-NULL stats for undecodable payloads (the
     parse-or-None contract — a corrupt blob must never fail the task).
@@ -663,7 +666,7 @@ def media_pixel_stats(df: DataFrame, blob_col: str = "blob",
                    "channels": [], "px_sum": [], "px_min": [],
                    "px_max": []}
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
-                parsed = decode_png_pixels(
+                parsed = decode_pixels(
                     bytes(blob) if blob is not None else b"")
                 out["doc_id"].append(int(did))
                 if parsed is None:
@@ -936,7 +939,7 @@ AHASH_SCHEMA = ("doc_id bigint, width int, height int, ahash string, "
 
 def image_ahash(df: DataFrame, blob_col: str = "blob",
                 id_col: str = "doc_id") -> DataFrame:
-    """Decode PNG pixels and emit the 64-bit average-hash fingerprint
+    """Decode PNG/GIF pixels and emit the 64-bit average-hash fingerprint
     per doc — (doc_id, width, height, ahash, ones); all-NULL for
     undecodable payloads.  Downstream image dedup is then a plain
     groupBy on `ahash` (see the dup-groups query): digest-keyed partial
@@ -948,7 +951,7 @@ def image_ahash(df: DataFrame, blob_col: str = "blob",
             out = {"doc_id": [], "width": [], "height": [],
                    "ahash": [], "ones": []}
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
-                parsed = decode_png_pixels(
+                parsed = decode_pixels(
                     bytes(blob) if blob is not None else b"")
                 out["doc_id"].append(int(did))
                 if parsed is None:
@@ -1000,3 +1003,252 @@ def pdf_layout_meta(df: DataFrame, blob_col: str = "blob",
 
     return df.select(id_col, blob_col).mapInPandas(extract,
                                                    PDF_LAYOUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF pixel decode (round 5, after PNG): GIF's LZW variant is fully
+# specified (GIF89a spec, appendix F) and needs no codec library —
+# unlike JPEG (DCT) and WebP (VP8 entropy coding), which stay stubbed.
+
+_GIF_MAX_CODE = 1 << 12  # LZW code width caps at 12 bits
+
+
+def _gif_lzw_decode(min_size: int, data: bytes, expected: int):
+    """Decode a GIF LZW stream to ``expected`` palette indices (bytes),
+    None on any malformation.  Little-endian bit packing; CLEAR resets
+    the table; the code width grows when the next free slot reaches
+    2^width and freezes at 12 bits (deferred-clear streams keep
+    emitting 12-bit codes against the frozen table)."""
+    if not 2 <= min_size <= 8:
+        return None
+    clear = 1 << min_size
+    eoi = clear + 1
+    code_size = min_size + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_size + 1
+            table = dict(base)
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                return None
+            if next_code < _GIF_MAX_CODE:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(blob: bytes):
+    """Full GIF pixel decode with the stdlib: logical screen descriptor
+    -> global/local color table -> first image descriptor -> LZW
+    inflate -> optional Adam-style 4-pass deinterlace -> palette map —
+    (width, height, 3, uint8 ndarray[h, w, 3]) of the FIRST frame.
+    Extensions are skipped; truncation, bad LZW, missing palette,
+    out-of-palette indices, and decode bombs return None (the
+    parse-or-None contract — this runs inside hot mapInPandas
+    tasks)."""
+    import numpy as np
+    try:
+        n = len(blob)
+        if n < 14 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        flags = blob[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            size = 3 * (2 << (flags & 7))
+            if pos + size > n:
+                return None
+            gct = blob[pos:pos + size]
+            pos += size
+        while pos < n:
+            b0 = blob[pos]
+            if b0 == 0x3B:       # trailer before any image
+                return None
+            if b0 == 0x21:       # extension: label + sub-blocks
+                pos += 2
+                while pos < n and blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:       # image descriptor expected
+                return None
+            if pos + 10 > n:
+                return None
+            iw = int.from_bytes(blob[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(blob[pos + 7:pos + 9], "little")
+            f = blob[pos + 9]
+            pos += 10
+            pal = gct
+            if f & 0x80:         # local color table wins
+                size = 3 * (2 << (f & 7))
+                if pos + size > n:
+                    return None
+                pal = blob[pos:pos + size]
+                pos += size
+            if (pal is None or not _sane_dims(iw, ih)
+                    or iw * ih * 3 > _MAX_DECODED_BYTES):
+                return None
+            if pos >= n:
+                return None
+            min_size = blob[pos]
+            pos += 1
+            data = bytearray()
+            while pos < n and blob[pos] != 0:
+                ln = blob[pos]
+                if pos + 1 + ln > n:
+                    return None
+                data += blob[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_size, bytes(data), iw * ih)
+            if idx is None:
+                return None
+            rows = np.frombuffer(idx, np.uint8).reshape(ih, iw)
+            if f & 0x40:         # interlaced: rows arrive in 4 passes
+                order = [y for start, step in _GIF_INTERLACE_PASSES
+                         for y in range(start, ih, step)]
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+            if int(rows.max()) >= len(palette):
+                return None
+            return iw, ih, 3, palette[rows]
+        return None
+    except Exception:
+        return None
+
+
+def _gif_lzw_encode_literal(min_size: int, indices: bytes) -> bytes:
+    """Minimal VALID LZW stream: CLEAR before every literal keeps the
+    decoder's table empty and the code width fixed at min_size+1 —
+    2x the codes of real compression, fine for fixture frames, and it
+    exercises the decoder's reset path on every pixel."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    width = min_size + 1
+    acc = nbits = 0
+    out = bytearray()
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for i in indices:
+        emit(clear)
+        emit(i)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def build_fixture_gif_pixels(indices, palette,
+                             interlace: bool = False) -> bytes:
+    """Serialize a REAL single-frame GIF89a from an index array
+    (h, w) and an (n, 3) palette (n a power of two in [4, 256]) —
+    logical screen + global color table + image descriptor + literal
+    LZW data in 255-byte sub-blocks + trailer.  ``interlace`` stores
+    rows in the 4-pass order so the decoder's deinterlace is on the
+    path."""
+    import numpy as np
+    arr = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = arr.shape
+    npal = len(pal)
+    bits = max(2, (npal - 1).bit_length())
+    if npal != 1 << bits or not 2 <= bits <= 8:
+        raise ValueError(f"palette size must be a power of two in "
+                         f"[4, 256], got {npal}")
+    if int(arr.max()) >= npal:
+        raise ValueError("index out of palette range")
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE_PASSES
+                 for y in range(start, h, step)]
+        arr = arr[order]
+    lsd_flags = 0x80 | (bits - 1)           # GCT present, size bits
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([lsd_flags, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2C" + bytes(4)               # image at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    out += bytes([bits])                    # LZW minimum code size
+    data = _gif_lzw_encode_literal(bits, arr.tobytes())
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_pixels(blob: bytes):
+    """Signature-dispatched REAL pixel decode: PNG or GIF (the two
+    stdlib-decodable formats); None for anything else."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png_pixels(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(blob)
+    return None
+
+
+def synth_gif_pixel_corpus(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) REAL-pixel GIF corpus: width
+    12 + doc_id % 9, height 12 + (doc_id*3) % 7, palette index
+    (x + 2y + doc_id) % 64 over the 64-gray ramp palette
+    (4i, 4i+1, 4i+2), frames INTERLACED for odd doc_ids so the 4-pass
+    deinterlace sits on half the corpus' decode path.  Every pixel
+    statistic is closed-form doc_id arithmetic for the SQL twin."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        ramp = np.stack([np.arange(64) * 4, np.arange(64) * 4 + 1,
+                         np.arange(64) * 4 + 2], axis=1).astype(np.uint8)
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 12 + d % 9, 12 + (d * 3) % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                idx = ((xs + 2 * ys + d) % 64).astype(np.uint8)
+                blobs.append(build_fixture_gif_pixels(
+                    idx, ramp, interlace=(d % 2 == 1)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")

@@ -2197,6 +2197,43 @@ HAVING COUNT(*) >= 2
 """)
 
 
+def q_multimodal_gif_pixel_stats(spark, sf_dir):
+    """REAL GIF pixel-decode round-trip (round 5, after PNG): per doc,
+    a single-frame GIF89a with a 64-gray ramp palette and index
+    (x + 2y + doc_id) % 64 — INTERLACED for odd docs, so the LZW
+    decode, the 4-pass row reorder, and the palette map all sit on the
+    decode path — then exact integer stats over every RGB sample.  The
+    palette ramp is (4i, 4i+1, 4i+2), so the oracle recomputes
+    px_sum = SUM(12i + 3), px_min = 4*MIN(i), px_max = 4*MAX(i) + 2
+    over the (x, y) grid without seeing a GIF byte; a wrong LZW reset,
+    a missed deinterlace, or a swapped channel hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_pixel_stats(
+        multimodal.synth_gif_pixel_corpus(d))
+
+
+SQL_GIF_PIXEL_STATS = """
+WITH dims AS (
+  SELECT doc_id AS d,
+         12 + doc_id % 9 AS w,
+         12 + (doc_id * 3) % 7 AS h
+  FROM documents),
+px AS (
+  SELECT d, w, h, (x.r + 2 * y.r + d) % 64 AS i
+  FROM dims, range(0, 21) x(r), range(0, 19) y(r)
+  WHERE x.r < w AND y.r < h)
+SELECT d AS doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM(12 * i + 3) AS BIGINT) AS px_sum,
+       CAST(4 * MIN(i) AS INTEGER) AS px_min,
+       CAST(4 * MAX(i) + 2 AS INTEGER) AS px_max
+FROM px
+GROUP BY d
+"""
+
+
 def q_pdf_layout_blocks(spark, sf_dir):
     """Layout-aware PDF parse round-trip (the north rule's 'layout
     parse' leg): over the same mixed compressed/raw, literal/hex PDF
@@ -6453,6 +6490,7 @@ QUERIES = {
     "image_ahash_fingerprints": q_image_ahash_fingerprints,
     "image_ahash_dup_groups": q_image_ahash_dup_groups,
     "pdf_layout_blocks": q_pdf_layout_blocks,
+    "multimodal_gif_pixel_stats": q_multimodal_gif_pixel_stats,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6478,7 +6516,6 @@ QUERIES = {
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
-    "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "user_sessionization": q_user_sessionization,
     "hourly_event_rollup": q_hourly_event_rollup,
     "docs_per_lang_concat": q_docs_per_lang_concat,
@@ -6497,6 +6534,7 @@ QUERIES = {
     #    query stays covered by the local tri-scale oracle mirror
     #    (tests/test_queries_oracle.py) regardless of position. --
     "orders_price_histogram": q_orders_price_histogram,
+    "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "top_parts": q_top_parts,
     "orders_price_percentiles": q_orders_price_percentiles,
     "lineitem_rollup": q_lineitem_rollup,
@@ -6689,6 +6727,7 @@ ORACLE_SQL = {
     "image_ahash_fingerprints": SQL_IMAGE_AHASH,
     "image_ahash_dup_groups": SQL_IMAGE_AHASH_DUPS,
     "pdf_layout_blocks": SQL_PDF_LAYOUT,
+    "multimodal_gif_pixel_stats": SQL_GIF_PIXEL_STATS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
