@@ -765,3 +765,104 @@ def test_pixel_stats_dispatch_gif_corpus(spark):
         assert r["px_sum"] == sum(12 * i + 3 for i in ids)
         assert r["px_min"] == 4 * min(ids)
         assert r["px_max"] == 4 * max(ids) + 2
+
+
+# --------------------------------------------------------------------------
+# round-5: REAL WAV PCM sample decode + BMP pixel decode
+
+def test_wav_sample_roundtrip_and_rejects():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_wav,
+        build_fixture_wav_samples,
+        decode_wav_samples,
+    )
+    s = np.array([-32768, -1, 0, 1, 32767, 123], dtype="<i2")
+    blob = build_fixture_wav_samples(16000, 2, s)
+    rate, ch, frames, got = decode_wav_samples(blob)
+    assert (rate, ch, frames) == (16000, 2, 3)
+    assert np.array_equal(got, s)
+    # the zero-payload header fixture still decodes (all zeros)
+    z = decode_wav_samples(build_fixture_wav(8000, 1, 10))
+    assert z is not None and z[3].sum() == 0 and len(z[3]) == 10
+    # non-PCM fmt tag, truncation, junk -> None
+    bad = bytearray(blob)
+    bad[20] = 2  # fmt tag ADPCM
+    assert decode_wav_samples(bytes(bad)) is None
+    assert decode_wav_samples(blob[:30]) is None
+    assert decode_wav_samples(b"RIFF1234WAVE") is None
+
+
+def test_media_audio_stats_matches_closed_form(spark):
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        media_audio_stats,
+        synth_wav_sample_corpus,
+    )
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {r["doc_id"]: r for r in
+           media_audio_stats(synth_wav_sample_corpus(df)).collect()}
+    for d in range(12):
+        ch, frames = 1 + d % 2, 80 + d % 50
+        vals = [((k * 2311 + d * 17) % 65536) - 32768
+                for k in range(frames * ch)]
+        r = got[d]
+        assert (r["sample_rate"], r["channels"], r["n_frames"]) == (
+            8000 + (d % 3) * 4000, ch, frames)
+        assert (r["s_sum"], r["s_min"], r["s_max"]) == (
+            sum(vals), min(vals), max(vals))
+    junk = spark.createDataFrame([(1, b"nope")], "doc_id long, blob binary")
+    assert media_audio_stats(junk).collect()[0]["s_sum"] is None
+
+
+def test_bmp_pixel_roundtrip_padding_and_orientation():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_bmp_pixels,
+        decode_bmp_pixels,
+        decode_pixels,
+    )
+    rng = np.random.RandomState(5)
+    for (w, h) in ((1, 1), (9, 8), (17, 23), (3, 2)):  # odd widths pad
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for td in (False, True):
+            got = decode_bmp_pixels(
+                build_fixture_bmp_pixels(px, top_down=td))
+            assert got is not None, (w, h, td)
+            gw, gh, ch, arr = got
+            assert (gw, gh, ch) == (w, h, 3)
+            assert np.array_equal(arr, px), (w, h, td)
+    blob = build_fixture_bmp_pixels(px)
+    assert decode_pixels(blob) is not None  # dispatch covers BMP
+    assert decode_bmp_pixels(blob[:40]) is None
+    bad = bytearray(blob)
+    bad[30] = 1  # RLE8 compression
+    assert decode_bmp_pixels(bytes(bad)) is None
+    bad = bytearray(blob)
+    bad[28] = 32  # 32-bit depth unsupported
+    assert decode_bmp_pixels(bytes(bad)) is None
+
+
+@given(st.binary(min_size=0, max_size=80),
+       st.integers(min_value=0, max_value=200),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=200, deadline=None)
+def test_wav_bmp_decoders_never_raise(tail, pos, val):
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_bmp_pixels,
+        build_fixture_wav_samples,
+        decode_bmp_pixels,
+        decode_wav_samples,
+    )
+    wav = build_fixture_wav_samples(
+        8000, 1, np.arange(12, dtype="<i2"))
+    bmp = build_fixture_bmp_pixels(
+        np.zeros((3, 5, 3), np.uint8))
+    for blob, fn in ((wav, decode_wav_samples), (bmp, decode_bmp_pixels)):
+        b = bytearray(blob + tail)
+        b[pos % len(b)] = val
+        out = fn(bytes(b))
+        assert out is None or isinstance(out, tuple)

@@ -1217,12 +1217,14 @@ def build_fixture_gif_pixels(indices, palette,
 
 
 def decode_pixels(blob: bytes):
-    """Signature-dispatched REAL pixel decode: PNG or GIF (the two
-    stdlib-decodable formats); None for anything else."""
+    """Signature-dispatched REAL pixel decode: PNG, GIF, or BMP (the
+    three stdlib-decodable formats); None for anything else."""
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp_pixels(blob)
     return None
 
 
@@ -1248,6 +1250,237 @@ def synth_gif_pixel_corpus(df: DataFrame,
                 idx = ((xs + 2 * ys + d) % 64).astype(np.uint8)
                 blobs.append(build_fixture_gif_pixels(
                     idx, ramp, interlace=(d % 2 == 1)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV PCM sample decode (round 5): the data chunk of a PCM WAV is
+# raw interleaved samples — no codec needed, so the audio path gets a
+# real sample-level operator to match the image pixel operators.
+
+def decode_wav_samples(blob: bytes):
+    """Decode a 16-bit PCM WAV to its samples: (sample_rate, channels,
+    n_frames, int16 ndarray[n_frames * channels] in interleave order).
+    Non-PCM formats (fmt tag != 1), other bit depths, truncation, and
+    oversized payloads return None — decode_av_header remains the
+    metadata path for those; this operator is the sample path."""
+    import numpy as np
+    try:
+        n = len(blob)
+        if n < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        i = 12
+        fmt_tag = rate = channels = bits = None
+        data = None
+        while i + 8 <= n:
+            tag = blob[i:i + 4]
+            size = int.from_bytes(blob[i + 4:i + 8], "little")
+            if tag == b"fmt ":
+                if size < 16 or i + 8 + 16 > n:
+                    return None
+                fmt_tag = int.from_bytes(blob[i + 8:i + 10], "little")
+                channels = int.from_bytes(blob[i + 10:i + 12], "little")
+                rate = int.from_bytes(blob[i + 12:i + 16], "little")
+                bits = int.from_bytes(blob[i + 22:i + 24], "little")
+            elif tag == b"data":
+                if i + 8 + size > n or size > _MAX_DECODED_BYTES:
+                    return None
+                data = blob[i + 8:i + 8 + size]
+            i += 8 + size + (size & 1)
+        if (fmt_tag != 1 or bits != 16 or not rate or not channels
+                or not _sane_av(rate, channels, 0) or data is None):
+            return None
+        n_samples = len(data) // 2
+        if n_samples == 0 or n_samples % channels:
+            return None
+        samples = np.frombuffer(data[:n_samples * 2], "<i2")
+        return rate, channels, n_samples // channels, samples
+    except Exception:
+        return None
+
+
+AUDIO_STATS_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
+                      "n_frames int, s_sum bigint, s_min int, s_max int")
+
+
+def media_audio_stats(df: DataFrame, blob_col: str = "blob",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL sample-level audio feature extraction over a WAV binary
+    column via mapInPandas: PCM decode, then exact integer stats over
+    every sample — (sample_rate, channels, n_frames, s_sum, s_min,
+    s_max); all-NULL for undecodable/non-PCM payloads (parse-or-None).
+    The audio twin of media_pixel_stats: one Arrow-batched pass,
+    downstream reads the stats, never the blob."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "channels": [],
+                   "n_frames": [], "s_sum": [], "s_min": [], "s_max": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                parsed = decode_wav_samples(
+                    bytes(blob) if blob is not None else b"")
+                out["doc_id"].append(int(did))
+                if parsed is None:
+                    for k in ("sample_rate", "channels", "n_frames",
+                              "s_sum", "s_min", "s_max"):
+                        out[k].append(None)
+                    continue
+                rate, ch, frames, s = parsed
+                a = s.astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(frames)
+                out["s_sum"].append(int(a.sum()))
+                out["s_min"].append(int(a.min()))
+                out["s_max"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract,
+                                                   AUDIO_STATS_SCHEMA)
+
+
+def build_fixture_wav_samples(rate: int, channels: int,
+                              samples) -> bytes:
+    """Minimal VALID 16-bit PCM WAV carrying the given int16 sample
+    array (interleave order) as its data payload — the sample-level
+    sibling of build_fixture_wav (whose payload is zeros)."""
+    import struct
+
+    import numpy as np
+    s = np.asarray(samples, dtype="<i2")
+    if len(s) % channels:
+        raise ValueError("sample count must be divisible by channels")
+    data = s.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_wav_sample_corpus(df: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) PCM WAV corpus: rate
+    8000 + (doc_id%3)*4000, channels 1 + doc_id % 2, 80 + doc_id % 50
+    frames, sample k = ((k*2311 + doc_id*17) % 65536) - 32768 — every
+    audio statistic is closed-form doc_id arithmetic for the SQL
+    twin."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                ch = 1 + d % 2
+                frames = 80 + d % 50
+                k = np.arange(frames * ch, dtype=np.int64)
+                s = ((k * 2311 + d * 17) % 65536) - 32768
+                blobs.append(build_fixture_wav_samples(
+                    8000 + (d % 3) * 4000, ch, s.astype("<i2")))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP pixel decode (round 5): uncompressed 24-bit BITMAPINFOHEADER
+# BMPs are a raw byte layout — the third stdlib-decodable raster format.
+
+def decode_bmp_pixels(blob: bytes):
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to
+    (width, height, 3, uint8 ndarray[h, w, 3] in RGB order).  Rows are
+    stored bottom-up (positive height) or top-down (negative height),
+    4-byte padded, channels as BGR on disk — all inverted here.
+    Palette/16-bit/32-bit/compressed variants and anything truncated or
+    oversized return None (parse-or-None)."""
+    import numpy as np
+    try:
+        n = len(blob)
+        if n < 54 or blob[:2] != b"BM":
+            return None
+        data_off = int.from_bytes(blob[10:14], "little")
+        dib = int.from_bytes(blob[14:18], "little")
+        if dib < 40:
+            return None
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        bpp = int.from_bytes(blob[28:30], "little")
+        compression = int.from_bytes(blob[30:34], "little")
+        top_down = h < 0
+        h = abs(h)
+        if (bpp != 24 or compression != 0 or not _sane_dims(w, h)
+                or w * h * 3 > _MAX_DECODED_BYTES):
+            return None
+        stride = (w * 3 + 3) & ~3
+        if data_off + stride * h > n:
+            return None
+        rows = np.frombuffer(blob, np.uint8, stride * h, data_off) \
+            .reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, 3, rows[:, :, ::-1].copy()  # BGR -> RGB
+    except Exception:
+        return None
+
+
+def build_fixture_bmp_pixels(pixels, top_down: bool = False) -> bytes:
+    """Serialize a REAL uncompressed 24-bit BMP from a uint8 (h, w, 3)
+    RGB array — BITMAPFILEHEADER + BITMAPINFOHEADER, BGR channel
+    order, 4-byte row padding, bottom-up by default (``top_down``
+    stores a negative height and natural row order)."""
+    import struct
+
+    import numpy as np
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("BMP fixture requires (h, w, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    bgr = arr[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]
+    body = bytearray()
+    pad = bytes(stride - w * 3)
+    for row in bgr:
+        body += row.tobytes() + pad
+    data_off = 54
+    file_size = data_off + len(body)
+    header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            -h if top_down else h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return bytes(header) + bytes(body)
+
+
+def synth_bmp_pixel_corpus(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) REAL-pixel BMP corpus: width
+    9 + doc_id % 11 (odd widths exercise row padding), height
+    8 + (doc_id*7) % 9, RGB r=(x+2y+d)%251, g=(3x+y+d)%251,
+    b=(x+y+2d)%251, TOP-DOWN storage for doc_id % 3 == 0 and bottom-up
+    otherwise — every pixel statistic is closed-form doc_id arithmetic
+    for the SQL twin."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 9 + d % 11, 8 + (d * 7) % 9
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                px = np.stack(
+                    [np.broadcast_to((xs + 2 * ys + d) % 251, (h, w)),
+                     np.broadcast_to((3 * xs + ys + d) % 251, (h, w)),
+                     np.broadcast_to((xs + ys + 2 * d) % 251, (h, w))],
+                    axis=2).astype(np.uint8)
+                blobs.append(build_fixture_bmp_pixels(
+                    px, top_down=(d % 3 == 0)))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "blob": blobs})
 

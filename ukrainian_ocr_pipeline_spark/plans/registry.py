@@ -2234,6 +2234,83 @@ GROUP BY d
 """
 
 
+def q_multimodal_wav_sample_stats(spark, sf_dir):
+    """REAL PCM sample decode round-trip (round 5): per doc a 16-bit
+    PCM WAV whose interleaved sample k is
+    ((k*2311 + doc_id*17) % 65536) - 32768, decoded back via the RIFF
+    chunk walk + raw int16 read, with exact integer stats over every
+    sample.  The oracle rebuilds s_sum/s_min/s_max from the closed
+    form over the sample index grid — a wrong byte order, a dropped
+    channel, or an off-by-one in the data-chunk walk
+    hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_audio_stats(
+        multimodal.synth_wav_sample_corpus(d))
+
+
+# max frames 129, max channels 2 -> 258 samples; range bound 260
+SQL_WAV_SAMPLE_STATS = """
+WITH dims AS (
+  SELECT doc_id AS d,
+         1 + doc_id % 2 AS ch,
+         80 + doc_id % 50 AS frames
+  FROM documents),
+s AS (
+  SELECT d, ch, frames,
+         ((k.r * 2311 + d * 17) % 65536) - 32768 AS v
+  FROM dims, range(0, 260) k(r)
+  WHERE k.r < frames * ch)
+SELECT d AS doc_id,
+       CAST(8000 + (d % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(MAX(ch) AS INTEGER) AS channels,
+       CAST(MAX(frames) AS INTEGER) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(MIN(v) AS INTEGER) AS s_min,
+       CAST(MAX(v) AS INTEGER) AS s_max
+FROM s
+GROUP BY d
+"""
+
+
+def q_multimodal_bmp_pixel_stats(spark, sf_dir):
+    """REAL BMP pixel-decode round-trip (round 5, third raster format):
+    uncompressed 24-bit BMPs with odd widths (row padding on the
+    path), BGR disk order, and a top-down/bottom-up storage mix
+    (doc_id % 3) — decoded back to RGB and reduced to exact integer
+    stats.  The oracle rebuilds every sample from the closed forms;
+    a missed row flip, a BGR/RGB swap, or a padding miscount
+    hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_pixel_stats(
+        multimodal.synth_bmp_pixel_corpus(d))
+
+
+SQL_BMP_PIXEL_STATS = """
+WITH dims AS (
+  SELECT doc_id AS d,
+         9 + doc_id % 11 AS w,
+         8 + (doc_id * 7) % 9 AS h
+  FROM documents),
+samples AS (
+  SELECT d, w, h,
+         CASE c.r
+              WHEN 0 THEN (x.r + 2 * y.r + d) % 251
+              WHEN 1 THEN (3 * x.r + y.r + d) % 251
+              ELSE (x.r + y.r + 2 * d) % 251 END AS v
+  FROM dims, range(0, 20) x(r), range(0, 17) y(r), range(0, 3) c(r)
+  WHERE x.r < w AND y.r < h)
+SELECT d AS doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INTEGER) AS px_min,
+       CAST(MAX(v) AS INTEGER) AS px_max
+FROM samples
+GROUP BY d
+"""
+
+
 def q_pdf_layout_blocks(spark, sf_dir):
     """Layout-aware PDF parse round-trip (the north rule's 'layout
     parse' leg): over the same mixed compressed/raw, literal/hex PDF
@@ -6491,6 +6568,8 @@ QUERIES = {
     "image_ahash_dup_groups": q_image_ahash_dup_groups,
     "pdf_layout_blocks": q_pdf_layout_blocks,
     "multimodal_gif_pixel_stats": q_multimodal_gif_pixel_stats,
+    "multimodal_wav_sample_stats": q_multimodal_wav_sample_stats,
+    "multimodal_bmp_pixel_stats": q_multimodal_bmp_pixel_stats,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6516,8 +6595,6 @@ QUERIES = {
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
-    "user_sessionization": q_user_sessionization,
-    "hourly_event_rollup": q_hourly_event_rollup,
     "docs_per_lang_concat": q_docs_per_lang_concat,
     "doc_containment_join": q_doc_containment_join,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -6535,6 +6612,8 @@ QUERIES = {
     #    (tests/test_queries_oracle.py) regardless of position. --
     "orders_price_histogram": q_orders_price_histogram,
     "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
+    "user_sessionization": q_user_sessionization,
+    "hourly_event_rollup": q_hourly_event_rollup,
     "top_parts": q_top_parts,
     "orders_price_percentiles": q_orders_price_percentiles,
     "lineitem_rollup": q_lineitem_rollup,
@@ -6728,6 +6807,8 @@ ORACLE_SQL = {
     "image_ahash_dup_groups": SQL_IMAGE_AHASH_DUPS,
     "pdf_layout_blocks": SQL_PDF_LAYOUT,
     "multimodal_gif_pixel_stats": SQL_GIF_PIXEL_STATS,
+    "multimodal_wav_sample_stats": SQL_WAV_SAMPLE_STATS,
+    "multimodal_bmp_pixel_stats": SQL_BMP_PIXEL_STATS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
