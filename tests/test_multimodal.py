@@ -866,3 +866,60 @@ def test_wav_bmp_decoders_never_raise(tail, pos, val):
         b[pos % len(b)] = val
         out = fn(bytes(b))
         assert out is None or isinstance(out, tuple)
+
+
+# --------------------------------------------------------------------------
+# round-5: TIFF header decode (IFD walk, both endiannesses)
+
+def test_tiff_header_both_endians_and_types():
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_tiff,
+        decode_image_header,
+    )
+    for be in (False, True):
+        for lt in (False, True):
+            blob = build_fixture_tiff(640, 480, big_endian=be,
+                                      long_type=lt)
+            assert len(blob) == 38
+            assert decode_image_header(blob) == ("tiff", 640, 480), (be, lt)
+    # LONG type permits dims beyond u16
+    big = build_fixture_tiff(100000, 70000, long_type=True)
+    assert decode_image_header(big) == ("tiff", 100000, 70000)
+
+
+def test_tiff_header_rejects_corrupt():
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_tiff,
+        decode_image_header,
+    )
+    blob = build_fixture_tiff(5, 4)
+    # truncated IFD (count promises entries past the blob)
+    assert decode_image_header(blob[:12]) is None
+    # zero width is a corrupt dim
+    bad = bytearray(blob)
+    bad[8 + 2 + 8] = 0
+    bad[8 + 2 + 9] = 0
+    assert decode_image_header(bytes(bad)) is None
+    # RATIONAL-typed dimension tag is malformed
+    bad = bytearray(blob)
+    bad[8 + 2 + 2] = 5
+    assert decode_image_header(bytes(bad)) is None
+    # missing ImageLength tag
+    only_w = blob[:8] + (1).to_bytes(2, "little") \
+        + blob[10:22] + (0).to_bytes(4, "little")
+    assert decode_image_header(only_w) is None
+
+
+@given(st.binary(min_size=0, max_size=60),
+       st.integers(min_value=0, max_value=100),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=200, deadline=None)
+def test_tiff_header_never_raises(tail, pos, val):
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_tiff,
+        decode_image_header,
+    )
+    b = bytearray(build_fixture_tiff(13, 7) + tail)
+    b[pos % len(b)] = val
+    out = decode_image_header(bytes(b))
+    assert out is None or (isinstance(out, tuple) and len(out) == 3)

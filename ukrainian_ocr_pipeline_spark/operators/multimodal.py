@@ -151,7 +151,46 @@ def decode_image_header(blob: bytes):
             if seglen < 2:
                 return None
             i += 2 + seglen
+    if n >= 8 and blob[:4] in (b"II*\x00", b"MM\x00*"):
+        parsed = _tiff_dims(blob)
+        if parsed is not None and _sane_dims(*parsed):
+            return ("tiff", *parsed)
+        return None
     return None
+
+
+def _tiff_dims(blob: bytes):
+    """Dimensions from the first TIFF IFD (TIFF 6.0 §2): 'II'/'MM'
+    byte-order mark, magic 42, u32 offset to the IFD; the IFD is a u16
+    entry count then 12-byte entries (tag u16, type u16, count u32,
+    value-or-offset u32) — ImageWidth is tag 256, ImageLength 257,
+    each a SHORT (type 3, value in the low two bytes of the value
+    field in file byte order) or LONG (type 4)."""
+    order = "little" if blob[:2] == b"II" else "big"
+    n = len(blob)
+    ifd = int.from_bytes(blob[4:8], order)
+    if ifd + 2 > n:
+        return None
+    count = int.from_bytes(blob[ifd:ifd + 2], order)
+    w = h = None
+    for k in range(count):
+        e = ifd + 2 + 12 * k
+        if e + 12 > n:
+            return None
+        tag = int.from_bytes(blob[e:e + 2], order)
+        typ = int.from_bytes(blob[e + 2:e + 4], order)
+        if tag in (256, 257):
+            if typ == 3:     # SHORT lives in the value field's start
+                val = int.from_bytes(blob[e + 8:e + 10], order)
+            elif typ == 4:   # LONG
+                val = int.from_bytes(blob[e + 8:e + 12], order)
+            else:
+                return None
+            if tag == 256:
+                w = val
+            else:
+                h = val
+    return (w, h) if w is not None and h is not None else None
 
 
 def _webp_dims(blob: bytes):
@@ -1481,6 +1520,51 @@ def synth_bmp_pixel_corpus(df: DataFrame,
                     axis=2).astype(np.uint8)
                 blobs.append(build_fixture_bmp_pixels(
                     px, top_down=(d % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
+def build_fixture_tiff(w: int, h: int, big_endian: bool = False,
+                       long_type: bool = False) -> bytes:
+    """Minimal VALID TIFF header: byte-order mark + magic 42 + one IFD
+    with ImageWidth/ImageLength (SHORT by default, LONG when
+    ``long_type``) — 38 bytes either way, both endiannesses."""
+    order = "big" if big_endian else "little"
+    bom = b"MM\x00*" if big_endian else b"II*\x00"
+
+    def u(v, size):
+        return v.to_bytes(size, order)
+
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF) and not long_type:
+        raise ValueError("SHORT dims must fit u16")
+    typ = 4 if long_type else 3
+
+    def entry(tag, val):
+        if long_type:
+            return u(tag, 2) + u(typ, 2) + u(1, 4) + u(val, 4)
+        return u(tag, 2) + u(typ, 2) + u(1, 4) + u(val, 2) + b"\x00\x00"
+
+    ifd = u(2, 2) + entry(256, w) + entry(257, h) + u(0, 4)
+    return bom + u(8, 4) + ifd
+
+
+def synth_tiff_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) TIFF corpus: dims
+    1 + (doc_id*11) % 2048 by 1 + (doc_id*19) % 2048, BIG-endian for
+    odd doc_ids and SHORT/LONG tag types cycling doc_id % 4 — the
+    header-decode round-trip covers both byte orders and both field
+    types with pure doc_id arithmetic for the SQL twin."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                blobs.append(build_fixture_tiff(
+                    1 + (d * 11) % 2048, 1 + (d * 19) % 2048,
+                    big_endian=(d % 2 == 1),
+                    long_type=(d % 4 >= 2)))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "blob": blobs})
 

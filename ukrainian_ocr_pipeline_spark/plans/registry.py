@@ -2311,6 +2311,27 @@ GROUP BY d
 """
 
 
+def q_multimodal_tiff_header_decode(spark, sf_dir):
+    """REAL TIFF header decode round-trip (round 5, fifth header
+    format): byte-order mark + IFD walk — BIG-endian for odd docs,
+    SHORT vs LONG dimension tags cycling doc_id % 4 — so both byte
+    orders and both field layouts are parsed on every sweep.  The
+    oracle recomputes dims from doc_id; an endianness mix-up or a
+    SHORT-read-as-LONG hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_header_meta(multimodal.synth_tiff_corpus(d))
+
+
+SQL_TIFF_HEADER = """
+SELECT doc_id,
+       'tiff' AS fmt,
+       CAST(1 + (doc_id * 11) % 2048 AS INTEGER) AS width,
+       CAST(1 + (doc_id * 19) % 2048 AS INTEGER) AS height,
+       CAST(38 AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
 def q_pdf_layout_blocks(spark, sf_dir):
     """Layout-aware PDF parse round-trip (the north rule's 'layout
     parse' leg): over the same mixed compressed/raw, literal/hex PDF
@@ -6570,6 +6591,7 @@ QUERIES = {
     "multimodal_gif_pixel_stats": q_multimodal_gif_pixel_stats,
     "multimodal_wav_sample_stats": q_multimodal_wav_sample_stats,
     "multimodal_bmp_pixel_stats": q_multimodal_bmp_pixel_stats,
+    "multimodal_tiff_header_decode": q_multimodal_tiff_header_decode,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6595,7 +6617,6 @@ QUERIES = {
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
-    "docs_per_lang_concat": q_docs_per_lang_concat,
     "doc_containment_join": q_doc_containment_join,
     "latest_order_per_customer": q_latest_order_per_customer,
     "event_context_window": q_event_context_window,
@@ -6614,6 +6635,7 @@ QUERIES = {
     "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "user_sessionization": q_user_sessionization,
     "hourly_event_rollup": q_hourly_event_rollup,
+    "docs_per_lang_concat": q_docs_per_lang_concat,
     "top_parts": q_top_parts,
     "orders_price_percentiles": q_orders_price_percentiles,
     "lineitem_rollup": q_lineitem_rollup,
@@ -6809,6 +6831,7 @@ ORACLE_SQL = {
     "multimodal_gif_pixel_stats": SQL_GIF_PIXEL_STATS,
     "multimodal_wav_sample_stats": SQL_WAV_SAMPLE_STATS,
     "multimodal_bmp_pixel_stats": SQL_BMP_PIXEL_STATS,
+    "multimodal_tiff_header_decode": SQL_TIFF_HEADER,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
