@@ -556,3 +556,78 @@ def test_pages_from_warc_ts_is_utc_under_any_session_tz(spark):
     want = int(dt.datetime(2024, 1, 5, 6, 7, 8,
                            tzinfo=dt.timezone.utc).timestamp())
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-5: WACZ / ZIP container walk
+
+class TestZipWalk:
+    def _blob(self):
+        from ukrainian_ocr_pipeline_spark.sources.warc import (
+            build_fixture_wacz,
+        )
+        return build_fixture_wacz([
+            ("a.txt", b"hello world", False),
+            ("b/c.bin", b"x" * 1000, True),
+        ])
+
+    def test_roundtrip_and_stdlib_agreement(self):
+        import io
+        import zipfile
+
+        from ukrainian_ocr_pipeline_spark.sources.warc import (
+            iter_zip_entries,
+        )
+        blob = self._blob()
+        es = list(iter_zip_entries(blob))
+        assert [(e["name"], e["method"], e["data"]) for e in es] == [
+            ("a.txt", 0, b"hello world"), ("b/c.bin", 8, b"x" * 1000)]
+        # stdlib accepts our hand-written archive...
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        assert zf.read("a.txt") == b"hello world"
+        assert zf.read("b/c.bin") == b"x" * 1000
+        # ...and our walk reads a stdlib-written one
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("m.txt", "stdlib written")
+        es2 = list(iter_zip_entries(buf.getvalue()))
+        assert es2[0]["name"] == "m.txt"
+        assert es2[0]["data"] == b"stdlib written"
+
+    def test_corrupt_yields_nothing_or_partial(self):
+        from ukrainian_ocr_pipeline_spark.sources.warc import (
+            iter_zip_entries,
+        )
+        blob = self._blob()
+        assert list(iter_zip_entries(b"")) == []
+        assert list(iter_zip_entries(b"junk no zip here")) == []
+        # EOCD cut off -> nothing
+        assert list(iter_zip_entries(blob[:-5])) == []
+        # corrupt deflate stream -> entry listed, data None
+        i = blob.index(b"x")  # poison first member? a.txt is stored
+        bad = bytearray(blob)
+        # flip bytes inside the second member's deflate payload
+        start = blob.index(b"b/c.bin") + len(b"b/c.bin")
+        for k in range(start, start + 8):
+            bad[k] ^= 0xFF
+        es = list(iter_zip_entries(bytes(bad)))
+        assert es[0]["data"] == b"hello world"
+        assert es[1]["data"] is None and es[1]["name"] == "b/c.bin"
+
+    def test_wacz_chain_end_to_end(self, spark):
+        from ukrainian_ocr_pipeline_spark.sources.warc import (
+            synth_wacz_corpus,
+            wacz_page_table,
+            zip_member_table,
+        )
+        df = spark.createDataFrame([(i,) for i in range(10)],
+                                   "doc_id long")
+        members = zip_member_table(synth_wacz_corpus(df)).collect()
+        assert len(members) == 30
+        assert all(m["decoded"] for m in members)
+        pages = {r["doc_id"]: r
+                 for r in wacz_page_table(synth_wacz_corpus(df)).collect()}
+        assert len(pages) == 10
+        for d in range(10):
+            assert pages[d]["url"] == f"https://w{d % 7}.example/p/{d}"
+            assert pages[d]["page_text"] == f"wacz page {d} body {d % 13}"

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..sources import warc as warcmod
 from ..operators import (crawl, dedup, graphrank, multimodal, packing,
                          robots, similarity, sketches, textindex, textstats,
                          webnorm)
@@ -2328,6 +2329,86 @@ SELECT doc_id,
        CAST(1 + (doc_id * 11) % 2048 AS INTEGER) AS width,
        CAST(1 + (doc_id * 19) % 2048 AS INTEGER) AS height,
        CAST(38 AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+def q_wacz_member_listing(spark, sf_dir):
+    """WACZ/ZIP container walk (round 5): per doc a deterministic
+    WACZ-shaped ZIP (datapackage.json stored, index.cdx deflated, a
+    real WARC member stored/deflated by doc_id parity), exploded to one
+    row per central-directory member with method, uncompressed size,
+    and whether the payload decoded.  The oracle rebuilds every field
+    from doc_id arithmetic — the WARC member's byte count via an exact
+    ASCII reconstruction of the record text in SQL — so an off-by-one
+    in the directory walk, the local-header skip, or the inflate
+    hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return warcmod.zip_member_table(warcmod.synth_wacz_corpus(d))
+
+
+# the WARC member's size is LENGTH of the exact serialized record —
+# reconstructable in SQL because every byte is ASCII arithmetic
+SQL_WACZ_MEMBERS = r"""
+WITH base AS (
+  SELECT doc_id AS d,
+         'wacz page ' || CAST(doc_id AS VARCHAR) || ' body '
+           || CAST(doc_id % 13 AS VARCHAR) AS body,
+         chr(13) || chr(10) AS crlf
+  FROM documents),
+payload AS (
+  SELECT d, crlf,
+         'HTTP/1.1 200 OK' || crlf
+         || 'Content-Type: text/html; charset=utf-8' || crlf
+         || 'Content-Length: ' || CAST(LENGTH(body) AS VARCHAR)
+         || crlf || crlf || body AS p
+  FROM base),
+rec AS (
+  SELECT d,
+         'WARC/1.0' || crlf
+         || 'WARC-Type: response' || crlf
+         || 'WARC-Target-URI: https://w' || CAST(d % 7 AS VARCHAR)
+         || '.example/p/' || CAST(d AS VARCHAR) || crlf
+         || 'WARC-Date: 2024-01-01T00:00:00Z' || crlf
+         || 'Content-Type: application/http; msgtype=response' || crlf
+         || 'Content-Length: ' || CAST(LENGTH(p) AS VARCHAR)
+         || crlf || crlf || p || crlf || crlf AS r
+  FROM payload)
+SELECT d AS doc_id,
+       CAST(m.r AS INTEGER) AS member_idx,
+       CASE m.r WHEN 0 THEN 'datapackage.json'
+                WHEN 1 THEN 'indexes/index.cdx'
+                ELSE 'archive/pages-' || CAST(d AS VARCHAR) || '.warc'
+       END AS name,
+       CAST(CASE m.r WHEN 0 THEN 0 WHEN 1 THEN 8
+                     ELSE (d % 2) * 8 END AS INTEGER) AS method,
+       CAST(CASE m.r
+            WHEN 0 THEN 27
+            WHEN 1 THEN LENGTH('cdx entry ' || CAST(d AS VARCHAR)) + 1
+            ELSE LENGTH(rec.r) END AS INTEGER) AS n_bytes,
+       TRUE AS decoded
+FROM rec, range(0, 3) m(r)
+"""
+
+
+def q_wacz_warc_extract(spark, sf_dir):
+    """The full WACZ ingestion chain in one Arrow-batched pass: ZIP
+    central-directory walk -> member inflate -> WARC record parse ->
+    HTTP response split — three real container parsers composed, one
+    row per response record.  The oracle rebuilds url and body text
+    from doc_id arithmetic; a break anywhere in the chain (directory
+    offsets, raw-deflate window, WARC framing, HTTP header split)
+    hash-mismatches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return warcmod.wacz_page_table(warcmod.synth_wacz_corpus(d))
+
+
+SQL_WACZ_EXTRACT = """
+SELECT doc_id,
+       'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'wacz page ' || CAST(doc_id AS VARCHAR) || ' body '
+         || CAST(doc_id % 13 AS VARCHAR) AS page_text
 FROM documents
 """
 
@@ -6592,6 +6673,8 @@ QUERIES = {
     "multimodal_wav_sample_stats": q_multimodal_wav_sample_stats,
     "multimodal_bmp_pixel_stats": q_multimodal_bmp_pixel_stats,
     "multimodal_tiff_header_decode": q_multimodal_tiff_header_decode,
+    "wacz_member_listing": q_wacz_member_listing,
+    "wacz_warc_extract": q_wacz_warc_extract,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6610,10 +6693,8 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize_plan": q_multimodal_resize_plan,
     "multimodal_feature_extract": q_multimodal_feature_extract,
-    "doc_zscore_by_lang": q_doc_zscore_by_lang,
     "session_window_rollup": q_session_window_rollup,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "doc_token_counts": q_doc_token_counts,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -6632,6 +6713,8 @@ QUERIES = {
     #    query stays covered by the local tri-scale oracle mirror
     #    (tests/test_queries_oracle.py) regardless of position. --
     "orders_price_histogram": q_orders_price_histogram,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_zscore_by_lang": q_doc_zscore_by_lang,
     "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "user_sessionization": q_user_sessionization,
     "hourly_event_rollup": q_hourly_event_rollup,
@@ -6832,6 +6915,8 @@ ORACLE_SQL = {
     "multimodal_wav_sample_stats": SQL_WAV_SAMPLE_STATS,
     "multimodal_bmp_pixel_stats": SQL_BMP_PIXEL_STATS,
     "multimodal_tiff_header_decode": SQL_TIFF_HEADER,
+    "wacz_member_listing": SQL_WACZ_MEMBERS,
+    "wacz_warc_extract": SQL_WACZ_EXTRACT,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,

@@ -767,3 +767,202 @@ def revisit_marks(pages: DataFrame, url_col: str = "url",
          .otherwise(F.col("orig_url")).alias("refers_to_url"),
         F.when(is_orig, F.lit(None).cast(marked.schema[ts_col].dataType))
          .otherwise(F.col("orig_ts")).alias("refers_to_ts"))
+
+
+# ---------------------------------------------------------------------------
+# WACZ / ZIP container parsing (round 5).  Modern web archives ship as
+# WACZ — a ZIP (APPNOTE 6.3 byte layout) holding WARC files plus CDX
+# and a datapackage manifest.  The walk below is a stdlib
+# central-directory parse (no zipfile import on the DECODE path, the
+# same discipline as the other container parsers), so a crawl dump
+# lands in Spark as (member, bytes) rows and chains straight into
+# iter_warc_records.
+
+_ZIP_EOCD = b"PK\x05\x06"
+_ZIP_CDIR = b"PK\x01\x02"
+_MAX_ZIP_MEMBER = 64 * 1024 * 1024  # inflate bomb cap per member
+
+
+def iter_zip_entries(blob: bytes) -> Iterator[dict]:
+    """Walk a ZIP's central directory (found via the end-of-central-
+    directory record in the trailing 64 KB) and yield one dict per
+    member: name, method (0 stored / 8 deflate), usize, and `data` —
+    the decompressed bytes for stored and deflate members (None for
+    other methods, size mismatches, or bomb-cap hits).  Stops silently
+    on structural corruption: a truncated archive yields the members
+    that parse, never raises — container walks run inside hot tasks."""
+    import zlib
+    n = len(blob)
+    eocd = blob.rfind(_ZIP_EOCD, max(0, n - 65557))
+    if eocd < 0 or eocd + 22 > n:
+        return
+    n_entries = int.from_bytes(blob[eocd + 10:eocd + 12], "little")
+    pos = int.from_bytes(blob[eocd + 16:eocd + 20], "little")
+    for _ in range(n_entries):
+        if pos + 46 > n or blob[pos:pos + 4] != _ZIP_CDIR:
+            return
+        method = int.from_bytes(blob[pos + 10:pos + 12], "little")
+        csize = int.from_bytes(blob[pos + 20:pos + 24], "little")
+        usize = int.from_bytes(blob[pos + 24:pos + 28], "little")
+        nlen = int.from_bytes(blob[pos + 28:pos + 30], "little")
+        elen = int.from_bytes(blob[pos + 30:pos + 32], "little")
+        clen = int.from_bytes(blob[pos + 32:pos + 34], "little")
+        lho = int.from_bytes(blob[pos + 42:pos + 46], "little")
+        name = blob[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        data = None
+        # the local header repeats name/extra with its OWN lengths
+        # (extra fields commonly differ between the two copies)
+        if lho + 30 <= n:
+            lnlen = int.from_bytes(blob[lho + 26:lho + 28], "little")
+            lelen = int.from_bytes(blob[lho + 28:lho + 30], "little")
+            dstart = lho + 30 + lnlen + lelen
+            if dstart + csize <= n and usize <= _MAX_ZIP_MEMBER:
+                raw = blob[dstart:dstart + csize]
+                if method == 0:
+                    data = raw if len(raw) == usize else None
+                elif method == 8:
+                    try:
+                        d = zlib.decompressobj(-15)
+                        out = d.decompress(raw, _MAX_ZIP_MEMBER)
+                        if d.unconsumed_tail or len(out) != usize:
+                            out = None
+                        data = out
+                    except zlib.error:
+                        data = None
+        yield {"name": name, "method": method, "usize": usize,
+               "data": data}
+        pos += 46 + nlen + elen + clen
+
+
+def build_fixture_wacz(members: list[tuple[str, bytes, bool]]) -> bytes:
+    """Serialize a minimal deterministic WACZ-shaped ZIP: one
+    (name, content, deflate?) tuple per member, fixed 1980-01-01
+    timestamps, no extra fields — APPNOTE layout written by hand so
+    fixture bytes are stable across Python versions."""
+    import struct
+    import zlib
+    out = bytearray()
+    cdir = bytearray()
+    for name, content, deflate in members:
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if deflate:
+            d = zlib.compressobj(6, zlib.DEFLATED, -15)
+            raw = d.compress(content) + d.flush()
+            method = 8
+        else:
+            raw = content
+            method = 0
+        lho = len(out)
+        local = (b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0x21, crc,
+            len(raw), len(content), len(nb), 0) + nb)
+        out += local + raw
+        cdir += (b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0x21, crc,
+            len(raw), len(content), len(nb), 0, 0, 0, 0, 0, lho) + nb)
+    cd_off = len(out)
+    out += cdir
+    out += (b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(members), len(members), len(cdir),
+        cd_off, 0))
+    return bytes(out)
+
+
+ZIP_MEMBER_SCHEMA = ("doc_id bigint, member_idx int, name string, "
+                     "method int, n_bytes int, decoded boolean")
+
+
+def zip_member_table(df, blob_col: str = "blob",
+                     id_col: str = "doc_id"):
+    """Explode a binary ZIP/WACZ column into one row per member —
+    (doc_id, member_idx, name, method, n_bytes, decoded) — via one
+    Arrow-batched mapInPandas pass; no rows for blobs with no parseable
+    central directory (the parse-or-nothing discipline)."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "member_idx": [], "name": [],
+                   "method": [], "n_bytes": [], "decoded": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                for i, e in enumerate(iter_zip_entries(b)):
+                    out["doc_id"].append(int(did))
+                    out["member_idx"].append(i)
+                    out["name"].append(e["name"])
+                    out["method"].append(e["method"])
+                    out["n_bytes"].append(e["usize"])
+                    out["decoded"].append(e["data"] is not None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract,
+                                                   ZIP_MEMBER_SCHEMA)
+
+
+WACZ_PAGE_SCHEMA = ("doc_id bigint, url string, page_text string")
+
+
+def wacz_page_table(df, blob_col: str = "blob", id_col: str = "doc_id"):
+    """The full WACZ chain in one pass: ZIP central-directory walk ->
+    member inflate -> WARC record parse (iter_warc_records) -> HTTP
+    response split — one row per response record found in any
+    `*.warc`-named member, (doc_id, url, page_text)."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "url": [], "page_text": []}
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                for e in iter_zip_entries(b):
+                    if e["data"] is None or not e["name"].endswith(".warc"):
+                        continue
+                    for rec in iter_warc_records(e["data"]):
+                        if rec.get("warc_type") != "response":
+                            continue
+                        _st, _ct, body = split_http_response(
+                            rec.get("payload", b""))
+                        out["doc_id"].append(int(did))
+                        out["url"].append(rec.get("url"))
+                        out["page_text"].append(
+                            body.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(extract,
+                                                   WACZ_PAGE_SCHEMA)
+
+
+def synth_wacz_corpus(df, id_col: str = "doc_id"):
+    """Deterministic (doc_id, blob) WACZ corpus: per doc a ZIP holding
+    a datapackage.json (stored), an index.cdx (deflated), and a
+    pages-{d}.warc member (deflated for odd docs, stored for even)
+    whose single response record's body is the closed-form text
+    ``wacz page <d> body <d % 13>`` at url
+    ``https://w{d % 7}.example/p/<d>`` — every output of both the
+    member listing and the full chain is doc_id arithmetic."""
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                body = f"wacz page {d} body {d % 13}".encode()
+                rec = build_record(
+                    "response", build_http_response(body),
+                    url=f"https://w{d % 7}.example/p/{d}",
+                    date="2024-01-01T00:00:00Z",
+                    content_type="application/http; msgtype=response")
+                members = [
+                    ("datapackage.json",
+                     b'{"profile": "data-package"}', False),
+                    ("indexes/index.cdx",
+                     f"cdx entry {d}\n".encode(), True),
+                    (f"archive/pages-{d}.warc", rec, d % 2 == 1),
+                ]
+                blobs.append(build_fixture_wacz(members))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
