@@ -5,9 +5,11 @@
         --snapshot-id crawl-2024-01 [--master local[8]]
 
 The first mile: a directory of `.warc` / `.warc.gz` files (the Common
-Crawl delivery format — ~64k gzip'd files per crawl) becomes the
-canonical `pages` table every downstream job (extract, curate, index)
-reads.  Reference analog: the OCR pipeline's image-directory intake
+Crawl delivery format — ~64k gzip'd files per crawl) — or `.wacz` /
+`.zip` web-archive containers, whose `*.warc(.gz)` members are walked
+via the stdlib central-directory parse with `archive!member` lineage
+paths — becomes the canonical `pages` table every downstream job
+(extract, curate, index) reads.  Reference analog: the OCR pipeline's image-directory intake
 (`ukrainian_ocr/utils/io.py:74-107`) — here the intake is WARC records
 instead of image files.
 
@@ -33,7 +35,8 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="WARC ingestion job")
     p.add_argument("--warc", required=True,
-                   help="directory or glob of .warc/.warc.gz files")
+                   help="directory or glob of .warc/.warc.gz files "
+                        "and/or .wacz/.zip web-archive containers")
     p.add_argument("--warehouse", required=True, help="output catalog root")
     p.add_argument("--snapshot-id", required=True)
     p.add_argument("--cdx", action="store_true",

@@ -178,3 +178,43 @@ def test_ingest_job_wat_sidecar(spark, tmp_path, capsys):
     assert job.main(["--warc", str(warcs), "--warehouse", wh,
                      "--snapshot-id", "crawl-wat", "--wat"]) == 0
     assert len(os.listdir(os.path.join(wh, "wat", "snapshots"))) == 1
+
+
+def test_ingest_wacz_archive(tmp_path, spark):
+    """A .wacz delivery ingests through the same job surface: ZIP walk
+    -> member WARCs (plain AND gzip members) -> pages table, with
+    archive!member lineage paths in the ingest log."""
+    from ukrainian_ocr_pipeline_spark.sources import warc as w
+
+    rows = [{"url": f"https://z{i}.example/p/{i}",
+             "date": f"2024-01-01T00:{i:02d}:00Z",
+             "html": f"<html><body>wacz page {i}</body></html>".encode()}
+            for i in range(8)]
+    plain = b"".join(
+        w.build_record("response", w.build_http_response(r["html"]),
+                       url=r["url"], date=r["date"],
+                       content_type="application/http; msgtype=response")
+        for r in rows[:5])
+    gz = w.compress_warc_members(
+        w.build_record("response", w.build_http_response(r["html"]),
+                       url=r["url"], date=r["date"],
+                       content_type="application/http; msgtype=response")
+        for r in rows[5:])
+    blob = w.build_fixture_wacz([
+        ("datapackage.json", b"{}", False),
+        ("archive/a.warc", plain, True),
+        ("archive/b.warc.gz", gz, False),
+    ])
+    d = tmp_path / "wacz"
+    d.mkdir()
+    (d / "crawl.wacz").write_bytes(blob)
+
+    records = w.read_warc(spark, str(d))
+    got = records.where("warc_type = 'response'").collect()
+    assert len(got) == 8
+    assert sorted(r["url"] for r in got) == sorted(r["url"] for r in rows)
+    files = {r["warc_file"] for r in got}
+    assert any(f.endswith("crawl.wacz!archive/a.warc") for f in files)
+    assert any(f.endswith("crawl.wacz!archive/b.warc.gz") for f in files)
+    pages = w.pages_from_warc(records)
+    assert pages.count() == 8

@@ -322,6 +322,33 @@ WARC_RECORDS_SCHEMA = T.StructType([
 
 
 def _records_of_file(path: str, content: bytes) -> Iterator[dict]:
+    if path.endswith((".wacz", ".zip")):
+        # WACZ delivery: walk the ZIP, recurse into every *.warc /
+        # *.warc.gz member with `archive!member` lineage paths so a
+        # corrupt member inside a 10k-archive crawl is locatable
+        any_member = False
+        for e in iter_zip_entries(content):
+            if not e["name"].endswith((".warc", ".warc.gz")):
+                continue
+            any_member = True
+            mpath = f"{path}!{e['name']}"
+            if e["data"] is None:
+                yield {"warc_file": mpath, "record_offset": 0,
+                       "warc_type": None, "url": None, "warc_date": None,
+                       "record_id": None, "http_status": None,
+                       "http_content_type": None, "content_length": None,
+                       "payload": None,
+                       "error": "zip: member failed to decode"}
+                continue
+            yield from _records_of_file(mpath, e["data"])
+        if not any_member:
+            yield {"warc_file": path, "record_offset": 0,
+                   "warc_type": None, "url": None, "warc_date": None,
+                   "record_id": None, "http_status": None,
+                   "http_content_type": None, "content_length": None,
+                   "payload": None,
+                   "error": "wacz: no WARC members in archive"}
+        return
     gz_error = None
     if path.endswith(".gz"):
         # member-by-member: the valid prefix parses normally, the bad
