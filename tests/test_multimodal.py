@@ -923,3 +923,69 @@ def test_tiff_header_never_raises(tail, pos, val):
     b[pos % len(b)] = val
     out = decode_image_header(bytes(b))
     assert out is None or (isinstance(out, tuple) and len(out) == 3)
+
+
+# --------------------------------------------------------------------------
+# round-5: ICO (favicon) decode — PNG and headerless-DIB frames
+
+def test_ico_roundtrip_both_frame_kinds_and_largest_selection():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_ico,
+        decode_ico_pixels,
+        decode_pixels,
+    )
+    rng = np.random.RandomState(3)
+    for (w, h) in ((1, 1), (10, 9), (33, 21)):
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for kind in ("png", "dib"):
+            got = decode_ico_pixels(build_fixture_ico([(kind, px)]))
+            assert got is not None, (w, h, kind)
+            assert got[:3] == (w, h, 3)
+            assert np.array_equal(got[3], px), (w, h, kind)
+    # multi-frame: the LARGEST frame wins
+    small = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    big = rng.randint(0, 256, size=(12, 12, 3)).astype(np.uint8)
+    blob = build_fixture_ico([("dib", small), ("png", big)])
+    got = decode_ico_pixels(blob)
+    assert got[:2] == (12, 12) and np.array_equal(got[3], big)
+    assert decode_pixels(blob) is not None  # dispatch covers ICO
+
+
+def test_ico_rejects_corrupt():
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_ico,
+        decode_ico_pixels,
+    )
+    px = np.zeros((5, 6, 3), np.uint8)
+    blob = build_fixture_ico([("dib", px)])
+    assert decode_ico_pixels(blob) is not None
+    assert decode_ico_pixels(b"") is None
+    assert decode_ico_pixels(blob[:10]) is None       # cut in directory
+    assert decode_ico_pixels(blob[:30]) is None       # frame overruns
+    # odd (non-doubled) DIB height is malformed
+    bad = bytearray(blob)
+    off = 6 + 16
+    bad[off + 8] = 11  # height 2*5 -> 11
+    assert decode_ico_pixels(bytes(bad)) is None
+
+
+@given(st.binary(min_size=0, max_size=60),
+       st.integers(min_value=0, max_value=150),
+       st.integers(min_value=0, max_value=255))
+@settings(max_examples=200, deadline=None)
+def test_ico_decoder_never_raises(tail, pos, val):
+    import numpy as np
+
+    from ukrainian_ocr_pipeline_spark.operators.multimodal import (
+        build_fixture_ico,
+        decode_ico_pixels,
+    )
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    b = bytearray(build_fixture_ico([("dib", px)]) + tail)
+    b[pos % len(b)] = val
+    out = decode_ico_pixels(bytes(b))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)

@@ -1256,14 +1256,16 @@ def build_fixture_gif_pixels(indices, palette,
 
 
 def decode_pixels(blob: bytes):
-    """Signature-dispatched REAL pixel decode: PNG, GIF, or BMP (the
-    three stdlib-decodable formats); None for anything else."""
+    """Signature-dispatched REAL pixel decode: PNG, GIF, BMP, or ICO
+    (the stdlib-decodable formats); None for anything else."""
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(blob)
     if blob[:2] == b"BM":
         return decode_bmp_pixels(blob)
+    if blob[:4] == b"\x00\x00\x01\x00":
+        return decode_ico_pixels(blob)
     return None
 
 
@@ -1565,6 +1567,142 @@ def synth_tiff_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     1 + (d * 11) % 2048, 1 + (d * 19) % 2048,
                     big_endian=(d % 2 == 1),
                     long_type=(d % 4 >= 2)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return df.select(id_col).mapInPandas(build, "doc_id bigint, blob binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL ICO (favicon) decode (round 5): the web's icon container.  Each
+# directory entry points at either a full PNG file or a headerless DIB
+# (BITMAPINFOHEADER with DOUBLED height covering the XOR pixel rows
+# plus the AND transparency mask) — so the frame decode is pure reuse
+# of decode_png_pixels / decode_bmp_pixels.
+
+def decode_ico_pixels(blob: bytes):
+    """Decode the LARGEST frame of an ICO: ICONDIR walk -> frame bytes
+    -> PNG path (signature match) or DIB path (height un-doubled, a
+    synthetic BITMAPFILEHEADER prepended, then the BMP decoder; 24-bit
+    uncompressed only).  (width, height, 3, uint8 RGB array) or None
+    under the usual parse-or-None contract."""
+    import struct
+    try:
+        n = len(blob)
+        if n < 22 or blob[:4] != b"\x00\x00\x01\x00":
+            return None
+        count = int.from_bytes(blob[4:6], "little")
+        if count == 0:
+            return None
+        best = None
+        for k in range(count):
+            e = 6 + 16 * k
+            if e + 16 > n:
+                return None
+            w = blob[e] or 256
+            h = blob[e + 1] or 256
+            size = int.from_bytes(blob[e + 8:e + 12], "little")
+            off = int.from_bytes(blob[e + 12:e + 16], "little")
+            if off + size > n:
+                return None
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h, off, size)
+        _, _, off, size = best
+        frame = blob[off:off + size]
+        if frame[:8] == _PNG_SIG:
+            return decode_png_pixels(frame)
+        if len(frame) < 40 \
+                or int.from_bytes(frame[:4], "little") != 40:
+            return None
+        bw = int.from_bytes(frame[4:8], "little", signed=True)
+        bh2 = int.from_bytes(frame[8:12], "little", signed=True)
+        bpp = int.from_bytes(frame[14:16], "little")
+        comp = int.from_bytes(frame[16:20], "little")
+        if bpp != 24 or comp != 0 or bh2 <= 0 or bh2 % 2:
+            return None
+        bh = bh2 // 2
+        if not _sane_dims(bw, bh):
+            return None
+        stride = (bw * 3 + 3) & ~3
+        pix = frame[40:40 + stride * bh]
+        if len(pix) != stride * bh:
+            return None
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0,
+                             len(pix), 0, 0, 0, 0) + pix)
+        return decode_bmp_pixels(bmp)
+    except Exception:
+        return None
+
+
+def build_fixture_ico(frames) -> bytes:
+    """Serialize a REAL ICO from (kind, pixels) frames — kind 'png'
+    embeds a full PNG (every scanline filter type), 'dib' a headerless
+    24-bit DIB with doubled height, bottom-up XOR rows, and a zeroed
+    AND mask (32-bit-padded rows), per the ICONDIR layout."""
+    import struct
+
+    import numpy as np
+    datas = []
+    dims = []
+    for kind, px in frames:
+        arr = np.asarray(px, dtype=np.uint8)
+        h, w, ch = arr.shape
+        if ch != 3 or not (0 < w <= 256 and 0 < h <= 256):
+            raise ValueError("ICO frames are (h<=256, w<=256, 3)")
+        if kind == "png":
+            data = build_fixture_png_pixels(arr, [0, 1, 2, 3, 4])
+        elif kind == "dib":
+            stride = (w * 3 + 3) & ~3
+            pad = bytes(stride - w * 3)
+            xor = b"".join(row.tobytes() + pad
+                           for row in arr[::-1, :, ::-1])
+            and_stride = ((w + 31) // 32) * 4
+            mask = bytes(and_stride * h)
+            dib = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+                              len(xor) + len(mask), 0, 0, 0, 0)
+            data = dib + xor + mask
+        else:
+            raise ValueError(f"unknown ICO frame kind: {kind}")
+        datas.append(data)
+        dims.append((w, h))
+    out = bytearray(b"\x00\x00\x01\x00"
+                    + len(frames).to_bytes(2, "little"))
+    off = 6 + 16 * len(frames)
+    for (w, h), data in zip(dims, datas):
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        out += len(data).to_bytes(4, "little")
+        out += off.to_bytes(4, "little")
+        off += len(data)
+    for data in datas:
+        out += data
+    return bytes(out)
+
+
+def synth_ico_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (doc_id, blob) ICO corpus with the SAME gradient
+    closed forms as the BMP corpus — r=(x+2y+d)%251, g=(3x+y+d)%251,
+    b=(x+y+2d)%251 at 10 + d % 14 by 10 + (d*3) % 11 — but the frame
+    container alternates PNG (even docs) and headerless DIB (odd), so
+    one container-agnostic oracle forces both decode paths to produce
+    identical stats."""
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            blobs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 10 + d % 14, 10 + (d * 3) % 11
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                px = np.stack(
+                    [np.broadcast_to((xs + 2 * ys + d) % 251, (h, w)),
+                     np.broadcast_to((3 * xs + ys + d) % 251, (h, w)),
+                     np.broadcast_to((xs + ys + 2 * d) % 251, (h, w))],
+                    axis=2).astype(np.uint8)
+                kind = "png" if d % 2 == 0 else "dib"
+                blobs.append(build_fixture_ico([(kind, px)]))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "blob": blobs})
 

@@ -2413,6 +2413,45 @@ FROM documents
 """
 
 
+def q_multimodal_ico_pixel_stats(spark, sf_dir):
+    """REAL ICO (favicon) decode round-trip (round 5): the frame
+    container alternates full-PNG (even docs, every scanline filter
+    type) and headerless doubled-height DIB (odd docs, AND-mask skip,
+    bottom-up BGR), but the gradient closed forms are IDENTICAL — one
+    container-agnostic oracle forces both decode paths to agree
+    sample-for-sample.  A wrong AND-mask offset, a missed height
+    un-doubling, or a PNG filter bug hash-mismatches on exactly one
+    parity class."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.media_pixel_stats(multimodal.synth_ico_corpus(d))
+
+
+SQL_ICO_PIXEL_STATS = """
+WITH dims AS (
+  SELECT doc_id AS d,
+         10 + doc_id % 14 AS w,
+         10 + (doc_id * 3) % 11 AS h
+  FROM documents),
+samples AS (
+  SELECT d, w, h,
+         CASE c.r
+              WHEN 0 THEN (x.r + 2 * y.r + d) % 251
+              WHEN 1 THEN (3 * x.r + y.r + d) % 251
+              ELSE (x.r + y.r + 2 * d) % 251 END AS v
+  FROM dims, range(0, 24) x(r), range(0, 21) y(r), range(0, 3) c(r)
+  WHERE x.r < w AND y.r < h)
+SELECT d AS doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INTEGER) AS px_min,
+       CAST(MAX(v) AS INTEGER) AS px_max
+FROM samples
+GROUP BY d
+"""
+
+
 def q_pdf_layout_blocks(spark, sf_dir):
     """Layout-aware PDF parse round-trip (the north rule's 'layout
     parse' leg): over the same mixed compressed/raw, literal/hex PDF
@@ -6675,6 +6714,7 @@ QUERIES = {
     "multimodal_tiff_header_decode": q_multimodal_tiff_header_decode,
     "wacz_member_listing": q_wacz_member_listing,
     "wacz_warc_extract": q_wacz_warc_extract,
+    "multimodal_ico_pixel_stats": q_multimodal_ico_pixel_stats,
     # -- re-witness set: last driver row r01/r02, oldest-first --
     "doc_quality_filter": q_doc_quality_filter,
     "corpus_curation": q_corpus_curation,
@@ -6695,7 +6735,6 @@ QUERIES = {
     "multimodal_feature_extract": q_multimodal_feature_extract,
     "session_window_rollup": q_session_window_rollup,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "doc_quality_scores": q_doc_quality_scores,
     "doc_language_id": q_doc_language_id,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_containment_join": q_doc_containment_join,
@@ -6715,6 +6754,7 @@ QUERIES = {
     "orders_price_histogram": q_orders_price_histogram,
     "doc_token_counts": q_doc_token_counts,
     "doc_zscore_by_lang": q_doc_zscore_by_lang,
+    "doc_quality_scores": q_doc_quality_scores,
     "docs_lang_by_source_pivot": q_docs_lang_by_source_pivot,
     "user_sessionization": q_user_sessionization,
     "hourly_event_rollup": q_hourly_event_rollup,
@@ -6917,6 +6957,7 @@ ORACLE_SQL = {
     "multimodal_tiff_header_decode": SQL_TIFF_HEADER,
     "wacz_member_listing": SQL_WACZ_MEMBERS,
     "wacz_warc_extract": SQL_WACZ_EXTRACT,
+    "multimodal_ico_pixel_stats": SQL_ICO_PIXEL_STATS,
     "event_asof_join": SQL_ASOF,
     "corpus_split_assign": SQL_SPLIT,
     "event_props_json": SQL_PROPS_JSON,
